@@ -1,0 +1,277 @@
+"""Pure-Python, single-process oracle for the whole KG pipeline.
+
+This is the engine's *reference-equivalent* implementation (SURVEY.md §5,
+FIXTURES.md F3): it executes the exact extraction semantics of the
+reference's two-pass builder (``wiki_and_semeval2sdp.py:319-472``) —
+parse → vocab barrier → extract/encode/filter → label/score → triples →
+link → canonicalize → adjacency — in plain Python over a small documents
+table. Tests run the Ray pipeline and this oracle on the same corpus and
+assert equality (the P/R ≥ 0.95 gate is trivially exceeded when outputs are
+bit-identical; both are also scored against the generator's grammar gold).
+
+It shares the per-sentence primitives (`nlp/`) and the scorer
+(`state/scorer.py`) with the Ray stages; what it does NOT share is any of
+the distributed machinery — aggregation, grouping, dedup and ordering here
+are naive dicts/sorts, which is the point: two independent routes to the
+same tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from . import schemas
+from .config import KGConfig
+from .nlp.labeler import LABEL2INT, LABELS, OTHER, label_path
+from .nlp.parser import parse_sentence, split_sentences
+from .nlp.sdp import (
+    finalize_vocab,
+    is_ok_sdp,
+    post_process_path,
+    sentence_to_sdps,
+    vocab2idx,
+)
+from .sources.synth import span_sequence_hash
+from .state.scorer import pad_paths, score_batch, weights_fixture
+
+
+def canonical_norm(surface: str) -> str:
+    """Entity surface-form normalization key: lowercase, drop possessive,
+    strip plural runs. The canonicalization groupby keys on this."""
+    s = surface.lower().strip()
+    if s.endswith("'s"):
+        s = s[:-2]
+    while s.endswith("s") and len(s) > 4:
+        s = s[:-1]
+    return s
+
+
+def canonical_id(norm: str) -> str:
+    return "e_" + hashlib.blake2b(norm.encode(), digest_size=8).hexdigest()
+
+
+def doc_rows_to_sentences(doc_rows: list[dict]) -> list[dict]:
+    """documents → parsed sentence records (text spans only; media spans pass
+    through untouched — their identity is carried by span_hash)."""
+    out = []
+    for row in doc_rows:
+        spans = row["spans"]
+        shash = span_sequence_hash(
+            [s["kind"] for s in spans], [s["text"] for s in spans], [s["media_ref"] for s in spans]
+        )
+        sent_id = 0
+        for span_idx, span in enumerate(spans):
+            if span["kind"] != "text":
+                continue
+            for text in split_sentences(span["text"]):
+                sent = parse_sentence(text)
+                out.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "span_idx": span_idx,
+                        "sent_id": sent_id,
+                        "text": text,
+                        "sent": sent,
+                        "span_hash": shash,
+                    }
+                )
+                sent_id += 1
+    return out
+
+
+def build_vocabs(
+    sent_records: list[dict], cfg: KGConfig
+) -> tuple[tuple[list, dict, list], tuple[list, dict, list], tuple[list, dict, list]]:
+    """Two-pass barrier #1: corpus-global token/dep/pos vocabularies.
+
+    Counts raw lowercased token text (NOT smart-normalized) exactly like
+    ``create_vocab_from_data`` (``wiki2sdp.py:199-202``); dep/pos vocabs
+    keep everything (``wiki2sdp.py:310-314`` calls with min_count=0).
+    """
+    wc: Counter = Counter()
+    dc: Counter = Counter()
+    pc: Counter = Counter()
+    for r in sent_records:
+        s = r["sent"]
+        for i in range(len(s)):
+            wc[s.tokens[i].lower()] += 1
+            dc[s.dep[i]] += 1
+            pc[s.pos[i]] += 1
+    word = finalize_vocab(wc, vocab_limit=cfg.vocab_limit, min_count=cfg.min_count, oov_count=cfg.oov_count)
+    dep = finalize_vocab(dc, oov_count=cfg.oov_count)
+    pos = finalize_vocab(pc, oov_count=cfg.oov_count)
+    return word, dep, pos
+
+
+def extract_encoded(
+    sent_records: list[dict],
+    word_v: dict,
+    dep_v: dict,
+    pos_v: dict,
+    cfg: KGConfig,
+    ok_dep_structures: set[tuple[str, ...]] | None = None,
+) -> list[dict]:
+    """Pass 2: SDP extraction + encode + GOOD/BAD verdict (audit stream S5).
+
+    Returns one record per candidate SDP, encoded, with verdict — mirroring
+    the combined builder's records/outfile pair
+    (``wiki_and_semeval2sdp.py:389-449``).
+    """
+    oov_id = word_v["<OOV>"]
+    ok_ids: set[tuple[int, ...]] | None = None
+    if ok_dep_structures is not None:
+        ok_ids = {tuple(vocab2idx(d, dep_v) for d in structure) for structure in ok_dep_structures}
+    out = []
+    for r in sent_records:
+        sent = r["sent"]
+        for pair_id, sdp in enumerate(
+            sentence_to_sdps(
+                sent,
+                min_len=cfg.min_len,
+                max_len=cfg.max_len,
+                include_ends=cfg.include_ends,
+                max_pairs=cfg.max_pairs_per_sentence,
+            )
+        ):
+            path = post_process_path(sdp["path"])
+            word_ids = [vocab2idx(t[0], word_v) for t in path]
+            dep_ids = [vocab2idx(t[1], dep_v) for t in path]
+            pos_ids = [vocab2idx(t[2], pos_v) for t in path]
+            target_ids = [vocab2idx(sdp["target"][0], word_v), vocab2idx(sdp["target"][1], word_v)]
+            path_ids = list(zip(word_ids, dep_ids, pos_ids))
+            good = is_ok_sdp(path_ids, target_ids, oov_id, ok_dep_structures=ok_ids, oov_percent=cfg.oov_percent)
+            out.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "sent_id": r["sent_id"],
+                    "pair_id": pair_id,
+                    "path_words": [t[0] for t in path],
+                    "word_ids": word_ids,
+                    "dep_ids": dep_ids,
+                    "pos_ids": pos_ids,
+                    "target_ids": target_ids,
+                    "length": len(path),
+                    "subj": sdp["target"][0],
+                    "obj": sdp["target"][1],
+                    "verdict": "GOOD" if good else "BAD",
+                    "span_hash": r["span_hash"],
+                }
+            )
+    return out
+
+
+def score_records(records: list[dict], word_v: dict, dep_v: dict, pos_v: dict, cfg: KGConfig) -> list[dict]:
+    """Distant-supervision label + GRU confidence → triples (pred != Other)."""
+    good = [r for r in records if r["verdict"] == "GOOD"]
+    if not good:
+        return []
+    wts = weights_fixture(len(word_v), len(dep_v), len(pos_v), seed=cfg.scorer_seed)
+    w, d, p, lengths = pad_paths(
+        [r["word_ids"] for r in good], [r["dep_ids"] for r in good], [r["pos_ids"] for r in good]
+    )
+    _, probs = score_batch(wts, w, d, p, lengths)
+    triples = []
+    for i, r in enumerate(good):
+        label = label_path(r["path_words"])
+        if label == OTHER:
+            continue
+        triples.append(
+            {
+                "doc_id": r["doc_id"],
+                "sent_id": r["sent_id"],
+                "subj": r["subj"],
+                "pred": label,
+                "obj": r["obj"],
+                "score": float(probs[i, LABEL2INT[label]]),
+                "span_hash": r["span_hash"],
+            }
+        )
+    return triples
+
+
+def canonicalize(triples: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Barrier #2: entity canonicalization + graph materialize.
+
+    entities: per normalized surface — canonical id, most frequent raw
+    variant (count desc, surface asc), total mention count.
+    adjacency: exact-dedup of (src_id, pred, dst_id) with weight = support
+    count, distinct-doc count, min doc id sample; sorted.
+    """
+    variant_counts: Counter = Counter()
+    for t in triples:
+        variant_counts[(canonical_norm(t["subj"]), t["subj"])] += 1
+        variant_counts[(canonical_norm(t["obj"]), t["obj"])] += 1
+    by_norm: dict[str, list] = {}
+    for (norm, surface), c in variant_counts.items():
+        by_norm.setdefault(norm, []).append((surface, c))
+    entities = []
+    for norm in sorted(by_norm):
+        variants = sorted(by_norm[norm], key=lambda sc: (-sc[1], sc[0]))
+        entities.append(
+            {
+                "canonical_id": canonical_id(norm),
+                "surface": variants[0][0],
+                "norm": norm,
+                "count": sum(c for _, c in variants),
+            }
+        )
+    edges: dict[tuple[str, str, str], dict] = {}
+    for t in triples:
+        key = (canonical_id(canonical_norm(t["subj"])), t["pred"], canonical_id(canonical_norm(t["obj"])))
+        e = edges.setdefault(key, {"weight": 0, "docs": set(), "sample": t["doc_id"]})
+        e["weight"] += 1
+        e["docs"].add(t["doc_id"])
+        e["sample"] = min(e["sample"], t["doc_id"])
+    adjacency = [
+        {
+            "src_id": k[0],
+            "pred": k[1],
+            "dst_id": k[2],
+            "weight": v["weight"],
+            "doc_count": len(v["docs"]),
+            "sample_doc_id": v["sample"],
+        }
+        for k, v in sorted(edges.items())
+    ]
+    return entities, adjacency
+
+
+def run_oracle(doc_rows: list[dict], cfg: KGConfig | None = None, ok_dep_structures=None) -> dict:
+    """Full single-process pipeline → dict of pyarrow Tables keyed by stage."""
+    cfg = cfg or KGConfig()
+    sents = doc_rows_to_sentences(doc_rows)
+    (wv, w2i, wdist), (dv, d2i, ddist), (pv, p2i, pdist) = build_vocabs(sents, cfg)
+    records = extract_encoded(sents, w2i, d2i, p2i, cfg, ok_dep_structures)
+    triples = score_records(records, w2i, d2i, p2i, cfg)
+    entities, adjacency = canonicalize(triples)
+
+    def vocab_tab(vocab, dist):
+        return pa.Table.from_pydict(
+            {"id": np.arange(len(vocab), dtype=np.int32), "token": vocab, "prob": dist},
+            schema=schemas.VOCAB,
+        )
+
+    return {
+        "sentences_n": len(sents),
+        "vocab": vocab_tab(wv, wdist),
+        "dep_vocab": vocab_tab(dv, ddist),
+        "pos_vocab": vocab_tab(pv, pdist),
+        "encoded": pa.Table.from_pylist(
+            [{k: v for k, v in r.items() if k != "path_words"} for r in records], schema=schemas.ENCODED
+        )
+        if records
+        else schemas.ENCODED.empty_table(),
+        "triples": pa.Table.from_pylist(triples, schema=schemas.TRIPLES)
+        if triples
+        else schemas.TRIPLES.empty_table(),
+        "entities": pa.Table.from_pylist(entities, schema=schemas.ENTITIES)
+        if entities
+        else schemas.ENTITIES.empty_table(),
+        "adjacency": pa.Table.from_pylist(adjacency, schema=schemas.ADJACENCY)
+        if adjacency
+        else schemas.ADJACENCY.empty_table(),
+    }
