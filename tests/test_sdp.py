@@ -153,10 +153,12 @@ def test_is_ok_sdp_rules():
     assert not is_ok_sdp(ok, [oov, 8], oov)  # OOV target
     assert not is_ok_sdp(ok, [7, oov], oov)
     assert not is_ok_sdp([], [7, 8], oov)  # empty path
-    # >75% OOV words in path
-    bad_path = [(oov, 1, 1), (oov, 1, 1), (oov, 1, 1), (2, 1, 1)]
+    # >75% OOV words in path: 4 of 5 OOV -> 4 > int(0.75*5)=3 -> rejected
+    bad_path = [(oov, 1, 1)] * 4 + [(2, 1, 1)]
     assert not is_ok_sdp(bad_path, [7, 8], oov)
-    # exactly at threshold passes (strict > in reference)
+    # 3 of 4 OOV sits exactly at int(0.75*4)=3; reference uses strict > so it passes
+    at_threshold = [(oov, 1, 1)] * 3 + [(2, 1, 1)]
+    assert is_ok_sdp(at_threshold, [7, 8], oov)
     borderline = [(oov, 1, 1), (2, 1, 1)]
     assert is_ok_sdp(borderline, [7, 8], oov)
     # dep-structure whitelist (wiki_and_semeval2sdp.py:289-293)
