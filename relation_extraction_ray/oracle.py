@@ -260,9 +260,7 @@ def run_oracle(doc_rows: list[dict], cfg: KGConfig | None = None, ok_dep_structu
         "vocab": vocab_tab(wv, wdist),
         "dep_vocab": vocab_tab(dv, ddist),
         "pos_vocab": vocab_tab(pv, pdist),
-        "encoded": pa.Table.from_pylist(
-            [{k: v for k, v in r.items() if k != "path_words"} for r in records], schema=schemas.ENCODED
-        )
+        "encoded": pa.Table.from_pylist(records, schema=schemas.ENCODED)
         if records
         else schemas.ENCODED.empty_table(),
         "triples": pa.Table.from_pylist(triples, schema=schemas.TRIPLES)

@@ -1,0 +1,567 @@
+"""The flagship KG-construction pipeline, Ray-Data-first.
+
+Replaces the reference's single-process two-pass builder
+(``wiki_and_semeval2sdp.py:319-472``) + notebook predict flow
+(RelEmbed_semeval.ipynb cells 32-38) with streaming ``Dataset`` stages:
+
+    documents ─ map_batches(ParseStage, actor pool) ──────────► sentences
+    sentences ─ map_batches(partial token counts) ─ groupby ──► vocab (small,
+                driver-finalized, broadcast via ray.put)          [barrier #1]
+    sentences ─ map_batches(ExtractEncodeStage, broadcast vocab) ► encoded
+    encoded   ─ filter GOOD ─ map_batches(ScorerStage, actor pool) ► triples
+    triples   ─ partial-combine ─ groupby(norm) ──────────────► entities
+    triples   ─ partial-combine ─ groupby(src,pred,dst) ──────► adjacency
+                                                                  [barrier #2]
+
+Scale notes (SURVEY.md §4, §7.5):
+
+* The only two all-to-all exchanges are the vocab count and the
+  canonicalization/dedup groupbys, and both are fed by **per-batch partial
+  combiners** inside ``map_batches`` so the shuffled volume is bounded by
+  (#distinct keys per batch), not by row count.  Head-entity skew therefore
+  collapses before the shuffle: a batch with 10^5 mentions of one entity
+  emits ONE partial row for it.
+* The parse→extract chain needs the corpus twice (vocab ids are global
+  frequency ranks — the reference's one real barrier).  At scale we parse
+  ONCE, persist the parsed ``sentences`` table to Parquet (resumable
+  artifact), and run both passes over that columnar table; tokens never
+  round-trip through spaCy-style object graphs.
+* Every stage is deterministic and idempotent (pure functions of its input
+  batch + broadcast state), so Ray task retries cannot change output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import schemas
+from ..config import KGConfig
+from ..nlp.labeler import LABEL2INT, OTHER, label_path
+from ..nlp.parser import Sentence, parse_sentence, split_sentences
+from ..nlp.sdp import (
+    finalize_vocab,
+    is_ok_sdp,
+    post_process_path,
+    sentence_to_sdps,
+    vocab2idx,
+)
+from ..sources.synth import span_sequence_hash
+from ..state.scorer import pad_paths, score_batch, weights_fixture
+
+# ---------------------------------------------------------------------------
+# Stage 1: documents -> sentences (parse actor pool)
+# ---------------------------------------------------------------------------
+
+
+class ParseStage:
+    """Actor-pool stage: interleaved documents -> parsed sentence rows.
+
+    The reference holds the spaCy pipeline as module-global state
+    (``wiki2sdp.py:19-20``); here any parser state lives in ``__init__`` —
+    once per actor, never per batch.  Media spans are untouched; their
+    identity travels as ``span_hash`` (the per-row span-sequence invariant
+    carrier, BASELINE.json input_hint).
+    """
+
+    def __init__(self) -> None:
+        self.parse = parse_sentence
+        self.split = split_sentences
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        out: dict[str, list] = {k: [] for k in ("doc_id", "span_idx", "sent_id", "text", "tokens", "span_hash")}
+        for doc_id, spans in zip(doc_ids, spans_col):
+            spans = spans or []
+            shash = span_sequence_hash(
+                [s["kind"] for s in spans], [s["text"] for s in spans], [s["media_ref"] for s in spans]
+            )
+            sent_id = 0
+            for span_idx, span in enumerate(spans):
+                if span["kind"] != "text":
+                    continue
+                for text in self.split(span["text"]):
+                    s = self.parse(text)
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(span_idx)
+                    out["sent_id"].append(sent_id)
+                    out["text"].append(text)
+                    out["tokens"].append(
+                        [
+                            {
+                                "text": s.tokens[i],
+                                "idx": s.idx[i],
+                                "pos": s.pos[i],
+                                "dep": s.dep[i],
+                                "head": s.head[i],
+                                "is_punct": s.is_punct[i],
+                                "like_num": s.like_num[i],
+                            }
+                            for i in range(len(s))
+                        ]
+                    )
+                    out["span_hash"].append(shash)
+                    sent_id += 1
+        return pa.Table.from_pydict(out, schema=schemas.SENTENCES)
+
+
+def sentence_from_tokens(text: str, tokens: list[dict]) -> Sentence:
+    """Rebuild the columnar Sentence from a persisted token row — no
+    re-parsing; the token table IS the parse."""
+    return Sentence(
+        text=text,
+        tokens=[t["text"] for t in tokens],
+        idx=[t["idx"] for t in tokens],
+        pos=[t["pos"] for t in tokens],
+        dep=[t["dep"] for t in tokens],
+        head=[t["head"] for t in tokens],
+        is_punct=[t["is_punct"] for t in tokens],
+        like_num=[t["like_num"] for t in tokens],
+        chunks=[],
+    )
+
+
+def _rechunk(sent: Sentence) -> Sentence:
+    from ..nlp.parser import noun_chunk_spans
+
+    sent.chunks = noun_chunk_spans(sent.pos)
+    return sent
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: vocab build (barrier #1) — partial counts -> tiny groupby -> driver
+# ---------------------------------------------------------------------------
+
+
+def _partial_token_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (kind, token, count) row per distinct token —
+    the pre-aggregation that keeps the vocab shuffle small (SURVEY.md A1)."""
+    wc: Counter = Counter()
+    dc: Counter = Counter()
+    pc: Counter = Counter()
+    for tokens in batch.column("tokens").to_pylist():
+        for t in tokens:
+            wc[t["text"].lower()] += 1
+            dc[t["dep"]] += 1
+            pc[t["pos"]] += 1
+    kinds, toks, counts = [], [], []
+    for kind, counter in (("word", wc), ("dep", dc), ("pos", pc)):
+        for tok, c in counter.items():
+            kinds.append(kind)
+            toks.append(tok)
+            counts.append(c)
+    return pa.Table.from_pydict(
+        {"kind": kinds, "token": toks, "count": counts},
+        schema=pa.schema([("kind", pa.string()), ("token", pa.string()), ("count", pa.int64())]),
+    )
+
+
+def build_vocabs(sentences: ray.data.Dataset, cfg: KGConfig):
+    """Corpus-global word/dep/pos vocabularies.
+
+    ``map_batches`` partial counts → ``groupby(kind, token).sum`` (small
+    shuffle) → driver finalize (truncation + specials + unigram probs,
+    ``wiki2sdp.py:186-233`` semantics via ``finalize_vocab``).  The finalized
+    tables are tiny (≤ vocab_limit rows) — the only driver-side materialize
+    in the pipeline, exactly as the reference's global barrier requires.
+    """
+    counted = (
+        sentences.map_batches(_partial_token_counts, batch_format="pyarrow")
+        .groupby(["kind", "token"])
+        .sum("count")
+    )
+    rows = counted.take_all()
+    counters: dict[str, dict[str, int]] = {"word": {}, "dep": {}, "pos": {}}
+    for r in rows:
+        counters[r["kind"]][r["token"]] = r["sum(count)"]
+    word = finalize_vocab(counters["word"], vocab_limit=cfg.vocab_limit, min_count=cfg.min_count, oov_count=cfg.oov_count)
+    dep = finalize_vocab(counters["dep"], oov_count=cfg.oov_count)
+    pos = finalize_vocab(counters["pos"], oov_count=cfg.oov_count)
+    return word, dep, pos
+
+
+def vocab_table(vocab: list[str], dist: list[float]) -> pa.Table:
+    return pa.Table.from_pydict(
+        {"id": np.arange(len(vocab), dtype=np.int32), "token": vocab, "prob": dist},
+        schema=schemas.VOCAB,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: extract + encode + verdict (broadcast vocab, stateless fan-out)
+# ---------------------------------------------------------------------------
+
+
+class ExtractEncodeStage:
+    """sentences -> encoded SDP candidate records (audit column included).
+
+    Vocab dicts and the optional dep-structure whitelist arrive as ONE
+    ``ray.put`` object ref — fetched zero-copy once per actor in
+    ``__init__``, never re-shipped per batch (SURVEY.md J1/J4).
+    """
+
+    def __init__(self, vocab_ref, cfg: KGConfig) -> None:
+        word_v, dep_v, pos_v, ok_structures = ray.get(vocab_ref)
+        self.word_v, self.dep_v, self.pos_v = word_v, dep_v, pos_v
+        self.oov_id = word_v["<OOV>"]
+        self.ok_ids = (
+            {tuple(vocab2idx(d, dep_v) for d in s) for s in ok_structures}
+            if ok_structures is not None
+            else None
+        )
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "sent_id", "pair_id", "path_words", "word_ids", "dep_ids", "pos_ids",
+            "target_ids", "length", "subj", "obj", "verdict", "span_hash",
+        )}
+        for doc_id, sent_id, text, tokens, shash in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("tokens").to_pylist(),
+            batch.column("span_hash").to_pylist(),
+        ):
+            sent = _rechunk(sentence_from_tokens(text, tokens))
+            for pair_id, sdp in enumerate(
+                sentence_to_sdps(
+                    sent,
+                    min_len=cfg.min_len,
+                    max_len=cfg.max_len,
+                    include_ends=cfg.include_ends,
+                    max_pairs=cfg.max_pairs_per_sentence,
+                )
+            ):
+                path = post_process_path(sdp["path"])
+                word_ids = [vocab2idx(t[0], self.word_v) for t in path]
+                dep_ids = [vocab2idx(t[1], self.dep_v) for t in path]
+                pos_ids = [vocab2idx(t[2], self.pos_v) for t in path]
+                target_ids = [vocab2idx(sdp["target"][0], self.word_v), vocab2idx(sdp["target"][1], self.word_v)]
+                good = is_ok_sdp(
+                    list(zip(word_ids, dep_ids, pos_ids)),
+                    target_ids,
+                    self.oov_id,
+                    ok_dep_structures=self.ok_ids,
+                    oov_percent=cfg.oov_percent,
+                )
+                out["doc_id"].append(doc_id)
+                out["sent_id"].append(sent_id)
+                out["pair_id"].append(pair_id)
+                out["path_words"].append([t[0] for t in path])
+                out["word_ids"].append(word_ids)
+                out["dep_ids"].append(dep_ids)
+                out["pos_ids"].append(pos_ids)
+                out["target_ids"].append(target_ids)
+                out["length"].append(len(path))
+                out["subj"].append(sdp["target"][0])
+                out["obj"].append(sdp["target"][1])
+                out["verdict"].append("GOOD" if good else "BAD")
+                out["span_hash"].append(shash)
+        return pa.Table.from_pydict(out, schema=schemas.ENCODED)
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: scorer actor pool -> triples
+# ---------------------------------------------------------------------------
+
+
+class ScorerStage:
+    """Actor-pool relation scorer (SURVEY.md T2): GRU weights are built ONCE
+    per actor in ``__init__`` (pure function of vocab sizes + seed —
+    bit-identical across actors and parallelism levels), batches are padded
+    and scored fully vectorized."""
+
+    def __init__(self, sizes_ref, cfg: KGConfig) -> None:
+        vw, vd, vp = ray.get(sizes_ref)
+        self.wts = weights_fixture(vw, vd, vp, seed=cfg.scorer_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return schemas.TRIPLES.empty_table()
+        word_ids = batch.column("word_ids").to_pylist()
+        dep_ids = batch.column("dep_ids").to_pylist()
+        pos_ids = batch.column("pos_ids").to_pylist()
+        w, d, p, lengths = pad_paths(word_ids, dep_ids, pos_ids)
+        _, probs = score_batch(self.wts, w, d, p, lengths)
+        path_words = batch.column("path_words").to_pylist()
+        keep_idx, labels, scores = [], [], []
+        for i, words in enumerate(path_words):
+            label = label_path(words)
+            if label == OTHER:
+                continue
+            keep_idx.append(i)
+            labels.append(label)
+            scores.append(float(probs[i, LABEL2INT[label]]))
+        if not keep_idx:
+            return schemas.TRIPLES.empty_table()
+        sub = batch.take(keep_idx)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub.column("doc_id"),
+                "sent_id": sub.column("sent_id"),
+                "subj": sub.column("subj"),
+                "pred": pa.array(labels, pa.string()),
+                "obj": sub.column("obj"),
+                "score": pa.array(scores, pa.float32()),
+                "span_hash": sub.column("span_hash"),
+            },
+            schema=schemas.TRIPLES,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: canonicalization + graph materialize (barrier #2)
+# ---------------------------------------------------------------------------
+
+
+def canonical_norm(surface: str) -> str:
+    """Surface-form normalization key (shared with the oracle)."""
+    s = surface.lower().strip()
+    if s.endswith("'s"):
+        s = s[:-2]
+    while s.endswith("s") and len(s) > 4:
+        s = s[:-1]
+    return s
+
+
+def canonical_id(norm: str) -> str:
+    return "e_" + hashlib.blake2b(norm.encode(), digest_size=8).hexdigest()
+
+
+def _partial_mentions(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for entity canonicalization: triples -> one
+    (norm, surface, count) row per distinct variant in the batch.  This is
+    the skew defuser — the Zipf head entity contributes one row per batch
+    regardless of its mention count (SURVEY.md §4 skew)."""
+    counts: Counter = Counter()
+    for col in ("subj", "obj"):
+        for surface in batch.column(col).to_pylist():
+            counts[(canonical_norm(surface), surface)] += 1
+    norms = [k[0] for k in counts]
+    surfaces = [k[1] for k in counts]
+    return pa.Table.from_pydict(
+        {"norm": norms, "surface": surfaces, "count": list(counts.values())},
+        schema=pa.schema([("norm", pa.string()), ("surface", pa.string()), ("count", pa.int64())]),
+    )
+
+
+def _finalize_entities(group: pa.Table) -> pa.Table:
+    """Per-norm reducer: pick the most frequent raw variant
+    (count desc, surface asc) and total the mentions."""
+    norm = group.column("norm")[0].as_py()
+    pairs = sorted(
+        zip(group.column("surface").to_pylist(), group.column("sum(count)").to_pylist()),
+        key=lambda sc: (-sc[1], sc[0]),
+    )
+    return pa.Table.from_pydict(
+        {
+            "canonical_id": [canonical_id(norm)],
+            "surface": [pairs[0][0]],
+            "norm": [norm],
+            "count": [sum(c for _, c in pairs)],
+        },
+        schema=schemas.ENTITIES,
+    )
+
+
+def entities_from_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    return (
+        triples.map_batches(_partial_mentions, batch_format="pyarrow")
+        .groupby(["norm", "surface"])
+        .sum("count")
+        .groupby("norm")
+        .map_groups(_finalize_entities, batch_format="pyarrow")
+    )
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for adjacency: (src_id, pred, dst_id, doc_id) ->
+    partial weight.  Distinct-doc counting stays exact because doc_id is in
+    the key; the follow-up groupby drops it."""
+    counts: Counter = Counter()
+    for subj, pred, obj, doc_id in zip(
+        batch.column("subj").to_pylist(),
+        batch.column("pred").to_pylist(),
+        batch.column("obj").to_pylist(),
+        batch.column("doc_id").to_pylist(),
+    ):
+        key = (canonical_id(canonical_norm(subj)), pred, canonical_id(canonical_norm(obj)), doc_id)
+        counts[key] += 1
+    return pa.Table.from_pydict(
+        {
+            "src_id": [k[0] for k in counts],
+            "pred": [k[1] for k in counts],
+            "dst_id": [k[2] for k in counts],
+            "doc_id": [k[3] for k in counts],
+            "weight": list(counts.values()),
+        },
+        schema=pa.schema(
+            [("src_id", pa.string()), ("pred", pa.string()), ("dst_id", pa.string()),
+             ("doc_id", pa.string()), ("weight", pa.int64())]
+        ),
+    )
+
+
+def _finalize_edge(group: pa.Table) -> pa.Table:
+    docs = group.column("doc_id").to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "src_id": [group.column("src_id")[0].as_py()],
+            "pred": [group.column("pred")[0].as_py()],
+            "dst_id": [group.column("dst_id")[0].as_py()],
+            "weight": [sum(group.column("sum(weight)").to_pylist())],
+            "doc_count": [len(set(docs))],
+            "sample_doc_id": [min(docs)],
+        },
+        schema=schemas.ADJACENCY,
+    )
+
+
+def adjacency_from_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact-dedup adjacency (SURVEY.md A7/J7): two keyed groupbys — the
+    first on (edge, doc_id) collapses per-doc duplicates, the second on the
+    edge finalizes weight / distinct-doc count / min-doc sample.  Output
+    arrives sorted by (src_id, pred, dst_id) via the final sort."""
+    return (
+        triples.map_batches(_edge_partials, batch_format="pyarrow")
+        .groupby(["src_id", "pred", "dst_id", "doc_id"])
+        .sum("weight")
+        .groupby(["src_id", "pred", "dst_id"])
+        .map_groups(_finalize_edge, batch_format="pyarrow")
+        .sort(["src_id", "pred", "dst_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Input adapters
+# ---------------------------------------------------------------------------
+
+
+def documents_from_plain_text(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Wrap a plain (doc_id, text) table into the input_hint interleaved-doc
+    shape: one text span per document, no media."""
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch.column(id_col).to_pylist()]
+        texts = batch.column(text_col).to_pylist()
+        spans = [
+            [{"kind": "text", "text": t or "", "media_ref": "", "offset": 0}]
+            for t in texts
+        ]
+        return pa.Table.from_pydict({"doc_id": ids, "spans": spans}, schema=schemas.DOCUMENTS)
+
+    return ds.map_batches(wrap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# The pipeline object
+# ---------------------------------------------------------------------------
+
+
+class KGPipeline:
+    """End-to-end KG construction over an interleaved-documents Dataset.
+
+    Every method returns a lazy ``ray.data.Dataset``; nothing materializes
+    except the tiny vocab tables (global barrier) and whatever the caller
+    consumes.  ``parse_concurrency``/``score_concurrency`` size the actor
+    pools (``concurrency × num_cpus`` per node, SURVEY.md §4).
+    """
+
+    def __init__(
+        self,
+        cfg: KGConfig | None = None,
+        ok_dep_structures: set[tuple[str, ...]] | None = None,
+        parse_concurrency: int | tuple[int, int] = (2, 8),
+        score_concurrency: int | tuple[int, int] = (2, 8),
+        batch_size: int = 256,
+    ) -> None:
+        self.cfg = cfg or KGConfig()
+        self.ok_dep_structures = ok_dep_structures
+        self.parse_concurrency = parse_concurrency
+        self.score_concurrency = score_concurrency
+        self.batch_size = batch_size
+        self._vocabs = None
+
+    def sentences(self, documents: ray.data.Dataset) -> ray.data.Dataset:
+        return documents.map_batches(
+            ParseStage,
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.parse_concurrency,
+        )
+
+    def vocabs(self, sentences: ray.data.Dataset):
+        if self._vocabs is None:
+            self._vocabs = build_vocabs(sentences, self.cfg)
+        return self._vocabs
+
+    def encoded(self, sentences: ray.data.Dataset, vocabs=None) -> ray.data.Dataset:
+        (wv, w2i, _), (dv, d2i, _), (pv, p2i, _) = vocabs or self.vocabs(sentences)
+        vocab_ref = ray.put((w2i, d2i, p2i, self.ok_dep_structures))
+        return sentences.map_batches(
+            ExtractEncodeStage,
+            fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": self.cfg},
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.parse_concurrency,
+        )
+
+    def triples(self, encoded: ray.data.Dataset, vocabs) -> ray.data.Dataset:
+        (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+        sizes_ref = ray.put((len(wv), len(dv), len(pv)))
+        good = encoded.filter(expr="verdict == 'GOOD'")
+        return good.map_batches(
+            ScorerStage,
+            fn_constructor_kwargs={"sizes_ref": sizes_ref, "cfg": self.cfg},
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.score_concurrency,
+        )
+
+    def run(self, documents: ray.data.Dataset, checkpoint_dir: str | None = None) -> dict:
+        """Full pipeline -> dict of Datasets (+ finalized vocab tables).
+
+        ``sentences`` and ``triples`` fan out to multiple consumers (vocab
+        pass + extract pass; entities + adjacency), and the corpus must be
+        scanned twice for the vocab barrier — so they are checkpointed: to
+        partitioned Parquet under ``checkpoint_dir`` (the resumable scale
+        path), else pinned via ``materialize()`` (test scale).
+        """
+        sentences = self._checkpoint(self.sentences(documents), checkpoint_dir, "sentences")
+        vocabs = self.vocabs(sentences)
+        (wv, _, wdist), (dv, _, ddist), (pv, _, pdist) = vocabs
+        encoded = self.encoded(sentences, vocabs)
+        triples = self._checkpoint(self.triples(encoded, vocabs), checkpoint_dir, "triples")
+        return {
+            "sentences": sentences,
+            "vocab": vocab_table(wv, wdist),
+            "dep_vocab": vocab_table(dv, ddist),
+            "pos_vocab": vocab_table(pv, pdist),
+            "encoded": encoded,
+            "triples": triples,
+            "entities": entities_from_triples(triples),
+            "adjacency": adjacency_from_triples(triples),
+        }
+
+    @staticmethod
+    def _checkpoint(ds: ray.data.Dataset, checkpoint_dir: str | None, name: str) -> ray.data.Dataset:
+        if checkpoint_dir is None:
+            return ds.materialize()
+        import shutil
+
+        import ray.data as rd
+
+        path = f"{checkpoint_dir}/{name}"
+        # write_parquet appends into an existing directory — a stale
+        # checkpoint would silently duplicate rows, so clear it first.
+        shutil.rmtree(path, ignore_errors=True)
+        ds.write_parquet(path)
+        return rd.read_parquet(path)

@@ -75,6 +75,7 @@ ENCODED = pa.schema(
         ("doc_id", pa.string()),
         ("sent_id", pa.int32()),
         ("pair_id", pa.int32()),
+        ("path_words", pa.list_(pa.string())),
         ("word_ids", pa.list_(pa.int32())),
         ("dep_ids", pa.list_(pa.int32())),
         ("pos_ids", pa.list_(pa.int32())),
