@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), printing ONE JSON line.
+
+    python bench.py                # full suite at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling      # same KG job at 8 vs 32 CPUs in fresh
+                                   # processes -> throughput + efficiency
+    python bench.py --kg-only --cpus 8   # internal: one fresh-process run
+
+The headline metric is KG-construction throughput (docs/sec end-to-end:
+parse -> SDP extract/encode -> score -> canonicalize -> adjacency) over the
+synthetic interleaved corpus sized to the scale factor; the queries dict
+adds per-operator wall times over the benchmark parquet tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# synthetic interleaved docs for the KG headline, scaled to the sf dir
+KG_DOCS = {"sf0.001": 500, "sf0.01": 4000, "sf0.1": 40000}
+
+
+def _kg_docs(sf_dir: str) -> int:
+    return KG_DOCS.get(os.path.basename(sf_dir.rstrip("/")), 4000)
+
+
+def _init(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def run_kg(sf_dir: str, num_cpus: int) -> dict:
+    """Headline: full KG pipeline, returns wall seconds + docs + triples."""
+    from relation_extraction_ray.pipelines.kg import KGPipeline
+    from relation_extraction_ray.sources.synth import documents_dataset
+
+    n_docs = _kg_docs(sf_dir)
+    blocks = max(8, num_cpus * 2)
+    t0 = time.perf_counter()
+    pipe = KGPipeline(
+        parse_concurrency=(2, num_cpus),
+        score_concurrency=(2, max(2, num_cpus // 2)),
+        batch_size=512,
+    )
+    out = pipe.run(documents_dataset(n_docs, override_num_blocks=blocks))
+    n_triples = out["triples"].count()
+    n_edges = out["adjacency"].count()
+    wall = time.perf_counter() - t0
+    return {
+        "wall_sec": wall,
+        "docs": n_docs,
+        "triples": n_triples,
+        "edges": n_edges,
+        "docs_per_sec": n_docs / wall,
+        "triples_per_sec": n_triples / wall,
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-operator wall times (consume each result fully)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith("kg_"):
+            continue  # covered by the headline
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        # identical job at two parallelism levels, fresh processes
+        # (sandbox evidence for the N vs 4N cluster criterion)
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kg-only", "--cpus", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        tp8 = results[8]["docs_per_sec"]
+        tp32 = results[32]["docs_per_sec"]
+        efficiency = tp32 / (4.0 * tp8)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_scaling_efficiency_8_to_32_cpus",
+                    "value": round(efficiency, 4),
+                    "unit": "ratio",
+                    "docs_per_sec_8": round(tp8, 2),
+                    "docs_per_sec_32": round(tp32, 2),
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+
+    _init(args.cpus)
+    import ray
+
+    try:
+        kg = run_kg(SF_DIR, args.cpus)
+        if args.kg_only:
+            print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v) for k, v in kg.items()}))
+            return
+        queries = run_queries(SF_DIR)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_docs_per_sec",
+                    "value": round(kg["docs_per_sec"], 2),
+                    "unit": "docs/sec",
+                    "kg_wall_sec": round(kg["wall_sec"], 3),
+                    "kg_docs": kg["docs"],
+                    "kg_triples": kg["triples"],
+                    "kg_edges": kg["edges"],
+                    "triples_per_sec": round(kg["triples_per_sec"], 2),
+                    "queries": queries,
+                    "sf": SF_DIR,
+                    "num_cpus": args.cpus,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every batch does one float64 matmul; per-batch local top-k
+keeps the shuffle at ``n_queries × k × n_batches`` rows.  Scale path: LSH
+bucketing (random hyperplane signs) so each query only scans its bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScan:
+    """Actor-pool stage: one batch of embeddings vs the broadcast query
+    matrix → local top-k candidate rows per query."""
+
+    def __init__(self, query_ref, k: int) -> None:
+        self.q_ids, q = ray.get(query_ref)
+        self.qn = _normalize(q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(_matrix(batch, "embedding"))
+        sims = self.qn @ m.T  # [Q, B]
+        out: dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(self.q_ids):
+            row = sims[qi]
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_sims = row[mask]
+            if len(cand_ids) > self.k:
+                top = np.argpartition(-cand_sims, self.k)[: self.k]
+                cand_ids, cand_sims = cand_ids[top], cand_sims[top]
+            out["query_id"].extend([qid] * len(cand_ids))
+            out["neighbor_id"].extend(cand_ids.tolist())
+            out["sim"].extend(cand_sims.tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+
+def _topk_finalize(k: int):
+    def fin(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("neighbor_id").to_pylist(),
+                group.column("sim").to_pylist(),
+            ),
+            key=lambda ns: (-ns[1], ns[0]),
+        )[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([n for n, _ in rows], pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            }
+        )
+
+    return fin
+
+
+def knn_brute_force(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Exact cosine top-k for ``query_ids`` (self excluded) →
+    (query_id, neighbor_id, rank); ties broken by neighbor_id asc.
+
+    Queries are read once (small filtered take), broadcast once."""
+    qset = set(query_ids)
+    q_rows = embeddings.filter(
+        lambda r: r["vec_id"] in qset
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = [r["vec_id"] for r in q_rows]
+    q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    query_ref = ray.put((q_ids, q))
+    local = embeddings.map_batches(
+        BruteForceScan,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")
+
+
+class LshBucketStage:
+    """Random-hyperplane LSH bucketing: sign-pattern of ``n_planes``
+    projections → bucket id.  Plane matrix built once per actor from a
+    fixed seed (identical across actors)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        signs = (m @ self.planes) > 0  # [B, P]
+        buckets = (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1)
+        return batch.append_column("bucket", pa.array(buckets, pa.uint32()))
+
+
+def knn_lsh(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> ray.data.Dataset:
+    """Approximate top-k: queries only scan embeddings in their own LSH
+    bucket.  Recall < 1 by design; the scale path for 10^9+ vectors
+    (per-bucket brute force, buckets shuffled once)."""
+    qset = set(query_ids)
+    bucketed = embeddings.map_batches(
+        LshBucketStage,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        local_q = [i for i, v in enumerate(ids) if v in qset]
+        if not local_q:
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        m = _normalize(_matrix(group, "embedding"))
+        sims = m[local_q] @ m.T
+        out: dict[str, list] = {"query_id": [], "neighbor_id": [], "rank": []}
+        for row_i, qi in enumerate(local_q):
+            qid = int(ids[qi])
+            order = sorted(
+                ((int(n), s) for n, s in zip(ids, sims[row_i]) if n != qid),
+                key=lambda ns: (-ns[1], ns[0]),
+            )[:k]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(n for n, _ in order)
+            out["rank"].extend(range(1, len(order) + 1))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -1,0 +1,157 @@
+"""Relational operator demos over the generic benchmark tables.
+
+The reference has no relational engine (its one "join" is a dict probe,
+SURVEY.md §2.4); these functions show the engine's groupby-aggregate,
+broadcast-join, sort/limit and temporal-bucket operators as reusable Ray
+Data compositions.  Money columns are returned as integer cents so oracle
+comparisons are exact (no float-sum hash drift).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+
+
+def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H-Q1-style aggregate: per (l_returnflag, l_linestatus) — row
+    count, sum qty, base price and discounted price in integer cents.
+    Per-batch partial sums (few groups) → tiny groupby → sort."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch.column("l_quantity").to_pylist(), dtype=np.float64)
+        price = np.asarray(batch.column("l_extendedprice").to_pylist(), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount").to_pylist(), dtype=np.float64)
+        price_c = _cents(price)
+        # discount has 2 decimals -> price*(1-disc) has 4 -> exact in "ten-thousandths"
+        disc_c = np.rint(price * (1.0 - disc) * 10000).astype(np.int64)
+        flags = batch.column("l_returnflag").to_pylist()
+        stats = batch.column("l_linestatus").to_pylist()
+        agg: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+        for f, s, q, p, d in zip(flags, stats, qty.astype(np.int64), price_c, disc_c):
+            e = agg[(f, s)]
+            e[0] += 1
+            e[1] += int(q)
+            e[2] += int(p)
+            e[3] += int(d)
+        keys = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": [k[0] for k in keys],
+                "l_linestatus": [k[1] for k in keys],
+                "count_order": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "sum_qty": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "sum_base_price_cents": pa.array([agg[k][2] for k in keys], pa.int64()),
+                "sum_disc_price_tenk": pa.array([agg[k][3] for k in keys], pa.int64()),
+            }
+        )
+
+    g = lineitem.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    )
+    out = g.aggregate(
+        ray.data.aggregate.Sum("count_order", alias_name="count_order"),
+        ray.data.aggregate.Sum("sum_qty", alias_name="sum_qty"),
+        ray.data.aggregate.Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        ray.data.aggregate.Sum("sum_disc_price_tenk", alias_name="sum_disc_price_tenk"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def revenue_by_segment(orders: ray.data.Dataset, customer: ray.data.Dataset) -> ray.data.Dataset:
+    """Broadcast join: customer (small side) shipped once via ``ray.put``,
+    probed per batch of orders — no shuffle join (SURVEY.md J1 pattern);
+    then a tiny groupby over segment partials."""
+    seg_map: dict[int, str] = {}
+    for b in customer.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow"):
+        seg_map.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
+    ref = ray.put(seg_map)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            price_c = _cents(batch.column("o_totalprice").to_pylist())
+            agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+            for ck, p in zip(keys, price_c):
+                e = agg[self.seg.get(ck, "UNKNOWN")]
+                e[0] += 1
+                e[1] += int(p)
+            segs = sorted(agg)
+            return pa.Table.from_pydict(
+                {
+                    "c_mktsegment": segs,
+                    "n_orders": pa.array([agg[s][0] for s in segs], pa.int64()),
+                    "revenue_cents": pa.array([agg[s][1] for s in segs], pa.int64()),
+                }
+            )
+
+    g = orders.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8)).groupby("c_mktsegment")
+    out = g.aggregate(
+        ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
+        ray.data.aggregate.Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+    return out.sort("c_mktsegment")
+
+
+def top_orders(orders: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
+    """Global top-k by price (O5/O6 pattern: sort desc + limit); ties by
+    o_orderkey asc for determinism."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_totalprice_cents": pa.array(_cents(batch.column("o_totalprice").to_pylist()), pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(proj, batch_format="pyarrow")
+        .sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_by_day(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Temporal bucket aggregate: per (event_type, day) — row count and
+    min/max event id.  Vectorized arrow floor_temporal + strftime."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d")
+        types = batch.column("event_type").to_pylist()
+        ids = batch.column("event_id").to_pylist()
+        agg: dict[tuple[str, str], list[int]] = {}
+        for ty, d, i in zip(types, days.to_pylist(), ids):
+            e = agg.setdefault((ty, d), [0, i, i])
+            e[0] += 1
+            e[1] = min(e[1], i)
+            e[2] = max(e[2], i)
+        keys = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "event_type": [k[0] for k in keys],
+                "day": [k[1] for k in keys],
+                "n": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "min_event_id": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "max_event_id": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    g = events.map_batches(partial, batch_format="pyarrow").groupby(["event_type", "day"])
+    out = g.aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n"),
+        ray.data.aggregate.Min("min_event_id", alias_name="min_event_id"),
+        ray.data.aggregate.Max("max_event_id", alias_name="max_event_id"),
+    )
+    return out.sort(["event_type", "day"])

@@ -1,0 +1,161 @@
+"""Text-analysis operators over a (doc_id, text, ...) documents table.
+
+These generalize the reference's corpus statistics (vocab build
+``wiki2sdp.py:186-233``, normalization ``wiki2sdp.py:46-53``) to the
+operations a large-scale training-data pipeline needs: vocabulary/top-k,
+per-doc quality features, token counting, fingerprinting, language ID.
+All stages are vectorized ``map_batches`` over Arrow; every groupby is fed
+by per-batch partial combiners so shuffled volume is bounded by distinct
+keys per batch, not row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _split_lower(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """lower + split on single space — deliberately the exact semantics of
+    SQL ``string_split(lower(text), ' ')`` so oracle comparisons are exact
+    (empty tokens included)."""
+    return pc.split_pattern(pc.utf8_lower(col), " ")
+
+
+def vocab_top_k(docs: ray.data.Dataset, k: int = 100, text_col: str = "text") -> ray.data.Dataset:
+    """Corpus vocabulary, top-k by (count desc, token asc) — the A1/O4
+    pattern: partial counts per batch → small groupby → sort+limit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(_split_lower(batch.column(text_col)))
+        vc = toks.value_counts()
+        tokens = vc.field("values")
+        counts = vc.field("counts")
+        mask = pc.not_equal(tokens, "")
+        return pa.Table.from_pydict(
+            {"token": tokens.filter(mask), "cnt": counts.filter(mask).cast(pa.int64())},
+        )
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+    return (
+        counted.map_batches(
+            lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow"
+        )
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_stats_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source corpus stats: docs, chars, whitespace tokens.
+    Partial sums per batch → tiny groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_toks = pc.list_value_length(pc.split_pattern(batch.column("text"), " ")).cast(pa.int64())
+        n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        agg: dict[str, list] = {"source": [], "n_docs": [], "total_chars": [], "total_tokens": []}
+        by: dict[str, list[int]] = {}
+        for s, t, c in zip(
+            batch.column("source").to_pylist(), n_toks.to_pylist(), n_chars.to_pylist()
+        ):
+            e = by.setdefault(s, [0, 0, 0])
+            e[0] += 1
+            e[1] += c
+            e[2] += t
+        for s, (d, c, t) in by.items():
+            agg["source"].append(s)
+            agg["n_docs"].append(d)
+            agg["total_chars"].append(c)
+            agg["total_tokens"].append(t)
+        return pa.Table.from_pydict(agg)
+
+    g = docs.map_batches(partial, batch_format="pyarrow").groupby("source")
+    out = g.aggregate(
+        ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+        ray.data.aggregate.Sum("total_chars", alias_name="total_chars"),
+        ray.data.aggregate.Sum("total_tokens", alias_name="total_tokens"),
+    )
+    return out.sort("source")
+
+
+def fingerprints(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-doc content fingerprint: md5 hex of lowercased text (matches SQL
+    ``md5(lower(text))`` for exact oracle equality)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch.column(text_col)).to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": [hashlib.md5(t.encode()).hexdigest() for t in texts],
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def quality_features(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc quality features: token count, distinct-token count,
+    max token length — the length/uniqueness screens of a training-data
+    quality filter, one vectorized pass, no shuffle."""
+
+    def feats(batch: pa.Table) -> pa.Table:
+        split = _split_lower(batch.column("text"))
+        n_tokens = pc.list_value_length(split).cast(pa.int64())
+        n_uniq, max_len = [], []
+        for toks in split.to_pylist():
+            n_uniq.append(len(set(toks)))
+            max_len.append(max((len(t) for t in toks), default=0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n_tokens,
+                "n_uniq": pa.array(n_uniq, pa.int64()),
+                "max_token_len": pa.array(max_len, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow")
+
+
+# --- language ID: n-gram heuristic (no SQL equivalent; rows-only check) ----
+
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is was for with that".split()),
+    "de": frozenset("der die das und ist nicht mit ein von zu".split()),
+    "fr": frozenset("le la les et de un une est pour dans".split()),
+    "es": frozenset("el la los y de un una es por con".split()),
+}
+
+
+class LangIdStage:
+    """Stopword-overlap language scorer (actor-pool stage; marker sets are
+    compiled once per actor). Deterministic: ties broken by language code."""
+
+    def __init__(self) -> None:
+        self.markers = _LANG_MARKERS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        for toks in _split_lower(batch.column("text")).to_pylist():
+            tokset = set(toks)
+            best = max(
+                sorted(self.markers),
+                key=lambda lang: len(tokset & self.markers[lang]),
+            )
+            langs.append(best if tokset & self.markers[best] else "und")
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(langs, pa.string())}
+        )
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,181 @@
+"""Unit tests for the text / dedup / ann / relational operator library,
+each checked against an independent in-process computation (pandas/duckdb
+or hand-rolled python) on small synthetic tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _docs_ds(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat", "source": "a"},
+        {"doc_id": 2, "text": "the cat sat on the mat", "source": "a"},  # exact dup of 1
+        {"doc_id": 3, "text": "the dog sat on the mat", "source": "b"},  # near dup
+        {"doc_id": 4, "text": "completely different words here entirely", "source": "b"},
+        {"doc_id": 5, "text": "", "source": "b"},
+    ]
+    return rows, _docs_ds(rows)
+
+
+def test_vocab_top_k(docs):
+    from relation_extraction_ray.functions.text import vocab_top_k
+
+    rows, ds = docs
+    out = {r["token"]: r["cnt"] for r in vocab_top_k(ds, k=3).take_all()}
+    # 'the' x6 (2+2+2), 'mat'/'on'/'sat' x3 -> tie broken token asc: mat, on
+    assert out == {"the": 6, "mat": 3, "on": 3}
+
+
+def test_doc_stats(docs):
+    from relation_extraction_ray.functions.text import doc_stats_by_source
+
+    rows, ds = docs
+    got = {r["source"]: r for r in doc_stats_by_source(ds).take_all()}
+    assert got["a"]["n_docs"] == 2
+    assert got["a"]["total_tokens"] == 12
+    assert got["b"]["n_docs"] == 3
+    # "" splits to [''] -> 1 token, like SQL string_split
+    assert got["b"]["total_tokens"] == 6 + 5 + 1
+    assert got["a"]["total_chars"] == 2 * len("the cat sat on the mat")
+
+
+def test_fingerprints_and_quality(docs):
+    from relation_extraction_ray.functions.text import fingerprints, quality_features
+
+    rows, ds = docs
+    fps = {r["doc_id"]: r["fp"] for r in fingerprints(ds).take_all()}
+    assert fps[1] == hashlib.md5(b"the cat sat on the mat").hexdigest()
+    assert fps[1] == fps[2] != fps[3]
+    q = {r["doc_id"]: r for r in quality_features(ds).take_all()}
+    assert q[1]["n_tokens"] == 6 and q[1]["n_uniq"] == 5  # 'the' twice
+    assert q[5]["n_tokens"] == 1 and q[5]["max_token_len"] == 0
+
+
+def test_exact_dedup(docs):
+    from relation_extraction_ray.functions.dedup import exact_dedup
+
+    rows, ds = docs
+    out = exact_dedup(ds).take_all()
+    by_keeper = {r["keeper"]: r["n"] for r in out}
+    assert by_keeper[1] == 2  # docs 1+2 collapse, keeper = min id
+    assert by_keeper[3] == 1
+    assert len(out) == 4
+
+
+def test_minhash_near_dup(docs):
+    from relation_extraction_ray.functions.dedup import minhash_candidate_pairs, verify_jaccard
+
+    rows, ds = docs
+    pairs = verify_jaccard(minhash_candidate_pairs(ds, shingle_n=2), ds, threshold=0.5, shingle_n=2).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup always survives
+    assert all(a < b for a, b in got)
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_simhash_identical_for_dups(docs):
+    from relation_extraction_ray.functions.dedup import simhash_table
+
+    rows, ds = docs
+    out = {r["doc_id"]: r["simhash"] for r in simhash_table(ds).take_all()}
+    assert out[1] == out[2]
+    # near-dup differs in few bits, far doc in many
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    from relation_extraction_ray.functions.ann import knn_brute_force
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((50, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(50)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    out = knn_brute_force(ds, [0, 7], k=5).take_all()
+
+    def expect(qid):
+        m = emb.astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn[qid]
+        order = sorted(((s, i) for i, s in enumerate(sims) if i != qid), key=lambda si: (-si[0], si[1]))
+        return [i for _, i in order[:5]]
+
+    for qid in (0, 7):
+        got = [r["neighbor_id"] for r in sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got == expect(qid)
+
+
+def test_knn_lsh_subset_of_bucket(ray_session):
+    from relation_extraction_ray.functions.ann import knn_lsh
+
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((80, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(80)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = knn_lsh(ds, [0, 1], k=5, dim=16, n_planes=4)
+    got = out.take_all()
+    assert all(r["query_id"] in (0, 1) and r["neighbor_id"] != r["query_id"] for r in got)
+    assert len(got) > 0
+
+
+def test_pricing_summary_vs_duckdb(ray_session):
+    import duckdb
+
+    from relation_extraction_ray.functions.relational import pricing_summary
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    got = pricing_summary(ds).take_all()
+    want = duckdb.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_tenk
+        FROM read_parquet('{sf}/lineitem.parquet')
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """
+    ).df()
+    assert len(got) == len(want)
+    for row, (_, w) in zip(got, want.iterrows()):
+        for c in want.columns:
+            assert row[c] == w[c], (c, row, dict(w))
+
+
+def test_events_by_day_vs_duckdb(ray_session):
+    import duckdb
+
+    from relation_extraction_ray.functions.relational import events_by_day
+
+    sf = "/root/testdata/sf0.001"
+    got = events_by_day(
+        ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts", "event_type"])
+    ).take_all()
+    want = duckdb.sql(
+        f"""
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n, min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY event_type, day ORDER BY event_type, day
+        """
+    ).df()
+    assert len(got) == len(want)
+    for row, (_, w) in zip(got, want.iterrows()):
+        for c in want.columns:
+            assert row[c] == w[c], (c, row, dict(w))
