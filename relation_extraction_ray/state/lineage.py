@@ -1,0 +1,98 @@
+"""Per-partition lineage manifest + resumable sharded execution (north
+rule: "checkpoint per-partition lineage + counters so any failed shard
+resumes without recomputation").
+
+The reference checkpoints only model weights (``relembed.py:745-753``) and
+has no data-pipeline resume; this module adds it for the KG pipeline:
+
+* The corpus is partitioned into deterministic shards (hash ranges of the
+  synthetic doc index, or one shard per input file for parquet corpora).
+* Each shard runs the streaming extract→score slice and writes
+  ``<out>/triples/shard=<i>/`` plus one manifest entry recording input
+  lineage, row counters, GOOD/BAD audit counts and a config/stage-version
+  fingerprint.
+* On resume, shards whose manifest entry is complete AND matches the
+  current fingerprint are skipped — their parquet is reused as-is;
+  everything downstream (canonicalize/materialize) re-reads all shard
+  output.  A mid-run kill therefore costs at most one shard of recompute.
+
+The global vocab barrier is itself checkpointed the same way (per-shard
+token-count parquet + a finalized vocab parquet), so resume never has to
+re-scan completed shards for counts either.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import KGConfig
+
+MANIFEST = "manifest.jsonl"
+STAGE_VERSION = "kg_v1"  # bump when stage semantics change: invalidates resume
+
+
+def config_fingerprint(cfg: KGConfig) -> str:
+    payload = json.dumps({"stage": STAGE_VERSION, **asdict(cfg)}, sort_keys=True)
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+class Manifest:
+    """Append-only JSONL manifest; one entry per (stage, shard)."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.path = os.path.join(out_dir, MANIFEST)
+        os.makedirs(out_dir, exist_ok=True)
+
+    def load(self) -> dict[tuple[str, int], dict]:
+        entries: dict[tuple[str, int], dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        entries[(e["stage"], e["shard"])] = e
+        return entries
+
+    def append(self, entry: dict) -> None:
+        # single-writer append (driver-side); at multi-node scale this
+        # becomes a per-shard marker file in object storage instead
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry, sort_keys=True) + "\n")
+
+    def complete(self, stage: str, shard: int, fingerprint: str, out_dir: str | None = None) -> dict | None:
+        """A (stage, shard) counts as complete only if the manifest entry
+        matches AND the shard's parquet actually exists with the recorded
+        row count — a manifest that outlives its data (partial disk loss)
+        must trigger recompute, not silent underscount."""
+        e = self.load().get((stage, shard))
+        if not (e and e.get("fingerprint") == fingerprint and e.get("status") == "done"):
+            return None
+        if out_dir is not None:
+            path = os.path.join(out_dir, stage, f"shard={shard}", "part.parquet")
+            if not os.path.exists(path):
+                return None
+            try:
+                if pq.ParquetFile(path).metadata.num_rows != e.get("rows"):
+                    return None
+            except Exception:
+                return None
+        return e
+
+
+def write_shard(table: pa.Table, out_dir: str, stage: str, shard: int) -> str:
+    """Write one shard's output as a single parquet fragment under
+    ``<out>/<stage>/shard=<i>/part.parquet`` (resumable layout: partitioned
+    by shard, never one giant file)."""
+    d = os.path.join(out_dir, stage, f"shard={shard}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".part.parquet.tmp")
+    pq.write_table(table, tmp)
+    final = os.path.join(d, "part.parquet")
+    os.replace(tmp, final)  # atomic: a crashed write never looks complete
+    return final

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: span explode, payload fetch, decode/frame-sample
+actor stages — schemas, determinism, and pass-through counts."""
+
+from __future__ import annotations
+
+import pytest
+
+import ray
+
+from relation_extraction_ray.sources.synth import corpus_table, documents_dataset
+from relation_extraction_ray.stages.media import FEATURE_DIM, media_features, media_spans
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def feats(ray_session):
+    return media_features(documents_dataset(N_DOCS, override_num_blocks=4)).take_all()
+
+
+def test_span_counts_match_corpus(feats, ray_session):
+    expected = sum(
+        1
+        for row in corpus_table(N_DOCS).to_pylist()
+        for s in row["spans"]
+        if s["kind"] != "text"
+    )
+    spans = media_spans(documents_dataset(N_DOCS, override_num_blocks=4)).count()
+    assert spans == expected and expected > 0
+
+
+def test_frame_sampling_and_schema(feats):
+    by_kind: dict[str, list] = {}
+    for r in feats:
+        by_kind.setdefault(r["kind"], []).append(r)
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["backend"] == "fake"  # sandbox: no codec libs
+        assert r["media_ref"].startswith("mem://")
+    # videos expand to 3 sampled frames, others to exactly 1
+    for kind, rows in by_kind.items():
+        per_ref: dict[str, int] = {}
+        for r in rows:
+            per_ref[r["media_ref"]] = per_ref.get(r["media_ref"], 0) + 1
+        want = 3 if kind == "video" else 1
+        assert all(v == want for v in per_ref.values()), (kind, per_ref)
+
+
+def test_decode_deterministic_across_runs(feats, ray_session):
+    again = media_features(documents_dataset(N_DOCS, override_num_blocks=7)).take_all()
+
+    def key(r):
+        return (r["media_ref"], r["frame_idx"])
+
+    a = {key(r): r["feature"] for r in feats}
+    b = {key(r): r["feature"] for r in again}
+    assert a == b  # identical at different parallelism

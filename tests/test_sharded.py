@@ -1,0 +1,124 @@
+"""Resumable sharded runner: per-partition lineage + counters (north rule).
+
+Covers: full run correctness vs oracle, manifest contents, resume-skips
+(no recomputation of completed shards), single-shard recovery after a
+simulated crash, and fingerprint invalidation on config change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+import ray
+
+from relation_extraction_ray.config import KGConfig
+from relation_extraction_ray.oracle import run_oracle
+from relation_extraction_ray.pipelines.sharded import ShardedKGRunner
+from relation_extraction_ray.sources.synth import corpus_table
+
+N_DOCS = 60
+N_SHARDS = 4
+PER_SHARD = N_DOCS // N_SHARDS
+
+
+def _mk_docs_for_shard():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from relation_extraction_ray import schemas
+    from relation_extraction_ray.sources.synth import gen_doc
+
+    def docs_for_shard(shard: int):
+        def gen(batch: pa.Table) -> pa.Table:
+            rows = [gen_doc(i + shard * PER_SHARD)[0] for i in batch.column("id").to_pylist()]
+            return pa.Table.from_pylist(rows, schema=schemas.DOCUMENTS)
+
+        return rd.range(PER_SHARD, override_num_blocks=2).map_batches(gen, batch_format="pyarrow")
+
+    return docs_for_shard
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "kgrun")
+
+
+def _sorted_rows(ds):
+    rows = ds.take_all()
+    return sorted(rows, key=lambda r: tuple(str(v) for v in r.values()))
+
+
+def test_full_run_matches_oracle_and_resumes(out_dir, ray_session):
+    runner = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    out = runner.run()
+    assert len(out["recomputed"]) == 2 * N_SHARDS  # sentences + triples per shard
+
+    oracle = run_oracle(corpus_table(N_DOCS).to_pylist())
+    got = _sorted_rows(out["adjacency"])
+    want = sorted(oracle["adjacency"].to_pylist(), key=lambda r: tuple(str(v) for v in r.values()))
+    assert got == want
+
+    # manifest: every (stage, shard) present with counters
+    entries = runner.manifest.load()
+    assert set(entries) == {(s, i) for s in ("sentences", "triples") for i in range(N_SHARDS)}
+    for (stage, shard), e in entries.items():
+        assert e["status"] == "done" and e["rows"] >= 0
+        if stage == "triples":
+            assert e["good"] + e["bad"] == e["candidates"]
+
+    # resume: nothing recomputes, outputs identical
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out_dir, "triples", p, "part.parquet"))
+        for p in os.listdir(os.path.join(out_dir, "triples"))
+    }
+    runner2 = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    out2 = runner2.run()
+    assert out2["recomputed"] == []
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, "triples", p, "part.parquet")) == m
+    assert _sorted_rows(out2["adjacency"]) == got
+
+
+def test_crashed_shard_recovers_alone(out_dir, ray_session):
+    runner = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    baseline = _sorted_rows(runner.run()["adjacency"])
+
+    # simulate a crash that lost shard 2's triples output + manifest entry
+    shutil.rmtree(os.path.join(out_dir, "triples", "shard=2"))
+    entries = [
+        e
+        for e in map(json.loads, open(runner.manifest.path).read().splitlines())
+        if not (e["stage"] == "triples" and e["shard"] == 2)
+    ]
+    with open(runner.manifest.path, "w") as f:
+        f.writelines(json.dumps(e) + "\n" for e in entries)
+
+    runner3 = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    out3 = runner3.run()
+    assert out3["recomputed"] == [("triples", 2)]  # only the lost shard
+    assert _sorted_rows(out3["adjacency"]) == baseline
+
+
+def test_lost_file_with_intact_manifest_recomputes(out_dir, ray_session):
+    """A manifest entry that outlives its parquet (partial disk loss) must
+    NOT be trusted — silent row-undercount was a real bug caught by probe."""
+    runner = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    baseline = _sorted_rows(runner.run()["adjacency"])
+    os.remove(os.path.join(out_dir, "triples", "shard=1", "part.parquet"))
+    runner2 = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    out2 = runner2.run()
+    assert out2["recomputed"] == [("triples", 1)]
+    assert _sorted_rows(out2["adjacency"]) == baseline
+
+
+def test_config_change_invalidates_resume(out_dir, ray_session):
+    runner = ShardedKGRunner(out_dir, 2, _mk_docs_for_shard())
+    runner.run()
+    changed = ShardedKGRunner(out_dir, 2, _mk_docs_for_shard(), cfg=KGConfig(max_len=5))
+    changed.run()
+    assert len(changed.recomputed) == 4  # different fingerprint -> full recompute

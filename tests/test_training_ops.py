@@ -1,0 +1,130 @@
+"""Training-side operators: splits, distributions, negative sampling,
+phrase embeddings / nearest / entropy, decode, embedding init, clusters."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ray
+
+from relation_extraction_ray.config import KGConfig
+from relation_extraction_ray.functions.training import (
+    cluster_pair_labels,
+    decode_paths,
+    distribution_to_power,
+    embedding_init,
+    entropy_ranked,
+    max_seq_len,
+    nearest_phrases,
+    negative_samples,
+    phrase_embeddings,
+    split_train_valid,
+    target_distribution,
+)
+from relation_extraction_ray.pipelines.kg import KGPipeline
+from relation_extraction_ray.sources.synth import documents_dataset
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def enc(ray_session):
+    pipe = KGPipeline(batch_size=64)
+    sent = pipe.sentences(documents_dataset(N_DOCS, override_num_blocks=4)).materialize()
+    vocabs = pipe.vocabs(sent)
+    encoded = pipe.encoded(sent, vocabs).filter(expr="verdict == 'GOOD'").materialize()
+    return encoded, vocabs
+
+
+def test_split_deterministic_and_disjoint(enc):
+    encoded, _ = enc
+    train, valid = split_train_valid(encoded, valid_percent=0.2, seed=1)
+    t1, v1 = train.count(), valid.count()
+    assert t1 + v1 == encoded.count()
+    assert 0 < v1 < encoded.count()
+    train2, valid2 = split_train_valid(encoded, valid_percent=0.2, seed=1)
+    assert valid2.count() == v1  # same seed → same split
+    _, valid3 = split_train_valid(encoded, valid_percent=0.2, seed=2)
+    assert valid3.count() != v1 or valid3.take_all() != valid.take_all()
+
+
+def test_target_distribution_and_power(enc):
+    encoded, _ = enc
+    ids, dist = target_distribution(encoded)
+    assert np.isclose(dist.sum(), 1.0)
+    assert (np.diff(ids) > 0).all()
+    p = distribution_to_power(dist, 0.75)
+    assert np.isclose(p.sum(), 1.0)
+    # power smoothing flattens: max prob decreases
+    assert p.max() <= dist.max() + 1e-12
+
+
+def test_max_seq_len(enc):
+    encoded, _ = enc
+    m = max_seq_len(encoded)
+    lengths = [r["length"] for r in encoded.take_all()]
+    assert m == max(lengths)
+
+
+def test_negative_samples_deterministic(enc):
+    encoded, _ = enc
+    ids, dist = target_distribution(encoded)
+    negs = negative_samples(encoded, ids, distribution_to_power(dist), neg_per=3, seed=9)
+    rows = negs.take_all()
+    assert len(rows) == 3 * encoded.count()
+    by_key = {}
+    for r in rows:
+        by_key[(r["doc_id"], r["sent_id"], r["pair_id"], r["neg_idx"])] = tuple(r["neg_target"])
+    # neg 0 is the reversed pair
+    for r in encoded.take_all():
+        assert by_key[(r["doc_id"], r["sent_id"], r["pair_id"], 0)] == (
+            r["target_ids"][1],
+            r["target_ids"][0],
+        )
+    # rerun → identical draws
+    rows2 = negative_samples(encoded, ids, distribution_to_power(dist), neg_per=3, seed=9).take_all()
+    assert {(r["doc_id"], r["sent_id"], r["pair_id"], r["neg_idx"]): tuple(r["neg_target"]) for r in rows2} == by_key
+
+
+def test_embeddings_nearest_entropy(enc):
+    encoded, vocabs = enc
+    emb = phrase_embeddings(encoded, vocabs).materialize()
+    first = emb.take(1)[0]
+    assert len(first["embedding"]) == 64
+    near = nearest_phrases(emb, np.asarray(first["embedding"]), k=5).take_all()
+    assert len(near) == 5
+    # the query row itself must be the top hit
+    assert (near[0]["doc_id"], near[0]["sent_id"], near[0]["pair_id"]) == (
+        first["doc_id"],
+        first["sent_id"],
+        first["pair_id"],
+    )
+    assert near[0]["sim"] >= near[-1]["sim"]
+    ent = entropy_ranked(emb, top_n=7).take_all()
+    assert len(ent) == 7
+    assert all(ent[i]["entropy"] >= ent[i + 1]["entropy"] for i in range(6))
+
+
+def test_decode_roundtrip(enc):
+    encoded, vocabs = enc
+    (wv, _, _), _, _ = vocabs
+    dec = {(r["doc_id"], r["sent_id"], r["pair_id"]): r["decoded_words"] for r in decode_paths(encoded, wv).take_all()}
+    for r in encoded.take_all():
+        assert dec[(r["doc_id"], r["sent_id"], r["pair_id"])] == r["path_words"]
+
+
+def test_embedding_init_overrides():
+    vocab = ["a", "b", "c"]
+    table = {"b": np.ones(4, dtype=np.float32)}
+    mat = embedding_init(vocab, table, dim=4)
+    assert (mat[1] == 1.0).all()
+    assert not (mat[0] == mat[2]).all()
+    assert (mat == embedding_init(vocab, table, dim=4)).all()  # deterministic
+
+
+def test_cluster_pair_labels(enc):
+    encoded, _ = enc
+    labels = cluster_pair_labels(encoded, {0: 0, 1: 1}, num_clusters=4).take_all()
+    assert len(labels) == encoded.count()
+    assert all(0 <= r["cluster_label"] < 16 for r in labels)
