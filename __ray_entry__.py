@@ -117,6 +117,18 @@ def _q_events(sf_dir: str):
     return events_by_day(_read(sf_dir, "events", columns=["event_id", "ts", "event_type"]))
 
 
+def _q_running_totals(sf_dir: str):
+    from relation_extraction_ray.functions.relational import user_running_totals
+
+    return user_running_totals(_read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]))
+
+
+def _q_distinct_texts(sf_dir: str):
+    from relation_extraction_ray.functions.relational import distinct_texts
+
+    return distinct_texts(_read(sf_dir, "documents", columns=["text"]))
+
+
 # --- rows-only (no SQL equivalent) -----------------------------------------
 
 
@@ -171,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
+        "running_totals": _q_running_totals,
+        "distinct_texts": _q_distinct_texts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
         "dedup_minhash": _q_dedup_minhash,
@@ -256,5 +270,15 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS min_event_id,
                    max(event_id) AS max_event_id
             FROM events GROUP BY event_type, day ORDER BY event_type, day
+        """,
+        "running_totals": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS cum_value_cents
+            FROM events
+        """,
+        "distinct_texts": """
+            SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_distinct FROM documents
         """,
     }

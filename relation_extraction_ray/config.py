@@ -30,6 +30,12 @@ class KGConfig:
 
     # scorer fixture seed (FIXTURES.md F7)
     scorer_seed: int = 7
+    # model-scale emulation: repeat the scorer forward pass this many times
+    # to emulate production-model FLOPs (the reference's real successors are
+    # transformer-scale; our numpy GRU is ~100x lighter).  Output is
+    # unchanged — only compute cost scales.  Used by bench --scaling to
+    # measure orchestration scaling in the CPU-bound regime.
+    model_scale: int = 1
 
     # canonicalization salting (SURVEY §4: skew) — number of salt buckets
     # for the two-phase groupby

@@ -123,6 +123,42 @@ def top_orders(orders: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     )
 
 
+def user_running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Windowed aggregate (the engine's window-function pattern): per user,
+    events ordered by (ts, event_id), cumulative sum of integer-cents
+    values.  ``groupby(key).map_groups`` with an in-group sort — each
+    user's window is computed locally after one keyed shuffle."""
+
+    def per_user(group) -> "pa.Table":
+        import pandas as pd
+
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(g["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "cum_value_cents": np.cumsum(cents),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def distinct_texts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Global COUNT(DISTINCT): per-batch distinct partials → groupby →
+    count, returned as a one-row table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"t": pc.unique(pc.utf8_lower(batch.column("text").combine_chunks()))}
+        )
+
+    uniq = docs.map_batches(partial, batch_format="pyarrow").groupby("t").count()
+    n = uniq.count()
+    return ray.data.from_arrow(pa.Table.from_pydict({"n_distinct": pa.array([n], pa.int64())}))
+
+
 def events_by_day(events: ray.data.Dataset) -> ray.data.Dataset:
     """Temporal bucket aggregate: per (event_type, day) — row count and
     min/max event id.  Vectorized arrow floor_temporal + strftime."""

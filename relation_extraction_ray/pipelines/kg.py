@@ -330,6 +330,140 @@ class ScorerStage:
         )
 
 
+class ParseCountStage:
+    """Pass-1 stage for the two-scan headline: parse and emit ONLY the
+    per-batch token/dep/pos count partials (the vocab barrier input).  The
+    parse results never leave the actor — no token-struct serialization,
+    no sentences table, minimal object-store traffic."""
+
+    def __init__(self) -> None:
+        self.parse = parse_sentence
+        self.split = split_sentences
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wc: Counter = Counter()
+        dc: Counter = Counter()
+        pcnt: Counter = Counter()
+        n_sentences = 0
+        for spans in batch.column("spans").to_pylist():
+            for span in spans or []:
+                if span["kind"] != "text":
+                    continue
+                for text in self.split(span["text"]):
+                    s = self.parse(text)
+                    n_sentences += 1
+                    for i in range(len(s)):
+                        wc[s.tokens[i].lower()] += 1
+                        dc[s.dep[i]] += 1
+                        pcnt[s.pos[i]] += 1
+        kinds: list[str] = ["__sentences__"]
+        toks: list[str] = [""]
+        counts: list[int] = [n_sentences]
+        for kind, counter in (("word", wc), ("dep", dc), ("pos", pcnt)):
+            for tok, c in counter.items():
+                kinds.append(kind)
+                toks.append(tok)
+                counts.append(c)
+        return pa.Table.from_pydict(
+            {"kind": kinds, "token": toks, "count": pa.array(counts, pa.int64())}
+        )
+
+
+class FusedParseExtractScoreStage:
+    """Pass-2 stage: documents → triples in ONE ``__call__`` — parse,
+    candidate SDP extraction, encode, GOOD filter, label+score.  Parsed
+    sentences exist only as in-actor Python objects; the only Arrow
+    crossing is documents in, narrow triples out.  This halves the memory
+    traffic of the sentences-table design — the binding constraint at high
+    core counts (measured: 32 local workers saturate this box's memory
+    bandwidth long before its CPUs)."""
+
+    def __init__(self, vocab_ref, cfg: KGConfig) -> None:
+        word_v, dep_v, pos_v, ok_structures = ray.get(vocab_ref)
+        self.word_v, self.dep_v, self.pos_v = word_v, dep_v, pos_v
+        self.oov_id = word_v["<OOV>"]
+        self.ok_ids = (
+            {tuple(vocab2idx(d, dep_v) for d in s) for s in ok_structures}
+            if ok_structures is not None
+            else None
+        )
+        self.cfg = cfg
+        self.wts = weights_fixture(len(word_v), len(dep_v), len(pos_v), seed=cfg.scorer_seed)
+        self.parse = parse_sentence
+        self.split = split_sentences
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "sent_id", "subj", "obj", "span_hash", "word_ids", "dep_ids", "pos_ids", "pred"
+        )}
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()):
+            spans = spans or []
+            shash = span_sequence_hash(
+                [s["kind"] for s in spans], [s["text"] for s in spans], [s["media_ref"] for s in spans]
+            )
+            sent_id = 0
+            for span in spans:
+                if span["kind"] != "text":
+                    continue
+                for text in self.split(span["text"]):
+                    sent = self.parse(text)
+                    for sdp in sentence_to_sdps(
+                        sent,
+                        min_len=cfg.min_len,
+                        max_len=cfg.max_len,
+                        include_ends=cfg.include_ends,
+                        max_pairs=cfg.max_pairs_per_sentence,
+                    ):
+                        path = post_process_path(sdp["path"])
+                        word_ids = [vocab2idx(t[0], self.word_v) for t in path]
+                        dep_ids = [vocab2idx(t[1], self.dep_v) for t in path]
+                        pos_ids = [vocab2idx(t[2], self.pos_v) for t in path]
+                        target_ids = [
+                            vocab2idx(sdp["target"][0], self.word_v),
+                            vocab2idx(sdp["target"][1], self.word_v),
+                        ]
+                        if not is_ok_sdp(
+                            list(zip(word_ids, dep_ids, pos_ids)),
+                            target_ids,
+                            self.oov_id,
+                            ok_dep_structures=self.ok_ids,
+                            oov_percent=cfg.oov_percent,
+                        ):
+                            continue
+                        label = label_path([t[0] for t in path])
+                        if label == OTHER:
+                            continue
+                        rows["doc_id"].append(doc_id)
+                        rows["sent_id"].append(sent_id)
+                        rows["subj"].append(sdp["target"][0])
+                        rows["obj"].append(sdp["target"][1])
+                        rows["span_hash"].append(shash)
+                        rows["word_ids"].append(word_ids)
+                        rows["dep_ids"].append(dep_ids)
+                        rows["pos_ids"].append(pos_ids)
+                        rows["pred"].append(label)
+                    sent_id += 1
+        if not rows["doc_id"]:
+            return schemas.TRIPLES.empty_table()
+        w, d, p, lengths = pad_paths(rows["word_ids"], rows["dep_ids"], rows["pos_ids"])
+        for _ in range(max(1, cfg.model_scale)):  # model-scale emulation
+            _, probs = score_batch(self.wts, w, d, p, lengths)
+        scores = [float(probs[i, LABEL2INT[lab]]) for i, lab in enumerate(rows["pred"])]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "sent_id": pa.array(rows["sent_id"], pa.int32()),
+                "subj": pa.array(rows["subj"], pa.string()),
+                "pred": pa.array(rows["pred"], pa.string()),
+                "obj": pa.array(rows["obj"], pa.string()),
+                "score": pa.array(scores, pa.float32()),
+                "span_hash": pa.array(rows["span_hash"], pa.uint64()),
+            },
+            schema=schemas.TRIPLES,
+        )
+
+
 class FusedExtractScoreStage:
     """Extract+encode+filter+score in ONE actor ``__call__`` — the headline
     path.  A split extract-pool/scorer-pool wastes slots when stage costs
@@ -644,28 +778,58 @@ class KGPipeline:
         }
 
     def adjacency_oneshot(self, documents: ray.data.Dataset) -> tuple[pa.Table, dict]:
-        """Headline-throughput path: parse (materialized once — the vocab
-        barrier needs a second scan), then fused extract+score → edge
-        aggregation as ONE streaming execution with no intermediate
-        materialize.  Returns the adjacency table + counters (triple count
-        recovered as Σ weight — no separate pass)."""
-        sentences = self.sentences(documents).materialize()
-        vocabs = self.vocabs(sentences)
-        (_, w2i, _), (_, d2i, _), (_, p2i, _) = vocabs
-        vocab_ref = ray.put((w2i, d2i, p2i, self.ok_dep_structures))
-        pool = self.parse_concurrency
-        triples = sentences.map_batches(
-            FusedExtractScoreStage,
+        """Headline-throughput path — two fully-streaming scans, zero
+        intermediate materialization:
+
+        scan 1: documents → ParseCountStage → tiny (kind, token, count)
+                groupby → driver vocab finalize        [the global barrier]
+        scan 2: documents → FusedParseExtractScoreStage (parse + SDP +
+                encode + filter + score in-actor) → hash-partitioned edge
+                reduce → adjacency
+
+        Parsed sentences never cross the object store; this design moves
+        half the memory traffic of the sentences-table variant, which is
+        the binding constraint at high local core counts.  Returns the
+        adjacency table + counters (triple count = Σ weight)."""
+        counted = (
+            documents.map_batches(
+                ParseCountStage,
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.parse_concurrency,
+            )
+            # partial-count blocks are tiny (≤ distinct tokens each);
+            # coalesce so the groupby doesn't pay per-block shuffle
+            # constants on hundreds of 10 KB blocks
+            .repartition(8)
+            .groupby(["kind", "token"])
+            .sum("count")
+        )
+        counters: dict[str, dict[str, int]] = {"word": {}, "dep": {}, "pos": {}}
+        n_sentences = 0
+        for r in counted.take_all():
+            if r["kind"] == "__sentences__":
+                n_sentences = r["sum(count)"]
+            else:
+                counters[r["kind"]][r["token"]] = r["sum(count)"]
+        cfg = self.cfg
+        word = finalize_vocab(counters["word"], vocab_limit=cfg.vocab_limit, min_count=cfg.min_count, oov_count=cfg.oov_count)
+        dep = finalize_vocab(counters["dep"], oov_count=cfg.oov_count)
+        pos = finalize_vocab(counters["pos"], oov_count=cfg.oov_count)
+        self._vocabs = (word, dep, pos)
+        vocab_ref = ray.put((word[1], dep[1], pos[1], self.ok_dep_structures))
+        triples = documents.map_batches(
+            FusedParseExtractScoreStage,
             fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": self.cfg},
             batch_format="pyarrow",
             batch_size=self.batch_size,
-            concurrency=pool,
+            concurrency=self.parse_concurrency,
         )
         adj_tab = pa.concat_tables(
             adjacency_from_triples(triples).iter_batches(batch_format="pyarrow")
         )
         return adj_tab, {
-            "sentences": sentences.count(),
+            "sentences": n_sentences,
             "triples": sum(adj_tab.column("weight").to_pylist()),
             "edges": adj_tab.num_rows,
         }

@@ -110,6 +110,23 @@ def test_span_sequence_invariant(results):
             assert expected[doc_id] == shash, f"{key}: span invariant broken for {doc_id}"
 
 
+def test_oneshot_headline_equals_oracle(results):
+    """The fused two-scan headline path (parse+extract+score in one actor,
+    no intermediate tables) must produce the identical adjacency."""
+    oracle, ray_out, _ = results
+    from relation_extraction_ray.pipelines.kg import KGPipeline
+
+    pipe = KGPipeline(KGConfig(), parse_concurrency=2, score_concurrency=2, batch_size=32)
+    adj_tab, counters = pipe.adjacency_oneshot(documents_dataset(N_DOCS, override_num_blocks=8))
+    want = _as_table(oracle["adjacency"], schemas.ADJACENCY)
+    got = schemas.validate(adj_tab, schemas.ADJACENCY, "oneshot")
+    assert _sorted(got) == _sorted(want)
+    assert counters["triples"] == oracle["triples"].num_rows
+    # vocab built by the counts pass matches the oracle's
+    (wv, _, wdist), _, _ = pipe._vocabs
+    assert wv == oracle["vocab"].column("token").to_pylist()
+
+
 def test_adjacency_weights_consistent(results):
     """Sum of adjacency weights == number of triples (exact dedup preserves
     support counts); doc_count <= weight."""
