@@ -165,6 +165,51 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_kg_linked(sf_dir: str):
+    """Triples with KB-linked entity ids (entity-link disambiguator actor
+    pool over a broadcast KB)."""
+    from relation_extraction_ray.pipelines.kg import KGPipeline
+    from relation_extraction_ray.sources.synth import documents_dataset
+    from relation_extraction_ray.state.linker import build_kb, link_triples, synth_kb
+
+    out = KGPipeline().run(documents_dataset(KG_DOCS, override_num_blocks=8))
+    return link_triples(out["triples"], build_kb(synth_kb()))
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal span decode/feature plumbing over the interleaved corpus."""
+    from relation_extraction_ray.sources.synth import documents_dataset
+    from relation_extraction_ray.stages.media import media_features
+
+    return media_features(documents_dataset(KG_DOCS, override_num_blocks=8))
+
+
+def _q_supervised_eval(sf_dir: str):
+    """SemEval-style supervised classification + official-scorer-style
+    metrics (macro/micro P-R-F1, Other excluded) as a one-row table."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval import evaluate_classification
+    from relation_extraction_ray.pipelines.supervised import classify
+    from relation_extraction_ray.sources.semeval import labeled_sentences_table, parsed_records
+
+    preds = classify(parsed_records(rd.from_arrow(labeled_sentences_table(500))), KGConfig())
+    m = evaluate_classification(preds)
+    return pd.DataFrame(
+        [
+            {
+                "macro_f1": round(m["macro_f1"], 6),
+                "micro_f1": round(m["micro_f1"], 6),
+                "macro_precision": round(m["macro_precision"], 6),
+                "macro_recall": round(m["macro_recall"], 6),
+            }
+        ]
+    )
+
+
 def _q_knn_lsh(sf_dir: str):
     from relation_extraction_ray.functions.ann import knn_lsh
 
@@ -191,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
+        "kg_linked": _q_kg_linked,
+        "media_features": _q_media_features,
+        "supervised_eval": _q_supervised_eval,
     }
 
 

@@ -1,0 +1,115 @@
+"""Entity linker (T8) + skew-safe aggregation (F6 Zipf fixture)."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+from relation_extraction_ray.functions.aggregate import (
+    combine_then_groupby_sum,
+    salted_groupby_sum,
+)
+from relation_extraction_ray.pipelines.kg import KGPipeline
+from relation_extraction_ray.sources.synth import documents_dataset
+from relation_extraction_ray.state.linker import (
+    build_kb,
+    link_triples,
+    nil_id,
+    surface_norm,
+    synth_kb,
+)
+
+
+@pytest.fixture(scope="module")
+def linked(ray_session):
+    pipe = KGPipeline(batch_size=64)
+    out = pipe.run(documents_dataset(60, override_num_blocks=4))
+    kb = build_kb(synth_kb())
+    return link_triples(out["triples"], kb).materialize()
+
+
+def test_linker_links_corpus_entities(linked):
+    rows = linked.take_all()
+    assert rows
+    linked_frac = sum(r["subj_linked"] and r["obj_linked"] for r in rows) / len(rows)
+    # every generator entity is in the KB (aliases cover case/plural variants)
+    assert linked_frac == 1.0, linked_frac
+    for r in rows[:50]:
+        assert r["subj_kb"].startswith("kb_")
+        assert r["obj_kb"].startswith("kb_")
+
+
+def test_linker_nil_fallback(ray_session):
+    kb = build_kb([{"kb_id": "kb_x", "name": "known", "aliases": [], "type_hints": []}])
+    t = pa.Table.from_pylist(
+        [
+            {"doc_id": "d", "sent_id": 0, "subj": "known", "pred": "Cause-Effect(e1,e2)", "obj": "mystery", "score": 0.5, "span_hash": 0},
+        ]
+    )
+    rows = link_triples(ray.data.from_arrow(t), kb).take_all()
+    assert rows[0]["subj_kb"] == "kb_x" and rows[0]["subj_linked"]
+    assert rows[0]["obj_kb"] == nil_id(surface_norm("mystery")) and not rows[0]["obj_linked"]
+
+
+def test_linker_disambiguates_by_context(ray_session):
+    kb = build_kb(
+        [
+            {"kb_id": "kb_place_bank", "name": "bank", "aliases": [], "type_hints": ["place", "entity-destination"]},
+            {"kb_id": "kb_agent_bank", "name": "bank", "aliases": [], "type_hints": ["agent", "product-producer"]},
+        ]
+    )
+    mk = lambda pred: pa.Table.from_pylist(
+        [{"doc_id": "d", "sent_id": 0, "subj": "bank", "pred": pred, "obj": "thing", "score": 0.5, "span_hash": 0}]
+    )
+    place = link_triples(ray.data.from_arrow(mk("Entity-Destination(e1,e2)")), kb).take_all()[0]
+    agent = link_triples(ray.data.from_arrow(mk("Product-Producer(e2,e1)")), kb).take_all()[0]
+    assert place["subj_kb"] == "kb_place_bank"
+    assert agent["subj_kb"] == "kb_agent_bank"
+
+
+# --- skew ------------------------------------------------------------------
+
+
+def _zipf_rows(n=20000, head_frac=0.2, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if rng.random() < head_frac:
+            k = "HEAD"
+        else:
+            k = f"k{rng.randrange(2000)}"
+        rows.append({"key": k})
+    return rows
+
+
+def test_skew_partial_combine_bounds_shuffle(ray_session):
+    rows = _zipf_rows()
+    ds = ray.data.from_items(rows).repartition(8)
+    out = {r["key"]: r["total"] for r in combine_then_groupby_sum(ds, "key").take_all()}
+    expected = {}
+    for r in rows:
+        expected[r["key"]] = expected.get(r["key"], 0) + 1
+    assert out == expected
+
+
+def test_salted_equals_unsalted(ray_session):
+    rows = _zipf_rows(n=10000)
+    ds = ray.data.from_items(rows).repartition(8)
+    plain = {r["key"]: r["total"] for r in combine_then_groupby_sum(ds, "key").take_all()}
+    salted = {r["key"]: r["total"] for r in salted_groupby_sum(ds, "key", n_salts=8).take_all()}
+    assert plain == salted
+
+
+def test_canonicalization_handles_zipf_head(ray_session):
+    """The synthetic corpus itself is head-skewed (~20% of subject picks hit
+    pool[0]); entity canonicalization must stay exact."""
+    pipe = KGPipeline(batch_size=64)
+    out = pipe.run(documents_dataset(100, override_num_blocks=8))
+    ents = out["entities"].take_all()
+    counts = sorted((e["count"] for e in ents), reverse=True)
+    assert counts[0] > 3 * (counts[len(counts) // 2] or 1)  # head exists
+    assert sum(e["count"] for e in ents) == 2 * out["triples"].count()
