@@ -27,6 +27,9 @@ class KGConfig:
 
     # 'single' reversed-duplicate mode (wiki_and_semeval2sdp.py:430-441)
     single: bool = False
+    # '--sentence' mode: path = raw token subsequence X..Y instead of the
+    # SDP (convert_nominals_to_sentence, semeval_data_helper.py:130-151)
+    sentence_mode: bool = False
 
     # scorer fixture seed (FIXTURES.md F7)
     scorer_seed: int = 7

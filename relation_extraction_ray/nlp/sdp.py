@@ -159,6 +159,25 @@ def sentence_to_sdps(
         }
 
 
+def token_span_path(
+    sent: Sentence, x: int, y: int, include_ends: bool = False
+) -> list[tuple[str, str, str]]:
+    """M8 — ``--sentence`` mode (``convert_nominals_to_sentence``,
+    ``semeval_data_helper.py:130-151``): the "path" is the raw token
+    subsequence from X to Y inclusive (document order), endpoints replaced
+    by ``<X>``/``<Y>`` unless ``include_ends``."""
+    lo, hi = (x, y) if x <= y else (y, x)
+    path = [
+        (smart_token_text(sent, i), sent.dep[i], sent.pos[i]) for i in range(lo, hi + 1)
+    ]
+    if not include_ends and path:
+        first_tag = "<X>" if x <= y else "<Y>"
+        last_tag = "<Y>" if x <= y else "<X>"
+        path[0] = (first_tag, path[0][1], path[0][2])
+        path[-1] = (last_tag, path[-1][1], path[-1][2])
+    return path
+
+
 def post_process_path(path: list[tuple[str, str, str]]) -> list[tuple[str, str, str]]:
     """Drop ``<PUNCT>`` elements (``post_process_sdp``, ``wiki2sdp.py:235-239``)."""
     return [t for t in path if t[0] != "<PUNCT>"]

@@ -16,7 +16,7 @@ import ray
 from ..config import KGConfig
 from ..nlp.labeler import OTHER, label_path, lookup_inverse_relation
 from ..nlp.parser import parse_sentence
-from ..nlp.sdp import post_process_path, sdp_between
+from ..nlp.sdp import post_process_path, sdp_between, token_span_path
 
 PRED_SCHEMA = pa.schema(
     [
@@ -73,7 +73,10 @@ class ClassifyStage:
             if e1 is None or e2 is None:
                 emit(sid, OTHER, label, 0, False)
                 continue
-            sdp = sdp_between(sent, e1, e2, include_ends=cfg.include_ends)
+            if cfg.sentence_mode:
+                sdp = token_span_path(sent, e1, e2, include_ends=cfg.include_ends)
+            else:
+                sdp = sdp_between(sent, e1, e2, include_ends=cfg.include_ends)
             if sdp is None:
                 emit(sid, OTHER, label, 0, False)
                 continue

@@ -72,6 +72,26 @@ def test_single_mode_duplicates(ray_session):
     assert m["macro_f1"] >= 0.95  # reversed duplicates carry flipped labels
 
 
+def test_sentence_mode(ray_session):
+    """M8 --sentence mode: raw token subsequence path; the trigger verb
+    lies between the entities, so F1 stays high."""
+    from relation_extraction_ray.nlp.parser import parse_sentence
+    from relation_extraction_ray.nlp.sdp import token_span_path
+
+    sent = parse_sentence("The cat caused the chaos .")
+    path = token_span_path(sent, 1, 4)
+    assert [t[0] for t in path] == ["<X>", "caused", "the", "<Y>"]
+    # reversed order swaps the placeholder roles
+    rev = token_span_path(sent, 4, 1)
+    assert rev[0][0] == "<Y>" and rev[-1][0] == "<X>"
+
+    tab = labeled_sentences_table(80)
+    parsed = parsed_records(ray.data.from_arrow(tab))
+    preds = classify(parsed, KGConfig(sentence_mode=True)).materialize()
+    m = evaluate_classification(preds)
+    assert m["macro_f1"] >= 0.9, m["macro_f1"]
+
+
 def test_prf_from_counts_math():
     rows = [
         {"pred": "A", "label": "A", "n": 8},
