@@ -98,42 +98,60 @@ def negative_samples(
     dist: np.ndarray,
     neg_per: int = 5,
     seed: int = 42,
+    corrupt: str = "target",
 ) -> ray.data.Dataset:
-    """Corrupted-target negatives (``data_handler.py:179-188``): for each
-    GOOD record emit ``neg_per`` rows; negative #0 is the reversed target
-    pair (``data_handler.py:171-178``), the rest draw one replaced side
-    from the powered unigram distribution via inverse-CDF on stable
-    per-(row, k) hashes."""
+    """Negative sampling (O7).  ``corrupt="target"``
+    (``data_handler.py:179-188``): negative #0 is the reversed target pair
+    (``:171-178``), the rest draw one replaced target side from the powered
+    unigram distribution.  ``corrupt="word"`` (``:190-212``): each negative
+    replaces one random path-word position instead, emitting a
+    ``neg_word_ids`` column.  All draws via inverse-CDF on stable
+    per-(row, k) hashes — deterministic at any parallelism."""
     cdf = np.cumsum(np.asarray(dist, dtype=np.float64))
     ids_arr = np.asarray(ids, dtype=np.int32)
     ref = ray.put((ids_arr, cdf))
+
+    assert corrupt in ("target", "word")
 
     class NegSample:
         def __init__(self) -> None:
             self.ids, self.cdf = ray.get(ref)
 
+        def _draw(self, key: str) -> int:
+            u = _stable_unit(key)
+            return int(self.ids[np.searchsorted(self.cdf, u, side="right").clip(0, len(self.ids) - 1)])
+
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out: dict[str, list] = {k: [] for k in ("doc_id", "sent_id", "pair_id", "neg_idx", "neg_target")}
-            for doc_id, sent_id, pair_id, target in zip(
+            out: dict[str, list] = {
+                k: [] for k in ("doc_id", "sent_id", "pair_id", "neg_idx", "neg_target", "neg_word_ids")
+            }
+            for doc_id, sent_id, pair_id, target, word_ids in zip(
                 batch.column("doc_id").to_pylist(),
                 batch.column("sent_id").to_pylist(),
                 batch.column("pair_id").to_pylist(),
                 batch.column("target_ids").to_pylist(),
+                batch.column("word_ids").to_pylist(),
             ):
                 x, y = target
                 for k in range(neg_per):
-                    if k == 0:
-                        neg = [y, x]  # reversed pair is always the first negative
-                    else:
-                        u1 = _stable_unit(f"{seed}:{doc_id}:{sent_id}:{pair_id}:{k}:a")
-                        u2 = _stable_unit(f"{seed}:{doc_id}:{sent_id}:{pair_id}:{k}:b")
-                        cand = int(self.ids[np.searchsorted(self.cdf, u1, side="right").clip(0, len(self.ids) - 1)])
-                        neg = [cand, y] if u2 < 0.5 else [x, cand]
+                    key = f"{seed}:{doc_id}:{sent_id}:{pair_id}:{k}"
+                    neg, neg_words = [x, y], list(word_ids)
+                    if corrupt == "target":
+                        if k == 0:
+                            neg = [y, x]  # reversed pair is always the first negative
+                        else:
+                            cand = self._draw(key + ":a")
+                            neg = [cand, y] if _stable_unit(key + ":b") < 0.5 else [x, cand]
+                    else:  # word corruption: replace one path position
+                        if neg_words:
+                            pos = int(_stable_unit(key + ":p") * len(neg_words)) % len(neg_words)
+                            neg_words[pos] = self._draw(key + ":w")
                     out["doc_id"].append(doc_id)
                     out["sent_id"].append(sent_id)
                     out["pair_id"].append(pair_id)
                     out["neg_idx"].append(k)
                     out["neg_target"].append(neg)
+                    out["neg_word_ids"].append(neg_words)
             return pa.Table.from_pydict(
                 {
                     "doc_id": pa.array(out["doc_id"], pa.string()),
@@ -141,6 +159,7 @@ def negative_samples(
                     "pair_id": pa.array(out["pair_id"], pa.int32()),
                     "neg_idx": pa.array(out["neg_idx"], pa.int32()),
                     "neg_target": pa.array(out["neg_target"], pa.list_(pa.int32())),
+                    "neg_word_ids": pa.array(out["neg_word_ids"], pa.list_(pa.int32())),
                 }
             )
 

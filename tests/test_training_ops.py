@@ -87,6 +87,47 @@ def test_negative_samples_deterministic(enc):
     assert {(r["doc_id"], r["sent_id"], r["pair_id"], r["neg_idx"]): tuple(r["neg_target"]) for r in rows2} == by_key
 
 
+def test_negative_samples_word_corruption(enc):
+    encoded, _ = enc
+    ids, dist = target_distribution(encoded)
+    negs = negative_samples(encoded, ids, distribution_to_power(dist), neg_per=2, seed=4, corrupt="word").take_all()
+    assert len(negs) == 2 * encoded.count()
+    orig = {(r["doc_id"], r["sent_id"], r["pair_id"]): r["word_ids"] for r in encoded.take_all()}
+    diffs = 0
+    for r in negs:
+        o = orig[(r["doc_id"], r["sent_id"], r["pair_id"])]
+        assert len(r["neg_word_ids"]) == len(o)
+        ndiff = sum(1 for a, b in zip(o, r["neg_word_ids"]) if a != b)
+        assert ndiff <= 1  # exactly one position corrupted (or same id drawn)
+        diffs += ndiff
+    assert diffs > 0
+
+
+def test_dep_structure_whitelist_flow(enc):
+    """J4 end-to-end: whitelist collected from the corpus keeps its own
+    structures GOOD; an empty whitelist rejects everything."""
+    from relation_extraction_ray.functions.structures import (
+        collect_dep_structures,
+        dep_structures_as_labels,
+    )
+    from relation_extraction_ray.sources.synth import documents_dataset as dd
+
+    encoded, vocabs = enc
+    structures = collect_dep_structures(encoded, min_count=1)
+    assert structures
+    (_, _, _), (dv, _, _), _ = vocabs
+    labels = dep_structures_as_labels(structures, dv)
+    pipe = KGPipeline(batch_size=64, ok_dep_structures=labels)
+    sent = pipe.sentences(dd(20, override_num_blocks=2)).materialize()
+    out = pipe.encoded(sent, pipe.vocabs(sent)).take_all()
+    # same-corpus whitelist: every structure seen before stays GOOD-capable
+    good = [r for r in out if r["verdict"] == "GOOD"]
+    assert good
+    pipe2 = KGPipeline(batch_size=64, ok_dep_structures={("__never__",)})
+    out2 = pipe2.encoded(sent, pipe2.vocabs(sent)).take_all()
+    assert all(r["verdict"] == "BAD" for r in out2)
+
+
 def test_embeddings_nearest_entropy(enc):
     encoded, vocabs = enc
     emb = phrase_embeddings(encoded, vocabs).materialize()
