@@ -123,6 +123,14 @@ def _q_running_totals(sf_dir: str):
     return user_running_totals(_read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]))
 
 
+def _q_asof_join(sf_dir: str):
+    from relation_extraction_ray.functions.relational import asof_prior_event
+
+    return asof_prior_event(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 def _q_distinct_texts(sf_dir: str):
     from relation_extraction_ray.functions.relational import distinct_texts
 
@@ -229,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
+        "asof_join": _q_asof_join,
         "distinct_texts": _q_distinct_texts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -325,6 +334,13 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                    ) AS BIGINT) AS cum_value_cents
             FROM events
+        """,
+        "asof_join": """
+            WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, max(event_id) AS prior_event_id
+                       FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.user_id, p.event_id, c.prior_event_id
+            FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "distinct_texts": """
             SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_distinct FROM documents

@@ -145,6 +145,49 @@ def user_running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def asof_prior_event(
+    events: ray.data.Dataset, left_type: str = "purchase", right_type: str = "click"
+) -> ray.data.Dataset:
+    """As-of join (an operator Ray Data lacks natively): for each
+    ``left_type`` event, the latest ``right_type`` event by the same user
+    at or before its timestamp.  Pattern: key the shuffle on user_id, sort
+    within the group, ``pd.merge_asof`` per group — the partitioning
+    assumption is that one user's history fits one group (true for user
+    keys; salt by time-range for pathological users).
+
+    Right-side ties on (user, ts) are collapsed to max(event_id) first so
+    the result is deterministic; unmatched lefts are dropped (inner)."""
+
+    def per_user(group) -> "pd.DataFrame":
+        import pandas as pd
+
+        left = group[group["event_type"] == left_type].sort_values(["ts", "event_id"], kind="mergesort")
+        right = (
+            group[group["event_type"] == right_type]
+            .groupby("ts", as_index=False)
+            .agg(prior_event_id=("event_id", "max"))
+            .sort_values("ts", kind="mergesort")
+        )
+        if left.empty or right.empty:
+            return pd.DataFrame({"user_id": [], "event_id": [], "prior_event_id": []}).astype(
+                {"user_id": "int64", "event_id": "int64", "prior_event_id": "int64"}
+            )
+        merged = pd.merge_asof(left, right, on="ts", direction="backward")
+        merged = merged.dropna(subset=["prior_event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": merged["user_id"].astype("int64"),
+                "event_id": merged["event_id"].astype("int64"),
+                "prior_event_id": merged["prior_event_id"].astype("int64"),
+            }
+        )
+
+    pruned = events.filter(
+        expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+    )
+    return pruned.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def distinct_texts(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Global COUNT(DISTINCT): per-batch distinct partials → groupby →
     count, returned as a one-row table."""

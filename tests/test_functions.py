@@ -158,6 +158,30 @@ def test_pricing_summary_vs_duckdb(ray_session):
             assert row[c] == w[c], (c, row, dict(w))
 
 
+def test_asof_join_vs_duckdb(ray_session):
+    import duckdb
+
+    from relation_extraction_ray.functions.relational import asof_prior_event
+
+    sf = "/root/testdata/sf0.001"
+    got = asof_prior_event(
+        ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    ).take_all()
+    want = duckdb.sql(
+        f"""
+        WITH e AS (SELECT * FROM read_parquet('{sf}/events.parquet')),
+             p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, max(event_id) AS prior_event_id
+                   FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+        SELECT p.user_id, p.event_id, c.prior_event_id
+        FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """
+    ).df()
+    gs = sorted((r["user_id"], r["event_id"], r["prior_event_id"]) for r in got)
+    ws = sorted(map(tuple, want[["user_id", "event_id", "prior_event_id"]].itertuples(index=False)))
+    assert gs == ws and len(gs) > 0
+
+
 def test_events_by_day_vs_duckdb(ray_session):
     import duckdb
 
