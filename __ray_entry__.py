@@ -131,6 +131,12 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_sample(sf_dir: str):
+    from relation_extraction_ray.functions.relational import deterministic_sample
+
+    return deterministic_sample(_read(sf_dir, "documents", columns=["doc_id"]), "doc_id", pct=20)
+
+
 def _q_distinct_texts(sf_dir: str):
     from relation_extraction_ray.functions.relational import distinct_texts
 
@@ -238,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
         "asof_join": _q_asof_join,
+        "sample_docs": _q_sample,
         "distinct_texts": _q_distinct_texts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -341,6 +348,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
             SELECT p.user_id, p.event_id, c.prior_event_id
             FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
         """,
         "distinct_texts": """
             SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_distinct FROM documents

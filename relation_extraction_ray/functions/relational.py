@@ -188,6 +188,25 @@ def asof_prior_event(
     return pruned.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def deterministic_sample(
+    ds: ray.data.Dataset, key_col: str, pct: int = 20
+) -> ray.data.Dataset:
+    """Deterministic hash sample (the O2 split mechanism with an exact SQL
+    oracle): keep rows whose md5(key) bucket < pct of 100.  Shuffle-free,
+    stable at any parallelism, reproducible across engines (md5 is the
+    cross-engine-portable hash)."""
+    import hashlib
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        mask = [
+            int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100 < pct for k in keys
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def distinct_texts(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Global COUNT(DISTINCT): per-batch distinct partials → groupby →
     count, returned as a one-row table."""
