@@ -18,7 +18,6 @@ same tables.
 
 from __future__ import annotations
 
-import hashlib
 from collections import Counter
 
 import numpy as np
@@ -39,19 +38,9 @@ from .sources.synth import span_sequence_hash
 from .state.scorer import pad_paths, score_batch, weights_fixture
 
 
-def canonical_norm(surface: str) -> str:
-    """Entity surface-form normalization key: lowercase, drop possessive,
-    strip plural runs. The canonicalization groupby keys on this."""
-    s = surface.lower().strip()
-    if s.endswith("'s"):
-        s = s[:-2]
-    while s.endswith("s") and len(s) > 4:
-        s = s[:-1]
-    return s
-
-
-def canonical_id(norm: str) -> str:
-    return "e_" + hashlib.blake2b(norm.encode(), digest_size=8).hexdigest()
+# The one shared normalization definition (nlp/normalize.py) — an edit
+# there changes pipeline, oracle and linker together, never one alone.
+from .nlp.normalize import canonical_id, canonical_norm  # noqa: E402
 
 
 def doc_rows_to_sentences(doc_rows: list[dict]) -> list[dict]:

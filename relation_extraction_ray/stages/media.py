@@ -130,20 +130,36 @@ class DecodeStage:
         self.width = width
         self.height = height
         self.frames = frames_per_video
-        try:  # pragma: no cover - library absent in sandbox
-            from PIL import Image  # noqa: F401
+        try:
+            from PIL import Image
 
-            self.backend = "pil"
+            self._pil_image = Image
         except ImportError:
-            self.backend = "fake"
+            self._pil_image = None
 
-    def _decode(self, payload: bytes, frame_idx: int) -> np.ndarray:
-        if self.backend == "pil":  # pragma: no cover
-            raise NotImplementedError(
-                "real codec path requires image/audio libraries not present "
-                "in this sandbox; plumbing is exercised via the fake backend"
-            )
-        return _fake_decode(payload, self.width, self.height, frame_idx)
+    def _decode(self, payload: bytes, kind: str, frame_idx: int) -> tuple[np.ndarray, str]:
+        """Decode one payload → (feature vector, backend used).
+
+        PIL path (images, when Pillow is importable): open → grayscale →
+        resize → FEATURE_DIM mean-pooled row blocks.  Any decode failure —
+        Pillow missing, non-image kind, corrupt/synthetic payload — falls
+        through to the deterministic fake, recorded per row as
+        ``backend='fake'`` (never an exception: a 100-TB run must not die
+        on one bad blob)."""
+        if self._pil_image is not None and kind == "image":
+            try:
+                import io
+
+                img = self._pil_image.open(io.BytesIO(payload)).convert("L")
+                img = img.resize((self.width, self.height))
+                px = np.asarray(img, dtype=np.float32) / 255.0
+                # FEATURE_DIM mean-pooled horizontal bands — cheap, deterministic
+                bands = np.array_split(px, FEATURE_DIM, axis=0)
+                feat = np.array([b.mean() for b in bands], dtype=np.float32)
+                return feat, "pil"
+            except Exception:
+                pass  # not a decodable image — fake fallback below
+        return _fake_decode(payload, self.width, self.height, frame_idx), "fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {k: [] for k in (
@@ -158,6 +174,7 @@ class DecodeStage:
         ):
             n_frames = self.frames if kind == "video" else 1
             for f in range(n_frames):
+                feat, backend = self._decode(payload, kind, f)
                 out["doc_id"].append(doc_id)
                 out["span_idx"].append(span_idx)
                 out["kind"].append(kind)
@@ -165,8 +182,8 @@ class DecodeStage:
                 out["frame_idx"].append(f)
                 out["width"].append(self.width)
                 out["height"].append(self.height)
-                out["feature"].append(self._decode(payload, f).tolist())
-                out["backend"].append(self.backend)
+                out["feature"].append(feat.tolist())
+                out["backend"].append(backend)
         return pa.Table.from_pydict(out, schema=FEATURES)
 
 

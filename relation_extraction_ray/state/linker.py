@@ -22,7 +22,6 @@ this module fixes.
 
 from __future__ import annotations
 
-import hashlib
 
 import pyarrow as pa
 import ray
@@ -35,17 +34,9 @@ LINKED_TRIPLES_EXTRA = [
 ]
 
 
-def surface_norm(surface: str) -> str:
-    s = surface.lower().strip()
-    if s.endswith("'s"):
-        s = s[:-2]
-    while s.endswith("s") and len(s) > 4:
-        s = s[:-1]
-    return s
-
-
-def nil_id(norm: str) -> str:
-    return "nil_" + hashlib.blake2b(norm.encode(), digest_size=8).hexdigest()
+# Alias keying uses the SAME normalization as canonicalization
+# (nlp/normalize.py) so linked and unlinked entities partition identically.
+from ..nlp.normalize import nil_id, surface_norm  # noqa: E402
 
 
 def build_kb(entries: list[dict]) -> dict[str, list[dict]]:
