@@ -7,20 +7,33 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
 Design notes:
 * Money/float aggregates are returned as integer cents (exact hash
   equality with the SQL oracle — no float-sum rounding drift).
-* The KG pipeline's input table (interleaved text+media docs per
-  BASELINE.json input_hint) does not exist in the benchmark set, so the
-  ``kg_*`` queries synthesize it deterministically (seeded pure function
-  of doc index) — they are rows-only checks (no SQL equivalent for
-  parsing/SDP extraction).
+* All dedup/LSH hashing is md5-based, so MinHash signatures, SimHash
+  bits, LSH hyperplanes and Jaccard scores are recomputed **from scratch
+  in SQL** by the DuckDB oracles (an independent engine reproducing the
+  bits, not a readback).
+* The KG pipeline's input (interleaved text+media docs per BASELINE.json
+  input_hint) is a deterministic synthetic corpus (pure function of doc
+  index).  Its oracles are the pure-Python single-process implementation
+  (``relation_extraction_ray/oracle.py`` — naive dicts/loops, zero Ray):
+  ``oracle_sql()`` materializes those tables to parquet at call time and
+  the SQL reads them back, so the driver hash-compares the distributed
+  pipeline against the single-process semantics end-to-end.
+* Every kg_* query also audits the span-sequence invariant (north rule)
+  against the source documents and RAISES on any mismatch.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
-KG_DOCS = 300  # synthetic interleaved docs for the kg_* rows-only queries
+KG_DOCS = 300  # synthetic interleaved docs for the kg_* queries
+ORACLE_DIR = "/tmp/graft_kg_oracle"
+
+TRIPLE_SORT = ["doc_id", "sent_id", "subj", "pred", "obj", "score", "span_hash"]
+ADJ_SORT = ["src_id", "pred", "dst_id"]
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -143,59 +156,99 @@ def _q_distinct_texts(sf_dir: str):
     return distinct_texts(_read(sf_dir, "documents", columns=["text"]))
 
 
-# --- rows-only (no SQL equivalent) -----------------------------------------
-
-
-def _q_kg_triples(sf_dir: str):
-    from relation_extraction_ray.pipelines.kg import KGPipeline
-    from relation_extraction_ray.sources.synth import documents_dataset
-
-    return KGPipeline().run(documents_dataset(KG_DOCS, override_num_blocks=8))["triples"]
-
-
-def _q_kg_adjacency(sf_dir: str):
-    from relation_extraction_ray.pipelines.kg import KGPipeline
-    from relation_extraction_ray.sources.synth import documents_dataset
-
-    return KGPipeline().run(documents_dataset(KG_DOCS, override_num_blocks=8))["adjacency"]
+# --- dedup / LSH family (SQL oracles recompute the hashes from scratch) ----
 
 
 def _q_dedup_minhash(sf_dir: str):
     from relation_extraction_ray.functions.dedup import minhash_candidate_pairs, verify_jaccard
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return verify_jaccard(minhash_candidate_pairs(docs), docs, threshold=0.8)
+    verified = verify_jaccard(minhash_candidate_pairs(docs), docs, threshold=0.8)
+    return verified.sort(["doc_a", "doc_b"])
 
 
 def _q_simhash(sf_dir: str):
     from relation_extraction_ray.functions.dedup import simhash_table
 
-    return simhash_table(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return simhash_table(_read(sf_dir, "documents", columns=["doc_id", "text"])).sort("doc_id")
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from relation_extraction_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+    ).sort(["doc_a", "doc_b"])
 
 
 def _q_lang_id(sf_dir: str):
     from relation_extraction_ray.functions.text import lang_id
 
-    return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"])).sort("doc_id")
+
+
+def _q_knn_lsh(sf_dir: str):
+    from relation_extraction_ray.functions.ann import knn_lsh
+
+    return knn_lsh(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), KNN_QUERY_IDS, k=10
+    ).sort(["query_id", "rank"])
+
+
+# --- KG family (pure-Python single-process oracle, parquet-materialized) ---
+
+
+def _kg_run():
+    """Run the pipeline on the synthetic corpus and AUDIT the span-sequence
+    invariant (north rule) — a mismatch fails the query, not just a test."""
+    from relation_extraction_ray.functions.invariant import check_against_documents
+    from relation_extraction_ray.pipelines.kg import KGPipeline
+    from relation_extraction_ray.sources.synth import documents_dataset
+
+    out = KGPipeline().run(documents_dataset(KG_DOCS, override_num_blocks=8))
+    bad = check_against_documents(
+        out["triples"], documents_dataset(KG_DOCS, override_num_blocks=8)
+    )
+    if bad:
+        raise AssertionError(f"span-sequence invariant broken on {bad} triple rows")
+    return out
+
+
+def _q_kg_triples(sf_dir: str):
+    return _kg_run()["triples"].sort(TRIPLE_SORT)
+
+
+def _q_kg_adjacency(sf_dir: str):
+    return _kg_run()["adjacency"].sort(ADJ_SORT)
 
 
 def _q_kg_linked(sf_dir: str):
     """Triples with KB-linked entity ids (entity-link disambiguator actor
     pool over a broadcast KB)."""
-    from relation_extraction_ray.pipelines.kg import KGPipeline
-    from relation_extraction_ray.sources.synth import documents_dataset
     from relation_extraction_ray.state.linker import build_kb, link_triples, synth_kb
 
-    out = KGPipeline().run(documents_dataset(KG_DOCS, override_num_blocks=8))
-    return link_triples(out["triples"], build_kb(synth_kb()))
+    out = _kg_run()
+    return link_triples(out["triples"], build_kb(synth_kb())).sort(TRIPLE_SORT)
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal span decode/feature plumbing over the interleaved corpus."""
-    from relation_extraction_ray.sources.synth import documents_dataset
-    from relation_extraction_ray.stages.media import media_features
+    """Multimodal span decode/feature plumbing over the interleaved corpus,
+    projected to a scalar feature digest for cross-engine hashing."""
+    import pyarrow as pa
 
-    return media_features(documents_dataset(KG_DOCS, override_num_blocks=8))
+    from relation_extraction_ray.sources.synth import documents_dataset
+    from relation_extraction_ray.stages.media import FEATURES_DIGEST, feature_fp, media_features
+
+    feats = media_features(documents_dataset(KG_DOCS, override_num_blocks=8))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        fps = [feature_fp(f) for f in batch.column("feature").to_pylist()]
+        cols = [batch.column(f.name) for f in FEATURES_DIGEST if f.name != "feat_fp"]
+        return pa.Table.from_arrays(cols + [pa.array(fps, pa.string())], schema=FEATURES_DIGEST)
+
+    return feats.map_batches(digest, batch_format="pyarrow").sort(
+        ["doc_id", "span_idx", "frame_idx"]
+    )
 
 
 def _q_supervised_eval(sf_dir: str):
@@ -224,12 +277,6 @@ def _q_supervised_eval(sf_dir: str):
     )
 
 
-def _q_knn_lsh(sf_dir: str):
-    from relation_extraction_ray.functions.ann import knn_lsh
-
-    return knn_lsh(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), KNN_QUERY_IDS, k=10)
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "vocab_top100": _q_vocab,
@@ -250,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency": _q_kg_adjacency,
         "dedup_minhash": _q_dedup_minhash,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
         "kg_linked": _q_kg_linked,
@@ -258,7 +306,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Parquet-materialized pure-Python oracles (kg family)
+# ---------------------------------------------------------------------------
+
+
+def _write_kg_oracle_parquet() -> dict[str, str]:
+    """Recompute the single-process oracle tables and write them under
+    ORACLE_DIR (always — a few seconds of pure Python; never a stale
+    cache).  Returns name → parquet path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relation_extraction_ray import schemas
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.oracle import (
+        link_rows,
+        media_digest_rows,
+        run_oracle,
+        supervised_metrics_row,
+    )
+    from relation_extraction_ray.sources.synth import corpus_table
+    from relation_extraction_ray.stages.media import FEATURES_DIGEST
+    from relation_extraction_ray.state.linker import LINKED_TRIPLES_EXTRA
+
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    out = run_oracle(corpus_table(KG_DOCS).to_pylist(), KGConfig())
+
+    def srt(tab: pa.Table, keys: list[str]) -> pa.Table:
+        return tab.sort_by([(k, "ascending") for k in keys])
+
+    triples = srt(out["triples"], TRIPLE_SORT)
+    adjacency = srt(out["adjacency"], ADJ_SORT)
+    linked_schema = pa.schema(list(schemas.TRIPLES) + LINKED_TRIPLES_EXTRA)
+    linked = srt(
+        pa.Table.from_pylist(link_rows(out["triples"].to_pylist()), schema=linked_schema),
+        TRIPLE_SORT,
+    )
+    media = srt(
+        pa.Table.from_pylist(media_digest_rows(KG_DOCS), schema=FEATURES_DIGEST),
+        ["doc_id", "span_idx", "frame_idx"],
+    )
+    sup = pa.Table.from_pylist([supervised_metrics_row(500)])
+
+    paths = {}
+    for name, tab in (
+        ("kg_triples", triples),
+        ("kg_adjacency", adjacency),
+        ("kg_linked", linked),
+        ("media_features", media),
+        ("supervised_eval", sup),
+    ):
+        p = os.path.join(ORACLE_DIR, f"{name}.parquet")
+        pq.write_table(tab, p)
+        paths[name] = p
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+_LANGS = {
+    "de": "der die das und ist nicht mit ein von zu",
+    "en": "the and of to in is was for with that",
+    "es": "el la los y de un una es por con",
+    "fr": "le la les et de un une est pour dans",
+}
+
+
+def _sql_list(words: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words.split()) + "]"
+
+
+# md5-u64 helper fragment: first 8 bytes of md5 as UBIGINT (matches the
+# engine's _md5_u64 bit for bit)
+def _md5u64(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 16)) AS UBIGINT)"
+
+
+_SIMHASH_CTE = f"""
+  tok AS (
+    SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+    WHERE t <> '' GROUP BY doc_id, t
+  ), bits AS (
+    SELECT doc_id, b AS bit,
+           sum(CASE WHEN (({_md5u64('token')} >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS acc
+    FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b)
+    GROUP BY doc_id, b
+  ), sh0 AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << bit
+                         ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+  ), sh AS (
+    SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS UBIGINT) AS simhash
+    FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.doc_id
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    kg_paths = _write_kg_oracle_parquet()
+    lang_cols = ",\n".join(
+        f"  len(list_intersect(toks, {_sql_list(words)})) AS n_{lang}"
+        for lang, words in _LANGS.items()
+    )
     return {
         "vocab_top100": """
             SELECT token, cnt FROM (
@@ -355,5 +509,141 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_texts": """
             SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_distinct FROM documents
+        """,
+        # --- dedup / LSH family: hashes recomputed from scratch in SQL ---
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents
+            ), n AS (
+              SELECT doc_id,
+            {lang_cols}
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                        WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                        WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                        WHEN n_es >= n_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM n ORDER BY doc_id
+        """,
+        "simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash, CAST(simhash >> 48 AS UINTEGER) AS bucket
+            FROM sh ORDER BY doc_id
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            blocks AS (
+              SELECT doc_id, simhash, blk
+              FROM sh CROSS JOIN (SELECT unnest(range(4)) AS blk)
+            ), cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS d
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk
+               AND ((a.simhash >> (a.blk * 16)) & 65535) = ((b.simhash >> (b.blk * 16)) & 65535)
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(min(d) AS BIGINT) AS hamming
+            FROM cand WHERE d <= 3 GROUP BY doc_a, doc_b
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_minhash": f"""
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+              FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                END AS shingles
+              FROM tok
+            ), sset AS (
+              SELECT doc_id, list_distinct(shingles) AS sh FROM shl
+            ), shx AS (
+              SELECT doc_id, unnest(sh) AS s FROM sset
+            ), sigs AS (
+              SELECT doc_id, p.j, min(xor({_md5u64('s')}, p.k)) AS sig
+              FROM shx CROSS JOIN (
+                SELECT j, {_md5u64("'perm:' || CAST(j AS VARCHAR)")} AS k
+                FROM (SELECT unnest(range(64)) AS j)
+              ) p
+              GROUP BY doc_id, p.j
+            ), buckets AS (
+              SELECT doc_id, j // 8 AS band,
+                     md5(string_agg(CAST(sig AS VARCHAR), ':' ORDER BY j)) AS bucket
+              FROM sigs GROUP BY doc_id, j // 8
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ), jac AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS sim
+              FROM cand c
+              JOIN sset sa ON c.doc_a = sa.doc_id
+              JOIN sset sb ON c.doc_b = sb.doc_id
+              WHERE len(list_distinct(sa.sh || sb.sh)) > 0
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+            FROM jac WHERE sim >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "knn_lsh": f"""
+            WITH planes AS (
+              SELECT j, d,
+                     {_md5u64("'plane:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}
+                       / 9223372036854775808.0 - 1.0 AS v
+              FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(64)) AS d)
+            ), emb AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), proj AS (
+              SELECT emb.vec_id, p.j, sum(emb.e[p.d + 1] * p.v) AS dot
+              FROM emb CROSS JOIN planes p GROUP BY emb.vec_id, p.j
+            ), bkt AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS UINTEGER) << j
+                                   ELSE 0 END) AS UINTEGER) AS bucket
+              FROM proj GROUP BY vec_id
+            ), be AS (
+              SELECT b.vec_id, b.bucket, e.e FROM bkt b JOIN emb e ON b.vec_id = e.vec_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, n.e) DESC, n.vec_id ASC
+                     ) AS BIGINT) AS rank
+              FROM be q JOIN be n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+              WHERE q.vec_id IN (0, 1, 2, 3, 4))
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        # --- KG family: pure-Python single-process oracle via parquet ---
+        "kg_triples": f"""
+            SELECT * FROM read_parquet('{kg_paths["kg_triples"]}')
+            ORDER BY doc_id, sent_id, subj, pred, obj, score, span_hash
+        """,
+        "kg_adjacency": f"""
+            SELECT * FROM read_parquet('{kg_paths["kg_adjacency"]}')
+            ORDER BY src_id, pred, dst_id
+        """,
+        "kg_linked": f"""
+            SELECT * FROM read_parquet('{kg_paths["kg_linked"]}')
+            ORDER BY doc_id, sent_id, subj, pred, obj, score, span_hash
+        """,
+        "media_features": f"""
+            SELECT * FROM read_parquet('{kg_paths["media_features"]}')
+            ORDER BY doc_id, span_idx, frame_idx
+        """,
+        "supervised_eval": f"""
+            SELECT * FROM read_parquet('{kg_paths["supervised_eval"]}')
         """,
     }

@@ -90,10 +90,10 @@ def knn_brute_force(
     (query_id, neighbor_id, rank); ties broken by neighbor_id asc.
 
     Queries are read once (small filtered take), broadcast once."""
-    qset = set(query_ids)
-    q_rows = embeddings.filter(
-        lambda r: r["vec_id"] in qset
-    ).take_all()
+    # expression filter (pushdown-able) — a row-wise Python lambda here
+    # would scan the whole table in the driver's slowest possible way
+    q_expr = " or ".join(f"vec_id == {int(q)}" for q in query_ids)
+    q_rows = embeddings.filter(expr=q_expr).take_all()
     q_rows.sort(key=lambda r: r["vec_id"])
     q_ids = [r["vec_id"] for r in q_rows]
     q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
@@ -107,14 +107,28 @@ def knn_brute_force(
     return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")
 
 
+def lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplane matrix [dim, n_planes], each entry derived
+    from md5("plane:j:d") mapped to [-1, 1) — bit-identical to the DuckDB
+    expression ``md5_u64('plane:'||j||':'||d) / 2^63 - 1`` so the bucket
+    assignment has an exact SQL oracle."""
+    import hashlib
+
+    m = np.empty((dim, n_planes), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(dim):
+            u = int(hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[:16], 16)
+            m[d, j] = u / 9223372036854775808.0 - 1.0
+    return m
+
+
 class LshBucketStage:
     """Random-hyperplane LSH bucketing: sign-pattern of ``n_planes``
-    projections → bucket id.  Plane matrix built once per actor from a
-    fixed seed (identical across actors)."""
+    projections → bucket id.  Plane matrix built once per actor from the
+    deterministic md5 derivation (identical across actors and engines)."""
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5) -> None:
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+    def __init__(self, dim: int, n_planes: int = 8) -> None:
+        self.planes = lsh_planes(dim, n_planes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _matrix(batch, "embedding")

@@ -229,6 +229,92 @@ def canonicalize(triples: list[dict]) -> tuple[list[dict], list[dict]]:
     return entities, adjacency
 
 
+def link_rows(triples_rows: list[dict]) -> list[dict]:
+    """Single-process oracle for the KB-linking stage: the same
+    deterministic disambiguation (``state/linker.py`` semantics) applied in
+    a plain loop — no broadcast, no actor pool, no Dataset."""
+    from .nlp.normalize import nil_id, surface_norm
+    from .state.linker import build_kb, score_candidates, synth_kb
+
+    kb = build_kb(synth_kb())
+    out = []
+    for t in triples_rows:
+        rel = t["pred"].lower().split("(")[0]
+        context = {t["subj"].lower(), t["obj"].lower(), rel, *rel.split("-")}
+
+        def link(surface: str) -> tuple[str, bool]:
+            norm = surface_norm(surface)
+            cands = kb.get(norm)
+            if not cands:
+                return nil_id(norm), False
+            return score_candidates(norm, context, cands)["kb_id"], True
+
+        skb, sok = link(t["subj"])
+        okb, ook = link(t["obj"])
+        out.append({**t, "subj_kb": skb, "obj_kb": okb, "subj_linked": sok, "obj_linked": ook})
+    return out
+
+
+def media_digest_rows(n_docs: int, seed: int = 42) -> list[dict]:
+    """Single-process oracle for the media feature plumbing: explode media
+    spans, synthesize payloads, fake-decode, digest — plain loops over the
+    deterministic corpus (matches ``stages/media.media_features`` +
+    ``feature_fp`` projection)."""
+    from .sources.synth import corpus_table
+    from .stages.media import _fake_decode, _synth_payload, feature_fp
+
+    rows = []
+    for row in corpus_table(n_docs, seed=seed).to_pylist():
+        for span_idx, s in enumerate(row["spans"]):
+            if s["kind"] == "text":
+                continue
+            payload = _synth_payload(s["media_ref"], 4096)
+            n_frames = 3 if s["kind"] == "video" else 1
+            for f in range(n_frames):
+                feat = _fake_decode(payload, 64, 64, f)
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "span_idx": span_idx,
+                        "kind": s["kind"],
+                        "media_ref": s["media_ref"],
+                        "frame_idx": f,
+                        "width": 64,
+                        "height": 64,
+                        "backend": "fake",
+                        "feat_fp": feature_fp(feat.tolist()),
+                    }
+                )
+    return rows
+
+
+def supervised_metrics_row(n: int, cfg: KGConfig | None = None) -> dict:
+    """Single-process oracle for the supervised eval query: generate the
+    labeled records, strip tags, classify (the stage class called as a
+    plain function on ONE batch), count the confusion with a dict, finalize
+    P/R/F1 — no Dataset, no groupby."""
+    from collections import Counter as _Counter
+
+    from .eval import prf_from_counts
+    from .pipelines.supervised import ClassifyStage
+    from .sources.semeval import labeled_sentences_table, parse_records_batch
+
+    cfg = cfg or KGConfig()
+    parsed = parse_records_batch(labeled_sentences_table(n))
+    preds = ClassifyStage(cfg)(parsed)
+    counts = _Counter(
+        zip(preds.column("pred").to_pylist(), preds.column("label").to_pylist())
+    )
+    rows = [{"pred": p, "label": l, "n": c} for (p, l), c in counts.items()]
+    m = prf_from_counts(rows)
+    return {
+        "macro_f1": round(m["macro_f1"], 6),
+        "micro_f1": round(m["micro_f1"], 6),
+        "macro_precision": round(m["macro_precision"], 6),
+        "macro_recall": round(m["macro_recall"], 6),
+    }
+
+
 def run_oracle(doc_rows: list[dict], cfg: KGConfig | None = None, ok_dep_structures=None) -> dict:
     """Full single-process pipeline → dict of pyarrow Tables keyed by stage."""
     cfg = cfg or KGConfig()

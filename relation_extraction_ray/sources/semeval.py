@@ -152,27 +152,45 @@ def convert_raw_x(raw_text: str) -> tuple[str, int, int] | None:
     return " ".join(clean), e1, e2
 
 
-def parsed_records(records: ray.data.Dataset) -> ray.data.Dataset:
-    """records → PARSED_SCHEMA rows; failed parses are dropped (the
-    reference substitutes <OOV> sentinel rows for test ids — S3; we keep the
-    id gap instead and let eval treat missing ids as wrong)."""
+#: Sentinel text substituted for unparseable records (S3 policy,
+#: ``semeval_data_helper.py:338-356``): the reference replaces failed test
+#: parses with ``<OOV>`` rows so sentence ids stay DENSE — the official
+#: scorer keys predictions by line id and a gap would misalign every
+#: following row.
+SENTINEL_TEXT = "<OOV>"
+
+
+def parse_records_batch(batch: pa.Table, sentinel: bool = True) -> pa.Table:
+    """records → PARSED_SCHEMA rows (plain function of one Arrow batch —
+    shared by the Ray stage and the single-process oracle).
+
+    ``sentinel=True`` reproduces the reference's S3 policy: a record whose
+    tags can't be parsed becomes an ``<OOV>`` sentinel row (e1=e2=0) so ids
+    stay dense; ``sentinel=False`` drops it (id gap)."""
+    out: dict[str, list] = {k: [] for k in ("sent_id", "text", "e1_idx", "e2_idx", "label")}
+    for sid, text, label in zip(
+        batch.column("sent_id").to_pylist(),
+        batch.column("text").to_pylist(),
+        batch.column("label").to_pylist(),
+    ):
+        parsed = convert_raw_x(text)
+        if parsed is None:
+            if not sentinel:
+                continue
+            parsed = (SENTINEL_TEXT, 0, 0)
+        clean, e1, e2 = parsed
+        out["sent_id"].append(sid)
+        out["text"].append(clean)
+        out["e1_idx"].append(e1)
+        out["e2_idx"].append(e2)
+        out["label"].append(label)
+    return pa.Table.from_pydict(out, schema=PARSED_SCHEMA)
+
+
+def parsed_records(records: ray.data.Dataset, sentinel: bool = True) -> ray.data.Dataset:
+    """Distributed wrapper over :func:`parse_records_batch`."""
 
     def conv(batch: pa.Table) -> pa.Table:
-        out: dict[str, list] = {k: [] for k in ("sent_id", "text", "e1_idx", "e2_idx", "label")}
-        for sid, text, label in zip(
-            batch.column("sent_id").to_pylist(),
-            batch.column("text").to_pylist(),
-            batch.column("label").to_pylist(),
-        ):
-            parsed = convert_raw_x(text)
-            if parsed is None:
-                continue
-            clean, e1, e2 = parsed
-            out["sent_id"].append(sid)
-            out["text"].append(clean)
-            out["e1_idx"].append(e1)
-            out["e2_idx"].append(e2)
-            out["label"].append(label)
-        return pa.Table.from_pydict(out, schema=PARSED_SCHEMA)
+        return parse_records_batch(batch, sentinel=sentinel)
 
     return records.map_batches(conv, batch_format="pyarrow")

@@ -57,6 +57,22 @@ FEATURES = pa.schema(
 
 FEATURE_DIM = 16
 
+#: Driver-checkable projection of FEATURES: the float vector replaced by a
+#: scalar md5 digest (cross-engine-hashable).
+FEATURES_DIGEST = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("backend", pa.string()),
+        ("feat_fp", pa.string()),
+    ]
+)
+
 
 def media_spans(documents: ray.data.Dataset) -> ray.data.Dataset:
     """Explode the interleaved docs into one row per media span (text spans
@@ -185,6 +201,13 @@ class DecodeStage:
                 out["feature"].append(feat.tolist())
                 out["backend"].append(backend)
         return pa.Table.from_pydict(out, schema=FEATURES)
+
+
+def feature_fp(feature: list[float]) -> str:
+    """Scalar digest of a feature vector (md5 of the float32 bytes) — used
+    by the driver-checkable media query so the oracle comparison hashes a
+    string column instead of a list<float> (cross-engine-stable)."""
+    return hashlib.md5(np.asarray(feature, dtype=np.float32).tobytes()).hexdigest()
 
 
 def media_features(

@@ -23,6 +23,7 @@ re-scan completed shards for counts either.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -30,16 +31,63 @@ from dataclasses import asdict
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 
 from ..config import KGConfig
 
 MANIFEST = "manifest.jsonl"
-STAGE_VERSION = "kg_v1"  # bump when stage semantics change: invalidates resume
+STAGE_VERSION = "kg_v2"  # bump when stage semantics change: invalidates resume
 
 
 def config_fingerprint(cfg: KGConfig) -> str:
     payload = json.dumps({"stage": STAGE_VERSION, **asdict(cfg)}, sort_keys=True)
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+def vocab_fingerprint(vocabs) -> str:
+    """Hash of the finalized word/dep/pos vocab id-order.  Bound into each
+    triples-shard manifest entry so a resume can never mix shards encoded
+    under different vocab generations (advisor round 1: changing n_shards
+    or shard inputs between resumes used to silently reuse stale-vocab
+    triples)."""
+    h = hashlib.blake2b(digest_size=8)
+    for vocab, _, _ in vocabs:
+        h.update("\x00".join(vocab).encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+def shard_files(out_dir: str, stage: str, shard: int) -> list[str]:
+    return sorted(glob.glob(os.path.join(out_dir, stage, f"shard={shard}", "*.parquet")))
+
+
+def shard_num_rows(out_dir: str, stage: str, shard: int) -> int:
+    """Row count from parquet FOOTERS only (no data read) — the worker-
+    written fragments are the source of truth for manifest row counters."""
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in shard_files(out_dir, stage, shard))
+
+
+@ray.remote
+class CounterActor:
+    """Idempotent distributed counters for per-shard lineage metrics.
+
+    Stages tap in per-batch deltas keyed by a CONTENT fingerprint of the
+    batch, so a retried task re-submitting the same batch counts once —
+    counters stay exact under Ray's task retries."""
+
+    def __init__(self) -> None:
+        self.counts: dict[str, int] = {}
+        self.seen: set[str] = set()
+
+    def add(self, key: str, **deltas: int) -> None:
+        if key in self.seen:
+            return
+        self.seen.add(key)
+        for k, v in deltas.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+
+    def get(self) -> dict[str, int]:
+        return dict(self.counts)
 
 
 class Manifest:

@@ -96,6 +96,42 @@ def test_simhash_identical_for_dups(docs):
     assert ham(out[1], out[3]) < ham(out[1], out[4])
 
 
+def test_simhash_pairs_exact_hamming(docs):
+    """Block-bucketed pair scan is exact for Hamming <= k: pairs reported
+    iff popcount(xor) <= k, each pair once, distance correct."""
+    from relation_extraction_ray.functions.dedup import simhash64, simhash_pairs
+
+    rows, ds = docs
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(ds, max_hamming=3).take_all()}
+    hs = {r["doc_id"]: simhash64(r["text"]) for r in rows}
+    ids = sorted(hs)
+    want = {}
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            d = bin(hs[ids[i]] ^ hs[ids[j]]).count("1")
+            if d <= 3:
+                want[(ids[i], ids[j])] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0  # exact dups at distance 0
+
+
+def test_verify_jaccard_partitioned_join(docs):
+    """The pair↔text verification is a partitioned join (no driver text
+    dict); jaccard_micro matches a hand computation."""
+    import ray as _ray
+
+    from relation_extraction_ray.functions.dedup import shingle_set, verify_jaccard
+
+    rows, ds = docs
+    pairs = _ray.data.from_items([{"doc_a": 1, "doc_b": 2}, {"doc_a": 1, "doc_b": 3}, {"doc_a": 1, "doc_b": 4}])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard_micro"] for r in verify_jaccard(pairs, ds, threshold=0.3, shingle_n=2).take_all()}
+    s1, s3 = shingle_set(rows[0]["text"], 2), shingle_set(rows[2]["text"], 2)
+    sim13 = len(s1 & s3) / len(s1 | s3)
+    assert out[(1, 2)] == 1_000_000
+    assert out[(1, 3)] == int(sim13 * 1_000_000 + 0.5)
+    assert (1, 4) not in out
+
+
 def test_knn_brute_force_matches_numpy(ray_session):
     from relation_extraction_ray.functions.ann import knn_brute_force
 
