@@ -252,26 +252,74 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_supervised_eval(sf_dir: str):
-    """SemEval-style supervised classification + official-scorer-style
-    metrics (macro/micro P-R-F1, Other excluded) as a one-row table."""
+    """SemEval-style supervised classification (trigger lexicon AND the
+    TRAINED GRU fixture) + official-scorer-style metrics as a one-row
+    table."""
     import pandas as pd
 
     import ray.data as rd
 
     from relation_extraction_ray.config import KGConfig
     from relation_extraction_ray.eval import evaluate_classification
+    from relation_extraction_ray.pipelines.fit import model_classify
     from relation_extraction_ray.pipelines.supervised import classify
     from relation_extraction_ray.sources.semeval import labeled_sentences_table, parsed_records
+    from relation_extraction_ray.state.scorer import fixture_path, load_weights
 
-    preds = classify(parsed_records(rd.from_arrow(labeled_sentences_table(500))), KGConfig())
-    m = evaluate_classification(preds)
+    cfg = KGConfig()
+    parsed = parsed_records(rd.from_arrow(labeled_sentences_table(500))).materialize()
+    lex = evaluate_classification(classify(parsed, cfg))
+    wts, vocab_lists = load_weights(fixture_path("synth"))
+    mod = evaluate_classification(model_classify(parsed, wts, vocab_lists, cfg))
     return pd.DataFrame(
         [
             {
-                "macro_f1": round(m["macro_f1"], 6),
-                "micro_f1": round(m["micro_f1"], 6),
-                "macro_precision": round(m["macro_precision"], 6),
-                "macro_recall": round(m["macro_recall"], 6),
+                "lexicon_macro_f1": round(lex["macro_f1"], 6),
+                "lexicon_micro_f1": round(lex["micro_f1"], 6),
+                "model_macro_f1": round(mod["macro_f1"], 6),
+                "model_micro_f1": round(mod["micro_f1"], 6),
+                "model_macro_precision": round(mod["macro_precision"], 6),
+                "model_macro_recall": round(mod["macro_recall"], 6),
+            }
+        ]
+    )
+
+
+def _q_semeval_official(sf_dir: str):
+    """THE REAL SemEval-2010 Task-8 test split (shipped in the reference
+    repo), classified distributed with the trained ``semeval_real`` fixture
+    and scored with the official perl-scorer math."""
+    import pandas as pd
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval_semeval import official_scores_from_pairs, read_key_file
+    from relation_extraction_ray.oracle import SEMEVAL_DATA
+    from relation_extraction_ray.pipelines.fit import model_classify
+    from relation_extraction_ray.sources.semeval import parsed_records, read_semeval_records
+    from relation_extraction_ray.state.scorer import fixture_path, load_weights
+
+    cfg = KGConfig(min_count=2)
+    parsed = parsed_records(
+        read_semeval_records(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT")
+    )
+    wts, vocab_lists = load_weights(fixture_path("semeval_real"))
+    preds = model_classify(parsed, wts, vocab_lists, cfg).take_all()
+    key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
+    pairs: dict[tuple[str, str], int] = {}
+    for r in preds:
+        k = (r["pred"], key[r["sent_id"]])
+        pairs[k] = pairs.get(k, 0) + 1
+    s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    return pd.DataFrame(
+        [
+            {
+                "official_macro_f1": round(s["official_f1"], 6),
+                "macro_p": round(s["macro_p"], 6),
+                "macro_r": round(s["macro_r"], 6),
+                "micro_f1": round(s["micro_f1"], 6),
+                "accuracy": round(s["accuracy"], 6),
+                "coverage": round(s["coverage"], 6),
+                "n_test": 2717,
             }
         ]
     )
@@ -303,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
+        "semeval_official": _q_semeval_official,
     }
 
 
@@ -324,6 +373,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         link_rows,
         media_digest_rows,
         run_oracle,
+        semeval_official_row,
         supervised_metrics_row,
     )
     from relation_extraction_ray.sources.synth import corpus_table
@@ -348,6 +398,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ["doc_id", "span_idx", "frame_idx"],
     )
     sup = pa.Table.from_pylist([supervised_metrics_row(500)])
+    official = pa.Table.from_pylist([semeval_official_row()])
 
     paths = {}
     for name, tab in (
@@ -356,6 +407,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ("kg_linked", linked),
         ("media_features", media),
         ("supervised_eval", sup),
+        ("semeval_official", official),
     ):
         p = os.path.join(ORACLE_DIR, f"{name}.parquet")
         pq.write_table(tab, p)
@@ -645,5 +697,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supervised_eval": f"""
             SELECT * FROM read_parquet('{kg_paths["supervised_eval"]}')
+        """,
+        "semeval_official": f"""
+            SELECT * FROM read_parquet('{kg_paths["semeval_official"]}')
         """,
     }

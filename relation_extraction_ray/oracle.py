@@ -288,30 +288,79 @@ def media_digest_rows(n_docs: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def supervised_metrics_row(n: int, cfg: KGConfig | None = None) -> dict:
-    """Single-process oracle for the supervised eval query: generate the
-    labeled records, strip tags, classify (the stage class called as a
-    plain function on ONE batch), count the confusion with a dict, finalize
-    P/R/F1 — no Dataset, no groupby."""
+def _metrics_of(preds: pa.Table) -> dict:
     from collections import Counter as _Counter
 
     from .eval import prf_from_counts
+
+    counts = _Counter(zip(preds.column("pred").to_pylist(), preds.column("label").to_pylist()))
+    return prf_from_counts([{"pred": p, "label": l, "n": c} for (p, l), c in counts.items()])
+
+
+def supervised_metrics_row(n: int, cfg: KGConfig | None = None) -> dict:
+    """Single-process oracle for the supervised eval query: generate the
+    labeled records, strip tags, classify with BOTH the trigger lexicon and
+    the TRAINED synth fixture (stage classes called as plain functions on
+    ONE batch), count confusions with dicts, finalize P/R/F1 — no Dataset,
+    no groupby."""
+    from .pipelines.fit import ModelClassifyStage
     from .pipelines.supervised import ClassifyStage
     from .sources.semeval import labeled_sentences_table, parse_records_batch
+    from .state.scorer import fixture_path, load_weights
 
     cfg = cfg or KGConfig()
     parsed = parse_records_batch(labeled_sentences_table(n))
-    preds = ClassifyStage(cfg)(parsed)
-    counts = _Counter(
-        zip(preds.column("pred").to_pylist(), preds.column("label").to_pylist())
-    )
-    rows = [{"pred": p, "label": l, "n": c} for (p, l), c in counts.items()]
-    m = prf_from_counts(rows)
+    lex = _metrics_of(ClassifyStage(cfg)(parsed))
+    model = load_weights(fixture_path("synth"))
+    mod = _metrics_of(ModelClassifyStage(cfg=cfg, model=model)(parsed))
     return {
-        "macro_f1": round(m["macro_f1"], 6),
-        "micro_f1": round(m["micro_f1"], 6),
-        "macro_precision": round(m["macro_precision"], 6),
-        "macro_recall": round(m["macro_recall"], 6),
+        "lexicon_macro_f1": round(lex["macro_f1"], 6),
+        "lexicon_micro_f1": round(lex["micro_f1"], 6),
+        "model_macro_f1": round(mod["macro_f1"], 6),
+        "model_micro_f1": round(mod["micro_f1"], 6),
+        "model_macro_precision": round(mod["macro_precision"], 6),
+        "model_macro_recall": round(mod["macro_recall"], 6),
+    }
+
+
+SEMEVAL_DATA = "/root/reference/SemEval2010_task8_all_data"
+
+
+def semeval_official_row(cfg: KGConfig | None = None) -> dict:
+    """Single-process oracle for the REAL-SemEval official-score query: read
+    the shipped test file + directional keys with plain Python, classify
+    with the trained ``semeval_real`` fixture, score with the official
+    scorer math (validated against the perl scorer's worked examples)."""
+    from collections import Counter as _Counter
+
+    from .eval_semeval import official_scores_from_pairs, read_key_file
+    from .pipelines.fit import ModelClassifyStage
+    from .sources.semeval import parse_record_text, parse_records_batch
+    from .state.scorer import fixture_path, load_weights
+
+    cfg = cfg or KGConfig(min_count=2)
+    records = pa.Table.from_pylist(
+        parse_record_text(
+            open(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT").read()
+        )
+    )
+    parsed = parse_records_batch(records)
+    model = load_weights(fixture_path("semeval_real"))
+    preds = ModelClassifyStage(cfg=cfg, model=model)(parsed)
+    key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
+    pairs = _Counter(
+        (p, key[sid])
+        for sid, p in zip(preds.column("sent_id").to_pylist(), preds.column("pred").to_pylist())
+    )
+    s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    return {
+        "official_macro_f1": round(s["official_f1"], 6),
+        "macro_p": round(s["macro_p"], 6),
+        "macro_r": round(s["macro_r"], 6),
+        "micro_f1": round(s["micro_f1"], 6),
+        "accuracy": round(s["accuracy"], 6),
+        "coverage": round(s["coverage"], 6),
+        "n_test": 2717,
     }
 
 

@@ -1,0 +1,345 @@
+"""Supervised training of the GRU relation classifier (reference
+``partial_class_fit``, ``relembed.py:627-648``) — making T2 a *trained*
+model rather than a random fixture.
+
+Ray-Data-first split of the work:
+
+* **pass 1 (vocab barrier)**: parse the labeled records distributed,
+  per-batch token/dep/pos count partials → groupby → distributed
+  truncation → finalize (the same two-scan barrier as the KG pipeline).
+* **pass 2**: ``EncodeExamplesStage`` (actor pool, broadcast vocab) turns
+  each record into an encoded (word_ids, dep_ids, pos_ids, label_id)
+  example — the exact SDP featurization the lexicon classifier uses.
+* **fit**: mini-batch Adam on the encoded examples, driver-side over the
+  materialized example arrays (they are SMALL — the reference's SemEval
+  set is 8k rows; the corpus-scale work is the parsing above, which ran
+  distributed).  :func:`distributed_grad` is the data-parallel variant —
+  per-batch gradient partials with broadcast weights, reduced on the
+  driver in deterministic key order — used for full-batch steps and tested
+  equal to the single-process gradient.
+* **predict**: ``ModelClassifyStage`` (actor pool, weights broadcast via
+  ``ray.put`` once, pinned per actor) scores records with the trained GRU.
+
+Trained weights are persisted as versioned fixtures
+(``state/fixtures/*.npz``) carrying their vocabularies; determinism of any
+*consumer* (e.g. the supervised_eval driver query) comes from the fixture
+artifact, exactly like the reference's checkpoint files.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..config import KGConfig
+from ..nlp.labeler import LABEL2INT, LABELS, OTHER
+from ..nlp.parser import parse_sentence
+from ..nlp.sdp import finalize_vocab, post_process_path, sdp_between, token_span_path, vocab2idx
+from ..state.scorer import (
+    ScorerWeights,
+    WEIGHT_FIELDS,
+    grad_batch,
+    pad_paths,
+    score_batch,
+    weights_fixture,
+)
+
+EXAMPLE_SCHEMA = pa.schema(
+    [
+        ("sent_id", pa.int64()),
+        ("word_ids", pa.list_(pa.int32())),
+        ("dep_ids", pa.list_(pa.int32())),
+        ("pos_ids", pa.list_(pa.int32())),
+        ("label_id", pa.int32()),
+        ("label", pa.string()),
+    ]
+)
+
+
+def _ws_offsets(text: str) -> list[int]:
+    offs, pos = [], 0
+    for tok in text.split(" "):
+        offs.append(pos)
+        pos += len(tok) + 1
+    return offs
+
+
+def record_path(text: str, e1_ws: int, e2_ws: int, cfg: KGConfig):
+    """Parsed record → (word, dep, pos) path or None (shared featurization
+    for the lexicon classifier, the vocab pass and the encoder)."""
+    sent = parse_sentence(text)
+    ws_offs = _ws_offsets(text)
+    idx_of = {off: i for i, off in enumerate(sent.idx)}
+    e1 = idx_of.get(ws_offs[e1_ws]) if e1_ws < len(ws_offs) else None
+    e2 = idx_of.get(ws_offs[e2_ws]) if e2_ws < len(ws_offs) else None
+    if e1 is None or e2 is None:
+        return None
+    if cfg.sentence_mode:
+        sdp = token_span_path(sent, e1, e2, include_ends=cfg.include_ends)
+    else:
+        sdp = sdp_between(sent, e1, e2, include_ends=cfg.include_ends)
+    if sdp is None:
+        return None
+    path = post_process_path(sdp)
+    if len(path) < cfg.min_len or len(path) > cfg.max_len:
+        return None
+    return path
+
+
+class RecordCountStage:
+    """Pass-1: labeled records → (kind, token, count) partials over ALL
+    sentence tokens (reference A1 counts the full parsed sentence,
+    ``wiki2sdp.py:199-202``)."""
+
+    def __init__(self) -> None:
+        self.parse = parse_sentence
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wc: Counter = Counter()
+        dc: Counter = Counter()
+        pc: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            s = self.parse(text)
+            for i in range(len(s)):
+                wc[s.tokens[i].lower()] += 1
+                dc[s.dep[i]] += 1
+                pc[s.pos[i]] += 1
+        kinds, toks, counts = [], [], []
+        for kind, counter in (("word", wc), ("dep", dc), ("pos", pc)):
+            for tok, c in counter.items():
+                kinds.append(kind)
+                toks.append(tok)
+                counts.append(c)
+        return pa.Table.from_pydict(
+            {"kind": kinds, "token": toks, "count": pa.array(counts, pa.int64())}
+        )
+
+
+def build_record_vocabs(parsed: ray.data.Dataset, cfg: KGConfig):
+    """Vocab barrier over the labeled records (distributed truncation)."""
+    from .kg import finalize_counted_vocabs
+
+    counted = (
+        parsed.map_batches(RecordCountStage, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby(["kind", "token"])
+        .sum("count")
+        .map_batches(lambda t: t.rename_columns(["kind", "token", "cnt"]), batch_format="pyarrow")
+        .materialize()
+    )
+    return finalize_counted_vocabs(counted, cfg)
+
+
+class EncodeExamplesStage:
+    """Pass-2 actor stage: parsed record → encoded training example.
+    Records with no usable path are DROPPED for training (the model can
+    only learn from featurizable rows; prediction handles them as Other)."""
+
+    def __init__(self, vocab_ref, cfg: KGConfig) -> None:
+        w, d, p = ray.get(vocab_ref)
+        self.word_v, self.dep_v, self.pos_v = w, d, p
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in EXAMPLE_SCHEMA.names}
+        for sid, text, e1, e2, label in zip(
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("e1_idx").to_pylist(),
+            batch.column("e2_idx").to_pylist(),
+            batch.column("label").to_pylist(),
+        ):
+            path = record_path(text, e1, e2, self.cfg)
+            if path is None:
+                continue
+            out["sent_id"].append(sid)
+            out["word_ids"].append([vocab2idx(t[0], self.word_v) for t in path])
+            out["dep_ids"].append([vocab2idx(t[1], self.dep_v) for t in path])
+            out["pos_ids"].append([vocab2idx(t[2], self.pos_v) for t in path])
+            out["label_id"].append(LABEL2INT[label])
+            out["label"].append(label)
+        return pa.Table.from_pydict(out, schema=EXAMPLE_SCHEMA)
+
+
+def encode_examples(parsed: ray.data.Dataset, vocabs, cfg: KGConfig) -> ray.data.Dataset:
+    (wv, w2i, _), (dv, d2i, _), (pv, p2i, _) = vocabs
+    vocab_ref = ray.put((w2i, d2i, p2i))
+    return parsed.map_batches(
+        EncodeExamplesStage,
+        fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _examples_to_arrays(examples: ray.data.Dataset):
+    rows = sorted(examples.take_all(), key=lambda r: r["sent_id"])
+    w = [r["word_ids"] for r in rows]
+    d = [r["dep_ids"] for r in rows]
+    p = [r["pos_ids"] for r in rows]
+    labels = np.array([r["label_id"] for r in rows], dtype=np.int64)
+    return w, d, p, labels
+
+
+def distributed_grad(examples: ray.data.Dataset, wts: ScorerWeights) -> tuple[float, dict]:
+    """ONE data-parallel full-batch gradient: weights broadcast via
+    ``ray.put``, per-batch (n, loss·n, n·grad) partials from ``map_batches``,
+    driver reduce in ascending min-sent_id order (deterministic float sums
+    regardless of block arrival order).  Mean-gradients combine linearly
+    weighted by batch size, so this equals the single-process gradient —
+    asserted in tests/test_fit.py."""
+    wts_ref = ray.put(wts)
+
+    class Grad:
+        def __init__(self) -> None:
+            self.wts = ray.get(wts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return pa.Table.from_pydict(
+                    {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                     "loss": pa.array([], pa.float64()), "grad": pa.array([], pa.binary())}
+                )
+            w, d, p, lengths = pad_paths(
+                batch.column("word_ids").to_pylist(),
+                batch.column("dep_ids").to_pylist(),
+                batch.column("pos_ids").to_pylist(),
+            )
+            labels = np.asarray(batch.column("label_id").to_pylist(), dtype=np.int64)
+            loss, g = grad_batch(self.wts, w, d, p, lengths, labels)
+            flat = np.concatenate([g[f].ravel() for f in WEIGHT_FIELDS])
+            return pa.Table.from_pydict(
+                {
+                    "key": pa.array([int(min(batch.column("sent_id").to_pylist()))], pa.int64()),
+                    "n": pa.array([n], pa.int64()),
+                    "loss": pa.array([loss], pa.float64()),
+                    "grad": pa.array([(flat * n).tobytes()], pa.binary()),
+                }
+            )
+
+    parts = sorted(
+        examples.map_batches(Grad, batch_format="pyarrow", concurrency=(1, 8)).take_all(),
+        key=lambda r: r["key"],
+    )
+    shapes = [getattr(wts, f).shape for f in WEIGHT_FIELDS]
+    sizes = [int(np.prod(s)) for s in shapes]
+    total = np.zeros(sum(sizes))
+    n_total = 0
+    loss_sum = 0.0
+    for r in parts:
+        total += np.frombuffer(r["grad"], dtype=np.float64)
+        n_total += r["n"]
+        loss_sum += r["loss"] * r["n"]
+    total /= max(1, n_total)
+    grads = {}
+    off = 0
+    for f, s, sz in zip(WEIGHT_FIELDS, shapes, sizes):
+        grads[f] = total[off : off + sz].reshape(s)
+        off += sz
+    return loss_sum / max(1, n_total), grads
+
+
+def fit_classifier(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    epochs: int = 30,
+    batch_size: int = 256,
+    lr: float = 3e-3,
+    seed: int = 7,
+    log_every: int = 0,
+) -> tuple[ScorerWeights, list[float]]:
+    """Mini-batch Adam over the encoded examples (driver-side — the encoded
+    set is the SMALL output of the distributed parse/encode passes; the
+    reference's fit loop is likewise single-process, ``relembed.py:627``).
+    Deterministic: fixed init, fixed example order (sent_id), seeded
+    per-epoch permutation."""
+    vw, vd, vp = vocab_sizes
+    wts = weights_fixture(vw, vd, vp, seed=seed)
+    w_all, d_all, p_all, labels = _examples_to_arrays(examples)
+    n = len(labels)
+    rng = np.random.default_rng(seed)
+    m = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in WEIGHT_FIELDS}
+    v = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in WEIGHT_FIELDS}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    losses = []
+    for epoch in range(epochs):
+        order = rng.permutation(n)
+        ep_loss = 0.0
+        for lo in range(0, n, batch_size):
+            idx = order[lo : lo + batch_size]
+            w, d, p, lengths = pad_paths(
+                [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
+            )
+            loss, g = grad_batch(wts, w, d, p, lengths, labels[idx])
+            ep_loss += loss * len(idx)
+            step += 1
+            for f in WEIGHT_FIELDS:
+                m[f] = b1 * m[f] + (1 - b1) * g[f]
+                v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
+                mh = m[f] / (1 - b1**step)
+                vh = v[f] / (1 - b2**step)
+                upd = getattr(wts, f).astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)
+                setattr(wts, f, upd.astype(np.float32))
+        losses.append(ep_loss / max(1, n))
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"epoch {epoch + 1}: loss {losses[-1]:.4f}")
+    return wts, losses
+
+
+class ModelClassifyStage:
+    """Actor-pool prediction with a TRAINED model: weights + vocab pinned
+    once per actor from one broadcast ref.  Unfeaturizable records predict
+    Other (dense outputs — S3 sentinel rows stay scoreable)."""
+
+    def __init__(self, model_ref=None, cfg: KGConfig | None = None, model=None) -> None:
+        cfg = cfg or KGConfig()
+        wts, (word_v, dep_v, pos_v) = model if model is not None else ray.get(model_ref)
+        self.wts = wts
+        self.word_v = {t: i for i, t in enumerate(word_v)}
+        self.dep_v = {t: i for i, t in enumerate(dep_v)}
+        self.pos_v = {t: i for i, t in enumerate(pos_v)}
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sids = batch.column("sent_id").to_pylist()
+        labels = batch.column("label").to_pylist()
+        paths = [
+            record_path(text, e1, e2, self.cfg)
+            for text, e1, e2 in zip(
+                batch.column("text").to_pylist(),
+                batch.column("e1_idx").to_pylist(),
+                batch.column("e2_idx").to_pylist(),
+            )
+        ]
+        preds = [OTHER] * len(sids)
+        feat_idx = [i for i, p in enumerate(paths) if p]
+        if feat_idx:
+            w, d, p, lengths = pad_paths(
+                [[vocab2idx(t[0], self.word_v) for t in paths[i]] for i in feat_idx],
+                [[vocab2idx(t[1], self.dep_v) for t in paths[i]] for i in feat_idx],
+                [[vocab2idx(t[2], self.pos_v) for t in paths[i]] for i in feat_idx],
+            )
+            pred_ids, _ = score_batch(self.wts, w, d, p, lengths)
+            for row, pid in zip(feat_idx, pred_ids):
+                preds[row] = LABELS[int(pid)]
+        return pa.Table.from_pydict(
+            {
+                "sent_id": pa.array(sids, pa.int64()),
+                "pred": pa.array(preds, pa.string()),
+                "label": pa.array(labels, pa.string()),
+            }
+        )
+
+
+def model_classify(parsed: ray.data.Dataset, wts: ScorerWeights, vocabs_lists, cfg: KGConfig | None = None):
+    model_ref = ray.put((wts, vocabs_lists))
+    return parsed.map_batches(
+        ModelClassifyStage,
+        fn_constructor_kwargs={"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -67,7 +67,7 @@ def shard_num_rows(out_dir: str, stage: str, shard: int) -> int:
     return sum(pq.ParquetFile(p).metadata.num_rows for p in shard_files(out_dir, stage, shard))
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class CounterActor:
     """Idempotent distributed counters for per-shard lineage metrics.
 
@@ -122,11 +122,9 @@ class Manifest:
         if not (e and e.get("fingerprint") == fingerprint and e.get("status") == "done"):
             return None
         if out_dir is not None:
-            path = os.path.join(out_dir, stage, f"shard={shard}", "part.parquet")
-            if not os.path.exists(path):
-                return None
             try:
-                if pq.ParquetFile(path).metadata.num_rows != e.get("rows"):
+                files = shard_files(out_dir, stage, shard)
+                if not files or shard_num_rows(out_dir, stage, shard) != e.get("rows"):
                     return None
             except Exception:
                 return None

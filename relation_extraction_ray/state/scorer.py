@@ -17,6 +17,7 @@ with weights built once per actor in ``__init__`` (SURVEY.md T2).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -85,6 +86,129 @@ def pad_paths(
         d[i, :n] = dep_ids[i]
         p[i, :n] = pos_ids[i]
     return w, d, p, lengths
+
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def fixture_path(name: str) -> str:
+    """Path of a committed trained-weights fixture (``fixtures/<name>.npz``,
+    produced by ``tools/train_fixture.py`` — the engine's analogue of the
+    reference's model checkpoint files, ``relembed.py:745-753``)."""
+    return os.path.join(FIXTURE_DIR, f"{name}.npz")
+
+
+WEIGHT_FIELDS = [
+    "word_emb", "dep_emb", "pos_emb",
+    "w_z", "u_z", "b_z", "w_r", "u_r", "b_r", "w_h", "u_h", "b_h",
+    "w_out", "b_out",
+]
+
+
+def save_weights(wts: ScorerWeights, path: str, vocabs: tuple[list, list, list]) -> None:
+    """Persist trained weights + the vocabularies they are indexed by (a
+    weight matrix without its vocab id order is meaningless)."""
+    word_v, dep_v, pos_v = vocabs
+    np.savez_compressed(
+        path,
+        **{f: getattr(wts, f) for f in WEIGHT_FIELDS},
+        word_vocab=np.array(word_v, dtype=object),
+        dep_vocab=np.array(dep_v, dtype=object),
+        pos_vocab=np.array(pos_v, dtype=object),
+    )
+
+
+def load_weights(path: str) -> tuple[ScorerWeights, tuple[list, list, list]]:
+    z = np.load(path, allow_pickle=True)
+    wts = ScorerWeights(**{f: z[f] for f in WEIGHT_FIELDS})
+    return wts, (
+        [str(t) for t in z["word_vocab"]],
+        [str(t) for t in z["dep_vocab"]],
+        [str(t) for t in z["pos_vocab"]],
+    )
+
+
+def grad_batch(
+    wts: ScorerWeights,
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    labels: np.ndarray,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """Forward + FULL backward pass (softmax xent → GRU-through-time →
+    embedding scatter): mean loss over the batch and the gradient for every
+    weight, in float64.  The hand-rolled analogue of the reference's
+    ``partial_class_fit`` graph (``relembed.py:627-648``); verified against
+    numerical differentiation in ``tests/test_fit.py``."""
+    b, t = word_ids.shape
+    W = {f: getattr(wts, f).astype(np.float64) for f in WEIGHT_FIELDS}
+    x = np.concatenate(
+        [W["word_emb"][word_ids], W["dep_emb"][dep_ids], W["pos_emb"][pos_ids]], axis=-1
+    )  # [B, T, Din]
+    h = np.zeros((b, D_HIDDEN))
+    cache = []
+    for step in range(t):
+        xt = x[:, step, :]
+        z = 1.0 / (1.0 + np.exp(-(xt @ W["w_z"] + h @ W["u_z"] + W["b_z"])))
+        r = 1.0 / (1.0 + np.exp(-(xt @ W["w_r"] + h @ W["u_r"] + W["b_r"])))
+        hc = np.tanh(xt @ W["w_h"] + (r * h) @ W["u_h"] + W["b_h"])
+        h_new = (1.0 - z) * h + z * hc
+        mask = (step < lengths)[:, None]
+        cache.append((xt, h, z, r, hc, mask))
+        h = np.where(mask, h_new, h)
+
+    logits = h @ W["w_out"] + W["b_out"]
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    probs = e / e.sum(axis=1, keepdims=True)
+    loss = float(-np.log(np.clip(probs[np.arange(b), labels], 1e-12, None)).mean())
+
+    g = {f: np.zeros_like(W[f]) for f in WEIGHT_FIELDS}
+    dlogits = probs.copy()
+    dlogits[np.arange(b), labels] -= 1.0
+    dlogits /= b
+    g["w_out"] = h.T @ dlogits
+    g["b_out"] = dlogits.sum(axis=0)
+    dh = dlogits @ W["w_out"].T
+    dx = np.zeros_like(x)
+    for step in range(t - 1, -1, -1):
+        xt, h_prev, z, r, hc, mask = cache[step]
+        dh_new = dh * mask
+        dh_prev = dh * (~mask)
+        dz = dh_new * (hc - h_prev)
+        dhc = dh_new * z
+        dh_prev = dh_prev + dh_new * (1.0 - z)
+        da_h = dhc * (1.0 - hc * hc)
+        g["w_h"] += xt.T @ da_h
+        g["u_h"] += (r * h_prev).T @ da_h
+        g["b_h"] += da_h.sum(axis=0)
+        dxt = da_h @ W["w_h"].T
+        drh = da_h @ W["u_h"].T
+        dh_prev = dh_prev + drh * r
+        dr = drh * h_prev
+        da_r = dr * r * (1.0 - r)
+        g["w_r"] += xt.T @ da_r
+        g["u_r"] += h_prev.T @ da_r
+        g["b_r"] += da_r.sum(axis=0)
+        dxt += da_r @ W["w_r"].T
+        dh_prev = dh_prev + da_r @ W["u_r"].T
+        da_z = dz * z * (1.0 - z)
+        g["w_z"] += xt.T @ da_z
+        g["u_z"] += h_prev.T @ da_z
+        g["b_z"] += da_z.sum(axis=0)
+        dxt += da_z @ W["w_z"].T
+        dh_prev = dh_prev + da_z @ W["u_z"].T
+        dx[:, step, :] = dxt
+        dh = dh_prev
+
+    dw = dx[:, :, :D_WORD].reshape(-1, D_WORD)
+    dd = dx[:, :, D_WORD : D_WORD + D_DEP].reshape(-1, D_DEP)
+    dp = dx[:, :, D_WORD + D_DEP :].reshape(-1, D_POS)
+    np.add.at(g["word_emb"], word_ids.reshape(-1), dw)
+    np.add.at(g["dep_emb"], dep_ids.reshape(-1), dd)
+    np.add.at(g["pos_emb"], pos_ids.reshape(-1), dp)
+    return loss, g
 
 
 def score_batch(

@@ -71,16 +71,19 @@ def test_full_run_matches_oracle_and_resumes(out_dir, ray_session):
         if stage == "triples":
             assert e["good"] + e["bad"] == e["candidates"]
 
-    # resume: nothing recomputes, outputs identical
+    # resume: nothing recomputes, outputs identical (worker-written shard
+    # fragments are untouched — check every file's mtime)
+    import glob
+
     mtimes = {
-        p: os.path.getmtime(os.path.join(out_dir, "triples", p, "part.parquet"))
-        for p in os.listdir(os.path.join(out_dir, "triples"))
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out_dir, "triples", "*", "*.parquet"))
     }
+    assert mtimes
     runner2 = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
     out2 = runner2.run()
     assert out2["recomputed"] == []
     for p, m in mtimes.items():
-        assert os.path.getmtime(os.path.join(out_dir, "triples", p, "part.parquet")) == m
+        assert os.path.getmtime(p) == m
     assert _sorted_rows(out2["adjacency"]) == got
 
 
@@ -107,9 +110,11 @@ def test_crashed_shard_recovers_alone(out_dir, ray_session):
 def test_lost_file_with_intact_manifest_recomputes(out_dir, ray_session):
     """A manifest entry that outlives its parquet (partial disk loss) must
     NOT be trusted — silent row-undercount was a real bug caught by probe."""
+    import glob
+
     runner = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
     baseline = _sorted_rows(runner.run()["adjacency"])
-    os.remove(os.path.join(out_dir, "triples", "shard=1", "part.parquet"))
+    os.remove(glob.glob(os.path.join(out_dir, "triples", "shard=1", "*.parquet"))[0])
     runner2 = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
     out2 = runner2.run()
     assert out2["recomputed"] == [("triples", 1)]

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Train the GRU relation classifier and persist the weight fixtures.
+
+Two artifacts (each a .npz carrying weights + the vocab they index):
+
+* ``state/fixtures/synth.npz``   — trained on the deterministic synthetic
+  labeled set (500 records); used by the supervised_eval driver query.
+* ``state/fixtures/semeval_real.npz`` — trained on the REAL SemEval-2010
+  Task-8 TRAIN_FILE.TXT (8,000 records, shipped in the reference repo) and
+  evaluated with the official scorer against the shipped directional test
+  keys; the resulting macro-F1 is recorded in BASELINE.md.
+
+Run:  python tools/train_fixture.py [--epochs 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "relation_extraction_ray", "state", "fixtures",
+)
+SEMEVAL = "/root/reference/SemEval2010_task8_all_data"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--skip-real", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval_semeval import official_scores_from_pairs, read_key_file
+    from relation_extraction_ray.pipelines.fit import (
+        build_record_vocabs,
+        encode_examples,
+        fit_classifier,
+        model_classify,
+    )
+    from relation_extraction_ray.sources.semeval import (
+        labeled_sentences_table,
+        parsed_records,
+        read_semeval_records,
+    )
+    from relation_extraction_ray.state.scorer import save_weights
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+
+    def train_one(parsed, cfg, name, epochs, batch_size=128):
+        t0 = time.time()
+        parsed = parsed.materialize()
+        vocabs = build_record_vocabs(parsed, cfg)
+        (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+        examples = encode_examples(parsed, vocabs, cfg).materialize()
+        n = examples.count()
+        wts, losses = fit_classifier(
+            examples, (len(wv), len(dv), len(pv)), epochs=epochs,
+            batch_size=batch_size, lr=args.lr, log_every=10,
+        )
+        path = os.path.join(FIXTURE_DIR, f"{name}.npz")
+        save_weights(wts, path, (wv, dv, pv))
+        print(
+            f"[{name}] {n} examples, vocab {len(wv)}, "
+            f"loss {losses[0]:.3f} -> {losses[-1]:.3f}, {time.time()-t0:.0f}s -> {path}"
+        )
+        return wts, (wv, dv, pv), parsed
+
+    # --- synthetic fixture -------------------------------------------------
+    cfg = KGConfig()
+    synth_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(500)))
+    train_one(synth_parsed, cfg, "synth", args.epochs)
+
+    # --- real SemEval fixture ---------------------------------------------
+    if args.skip_real or not os.path.isdir(SEMEVAL):
+        return
+    cfg_real = KGConfig(min_count=2)
+    train_parsed = parsed_records(
+        read_semeval_records(f"{SEMEVAL}/SemEval2010_task8_training/TRAIN_FILE.TXT")
+    )
+    wts, vocab_lists, _ = train_one(train_parsed, cfg_real, "semeval_real", args.epochs, batch_size=256)
+
+    # official directional score on the real test split
+    test_parsed = parsed_records(
+        read_semeval_records(f"{SEMEVAL}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT")
+    )
+    key = read_key_file(f"{SEMEVAL}/test_keys.txt")
+    preds = model_classify(test_parsed, wts, vocab_lists, cfg_real).take_all()
+    pairs: dict[tuple[str, str], int] = {}
+    for r in preds:
+        k = (r["pred"], key[r["sent_id"]])
+        pairs[k] = pairs.get(k, 0) + 1
+    scores = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    print(
+        f"[semeval_real] OFFICIAL test scores: macro-F1 {scores['official_f1']:.2f}% "
+        f"(P {scores['macro_p']:.2f}% R {scores['macro_r']:.2f}%), "
+        f"micro-F1 {scores['micro_f1']:.2f}%, acc {scores['accuracy']:.2f}%, n={len(preds)}"
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
