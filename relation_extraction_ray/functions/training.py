@@ -309,6 +309,55 @@ def decode_paths(encoded: ray.data.Dataset, word_vocab: list[str]) -> ray.data.D
     return encoded.map_batches(Decode, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def read_word2vec_binary(
+    path: str, vocab: set[str] | None = None, limit: int | None = None
+) -> dict[str, np.ndarray]:
+    """GoogleNews-format word2vec ``.bin`` reader (S9 — the reference loads
+    this with gensim in RelEmbed_semeval.ipynb cell 9; the format is
+    public: ``"<n> <dim>\\n"`` header, then per entry the word's bytes
+    terminated by ``' '`` followed by ``dim`` raw little-endian float32s).
+
+    ``vocab`` restricts which words are kept (the 3M×300 full table is
+    ~3.6 GB — prune at the read, never after); ``limit`` caps entries
+    scanned.  Returns word → float32 vector, ready for
+    :func:`embedding_init` and a single ``ray.put`` broadcast."""
+    out: dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        header = f.readline().decode("utf-8")
+        n, dim = (int(x) for x in header.split())
+        vec_bytes = 4 * dim
+        scan = n if limit is None else min(n, limit)
+        for _ in range(scan):
+            chars = bytearray()
+            while True:
+                c = f.read(1)
+                if not c or c == b" ":
+                    break
+                if c != b"\n":  # some files newline-prefix entries
+                    chars.extend(c)
+            if not c:
+                break
+            word = chars.decode("utf-8", errors="replace")
+            buf = f.read(vec_bytes)
+            if len(buf) < vec_bytes:
+                break
+            if vocab is None or word in vocab:
+                out[word] = np.frombuffer(buf, dtype="<f4").copy()
+    return out
+
+
+def write_word2vec_binary(path: str, table: dict[str, np.ndarray]) -> None:
+    """Inverse of :func:`read_word2vec_binary` (fixture/export helper)."""
+    dims = {len(v) for v in table.values()}
+    assert len(dims) == 1, "all vectors must share one dimension"
+    dim = dims.pop()
+    with open(path, "wb") as f:
+        f.write(f"{len(table)} {dim}\n".encode())
+        for word, vec in table.items():
+            f.write(word.encode("utf-8") + b" ")
+            f.write(np.asarray(vec, dtype="<f4").tobytes())
+
+
 def embedding_init(vocab: list[str], table: dict[str, np.ndarray], dim: int, seed: int = 7) -> np.ndarray:
     """S9 (word2vec init, RelEmbed_semeval.ipynb cell 9): deterministic
     random matrix with rows overwritten for in-table tokens."""

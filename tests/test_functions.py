@@ -96,6 +96,26 @@ def test_simhash_identical_for_dups(docs):
     assert ham(out[1], out[3]) < ham(out[1], out[4])
 
 
+def test_bucketed_running_totals_equals_plain(ray_session):
+    """The (user, time-bucket) two-phase cumsum — the no-giant-group scale
+    path — must reproduce the single-group-per-user result exactly."""
+    from relation_extraction_ray.functions.relational import (
+        user_running_totals,
+        user_running_totals_bucketed,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    plain = {(r["user_id"], r["event_id"]): r["cum_value_cents"] for r in user_running_totals(ds).take_all()}
+    bucketed = {
+        (r["user_id"], r["event_id"]): r["cum_value_cents"]
+        for r in user_running_totals_bucketed(ds).take_all()
+    }
+    assert plain == bucketed and len(plain) > 100
+
+
 def test_simhash_pairs_exact_hamming(docs):
     """Block-bucketed pair scan is exact for Hamming <= k: pairs reported
     iff popcount(xor) <= k, each pair once, distance correct."""

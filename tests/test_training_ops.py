@@ -169,3 +169,31 @@ def test_cluster_pair_labels(enc):
     labels = cluster_pair_labels(encoded, {0: 0, 1: 1}, num_clusters=4).take_all()
     assert len(labels) == encoded.count()
     assert all(0 <= r["cluster_label"] < 16 for r in labels)
+
+
+def test_word2vec_binary_roundtrip(tmp_path):
+    """S9: GoogleNews-format binary reader — roundtrip + vocab pruning +
+    embedding_init integration."""
+    from relation_extraction_ray.functions.training import (
+        read_word2vec_binary,
+        write_word2vec_binary,
+    )
+
+    rng = np.random.default_rng(4)
+    table = {w: rng.standard_normal(8).astype(np.float32) for w in ("cat", "dog", "naïve", "mat")}
+    path = str(tmp_path / "vecs.bin")
+    write_word2vec_binary(path, table)
+
+    back = read_word2vec_binary(path)
+    assert set(back) == set(table)
+    for w in table:
+        assert (back[w] == table[w]).all()
+
+    pruned = read_word2vec_binary(path, vocab={"cat", "mat", "missing"})
+    assert set(pruned) == {"cat", "mat"}
+    limited = read_word2vec_binary(path, limit=2)
+    assert len(limited) == 2
+
+    mat = embedding_init(["cat", "unknown", "mat"], back, dim=8)
+    assert (mat[0] == table["cat"]).all() and (mat[2] == table["mat"]).all()
+    assert not (mat[1] == table["cat"]).all()
