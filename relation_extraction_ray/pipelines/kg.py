@@ -200,13 +200,34 @@ def _collect_kind_counts(
     return {r["token"]: r["cnt"] for r in rows}
 
 
-def finalize_counted_vocabs(counted: ray.data.Dataset, cfg: KGConfig):
+def finalize_counted_vocabs(counted: ray.data.Dataset, cfg: KGConfig, extras: dict | None = None):
     """(kind, token, cnt) count table → finalized (word, dep, pos) vocab
     triples.  Driver-side rows are bounded by vocab_limit for the word
-    vocab; the sort/limit/filter truncation runs distributed."""
-    word_c = _collect_kind_counts(counted, "word", cfg.vocab_limit, cfg.min_count)
-    dep_c = _collect_kind_counts(counted, "dep", None, None)
-    pos_c = _collect_kind_counts(counted, "pos", None, None)
+    vocab; the sort/limit/filter truncation runs distributed.
+
+    When NO truncation is configured, every row must reach the driver by
+    definition — one ``take_all``, no extra executions (the truncated path
+    costs a few small executions and only pays off when it bounds the
+    collect).  ``extras``, if given, receives summed counts of any
+    non-vocab kinds (e.g. ``__sentences__`` audit rows)."""
+    if cfg.vocab_limit is None and cfg.min_count is None:
+        counters: dict[str, dict[str, int]] = {"word": {}, "dep": {}, "pos": {}}
+        for r in counted.take_all():
+            if r["kind"] in counters:
+                counters[r["kind"]][r["token"]] = r["cnt"]
+            elif extras is not None:
+                extras[r["kind"]] = extras.get(r["kind"], 0) + r["cnt"]
+        word_c, dep_c, pos_c = counters["word"], counters["dep"], counters["pos"]
+    else:
+        counted = counted.materialize()
+        word_c = _collect_kind_counts(counted, "word", cfg.vocab_limit, cfg.min_count)
+        dep_c = _collect_kind_counts(counted, "dep", None, None)
+        pos_c = _collect_kind_counts(counted, "pos", None, None)
+        if extras is not None:
+            for r in counted.filter(
+                expr="kind != 'word' and kind != 'dep' and kind != 'pos'"
+            ).take_all():
+                extras[r["kind"]] = extras.get(r["kind"], 0) + r["cnt"]
     word = finalize_vocab(word_c, vocab_limit=cfg.vocab_limit, min_count=cfg.min_count, oov_count=cfg.oov_count)
     dep = finalize_vocab(dep_c, oov_count=cfg.oov_count)
     pos = finalize_vocab(pos_c, oov_count=cfg.oov_count)
@@ -233,10 +254,7 @@ def build_vocabs(sentences: ray.data.Dataset, cfg: KGConfig):
     driver only ever sees ≤ vocab_limit word rows — the global barrier's
     materialize is bounded.
     """
-    # the count table fans out to up to 3 truncation consumers — pin it
-    # (tiny: distinct (kind, token) pairs) so counting runs once
-    counted = count_tokens(sentences).materialize()
-    return finalize_counted_vocabs(counted, cfg)
+    return finalize_counted_vocabs(count_tokens(sentences), cfg)
 
 
 def vocab_table(vocab: list[str], dist: list[float]) -> pa.Table:
@@ -861,12 +879,10 @@ class KGPipeline:
             .groupby(["kind", "token"])
             .sum("count")
             .map_batches(lambda t: t.rename_columns(["kind", "token", "cnt"]), batch_format="pyarrow")
-            .materialize()  # tiny (distinct keys); feeds 4 consumers below
         )
-        n_sentences = int(
-            counted.filter(expr="kind == '__sentences__'").sum("cnt") or 0
-        )
-        word, dep, pos = finalize_counted_vocabs(counted, self.cfg)
+        extras: dict[str, int] = {}
+        word, dep, pos = finalize_counted_vocabs(counted, self.cfg, extras=extras)
+        n_sentences = int(extras.get("__sentences__", 0))
         self._vocabs = (word, dep, pos)
         vocab_ref = ray.put((word[1], dep[1], pos[1], self.ok_dep_structures))
         triples = documents.map_batches(
