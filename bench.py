@@ -65,6 +65,8 @@ def run_kg(sf_dir: str, num_cpus: int, n_docs: int | None = None, model_scale: i
         "edges": counters["edges"],
         "docs_per_sec": n_docs / wall,
         "triples_per_sec": counters["triples"] / wall,
+        "scan1_sec": counters.get("scan1_sec", 0.0),
+        "scan2_sec": counters.get("scan2_sec", 0.0),
     }
 
 
@@ -108,11 +110,18 @@ def main() -> None:
         # fixed stage constants bury the CPU-scaling signal
         scaling_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "160000"))
         scaling_model = int(os.environ.get("GRAFT_MODEL_SCALE", "256"))
-        results: dict[int, dict] = {}
-        # best-of-N per level: this VM shows ±40% run-to-run noise (shared
-        # host); best-of treats both levels fairly
+        # the two parallelism levels (N, 4N) — sandbox stand-in for N vs 4N
+        # nodes; override e.g. GRAFT_SCALING_CPUS=4,16
+        lo, hi = (
+            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        )
+        runs: dict[int, list[float]] = {lo: [], hi: []}
+        # interleaved repeats, every run reported: this VM shows ±40%
+        # run-to-run noise (shared host), so the headline efficiency is the
+        # MEDIAN-per-level ratio (a best-of ratio can exceed 1.0 on a lucky
+        # window and understate on an unlucky one — both are noise)
         for _ in range(max(1, args.repeat)):
-            for cpus in (8, 32):
+            for cpus in (lo, hi):
                 proc = subprocess.run(
                     [
                         sys.executable,
@@ -130,20 +139,26 @@ def main() -> None:
                     env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
                 )
                 line = proc.stdout.strip().splitlines()[-1]
-                r = json.loads(line)
-                if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
-                    results[cpus] = r
-        tp8 = results[8]["docs_per_sec"]
-        tp32 = results[32]["docs_per_sec"]
-        efficiency = tp32 / (4.0 * tp8)
+                runs[cpus].append(json.loads(line)["docs_per_sec"])
+
+        def median(xs: list[float]) -> float:
+            s = sorted(xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+        tp_lo, tp_hi = median(runs[lo]), median(runs[hi])
+        efficiency = tp_hi / ((hi / lo) * tp_lo)
         print(
             json.dumps(
                 {
-                    "metric": "kg_scaling_efficiency_8_to_32_cpus",
+                    "metric": f"kg_scaling_efficiency_{lo}_to_{hi}_cpus",
                     "value": round(efficiency, 4),
                     "unit": "ratio",
-                    "docs_per_sec_8": round(tp8, 2),
-                    "docs_per_sec_32": round(tp32, 2),
+                    f"docs_per_sec_{lo}": round(tp_lo, 2),
+                    f"docs_per_sec_{hi}": round(tp_hi, 2),
+                    f"runs_{lo}": [round(x, 2) for x in runs[lo]],
+                    f"runs_{hi}": [round(x, 2) for x in runs[hi]],
+                    "stat": "median_per_level",
                     "docs": scaling_docs,
                     "model_scale": scaling_model,
                     "sf": SF_DIR,

@@ -122,6 +122,116 @@ def lsh_planes(dim: int, n_planes: int) -> np.ndarray:
     return m
 
 
+def kmeans_centroids(
+    embeddings: ray.data.Dataset,
+    n_centroids: int,
+    iters: int = 8,
+    sample: int = 4096,
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: k-means trained on a
+    bounded sample (first ``sample`` rows by vec_id — deterministic, no
+    RNG), Lloyd iterations in numpy on the driver.  The centroid matrix is
+    tiny (k × dim) and broadcast once; the full dataset is never pulled."""
+    rows = embeddings.sort("vec_id").limit(sample).take_all()
+    m = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))
+    # k-means++-lite deterministic init: first centroid = row 0, then
+    # farthest-point (cosine) selection — no randomness, stable everywhere
+    cents = [m[0]]
+    for _ in range(1, n_centroids):
+        sims = np.max(np.stack([m @ c for c in cents]), axis=0)
+        cents.append(m[int(np.argmin(sims))])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = m[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+class IvfAssignStage:
+    """Actor-pool stage: vector → nearest-centroid list id (the IVF
+    inverted-list key).  Centroids fetched zero-copy once per actor."""
+
+    def __init__(self, cent_ref) -> None:
+        self.c = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, "embedding"))
+        lists = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """IVF approximate top-k — the 10⁹⁺-vector scale path: a coarse
+    k-means quantizer partitions vectors into inverted lists; each query
+    scans only its ``n_probe`` nearest lists.  ONE keyed shuffle (vectors →
+    their list), per-list brute force, small final top-k reduce.  Recall
+    grows with n_probe (n_probe = n_centroids degenerates to exact);
+    measured against :func:`knn_brute_force` in tests."""
+    cents = kmeans_centroids(embeddings, n_centroids, dim=dim)
+    cent_ref = ray.put(cents)
+
+    q_expr = " or ".join(f"vec_id == {int(q)}" for q in query_ids)
+    q_rows = embeddings.filter(expr=q_expr).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = [r["vec_id"] for r in q_rows]
+    qm = _normalize(np.asarray([r["embedding"] for r in q_rows], dtype=np.float64))
+    # probe lists per query: n_probe nearest centroids
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    by_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe):
+        for l in lists:
+            by_list.setdefault(int(l), []).append(qi)
+    probe_ref = ray.put((q_ids, qm, by_list))
+
+    assigned = embeddings.map_batches(
+        IvfAssignStage,
+        fn_constructor_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def per_list(group: pa.Table) -> pa.Table:
+        list_id = int(group.column("ivf_list")[0].as_py())
+        q_ids_, qm_, by_list_ = ray.get(probe_ref)
+        probers = by_list_.get(list_id, [])
+        out: dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
+        if probers:
+            ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+            m = _normalize(_matrix(group, "embedding"))
+            sims = qm_[probers] @ m.T
+            for row_i, qi in enumerate(probers):
+                qid = int(q_ids_[qi])
+                for n_id, s in zip(ids, sims[row_i]):
+                    if n_id != qid:
+                        out["query_id"].append(qid)
+                        out["neighbor_id"].append(int(n_id))
+                        out["sim"].append(float(s))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    local = assigned.groupby("ivf_list").map_groups(per_list, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")
+
+
 class LshBucketStage:
     """Random-hyperplane LSH bucketing: sign-pattern of ``n_planes``
     projections → bucket id.  Plane matrix built once per actor from the

@@ -864,7 +864,11 @@ class KGPipeline:
         Parsed sentences never cross the object store; this design moves
         half the memory traffic of the sentences-table variant, which is
         the binding constraint at high local core counts.  Returns the
-        adjacency table + counters (triple count = Σ weight)."""
+        adjacency table + counters (triple count = Σ weight; plus wall
+        seconds per phase for scaling diagnostics)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         counted = (
             documents.map_batches(
                 ParseCountStage,
@@ -872,10 +876,10 @@ class KGPipeline:
                 batch_size=self.batch_size,
                 concurrency=self.parse_concurrency,
             )
-            # partial-count blocks are tiny (≤ distinct tokens each);
-            # coalesce so the groupby doesn't pay per-block shuffle
-            # constants on hundreds of 10 KB blocks
-            .repartition(max(8, derived_num_parts(factor=1)))
+            # partial-count blocks are tiny (≤ distinct tokens each); the
+            # groupby's own exchange handles them — an extra repartition
+            # here costs a whole barrier (~2-4 s) for nothing at realistic
+            # block counts
             .groupby(["kind", "token"])
             .sum("count")
             .map_batches(lambda t: t.rename_columns(["kind", "token", "cnt"]), batch_format="pyarrow")
@@ -884,6 +888,7 @@ class KGPipeline:
         word, dep, pos = finalize_counted_vocabs(counted, self.cfg, extras=extras)
         n_sentences = int(extras.get("__sentences__", 0))
         self._vocabs = (word, dep, pos)
+        t_barrier = _time.perf_counter() - t0
         vocab_ref = ray.put((word[1], dep[1], pos[1], self.ok_dep_structures))
         triples = documents.map_batches(
             FusedParseExtractScoreStage,
@@ -899,6 +904,8 @@ class KGPipeline:
             "sentences": n_sentences,
             "triples": sum(adj_tab.column("weight").to_pylist()),
             "edges": adj_tab.num_rows,
+            "scan1_sec": round(t_barrier, 3),
+            "scan2_sec": round(_time.perf_counter() - t0 - t_barrier, 3),
         }
 
     @staticmethod

@@ -96,6 +96,33 @@ def test_simhash_identical_for_dups(docs):
     assert ham(out[1], out[3]) < ham(out[1], out[4])
 
 
+def test_knn_ivf_recall_and_exactness(ray_session):
+    """IVF ANN: with n_probe == n_centroids it degenerates to exact (same
+    results as brute force); with fewer probes recall stays useful."""
+    from relation_extraction_ray.functions.ann import knn_brute_force, knn_ivf
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((400, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(400)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    qids = [0, 3, 9]
+
+    exact = {}
+    for r in knn_brute_force(ds, qids, k=10).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    full = {}
+    for r in knn_ivf(ds, qids, k=10, n_centroids=8, n_probe=8, dim=16).take_all():
+        full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert full == exact  # all lists probed -> exact
+
+    approx = {}
+    for r in knn_ivf(ds, qids, k=10, n_centroids=8, n_probe=3, dim=16).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(approx.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_bucketed_running_totals_equals_plain(ray_session):
     """The (user, time-bucket) two-phase cumsum — the no-giant-group scale
     path — must reproduce the single-group-per-user result exactly."""
