@@ -41,7 +41,14 @@ def _init(num_cpus: int) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def run_kg(sf_dir: str, num_cpus: int, n_docs: int | None = None, model_scale: int = 1) -> dict:
+def run_kg(
+    sf_dir: str,
+    num_cpus: int,
+    n_docs: int | None = None,
+    model_scale: int = 1,
+    pool_frac: float | None = None,
+    batch_size: int = 512,
+) -> dict:
     """Headline: KG pipeline end-to-end (parse → vocab barrier → extract →
     score → adjacency materialize, one streaming execution after the
     barrier), returns wall seconds + docs + triples."""
@@ -55,7 +62,22 @@ def run_kg(sf_dir: str, num_cpus: int, n_docs: int | None = None, model_scale: i
     t0 = time.perf_counter()
     from relation_extraction_ray.config import KGConfig
 
-    pipe = KGPipeline.for_cpus(num_cpus, cfg=KGConfig(model_scale=model_scale), batch_size=512)
+    cfg = KGConfig(model_scale=model_scale)
+    if pool_frac is None:
+        pipe = KGPipeline.for_cpus(num_cpus, cfg=cfg, batch_size=batch_size)
+    else:
+        # scaling-fairness mode: pools sized to the SAME fraction of the
+        # node at every parallelism level (a real N vs 4N cluster scales
+        # every resource proportionally; for_cpus' fixed 2-CPU headroom
+        # makes the pool fraction grow with n and fakes super-linearity)
+        parse = max(2, int(num_cpus * pool_frac))
+        half = max(1, parse // 2)
+        pipe = KGPipeline(
+            cfg,
+            parse_concurrency=(parse, parse),
+            score_concurrency=(half, half),
+            batch_size=batch_size,
+        )
     _, counters = pipe.adjacency_oneshot(documents_dataset(n_docs, override_num_blocks=blocks))
     wall = time.perf_counter() - t0
     return {
@@ -95,6 +117,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_SCALING_REPEAT", "2")))
     ap.add_argument("--model-scale", type=int, default=1)
+    ap.add_argument("--pool-frac", type=float, default=None)
+    ap.add_argument("--batch-size", type=int, default=512)
     args = ap.parse_args()
 
     if args.scaling:
@@ -133,7 +157,9 @@ def main() -> None:
                         str(scaling_docs),
                         "--model-scale",
                         str(scaling_model),
-                    ],
+                    ]
+                    + (["--pool-frac", str(args.pool_frac)] if args.pool_frac else [])
+                    + ["--batch-size", str(args.batch_size)],
                     capture_output=True,
                     text=True,
                     env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
@@ -171,7 +197,14 @@ def main() -> None:
     import ray
 
     try:
-        kg = run_kg(SF_DIR, args.cpus, n_docs=args.docs, model_scale=args.model_scale)
+        kg = run_kg(
+            SF_DIR,
+            args.cpus,
+            n_docs=args.docs,
+            model_scale=args.model_scale,
+            pool_frac=args.pool_frac,
+            batch_size=args.batch_size,
+        )
         if args.kg_only:
             print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v) for k, v in kg.items()}))
             return

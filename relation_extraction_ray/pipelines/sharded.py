@@ -34,7 +34,6 @@ import os
 import shutil
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -50,33 +49,10 @@ from ..state.lineage import (
 from .kg import (
     KGPipeline,
     adjacency_from_triples,
-    count_tokens,
     entities_from_triples,
     finalize_counted_vocabs,
     vocab_table,
 )
-
-
-def _xor_span_hashes(ds: ray.data.Dataset, distinct: bool = False) -> int:
-    """XOR-checksum of the span_hash column, computed distributed: per-batch
-    XOR partials (one uint64 per batch) → driver XOR of partials.  With
-    ``distinct`` the global distinct set is taken first (a groupby) so each
-    hash folds in exactly once."""
-    col = ds.select_columns(["span_hash"])
-    if distinct:
-        col = col.groupby("span_hash").count().select_columns(["span_hash"])
-
-    def part(batch: pa.Table) -> pa.Table:
-        x = 0
-        for h in batch.column("span_hash").to_pylist():
-            x ^= h
-        return pa.Table.from_pydict({"x": pa.array([x], pa.uint64())})
-
-    out = 0
-    for b in col.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for v in b.column("x").to_pylist():
-            out ^= v
-    return out
 
 
 def _batch_key(shard: int, batch: pa.Table) -> str:
@@ -134,22 +110,44 @@ class ShardedKGRunner:
             return
         self.recomputed.append(("sentences", shard))
         docs = self.docs_for_shard(shard)
-        rows = self._write_shard_ds(self.pipe.sentences(docs), "sentences", shard)
+        collector = CounterActor.remote()
 
-        # token counts + checksum from the written COLUMNAR shard (pruned
-        # reads; the parse never re-runs, the driver never sees row data)
-        sent_dir = self._shard_dir("sentences", shard)
-        counted = count_tokens(ray.data.read_parquet(sent_dir, columns=["tokens"]))
-        counts_tab = pa.concat_tables(
-            counted.map_batches(
-                lambda t: t.rename_columns(["kind", "token", "count"]), batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow")
+        def tap(batch: pa.Table) -> pa.Table:
+            """Fold this batch's token partials + span-hash XOR into the
+            shard collector while the rows stream to parquet — ONE
+            execution, no re-read of the written shard."""
+            if batch.num_rows == 0:
+                return batch
+            counts: dict[tuple[str, str], int] = {}
+            for tokens in batch.column("tokens").to_pylist():
+                for t in tokens:
+                    for kt in (("word", t["text"].lower()), ("dep", t["dep"]), ("pos", t["pos"])):
+                        counts[kt] = counts.get(kt, 0) + 1
+            x = 0
+            for h in batch.column("span_hash").to_pylist():
+                x ^= h
+            key = hashlib.blake2b(
+                f"{shard}:{batch.column('doc_id')[0].as_py()}:{batch.column('sent_id')[0].as_py()}:{batch.num_rows}:{x}".encode(),
+                digest_size=8,
+            ).hexdigest()
+            ray.get(collector.merge_tokens.remote(key, counts, x, batch.num_rows))
+            return batch
+
+        tapped = self.pipe.sentences(docs).map_batches(tap, batch_format="pyarrow")
+        rows = self._write_shard_ds(tapped, "sentences", shard)
+
+        token_counts = ray.get(collector.get_tokens.remote())
+        span_checksum = ray.get(collector.get_xor_all.remote())
+        kinds = [kt[0] for kt in token_counts]
+        counts_tab = pa.Table.from_pydict(
+            {
+                "kind": kinds,
+                "token": [kt[1] for kt in token_counts],
+                "count": pa.array(list(token_counts.values()), pa.int64()),
+            }
         )
         write_shard(counts_tab, self.out_dir, "counts", shard)
-        span_checksum = _xor_span_hashes(ray.data.read_parquet(sent_dir, columns=["span_hash"]))
-        distinct_words = int(
-            pc.sum(pc.equal(counts_tab.column("kind"), "word").cast(pa.int8())).as_py() or 0
-        )
+        distinct_words = sum(1 for k in kinds if k == "word")
         self.manifest.append(
             {
                 "stage": "sentences",
@@ -204,13 +202,22 @@ class ShardedKGRunner:
             )
             return batch
 
+        def hash_tap(batch: pa.Table) -> pa.Table:
+            """Collect the triple rows' distinct span hashes in-stream
+            (distinct-set union is retry-idempotent by construction)."""
+            if batch.num_rows:
+                hashes = sorted(set(batch.column("span_hash").to_pylist()))
+                key = hashlib.blake2b(
+                    f"h:{shard}:{hashes[0]}:{len(hashes)}:{batch.num_rows}".encode(), digest_size=8
+                ).hexdigest()
+                ray.get(counters.merge_hashes.remote(key, hashes))
+            return batch
+
         encoded = self.pipe.encoded(sentences, vocabs).map_batches(tap, batch_format="pyarrow")
-        rows = self._write_shard_ds(self.pipe.triples(encoded, vocabs), "triples", shard)
+        triples_ds = self.pipe.triples(encoded, vocabs).map_batches(hash_tap, batch_format="pyarrow")
+        rows = self._write_shard_ds(triples_ds, "triples", shard)
         audit = ray.get(counters.get.remote())
-        span_checksum = _xor_span_hashes(
-            ray.data.read_parquet(self._shard_dir("triples", shard), columns=["span_hash"]),
-            distinct=True,
-        )
+        span_checksum = ray.get(counters.get_distinct_xor.remote())
         self.manifest.append(
             {
                 "stage": "triples",

@@ -69,25 +69,62 @@ def shard_num_rows(out_dir: str, stage: str, shard: int) -> int:
 
 @ray.remote(num_cpus=0)
 class CounterActor:
-    """Idempotent distributed counters for per-shard lineage metrics.
+    """Idempotent per-shard lineage collector: scalar counters, token-count
+    merges and span-hash folds, all keyed by a CONTENT fingerprint of the
+    contributing batch so a retried task re-submitting the same batch
+    folds in exactly once — lineage stays exact under Ray's task retries.
 
-    Stages tap in per-batch deltas keyed by a CONTENT fingerprint of the
-    batch, so a retried task re-submitting the same batch counts once —
-    counters stay exact under Ray's task retries."""
+    One collector per SHARD (state bounded by that shard's distinct tokens
+    / documents); at whole-corpus scale the collector itself would shard
+    by key range, but shard-granular state is exactly what the manifest
+    records anyway."""
 
     def __init__(self) -> None:
         self.counts: dict[str, int] = {}
+        self.token_counts: dict[tuple[str, str], int] = {}
+        self.xor_all: int = 0
+        self.hash_set: set[int] = set()
         self.seen: set[str] = set()
 
-    def add(self, key: str, **deltas: int) -> None:
+    def _first(self, key: str) -> bool:
         if key in self.seen:
-            return
+            return False
         self.seen.add(key)
-        for k, v in deltas.items():
-            self.counts[k] = self.counts.get(k, 0) + v
+        return True
+
+    def add(self, key: str, **deltas: int) -> None:
+        if self._first(key):
+            for k, v in deltas.items():
+                self.counts[k] = self.counts.get(k, 0) + v
+
+    def merge_tokens(self, key: str, counts: dict, xor_hashes: int, n_sentences: int) -> None:
+        """Sentences-stage tap payload: per-batch (kind, token) partial
+        counts, the batch's span-hash XOR and its sentence count."""
+        if self._first(key):
+            for kt, c in counts.items():
+                self.token_counts[kt] = self.token_counts.get(kt, 0) + c
+            self.xor_all ^= xor_hashes
+            self.counts["sentences"] = self.counts.get("sentences", 0) + n_sentences
+
+    def merge_hashes(self, key: str, hashes: list[int]) -> None:
+        """Triples-stage tap payload: the batch's distinct span hashes."""
+        if self._first(key):
+            self.hash_set.update(hashes)
 
     def get(self) -> dict[str, int]:
         return dict(self.counts)
+
+    def get_tokens(self) -> dict:
+        return dict(self.token_counts)
+
+    def get_xor_all(self) -> int:
+        return self.xor_all
+
+    def get_distinct_xor(self) -> int:
+        x = 0
+        for h in self.hash_set:
+            x ^= h
+        return x
 
 
 class Manifest:
