@@ -195,6 +195,32 @@ def _q_knn_lsh(sf_dir: str):
     ).sort(["query_id", "rank"])
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT all-pairs n-gram Jaccard (prefix filtering) — unlike
+    dedup_minhash the oracle is pure semantics (all-pairs Jaccard in SQL),
+    not an algorithm replay, so this checks completeness too."""
+    from relation_extraction_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8
+    ).sort(["doc_a", "doc_b"])
+
+
+def _q_dedup_embed(sf_dir: str):
+    """Embedding-cosine near-dup pairs.  The synthetic embeddings have no
+    true near-dups (max cos ≈ 0.51), so the query runs at threshold 0.4 to
+    exercise the full banded-LSH + exact-verify machinery on non-empty
+    output; production defaults stay at 0.9."""
+    from relation_extraction_ray.functions.ann import embed_neardup_pairs
+
+    return embed_neardup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.4,
+        bands=16,
+        planes_per_band=4,
+    ).sort(["vec_a", "vec_b"])
+
+
 # --- KG family (pure-Python single-process oracle, parquet-materialized) ---
 
 
@@ -348,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
@@ -677,6 +705,69 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id IN (0, 1, 2, 3, 4))
             WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        # ngram_jaccard's oracle is PURE SEMANTICS — brute-force all-pairs
+        # Jaccard with no candidate scheme — so it also proves the engine's
+        # prefix-filter candidate set is complete, not just verified.
+        "ngram_jaccard": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+              FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                END AS shingles
+              FROM tok
+            ), sset AS (
+              SELECT doc_id, list_distinct(shingles) AS sh FROM shl
+            ), jac AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS sim
+              FROM sset a JOIN sset b ON a.doc_id < b.doc_id
+              WHERE len(list_distinct(a.sh || b.sh)) > 0
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+            FROM jac WHERE sim >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_embed": f"""
+            WITH planes AS (
+              SELECT b, j, d,
+                     {_md5u64("'edplane:' || CAST(b AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}
+                       / 9223372036854775808.0 - 1.0 AS v
+              FROM (SELECT unnest(range(16)) AS b),
+                   (SELECT unnest(range(4)) AS j),
+                   (SELECT unnest(range(64)) AS d)
+            ), emb AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), proj AS (
+              SELECT emb.vec_id, p.b, p.j, sum(emb.e[p.d + 1] * p.v) AS dot
+              FROM emb CROSS JOIN planes p GROUP BY emb.vec_id, p.b, p.j
+            ), bkt AS (
+              SELECT vec_id, b AS band,
+                     CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS UINTEGER) << j
+                                   ELSE 0 END) AS UINTEGER) AS bucket
+              FROM proj GROUP BY vec_id, b
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bkt a JOIN bkt b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), sims AS (
+              SELECT c.vec_a, c.vec_b, list_cosine_similarity(ea.e, eb.e) AS sim
+              FROM cand c
+              JOIN emb ea ON c.vec_a = ea.vec_id
+              JOIN emb eb ON c.vec_b = eb.vec_id
+            )
+            SELECT vec_a, vec_b,
+                   CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS cos_micro
+            FROM sims WHERE sim >= 0.4
+            ORDER BY vec_a, vec_b
         """,
         # --- KG family: pure-Python single-process oracle via parquet ---
         "kg_triples": f"""

@@ -297,3 +297,195 @@ def knn_lsh(
         )
 
     return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def banded_planes(dim: int, bands: int, planes_per_band: int) -> np.ndarray:
+    """Deterministic hyperplanes for BANDED near-dup LSH: [dim, bands ×
+    planes_per_band], entry = md5("edplane:band:j:d") mapped to [-1, 1) —
+    bit-identical to the DuckDB oracle's expression (same derivation as
+    :func:`lsh_planes`, distinct key space)."""
+    import hashlib
+
+    m = np.empty((dim, bands * planes_per_band), dtype=np.float64)
+    for b in range(bands):
+        for j in range(planes_per_band):
+            for d in range(dim):
+                u = int(hashlib.md5(f"edplane:{b}:{j}:{d}".encode()).hexdigest()[:16], 16)
+                m[d, b * planes_per_band + j] = u / 9223372036854775808.0 - 1.0
+    return m
+
+
+class BandedLshStage:
+    """Actor-pool stage: vector → one (band, bucket) row per band.  Two
+    vectors are candidates iff they agree on ALL sign bits of at least one
+    band — the cosine analogue of MinHash banding (recall grows with
+    ``bands``, precision with ``planes_per_band``)."""
+
+    def __init__(self, dim: int, bands: int, planes_per_band: int) -> None:
+        self.bands = bands
+        self.ppb = planes_per_band
+        self.planes = banded_planes(dim, bands, planes_per_band)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        signs = (_matrix(batch, "embedding") @ self.planes) > 0  # [B, bands*ppb]
+        bits = signs.reshape(len(ids), self.bands, self.ppb).astype(np.uint32)
+        buckets = (bits << np.arange(self.ppb, dtype=np.uint32)).sum(axis=2)  # [B, bands]
+        n = len(ids)
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.T.reshape(-1).astype(np.uint32)),
+                "vec_id": pa.array([i for _ in range(self.bands) for i in ids], pa.int64()),
+            }
+        )
+
+
+def embed_neardup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    dim: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    max_bucket: int = 1024,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_micro)
+    for cosine ≥ threshold — the embedding analogue of MinHash dedup.
+
+    Scale shape (mirrors ``dedup.verify_jaccard``'s join discipline):
+
+      1. banded hyperplane LSH (one scan, deterministic planes) →
+         (band, bucket) rows — 8-byte keys, never the vectors;
+      2. ``groupby(band, bucket)`` candidate pairs (``max_bucket`` caps
+         degenerate buckets — documented coverage bound) → distinct pairs;
+      3. exact cosine verification as a hash-partitioned pair↔vector
+         reduce-side join: candidate IDS are broadcast for the semi-join
+         prune, vectors travel only inside their two keyed exchanges —
+         the embedding table is never collected on the driver.
+
+    Output similarity is integer micro-units for exact SQL-oracle hash
+    comparability; the oracle recomputes planes, buckets AND cosines from
+    scratch in DuckDB."""
+
+    bucketed = embeddings.map_batches(
+        BandedLshStage,
+        fn_constructor_kwargs={"dim": dim, "bands": bands, "planes_per_band": planes_per_band},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("vec_id").to_pylist()))[:max_bucket]
+        a_col, b_col = [], []
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                a_col.append(ids[i])
+                b_col.append(ids[j])
+        return pa.Table.from_pydict(
+            {"vec_a": pa.array(a_col, pa.int64()), "vec_b": pa.array(b_col, pa.int64())}
+        )
+
+    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pyarrow")
+    distinct = (
+        cand.groupby(["vec_a", "vec_b"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n_bands"))
+        .select_columns(["vec_a", "vec_b"])
+        .materialize()
+    )
+
+    # --- exact cosine verify: pair↔vector reduce-side join ---------------
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        ids = set(batch.column("vec_a").to_pylist()) | set(batch.column("vec_b").to_pylist())
+        return pa.Table.from_pydict({"vec_id": pa.array(sorted(ids), pa.int64())})
+
+    id_rows = (
+        distinct.map_batches(pair_ids, batch_format="pyarrow").groupby("vec_id").count().take_all()
+    )
+    id_ref = ray.put({r["vec_id"] for r in id_rows})
+
+    class VecLeg:
+        def __init__(self) -> None:
+            self.keep = ray.get(id_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_pylist()
+            m = _normalize(_matrix(batch, "embedding"))
+            keep = [i for i, v in enumerate(ids) if v in self.keep]
+            n = len(keep)
+            return pa.Table.from_pydict(
+                {
+                    "key": pa.array([ids[i] for i in keep], pa.int64()),
+                    "role": pa.array(["V"] * n),
+                    "vec_a": pa.array([None] * n, pa.int64()),
+                    "vec_b": pa.array([None] * n, pa.int64()),
+                    "vec": pa.array([m[i].tolist() for i in keep], pa.list_(pa.float64())),
+                }
+            )
+
+    def pair_leg(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "key": batch.column("vec_a").combine_chunks().cast(pa.int64()),
+                "role": pa.array(["P"] * n),
+                "vec_a": batch.column("vec_a").combine_chunks().cast(pa.int64()),
+                "vec_b": batch.column("vec_b").combine_chunks().cast(pa.int64()),
+                "vec": pa.array([None] * n, pa.list_(pa.float64())),
+            }
+        )
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        roles = group.column("role").to_pylist()
+        vec_a = None
+        for i, r in enumerate(roles):
+            if r == "V":
+                vec_a = group.column("vec")[i].as_py()
+                break
+        keys, a_col, b_col, vecs = [], [], [], []
+        if vec_a is not None:
+            for i, r in enumerate(roles):
+                if r == "P":
+                    keys.append(group.column("vec_b")[i].as_py())
+                    a_col.append(group.column("vec_a")[i].as_py())
+                    b_col.append(group.column("vec_b")[i].as_py())
+                    vecs.append(vec_a)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "role": pa.array(["P"] * len(keys)),
+                "vec_a": pa.array(a_col, pa.int64()),
+                "vec_b": pa.array(b_col, pa.int64()),
+                "vec": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    def finish_b(group: pa.Table) -> pa.Table:
+        roles = group.column("role").to_pylist()
+        vb = None
+        for i, r in enumerate(roles):
+            if r == "V":
+                vb = np.asarray(group.column("vec")[i].as_py(), dtype=np.float64)
+                break
+        a_col, b_col, sims = [], [], []
+        if vb is not None:
+            for i, r in enumerate(roles):
+                if r != "P":
+                    continue
+                va = np.asarray(group.column("vec")[i].as_py(), dtype=np.float64)
+                cos = float(va @ vb)
+                if cos >= threshold:
+                    a_col.append(group.column("vec_a")[i].as_py())
+                    b_col.append(group.column("vec_b")[i].as_py())
+                    sims.append(int(cos * 1_000_000 + 0.5))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(a_col, pa.int64()),
+                "vec_b": pa.array(b_col, pa.int64()),
+                "cos_micro": pa.array(sims, pa.int64()),
+            }
+        )
+
+    leg_v = embeddings.map_batches(VecLeg, batch_format="pyarrow", concurrency=(1, 8))
+    leg_p = distinct.map_batches(pair_leg, batch_format="pyarrow")
+    joined_a = leg_v.union(leg_p).groupby("key").map_groups(attach_a, batch_format="pyarrow")
+    return leg_v.union(joined_a).groupby("key").map_groups(finish_b, batch_format="pyarrow")

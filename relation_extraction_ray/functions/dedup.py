@@ -219,6 +219,16 @@ def verify_jaccard(
     # aggregate, join leg, schema) — pin them once
     pairs = pairs.materialize()
     sch = pairs.schema()
+    if sch is None or "doc_a" not in sch.names or pa.types.is_null(sch.types[sch.names.index("doc_a")]):
+        # no candidates at all (or an all-empty upstream whose type was
+        # lost): the verified set is empty, typed like the corpus ids
+        dsch = docs.schema()
+        id_type = dsch.types[dsch.names.index("doc_id")]
+        empty = pa.Table.from_arrays(
+            [pa.array([], id_type), pa.array([], id_type), pa.array([], pa.int64())],
+            names=["doc_a", "doc_b", "jaccard_micro"],
+        )
+        return ray.data.from_arrow(empty)
     id_type = sch.types[sch.names.index("doc_a")]
 
     # 1. candidate id set — distinct ids via a distributed aggregate, then
@@ -428,3 +438,99 @@ def simhash_pairs(
     return cand.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Min("hamming", alias_name="hamming")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold — no LSH recall loss —
+    via **prefix filtering** (the AllPairs/PPJoin candidate scheme,
+    Bayardo et al. WWW'07): order every doc's shingles by global rarity
+    (document frequency asc, shingle asc) and emit only the first
+    ``n - ceil(t·n) + 1`` shingles as candidate keys.  Two sets with
+    Jaccard ≥ t MUST share a prefix shingle under a common global order,
+    so the candidate set is complete; :func:`verify_jaccard` then makes it
+    exact.
+
+    All-keyed-exchange shape (no driver materialization, no broadcast):
+
+      1. explode (shingle, doc_id, doc size) → ``groupby(shingle)`` stamps
+         each row with its shingle's document frequency;
+      2. ``groupby(doc_id)`` rebuilds the doc's df-ordered shingle list and
+         keeps the prefix;
+      3. ``groupby(shingle)`` over prefix rows emits candidate pairs, with
+         the length filter ``size_b ≥ t·size_a`` (necessary for J ≥ t)
+         pruning inside the group;
+      4. distinct-pair aggregate → exact Jaccard verification join.
+
+    Prefixes favor RARE shingles by construction, so step-3 groups stay
+    small even when the corpus shares stopword shingles; the step-1 df
+    groupby is the one potentially hot exchange (group size = df), linear
+    per group.  ``max_group`` caps degenerate prefix groups (documented
+    coverage bound, same convention as MinHash/SimHash)."""
+    max_group = 1024
+    _dsch = docs.schema()
+    id_type = _dsch.types[_dsch.names.index("doc_id")]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_col, id_col, size_col = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sh = shingle_set(text, shingle_n)
+            for s in sh:
+                sh_col.append(s)
+                id_col.append(doc_id)
+                size_col.append(len(sh))
+        return pa.Table.from_pydict(
+            {
+                "s": pa.array(sh_col, pa.string()),
+                "doc_id": pa.array(id_col, id_type),
+                "size": pa.array(size_col, pa.int32()),
+            }
+        )
+
+    def stamp_df(group: pa.Table) -> pa.Table:
+        return group.append_column(
+            "df", pa.array([group.num_rows] * group.num_rows, pa.int64())
+        )
+
+    def prefix_of(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("df").to_pylist(), group.column("s").to_pylist()),
+        )
+        n = len(rows)
+        p = n - int(np.ceil(threshold * n)) + 1
+        doc_id = group.column("doc_id")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "s": pa.array([s for _, s in rows[:p]], pa.string()),
+                "doc_id": pa.array([doc_id] * p, id_type),
+                "size": pa.array([n] * p, pa.int32()),
+            }
+        )
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(), group.column("size").to_pylist())
+        )[:max_group]
+        a_col, b_col = [], []
+        for i in range(len(rows) - 1):
+            for j in range(i + 1, len(rows)):
+                (da, sa), (db, sb) = rows[i], rows[j]
+                lo, hi = min(sa, sb), max(sa, sb)
+                if lo >= threshold * hi:  # length filter: J ≥ t ⇒ |small| ≥ t·|big|
+                    a_col.append(da)
+                    b_col.append(db)
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array(a_col, id_type), "doc_b": pa.array(b_col, id_type)}
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    with_df = exploded.groupby("s").map_groups(stamp_df, batch_format="pyarrow")
+    prefixes = with_df.groupby("doc_id").map_groups(prefix_of, batch_format="pyarrow")
+    cand = prefixes.groupby("s").map_groups(pairs_in_group, batch_format="pyarrow")
+    distinct = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_keys")
+    ).select_columns(["doc_a", "doc_b"])
+    return verify_jaccard(distinct, docs, threshold=threshold, shingle_n=shingle_n)

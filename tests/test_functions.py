@@ -286,3 +286,66 @@ def test_events_by_day_vs_duckdb(ray_session):
     for row, (_, w) in zip(got, want.iterrows()):
         for c in want.columns:
             assert row[c] == w[c], (c, row, dict(w))
+
+
+def test_ngram_jaccard_exact_all_pairs(docs):
+    """Prefix-filtered all-pairs Jaccard is EXACT: output equals a
+    brute-force all-pairs computation (completeness of the candidate
+    scheme, not just verification)."""
+    from relation_extraction_ray.functions.dedup import ngram_jaccard_pairs, shingle_set
+
+    rows, ds = docs
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in ngram_jaccard_pairs(ds, threshold=0.3, shingle_n=3).take_all()
+    }
+    sh = {r["doc_id"]: shingle_set(r["text"], 3) for r in rows}
+    ids = sorted(sh)
+    want = {}
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[ids[i]], sh[ids[j]]
+            if not a | b:
+                continue
+            sim = len(a & b) / len(a | b)
+            if sim >= 0.3:
+                want[(ids[i], ids[j])] = int(sim * 1_000_000 + 0.5)
+    assert got == want
+    assert got[(1, 2)] == 1_000_000  # exact dup pair survives
+    assert (1, 3) in got  # near-dup pair found (J = 1/3)
+
+
+def test_embed_neardup_matches_inprocess_replica(ray_session):
+    """embed_neardup_pairs == an in-process numpy replay of the banded-LSH
+    + exact-cosine algorithm, and planted near-identical vectors are found
+    (recall at cos≈1 is 1 - (1-p^planes)^bands ≈ 1)."""
+    from relation_extraction_ray.functions.ann import banded_planes, embed_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    # plant two near-dup pairs: 40~0, 41~7 (tiny perturbation)
+    planted = np.vstack([base, base[0] + 0.01 * rng.standard_normal(16), base[7] + 0.01 * rng.standard_normal(16)])
+    rows = [{"vec_id": i, "embedding": planted[i].astype(np.float32).tolist()} for i in range(42)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    bands, ppb, thr = 8, 6, 0.9
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_micro"]
+        for r in embed_neardup_pairs(ds, threshold=thr, dim=16, bands=bands, planes_per_band=ppb).take_all()
+    }
+
+    m = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    planes = banded_planes(16, bands, ppb)
+    signs = (m @ planes) > 0
+    bits = signs.reshape(42, bands, ppb).astype(np.uint32)
+    buckets = (bits << np.arange(ppb, dtype=np.uint32)).sum(axis=2)
+    want = {}
+    for i in range(41):
+        for j in range(i + 1, 42):
+            if (buckets[i] == buckets[j]).any():
+                cos = float(mn[i] @ mn[j])
+                if cos >= thr:
+                    want[(i, j)] = int(cos * 1_000_000 + 0.5)
+    assert got == want
+    assert (0, 40) in got and (7, 41) in got  # planted near-dups found
