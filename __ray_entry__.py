@@ -210,14 +210,18 @@ def _q_dedup_embed(sf_dir: str):
     """Embedding-cosine near-dup pairs.  The synthetic embeddings have no
     true near-dups (max cos ≈ 0.51), so the query runs at threshold 0.4 to
     exercise the full banded-LSH + exact-verify machinery on non-empty
-    output; production defaults stay at 0.9."""
+    output; production defaults stay at 0.9.  At 0.4 the 16×4 banding is
+    deliberately low-precision (recall over precision), so the query scopes
+    to a deterministic id slice (vec_id < 500 — the whole table at sf0.01,
+    a fixed quarter at sf0.1) to keep the candidate count bounded in the
+    per-round bench; the operator itself takes the full Dataset."""
     from relation_extraction_ray.functions.ann import embed_neardup_pairs
 
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr="vec_id < 500"
+    )
     return embed_neardup_pairs(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        threshold=0.4,
-        bands=16,
-        planes_per_band=4,
+        emb, threshold=0.4, bands=16, planes_per_band=4
     ).sort(["vec_a", "vec_b"])
 
 
@@ -745,7 +749,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT unnest(range(64)) AS d)
             ), emb AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings
+              FROM embeddings WHERE vec_id < 500
             ), proj AS (
               SELECT emb.vec_id, p.b, p.j, sum(emb.e[p.d + 1] * p.v) AS dot
               FROM emb CROSS JOIN planes p GROUP BY emb.vec_id, p.b, p.j

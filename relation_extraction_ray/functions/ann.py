@@ -17,6 +17,15 @@ def _matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(arr), arr.type.list_size)
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) and arr.null_count == 0:
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(len(arr), int(widths[0]))
     return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
@@ -375,14 +384,13 @@ def embed_neardup_pairs(
     )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("vec_id").to_pylist()))[:max_bucket]
-        a_col, b_col = [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
+        ids = np.unique(group.column("vec_id").combine_chunks().to_numpy())[:max_bucket]
+        ia, ib = np.triu_indices(len(ids), k=1)
         return pa.Table.from_pydict(
-            {"vec_a": pa.array(a_col, pa.int64()), "vec_b": pa.array(b_col, pa.int64())}
+            {
+                "vec_a": pa.array(ids[ia].astype(np.int64), pa.int64()),
+                "vec_b": pa.array(ids[ib].astype(np.int64), pa.int64()),
+            }
         )
 
     cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pyarrow")
@@ -394,95 +402,113 @@ def embed_neardup_pairs(
     )
 
     # --- exact cosine verify: pair↔vector reduce-side join ---------------
+    leg_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("role", pa.string()),
+            ("vec_a", pa.int64()),
+            ("vec_b", pa.int64()),
+            ("vec", pa.list_(pa.float64())),
+        ]
+    )
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_micro", pa.int64())]
+    )
+
+    def _repeat_list(vec: np.ndarray, n: int) -> pa.ListArray:
+        flat = pa.array(np.tile(vec, n), pa.float64())
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * len(vec), pa.int32())
+        return pa.ListArray.from_arrays(offsets, flat)
+
     def pair_ids(batch: pa.Table) -> pa.Table:
-        ids = set(batch.column("vec_a").to_pylist()) | set(batch.column("vec_b").to_pylist())
-        return pa.Table.from_pydict({"vec_id": pa.array(sorted(ids), pa.int64())})
+        ids = np.unique(
+            np.concatenate(
+                [
+                    batch.column("vec_a").combine_chunks().to_numpy(),
+                    batch.column("vec_b").combine_chunks().to_numpy(),
+                ]
+            )
+        )
+        return pa.Table.from_pydict({"vec_id": pa.array(ids.astype(np.int64), pa.int64())})
 
     id_rows = (
         distinct.map_batches(pair_ids, batch_format="pyarrow").groupby("vec_id").count().take_all()
     )
-    id_ref = ray.put({r["vec_id"] for r in id_rows})
+    id_ref = ray.put(np.sort(np.asarray([r["vec_id"] for r in id_rows], dtype=np.int64)))
 
     class VecLeg:
         def __init__(self) -> None:
             self.keep = ray.get(id_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_pylist()
-            m = _normalize(_matrix(batch, "embedding"))
-            keep = [i for i, v in enumerate(ids) if v in self.keep]
-            n = len(keep)
-            return pa.Table.from_pydict(
-                {
-                    "key": pa.array([ids[i] for i in keep], pa.int64()),
-                    "role": pa.array(["V"] * n),
-                    "vec_a": pa.array([None] * n, pa.int64()),
-                    "vec_b": pa.array([None] * n, pa.int64()),
-                    "vec": pa.array([m[i].tolist() for i in keep], pa.list_(pa.float64())),
-                }
+            ids = batch.column("vec_id").combine_chunks().to_numpy()
+            mask = np.isin(ids, self.keep)
+            kept = ids[mask]
+            n = len(kept)
+            if n == 0:
+                return leg_schema.empty_table()
+            m = _normalize(_matrix(batch, "embedding"))[mask]
+            flat = pa.array(m.reshape(-1), pa.float64())
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * m.shape[1], pa.int32())
+            return pa.Table.from_arrays(
+                [
+                    pa.array(kept.astype(np.int64), pa.int64()),
+                    pa.array(["V"] * n),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.int64()),
+                    pa.ListArray.from_arrays(offsets, flat),
+                ],
+                schema=leg_schema,
             )
 
     def pair_leg(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.Table.from_pydict(
-            {
-                "key": batch.column("vec_a").combine_chunks().cast(pa.int64()),
-                "role": pa.array(["P"] * n),
-                "vec_a": batch.column("vec_a").combine_chunks().cast(pa.int64()),
-                "vec_b": batch.column("vec_b").combine_chunks().cast(pa.int64()),
-                "vec": pa.array([None] * n, pa.list_(pa.float64())),
-            }
+        a = batch.column("vec_a").combine_chunks().cast(pa.int64())
+        b = batch.column("vec_b").combine_chunks().cast(pa.int64())
+        return pa.Table.from_arrays(
+            [a, pa.array(["P"] * n), a, b, pa.nulls(n, pa.list_(pa.float64()))],
+            schema=leg_schema,
         )
 
     def attach_a(group: pa.Table) -> pa.Table:
-        roles = group.column("role").to_pylist()
-        vec_a = None
-        for i, r in enumerate(roles):
-            if r == "V":
-                vec_a = group.column("vec")[i].as_py()
-                break
-        keys, a_col, b_col, vecs = [], [], [], []
-        if vec_a is not None:
-            for i, r in enumerate(roles):
-                if r == "P":
-                    keys.append(group.column("vec_b")[i].as_py())
-                    a_col.append(group.column("vec_a")[i].as_py())
-                    b_col.append(group.column("vec_b")[i].as_py())
-                    vecs.append(vec_a)
-        return pa.Table.from_pydict(
-            {
-                "key": pa.array(keys, pa.int64()),
-                "role": pa.array(["P"] * len(keys)),
-                "vec_a": pa.array(a_col, pa.int64()),
-                "vec_b": pa.array(b_col, pa.int64()),
-                "vec": pa.array(vecs, pa.list_(pa.float64())),
-            }
+        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
+        vidx = np.flatnonzero(roles == "V")
+        pmask = roles == "P"
+        n = int(pmask.sum())
+        if len(vidx) == 0 or n == 0:
+            return leg_schema.empty_table()
+        vec_a = np.asarray(group.column("vec")[int(vidx[0])].as_py(), dtype=np.float64)
+        pt = group.filter(pa.array(pmask))
+        b = pt.column("vec_b").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                b,
+                pa.array(["P"] * n),
+                pt.column("vec_a").combine_chunks(),
+                b,
+                _repeat_list(vec_a, n),
+            ],
+            schema=leg_schema,
         )
 
     def finish_b(group: pa.Table) -> pa.Table:
-        roles = group.column("role").to_pylist()
-        vb = None
-        for i, r in enumerate(roles):
-            if r == "V":
-                vb = np.asarray(group.column("vec")[i].as_py(), dtype=np.float64)
-                break
-        a_col, b_col, sims = [], [], []
-        if vb is not None:
-            for i, r in enumerate(roles):
-                if r != "P":
-                    continue
-                va = np.asarray(group.column("vec")[i].as_py(), dtype=np.float64)
-                cos = float(va @ vb)
-                if cos >= threshold:
-                    a_col.append(group.column("vec_a")[i].as_py())
-                    b_col.append(group.column("vec_b")[i].as_py())
-                    sims.append(int(cos * 1_000_000 + 0.5))
-        return pa.Table.from_pydict(
-            {
-                "vec_a": pa.array(a_col, pa.int64()),
-                "vec_b": pa.array(b_col, pa.int64()),
-                "cos_micro": pa.array(sims, pa.int64()),
-            }
+        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
+        vidx = np.flatnonzero(roles == "V")
+        pmask = roles == "P"
+        if len(vidx) == 0 or not pmask.any():
+            return out_schema.empty_table()
+        vb = np.asarray(group.column("vec")[int(vidx[0])].as_py(), dtype=np.float64)
+        pt = group.filter(pa.array(pmask))
+        cos = _matrix(pt, "vec") @ vb
+        keep = cos >= threshold
+        micro = np.floor(cos[keep] * 1_000_000 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pt.column("vec_a").combine_chunks().filter(pa.array(keep)),
+                pt.column("vec_b").combine_chunks().filter(pa.array(keep)),
+                pa.array(micro, pa.int64()),
+            ],
+            schema=out_schema,
         )
 
     leg_v = embeddings.map_batches(VecLeg, batch_format="pyarrow", concurrency=(1, 8))
