@@ -28,6 +28,7 @@ artifact, exactly like the reference's checkpoint files.
 
 from __future__ import annotations
 
+import hashlib
 from collections import Counter
 
 import numpy as np
@@ -35,15 +36,20 @@ import pyarrow as pa
 import ray
 
 from ..config import KGConfig
-from ..nlp.labeler import LABEL2INT, LABELS, OTHER
+from ..nlp.labeler import LABEL2INT, LABELS, OTHER, lookup_inverse_relation
 from ..nlp.parser import parse_sentence
 from ..nlp.sdp import finalize_vocab, post_process_path, sdp_between, token_span_path, vocab2idx
 from ..state.scorer import (
+    DUAL_FIELDS,
     ScorerWeights,
     WEIGHT_FIELDS,
+    dual_fixture,
+    dual_view,
     grad_batch,
+    grad_batch_dual,
     pad_paths,
     score_batch,
+    score_batch_dual,
     weights_fixture,
 )
 
@@ -250,14 +256,16 @@ def fit_classifier(
     lr: float = 3e-3,
     seed: int = 7,
     log_every: int = 0,
+    n_out: int = len(LABELS),
 ) -> tuple[ScorerWeights, list[float]]:
     """Mini-batch Adam over the encoded examples (driver-side — the encoded
     set is the SMALL output of the distributed parse/encode passes; the
     reference's fit loop is likewise single-process, ``relembed.py:627``).
     Deterministic: fixed init, fixed example order (sent_id), seeded
-    per-epoch permutation."""
+    per-epoch permutation.  ``n_out`` sizes the softmax head — the clustered
+    variant (T4) passes ``num_clusters**2``."""
     vw, vd, vp = vocab_sizes
-    wts = weights_fixture(vw, vd, vp, seed=seed)
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out)
     w_all, d_all, p_all, labels = _examples_to_arrays(examples)
     n = len(labels)
     rng = np.random.default_rng(seed)
@@ -288,6 +296,244 @@ def fit_classifier(
         if log_every and (epoch + 1) % log_every == 0:
             print(f"epoch {epoch + 1}: loss {losses[-1]:.4f}")
     return wts, losses
+
+
+# ---------------------------------------------------------------------------
+# T4 — clustered-softmax training (relembed_clustered.py:85,257-292).
+# The reference's clustered model replaces the binary NCE objective of the
+# unsupervised path with a FULL softmax over ``num_clusters**2`` Brown
+# cluster-pair ids: the GRU encodes the SDP and the head predicts which
+# (cluster(X), cluster(Y)) pair the path's target entities fall in.  The
+# engine reuses the generic GRU + softmax machinery with ``n_out = K*K`` and
+# labels from :func:`functions.training.cluster_pair_labels` (M18).
+# ---------------------------------------------------------------------------
+
+
+def clustered_softmax_examples(
+    encoded: ray.data.Dataset, clusters: dict[int, int], num_clusters: int
+) -> ray.data.Dataset:
+    """KG encoded paths + Brown-cluster map → training examples whose
+    ``label_id`` is the cluster-pair id ``cx*K + cy`` (map-side broadcast
+    join, no shuffle — the cluster dict is the small side)."""
+    oov = num_clusters - 1
+    ref = ray.put(dict(clusters))
+
+    class ToExample:
+        def __init__(self) -> None:
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out: dict[str, list] = {k: [] for k in EXAMPLE_SCHEMA.names}
+            for row in batch.select(
+                ["doc_id", "sent_id", "pair_id", "word_ids", "dep_ids", "pos_ids", "target_ids"]
+            ).to_pylist():
+                x, y = row["target_ids"]
+                cid = self.c.get(x, oov) * num_clusters + self.c.get(y, oov)
+                # deterministic int64 sort key from the (doc, sent, pair) identity
+                key = hashlib.blake2b(
+                    f"{row['doc_id']}|{row['sent_id']}|{row['pair_id']}".encode(), digest_size=8
+                ).digest()
+                out["sent_id"].append(int.from_bytes(key, "big") >> 1)
+                out["word_ids"].append(row["word_ids"])
+                out["dep_ids"].append(row["dep_ids"])
+                out["pos_ids"].append(row["pos_ids"])
+                out["label_id"].append(cid)
+                out["label"].append(f"c{cid // num_clusters}|c{cid % num_clusters}")
+            return pa.Table.from_pydict(out, schema=EXAMPLE_SCHEMA)
+
+    return encoded.map_batches(ToExample, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def fit_clustered(
+    encoded: ray.data.Dataset,
+    clusters: dict[int, int],
+    num_clusters: int,
+    vocab_sizes: tuple[int, int, int],
+    epochs: int = 30,
+    batch_size: int = 256,
+    lr: float = 3e-3,
+    seed: int = 7,
+) -> tuple[ScorerWeights, list[float]]:
+    """T4 end-to-end: distant cluster-pair targets → ``K*K``-way softmax fit
+    (same Adam loop; the head IS the clustered softmax, not a re-labeling
+    of the 19-way classifier)."""
+    examples = clustered_softmax_examples(encoded, clusters, num_clusters)
+    return fit_classifier(
+        examples,
+        vocab_sizes,
+        epochs=epochs,
+        batch_size=batch_size,
+        lr=lr,
+        seed=seed,
+        n_out=num_clusters * num_clusters,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — "single" dual-direction training/prediction (relembed_single.py).
+# Each labeled record becomes TWO examples (M15, semeval_data_helper.py:
+# 193-200): the path as extracted with its label and predict_x=True (forward
+# GRU), plus the reversed path with the inverse label and predict_x=False
+# (backward GRU).  Training fits both direction stacks over the shared
+# embeddings in one Adam loop; prediction ensembles the two directions the
+# way the reference's "average single" variant does (RelEmbed Average
+# Single.ipynb): p(l) = (p_fwd(l) + p_bwd(inverse(l))) / 2.
+# ---------------------------------------------------------------------------
+
+SINGLE_EXAMPLE_SCHEMA = EXAMPLE_SCHEMA.append(pa.field("predict_x", pa.bool_()))
+
+# index permutation sending each label to its inverse (Other is a fixed point)
+INVERSE_PERM = np.array(
+    [LABEL2INT[lookup_inverse_relation(lab)] for lab in LABELS], dtype=np.int64
+)
+
+
+class EncodeSingleExamplesStage(EncodeExamplesStage):
+    """1→2 flat-map on top of the base encoder: forward + reversed-dual rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        base = super().__call__(batch)
+        out: dict[str, list] = {k: [] for k in SINGLE_EXAMPLE_SCHEMA.names}
+        for row in base.to_pylist():
+            for rev in (False, True):
+                out["sent_id"].append(row["sent_id"])
+                out["word_ids"].append(row["word_ids"][::-1] if rev else row["word_ids"])
+                out["dep_ids"].append(row["dep_ids"][::-1] if rev else row["dep_ids"])
+                out["pos_ids"].append(row["pos_ids"][::-1] if rev else row["pos_ids"])
+                lab = lookup_inverse_relation(row["label"]) if rev else row["label"]
+                out["label_id"].append(LABEL2INT[lab])
+                out["label"].append(lab)
+                out["predict_x"].append(not rev)
+        return pa.Table.from_pydict(out, schema=SINGLE_EXAMPLE_SCHEMA)
+
+
+def encode_single_examples(parsed: ray.data.Dataset, vocabs, cfg: KGConfig) -> ray.data.Dataset:
+    (wv, w2i, _), (dv, d2i, _), (pv, p2i, _) = vocabs
+    vocab_ref = ray.put((w2i, d2i, p2i))
+    return parsed.map_batches(
+        EncodeSingleExamplesStage,
+        fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def fit_dual_classifier(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    epochs: int = 30,
+    batch_size: int = 256,
+    lr: float = 3e-3,
+    seed: int = 7,
+    n_out: int = len(LABELS),
+) -> tuple[dict[str, np.ndarray], list[float]]:
+    """Mini-batch Adam over mixed-direction single-mode examples — the
+    dual-stack analogue of :func:`fit_classifier` (reference training graph
+    ``relembed_single.py:251-320``-equivalent).  Deterministic as the base
+    loop: fixed init, sent_id order (forward row before its reversed dual),
+    seeded permutation."""
+    vw, vd, vp = vocab_sizes
+    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out)
+    rows = sorted(examples.take_all(), key=lambda r: (r["sent_id"], not r["predict_x"]))
+    w_all = [r["word_ids"] for r in rows]
+    d_all = [r["dep_ids"] for r in rows]
+    p_all = [r["pos_ids"] for r in rows]
+    labels = np.array([r["label_id"] for r in rows], dtype=np.int64)
+    flags = np.array([r["predict_x"] for r in rows], dtype=bool)
+    n = len(labels)
+    rng = np.random.default_rng(seed)
+    m = {f: np.zeros_like(params[f], dtype=np.float64) for f in DUAL_FIELDS}
+    v = {f: np.zeros_like(params[f], dtype=np.float64) for f in DUAL_FIELDS}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    losses = []
+    for _epoch in range(epochs):
+        order = rng.permutation(n)
+        ep_loss = 0.0
+        for lo in range(0, n, batch_size):
+            idx = order[lo : lo + batch_size]
+            w, d, p, lengths = pad_paths(
+                [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
+            )
+            loss, g = grad_batch_dual(params, w, d, p, lengths, labels[idx], flags[idx])
+            ep_loss += loss * len(idx)
+            step += 1
+            for f in DUAL_FIELDS:
+                m[f] = b1 * m[f] + (1 - b1) * g[f]
+                v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
+                mh = m[f] / (1 - b1**step)
+                vh = v[f] / (1 - b2**step)
+                params[f] = (params[f].astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)).astype(
+                    np.float32
+                )
+        losses.append(ep_loss / max(1, n))
+    return params, losses
+
+
+class DualModelClassifyStage:
+    """Actor-pool prediction with the trained dual model: each record is
+    scored in BOTH directions (forward path through the fwd GRU, reversed
+    path through the bwd GRU) and the two distributions are averaged after
+    mapping the backward one through the label-inverse permutation —
+    the reference's average-single ensemble."""
+
+    def __init__(self, model_ref=None, cfg: KGConfig | None = None, model=None) -> None:
+        cfg = cfg or KGConfig()
+        params, (word_v, dep_v, pos_v) = model if model is not None else ray.get(model_ref)
+        self.params = params
+        self.word_v = {t: i for i, t in enumerate(word_v)}
+        self.dep_v = {t: i for i, t in enumerate(dep_v)}
+        self.pos_v = {t: i for i, t in enumerate(pos_v)}
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sids = batch.column("sent_id").to_pylist()
+        labels = batch.column("label").to_pylist()
+        paths = [
+            record_path(text, e1, e2, self.cfg)
+            for text, e1, e2 in zip(
+                batch.column("text").to_pylist(),
+                batch.column("e1_idx").to_pylist(),
+                batch.column("e2_idx").to_pylist(),
+            )
+        ]
+        preds = [OTHER] * len(sids)
+        feat_idx = [i for i, p in enumerate(paths) if p]
+        if feat_idx:
+            wf = [[vocab2idx(t[0], self.word_v) for t in paths[i]] for i in feat_idx]
+            df = [[vocab2idx(t[1], self.dep_v) for t in paths[i]] for i in feat_idx]
+            pf = [[vocab2idx(t[2], self.pos_v) for t in paths[i]] for i in feat_idx]
+            # interleave forward + reversed rows: 2 rows per record
+            w2 = [x for row in zip(wf, [r[::-1] for r in wf]) for x in row]
+            d2 = [x for row in zip(df, [r[::-1] for r in df]) for x in row]
+            p2 = [x for row in zip(pf, [r[::-1] for r in pf]) for x in row]
+            flags = np.tile(np.array([True, False]), len(feat_idx))
+            w, d, p, lengths = pad_paths(w2, d2, p2)
+            _, probs = score_batch_dual(self.params, w, d, p, lengths, flags)
+            fwd = probs[0::2]                      # p_fwd(l)
+            bwd = probs[1::2][:, INVERSE_PERM]     # p_bwd(inverse(l)) re-indexed to l
+            avg = (fwd + bwd) / 2.0
+            for row, pid in zip(feat_idx, avg.argmax(axis=1)):
+                preds[row] = LABELS[int(pid)]
+        return pa.Table.from_pydict(
+            {
+                "sent_id": pa.array(sids, pa.int64()),
+                "pred": pa.array(preds, pa.string()),
+                "label": pa.array(labels, pa.string()),
+            }
+        )
+
+
+def dual_model_classify(
+    parsed: ray.data.Dataset, params: dict, vocabs_lists, cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    model_ref = ray.put((params, vocabs_lists))
+    return parsed.map_batches(
+        DualModelClassifyStage,
+        fn_constructor_kwargs={"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
 
 
 class ModelClassifyStage:

@@ -46,9 +46,19 @@ class ScorerWeights:
     b_out: np.ndarray
 
 
-def weights_fixture(vocab_size: int, dep_size: int, pos_size: int, seed: int = 7) -> ScorerWeights:
-    """Deterministic weight bundle — pure function of shapes + seed."""
-    rng = np.random.default_rng(np.random.SeedSequence([seed, vocab_size, dep_size, pos_size]))
+def weights_fixture(
+    vocab_size: int, dep_size: int, pos_size: int, seed: int = 7, n_out: int = N_LABELS
+) -> ScorerWeights:
+    """Deterministic weight bundle — pure function of shapes + seed.
+
+    ``n_out`` sizes the softmax head: ``N_LABELS`` for the supervised
+    classifier, ``num_clusters**2`` for the clustered variant (T4,
+    ``relembed_clustered.py:85,257-292`` — full softmax over Brown
+    cluster-pair ids in place of the binary NEG objective)."""
+    # n_out enters the seed only when non-default so the classifier fixture
+    # stays bit-identical to round-1 artifacts.
+    entropy = [seed, vocab_size, dep_size, pos_size] + ([n_out] if n_out != N_LABELS else [])
+    rng = np.random.default_rng(np.random.SeedSequence(entropy))
 
     def mat(*shape):
         return (rng.standard_normal(shape) * 0.1).astype(np.float32)
@@ -61,7 +71,7 @@ def weights_fixture(vocab_size: int, dep_size: int, pos_size: int, seed: int = 7
         w_z=mat(d_in, D_HIDDEN), u_z=mat(D_HIDDEN, D_HIDDEN), b_z=np.zeros(D_HIDDEN, np.float32),
         w_r=mat(d_in, D_HIDDEN), u_r=mat(D_HIDDEN, D_HIDDEN), b_r=np.zeros(D_HIDDEN, np.float32),
         w_h=mat(d_in, D_HIDDEN), u_h=mat(D_HIDDEN, D_HIDDEN), b_h=np.zeros(D_HIDDEN, np.float32),
-        w_out=mat(D_HIDDEN, N_LABELS), b_out=np.zeros(N_LABELS, np.float32),
+        w_out=mat(D_HIDDEN, n_out), b_out=np.zeros(n_out, np.float32),
     )
 
 
@@ -240,3 +250,125 @@ def score_batch(
     e = np.exp(logits)
     probs = (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
     return probs.argmax(axis=1).astype(np.int32), probs
+
+
+# ---------------------------------------------------------------------------
+# T3 — "single" dual-direction model (reference ``relembed_single.py``).
+#
+# The reference's single model keeps TWO direction GRUs over ONE shared set
+# of embedding matrices; a per-row boolean ``predict_x``
+# (``relembed_single.py:123``) selects which RNN's hidden state feeds the
+# softmax head (``tf.select``, ``relembed_single.py:225``).  The engine
+# represents this as a flat param dict: shared ``word_emb``/``dep_emb``/
+# ``pos_emb`` plus ``fwd_*`` and ``bwd_*`` copies of every GRU/head field.
+# ---------------------------------------------------------------------------
+
+EMB_FIELDS = ["word_emb", "dep_emb", "pos_emb"]
+GRU_FIELDS = [f for f in WEIGHT_FIELDS if f not in EMB_FIELDS]
+DUAL_FIELDS = EMB_FIELDS + [f"fwd_{f}" for f in GRU_FIELDS] + [f"bwd_{f}" for f in GRU_FIELDS]
+
+
+def dual_fixture(
+    vocab_size: int, dep_size: int, pos_size: int, seed: int = 7, n_out: int = N_LABELS
+) -> dict[str, np.ndarray]:
+    """Deterministic dual-model params: embeddings from the forward seed,
+    direction stacks from seed and seed+1 (distinct inits so the two RNNs
+    break symmetry, as the reference's independent variable scopes do)."""
+    fwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed, n_out=n_out)
+    bwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed + 1, n_out=n_out)
+    params = {f: getattr(fwd, f) for f in EMB_FIELDS}
+    params.update({f"fwd_{f}": getattr(fwd, f) for f in GRU_FIELDS})
+    params.update({f"bwd_{f}": getattr(bwd, f) for f in GRU_FIELDS})
+    return params
+
+
+def dual_view(params: dict[str, np.ndarray], direction: str) -> ScorerWeights:
+    """ScorerWeights view of one direction (embeddings aliased, not copied)."""
+    kw = {f: params[f] for f in EMB_FIELDS}
+    kw.update({f: params[f"{direction}_{f}"] for f in GRU_FIELDS})
+    return ScorerWeights(**kw)
+
+
+def score_batch_dual(
+    params: dict[str, np.ndarray],
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    predict_x: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row direction dispatch (``relembed_single.py:225``): rows with
+    ``predict_x`` True run the forward GRU, the rest the backward GRU;
+    outputs are reassembled in input row order."""
+    b = len(lengths)
+    n_out = params["fwd_w_out"].shape[1]
+    preds = np.zeros(b, dtype=np.int32)
+    probs = np.zeros((b, n_out), dtype=np.float32)
+    flags = np.asarray(predict_x, dtype=bool)
+    for direction, mask in (("fwd", flags), ("bwd", ~flags)):
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            continue
+        p_sub, pr_sub = score_batch(
+            dual_view(params, direction),
+            word_ids[idx], dep_ids[idx], pos_ids[idx], lengths[idx],
+        )
+        preds[idx] = p_sub
+        probs[idx] = pr_sub
+    return preds, probs
+
+
+def grad_batch_dual(
+    params: dict[str, np.ndarray],
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    labels: np.ndarray,
+    predict_x: np.ndarray,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """Mean loss + gradient over a mixed-direction batch.  Each direction's
+    subset gradient is a mean over its rows; rescaling by subset size /
+    batch size makes the combination the exact full-batch mean.  Shared
+    embedding gradients sum across directions (one embedding table feeds
+    both RNNs, ``relembed_single.py:117-150``)."""
+    b = len(lengths)
+    flags = np.asarray(predict_x, dtype=bool)
+    grads = {f: np.zeros_like(params[f], dtype=np.float64) for f in DUAL_FIELDS}
+    loss_sum = 0.0
+    for direction, mask in (("fwd", flags), ("bwd", ~flags)):
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            continue
+        loss, g = grad_batch(
+            dual_view(params, direction),
+            word_ids[idx], dep_ids[idx], pos_ids[idx], lengths[idx], labels[idx],
+        )
+        w = idx.size / b
+        loss_sum += loss * idx.size
+        for f in EMB_FIELDS:
+            grads[f] += g[f] * w
+        for f in GRU_FIELDS:
+            grads[f"{direction}_{f}"] += g[f] * w
+    return loss_sum / max(1, b), grads
+
+
+def save_dual(params: dict[str, np.ndarray], path: str, vocabs: tuple[list, list, list]) -> None:
+    word_v, dep_v, pos_v = vocabs
+    np.savez_compressed(
+        path,
+        **params,
+        word_vocab=np.array(word_v, dtype=object),
+        dep_vocab=np.array(dep_v, dtype=object),
+        pos_vocab=np.array(pos_v, dtype=object),
+    )
+
+
+def load_dual(path: str) -> tuple[dict[str, np.ndarray], tuple[list, list, list]]:
+    z = np.load(path, allow_pickle=True)
+    params = {f: z[f] for f in DUAL_FIELDS}
+    return params, (
+        [str(t) for t in z["word_vocab"]],
+        [str(t) for t in z["dep_vocab"]],
+        [str(t) for t in z["pos_vocab"]],
+    )
