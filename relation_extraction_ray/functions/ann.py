@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from .joins import derive_n_parts, pair_payload_join
+
 
 def _matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
@@ -324,8 +326,11 @@ def banded_planes(dim: int, bands: int, planes_per_band: int) -> np.ndarray:
     return m
 
 
+_LSH_STAGES: dict = {}
+
+
 class BandedLshStage:
-    """Actor-pool stage: vector → one (band, bucket) row per band.  Two
+    """vector → one (band, bucket) row per band.  Two
     vectors are candidates iff they agree on ALL sign bits of at least one
     band — the cosine analogue of MinHash banding (recall grows with
     ``bands``, precision with ``planes_per_band``)."""
@@ -376,12 +381,16 @@ def embed_neardup_pairs(
     comparability; the oracle recomputes planes, buckets AND cosines from
     scratch in DuckDB."""
 
-    bucketed = embeddings.map_batches(
-        BandedLshStage,
-        fn_constructor_kwargs={"dim": dim, "bands": bands, "planes_per_band": planes_per_band},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    # task-based map with a per-worker stage cache (the deterministic
+    # plane matrix is microseconds to build — actor spin-up costs more)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        key = (dim, bands, planes_per_band)
+        st = _LSH_STAGES.get(key)
+        if st is None:
+            st = _LSH_STAGES[key] = BandedLshStage(dim, bands, planes_per_band)
+        return st(batch)
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("vec_id").combine_chunks().to_numpy())[:max_bucket]
@@ -401,117 +410,64 @@ def embed_neardup_pairs(
         .materialize()
     )
 
-    # --- exact cosine verify: pair↔vector reduce-side join ---------------
-    leg_schema = pa.schema(
-        [
-            ("key", pa.int64()),
-            ("role", pa.string()),
-            ("vec_a", pa.int64()),
-            ("vec_b", pa.int64()),
-            ("vec", pa.list_(pa.float64())),
-        ]
+    # --- exact cosine verify: hash-partitioned pair↔vector join ----------
+    # (functions/joins.py pair_payload_join — exchanges keyed by a tiny int
+    # partition column rather than per-vec-id sort keys)
+
+    # candidate id set built on the driver from the materialized pairs —
+    # the broadcast that follows bounds driver memory anyway, so a
+    # distributed distinct would only add a shuffle barrier
+    ids_acc: list[np.ndarray] = []
+    for b in distinct.iter_batches(batch_format="pyarrow"):
+        ids_acc.append(b.column("vec_a").combine_chunks().to_numpy())
+        ids_acc.append(b.column("vec_b").combine_chunks().to_numpy())
+    id_ref = ray.put(
+        np.unique(np.concatenate(ids_acc)) if ids_acc else np.array([], dtype=np.int64)
     )
-    out_schema = pa.schema(
-        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_micro", pa.int64())]
-    )
+    vec_type = pa.list_(pa.float64())
 
-    def _repeat_list(vec: np.ndarray, n: int) -> pa.ListArray:
-        flat = pa.array(np.tile(vec, n), pa.float64())
-        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * len(vec), pa.int32())
-        return pa.ListArray.from_arrays(offsets, flat)
-
-    def pair_ids(batch: pa.Table) -> pa.Table:
-        ids = np.unique(
-            np.concatenate(
-                [
-                    batch.column("vec_a").combine_chunks().to_numpy(),
-                    batch.column("vec_b").combine_chunks().to_numpy(),
-                ]
-            )
-        )
-        return pa.Table.from_pydict({"vec_id": pa.array(ids.astype(np.int64), pa.int64())})
-
-    id_rows = (
-        distinct.map_batches(pair_ids, batch_format="pyarrow").groupby("vec_id").count().take_all()
-    )
-    id_ref = ray.put(np.sort(np.asarray([r["vec_id"] for r in id_rows], dtype=np.int64)))
-
-    class VecLeg:
-        def __init__(self) -> None:
-            self.keep = ray.get(id_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").combine_chunks().to_numpy()
-            mask = np.isin(ids, self.keep)
-            kept = ids[mask]
-            n = len(kept)
-            if n == 0:
-                return leg_schema.empty_table()
-            m = _normalize(_matrix(batch, "embedding"))[mask]
-            flat = pa.array(m.reshape(-1), pa.float64())
-            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * m.shape[1], pa.int32())
-            return pa.Table.from_arrays(
-                [
-                    pa.array(kept.astype(np.int64), pa.int64()),
-                    pa.array(["V"] * n),
-                    pa.nulls(n, pa.int64()),
-                    pa.nulls(n, pa.int64()),
-                    pa.ListArray.from_arrays(offsets, flat),
-                ],
-                schema=leg_schema,
-            )
-
-    def pair_leg(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        a = batch.column("vec_a").combine_chunks().cast(pa.int64())
-        b = batch.column("vec_b").combine_chunks().cast(pa.int64())
+    # plain-task map: no per-worker state beyond the broadcast id array
+    def vec_payload(batch: pa.Table) -> pa.Table:
+        keep = ray.get(id_ref)
+        ids = batch.column("vec_id").combine_chunks().to_numpy()
+        mask = np.isin(ids, keep)
+        kept = ids[mask]
+        n = len(kept)
+        if n == 0:
+            return pa.schema([("id", pa.int64()), ("payload", vec_type)]).empty_table()
+        m = _normalize(_matrix(batch, "embedding"))[mask]
+        flat = pa.array(m.reshape(-1), pa.float64())
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * m.shape[1], pa.int32())
         return pa.Table.from_arrays(
-            [a, pa.array(["P"] * n), a, b, pa.nulls(n, pa.list_(pa.float64()))],
-            schema=leg_schema,
+            [pa.array(kept.astype(np.int64), pa.int64()), pa.ListArray.from_arrays(offsets, flat)],
+            names=["id", "payload"],
         )
 
-    def attach_a(group: pa.Table) -> pa.Table:
-        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
-        vidx = np.flatnonzero(roles == "V")
-        pmask = roles == "P"
-        n = int(pmask.sum())
-        if len(vidx) == 0 or n == 0:
-            return leg_schema.empty_table()
-        vec_a = np.asarray(group.column("vec")[int(vidx[0])].as_py(), dtype=np.float64)
-        pt = group.filter(pa.array(pmask))
-        b = pt.column("vec_b").combine_chunks()
-        return pa.Table.from_arrays(
-            [
-                b,
-                pa.array(["P"] * n),
-                pt.column("vec_a").combine_chunks(),
-                b,
-                _repeat_list(vec_a, n),
-            ],
-            schema=leg_schema,
-        )
+    payloads = embeddings.map_batches(vec_payload, batch_format="pyarrow")
+    pairs_ab = distinct.map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+    )
+    joined = pair_payload_join(
+        pairs_ab, payloads, pa.int64(), vec_type, derive_n_parts(distinct.count())
+    )
 
-    def finish_b(group: pa.Table) -> pa.Table:
-        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
-        vidx = np.flatnonzero(roles == "V")
-        pmask = roles == "P"
-        if len(vidx) == 0 or not pmask.any():
-            return out_schema.empty_table()
-        vb = np.asarray(group.column("vec")[int(vidx[0])].as_py(), dtype=np.float64)
-        pt = group.filter(pa.array(pmask))
-        cos = _matrix(pt, "vec") @ vb
+    def cosine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_micro", pa.int64())]
+            ).empty_table()
+        va = _matrix(batch, "payload_a")
+        vb = _matrix(batch, "payload_b")
+        cos = np.einsum("ij,ij->i", va, vb)
         keep = cos >= threshold
         micro = np.floor(cos[keep] * 1_000_000 + 0.5).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pt.column("vec_a").combine_chunks().filter(pa.array(keep)),
-                pt.column("vec_b").combine_chunks().filter(pa.array(keep)),
+                batch.column("a").combine_chunks().filter(pa.array(keep)),
+                batch.column("b").combine_chunks().filter(pa.array(keep)),
                 pa.array(micro, pa.int64()),
             ],
-            schema=out_schema,
+            names=["vec_a", "vec_b", "cos_micro"],
         )
 
-    leg_v = embeddings.map_batches(VecLeg, batch_format="pyarrow", concurrency=(1, 8))
-    leg_p = distinct.map_batches(pair_leg, batch_format="pyarrow")
-    joined_a = leg_v.union(leg_p).groupby("key").map_groups(attach_a, batch_format="pyarrow")
-    return leg_v.union(joined_a).groupby("key").map_groups(finish_b, batch_format="pyarrow")
+    return joined.map_batches(cosine, batch_format="pyarrow")

@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from .joins import derive_n_parts, pair_payload_join
+
 
 def _md5_u64(token: str) -> int:
     """First 8 bytes of md5 as uint64 — bit-identical to DuckDB's
@@ -87,9 +89,12 @@ def exact_dedup(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     )
 
 
+_MINHASH_STAGES: dict = {}
+
+
 class MinHashStage:
-    """Actor-pool stage: doc → LSH band rows. Permutation keys are built
-    once per actor in ``__init__`` (pure function of num_perm →
+    """doc → LSH band rows. Permutation keys are built once per
+    worker in ``__init__`` (pure function of num_perm →
     deterministic signatures everywhere)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3) -> None:
@@ -155,12 +160,17 @@ def minhash_candidate_pairs(
                 b_col.append(ids[j])
         return pa.Table.from_pydict({"doc_a": pa.array(a_col), "doc_b": pa.array(b_col)})
 
-    bands_ds = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    # task-based map with a per-worker-process stage cache — the stage's
+    # only state (xor permutation keys) is microseconds to build, so an
+    # actor pool would pay spin-up latency for nothing
+    def sign(batch: pa.Table) -> pa.Table:
+        key = (num_perm, bands, shingle_n)
+        st = _MINHASH_STAGES.get(key)
+        if st is None:
+            st = _MINHASH_STAGES[key] = MinHashStage(num_perm, bands, shingle_n)
+        return st(batch)
+
+    bands_ds = docs.map_batches(sign, batch_format="pyarrow")
     cand = bands_ds.groupby(["band", "bucket"]).map_groups(pairs_of, batch_format="pyarrow")
     # distinct pairs across bands: aggregate + project (vectorized)
     distinct = cand.groupby(["doc_a", "doc_b"]).aggregate(
@@ -174,23 +184,23 @@ def _shingle_rows(docs: ray.data.Dataset, id_filter_ref, shingle_n: int) -> ray.
     broadcast candidate set (ids only — a few bytes per candidate pair;
     the TEXTS never leave their partitions)."""
 
-    class Shingler:
-        def __init__(self) -> None:
-            self.keep = ray.get(id_filter_ref)
+    # plain-task map (no actor pool to spin up — there is no per-worker
+    # state beyond the broadcast id set, and ray.get of a local object is
+    # ~free per task)
+    def shingler(batch: pa.Table) -> pa.Table:
+        keep = ray.get(id_filter_ref)
+        ids, shs = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id in keep:
+                ids.append(doc_id)
+                shs.append(sorted(shingle_set(text, shingle_n)))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids), "sh": pa.array(shs, pa.list_(pa.string()))}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, shs = [], []
-            for doc_id, text in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            ):
-                if doc_id in self.keep:
-                    ids.append(doc_id)
-                    shs.append(sorted(shingle_set(text, shingle_n)))
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array(ids), "sh": pa.array(shs, pa.list_(pa.string()))}
-            )
-
-    return docs.map_batches(Shingler, batch_format="pyarrow", concurrency=(1, 8))
+    return docs.map_batches(shingler, batch_format="pyarrow")
 
 
 def verify_jaccard(
@@ -208,9 +218,12 @@ def verify_jaccard(
 
       1. semi-join prune: the candidate doc-id SET (ids only, bounded by
          2×|pairs|) is broadcast; only those docs get shingled;
-      2. shuffle #1 on ``doc_a``: each group holds one shingles row + that
-         doc's pairs → pairs leave with ``sh_a`` attached;
-      3. shuffle #2 on ``doc_b``: same, computing the exact Jaccard.
+      2. :func:`functions.joins.pair_payload_join` — two hash-partitioned
+         exchanges keyed by ``blake2b(id) % n_parts`` (``n_parts`` derived
+         from the pair count) stamping both docs' shingle sets onto each
+         pair; exchanging on a tiny int key instead of per-doc string keys
+         removed ~8 s of sort overhead per query at sf0.1;
+      3. a vectorless but batch-amortized map computes the exact Jaccard.
 
     Output: (doc_a, doc_b, jaccard_micro) for pairs ≥ threshold, with the
     similarity in integer micro-units (exact SQL-oracle comparability).
@@ -231,114 +244,50 @@ def verify_jaccard(
         return ray.data.from_arrow(empty)
     id_type = sch.types[sch.names.index("doc_a")]
 
-    # 1. candidate id set — distinct ids via a distributed aggregate, then
-    # a driver take of IDS ONLY (small side of the semi-join)
-    def pair_ids(batch: pa.Table) -> pa.Table:
-        ids = set(batch.column("doc_a").to_pylist()) | set(batch.column("doc_b").to_pylist())
-        return pa.Table.from_pydict({"doc_id": pa.array(sorted(ids))})
-
-    id_rows = (
-        pairs.map_batches(pair_ids, batch_format="pyarrow").groupby("doc_id").count().take_all()
-    )
-    id_ref = ray.put({r["doc_id"] for r in id_rows})
+    # 1. candidate id set — built on the driver from the MATERIALIZED pair
+    # blocks (ids only; driver memory is already bounded by the broadcast
+    # that follows, so an extra distributed distinct would only add a
+    # shuffle barrier for the same O(|pairs|) footprint)
+    id_set: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        id_set.update(b.column("doc_a").to_pylist())
+        id_set.update(b.column("doc_b").to_pylist())
+    id_ref = ray.put(id_set)
 
     shingles = _shingle_rows(docs, id_ref, shingle_n)
     sh_type = pa.list_(pa.string())
-    join_schema = pa.schema(
-        [("key", id_type), ("role", pa.string()), ("doc_a", id_type), ("doc_b", id_type), ("sh", sh_type)]
+    n_parts = derive_n_parts(pairs.count())
+
+    payloads = shingles.map_batches(
+        lambda t: t.rename_columns(["id", "payload"]), batch_format="pyarrow"
     )
+    pairs_ab = pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]).rename_columns(["a", "b"]),
+        batch_format="pyarrow",
+    )
+    joined = pair_payload_join(pairs_ab, payloads, id_type, sh_type, n_parts)
 
-    def sh_leg(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+    def jacc(batch: pa.Table) -> pa.Table:
+        a_out, b_out, sims = [], [], []
+        for a, b, sa, sb in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("payload_a").to_pylist(),
+            batch.column("payload_b").to_pylist(),
+        ):
+            s1, s2 = set(sa), set(sb)
+            union = len(s1 | s2)
+            sim = (len(s1 & s2) / union) if union else 0.0
+            if sim >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                sims.append(_jaccard_micro(len(s1 & s2), union))
         return pa.Table.from_arrays(
-            [
-                batch.column("doc_id").combine_chunks().cast(id_type),
-                pa.array(["S"] * n),
-                pa.nulls(n, id_type),
-                pa.nulls(n, id_type),
-                batch.column("sh").combine_chunks().cast(sh_type),
-            ],
-            schema=join_schema,
-        )
-
-    def pair_leg(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [
-                batch.column("doc_a").combine_chunks().cast(id_type),
-                pa.array(["P"] * n),
-                batch.column("doc_a").combine_chunks().cast(id_type),
-                batch.column("doc_b").combine_chunks().cast(id_type),
-                pa.nulls(n, sh_type),
-            ],
-            schema=join_schema,
-        )
-
-    def attach_a(group: pa.Table) -> pa.Table:
-        """Join #1 reducer: stamp the key doc's shingles onto its pairs,
-        re-keyed by doc_b for join #2."""
-        roles = group.column("role").to_pylist()
-        sh_a: list | None = None
-        for i, r in enumerate(roles):
-            if r == "S":
-                sh_a = group.column("sh")[i].as_py()
-                break
-        keys, a_col, b_col, shs = [], [], [], []
-        if sh_a is not None:
-            for i, r in enumerate(roles):
-                if r == "P":
-                    keys.append(group.column("doc_b")[i].as_py())
-                    a_col.append(group.column("doc_a")[i].as_py())
-                    b_col.append(group.column("doc_b")[i].as_py())
-                    shs.append(sh_a)
-        return pa.Table.from_arrays(
-            [
-                pa.array(keys, id_type),
-                pa.array(["P"] * len(keys)),
-                pa.array(a_col, id_type),
-                pa.array(b_col, id_type),
-                pa.array(shs, sh_type),
-            ],
-            schema=join_schema,
-        )
-
-    def finish_b(group: pa.Table) -> pa.Table:
-        """Join #2 reducer: exact Jaccard(sh_a, sh_b) per pair."""
-        roles = group.column("role").to_pylist()
-        sh_b: set | None = None
-        for i, r in enumerate(roles):
-            if r == "S":
-                sh_b = set(group.column("sh")[i].as_py())
-                break
-        keep_a, keep_b, sims = [], [], []
-        if sh_b is not None:
-            for i, r in enumerate(roles):
-                if r != "P":
-                    continue
-                sa = set(group.column("sh")[i].as_py())
-                union = len(sa | sh_b)
-                sim = (len(sa & sh_b) / union) if union else 0.0
-                if sim >= threshold:
-                    keep_a.append(group.column("doc_a")[i].as_py())
-                    keep_b.append(group.column("doc_b")[i].as_py())
-                    sims.append(_jaccard_micro(len(sa & sh_b), union))
-        return pa.Table.from_arrays(
-            [
-                pa.array(keep_a, id_type),
-                pa.array(keep_b, id_type),
-                pa.array(sims, pa.int64()),
-            ],
+            [pa.array(a_out, id_type), pa.array(b_out, id_type), pa.array(sims, pa.int64())],
             names=["doc_a", "doc_b", "jaccard_micro"],
         )
 
-    leg_s = shingles.map_batches(sh_leg, batch_format="pyarrow")
-    leg_p = pairs.map_batches(pair_leg, batch_format="pyarrow")
-    joined_a = leg_s.union(leg_p).groupby("key").map_groups(attach_a, batch_format="pyarrow")
-    return (
-        leg_s.union(joined_a)
-        .groupby("key")
-        .map_groups(finish_b, batch_format="pyarrow")
-    )
+    return joined.map_batches(jacc, batch_format="pyarrow")
 
 
 def simhash64(text: str) -> int:

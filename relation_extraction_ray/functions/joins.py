@@ -1,0 +1,199 @@
+"""Hash-partitioned reduce-side joins.
+
+Ray Data's ``groupby(key).map_groups`` is sort-based: an all-to-all exchange
+that compares full key values and then applies the UDF once per distinct
+key.  For the near-dup *verify* joins (candidate pairs ↔ per-doc payloads)
+that is the wrong cost model twice over — the keys are high-cardinality
+strings/ids, and each group holds a handful of rows, so both the sort and
+the per-group Python dispatch dominate (measured ~8-10 s of a 14 s query at
+sf0.1 with sub-millisecond useful compute).
+
+This module keys the exchange by a SMALL derived integer partition column
+(``blake2b(id) % n_parts``) instead — the same trick the KG canonicalize /
+adjacency groupbys use (pipelines/kg.py:596,666, measured 5-10× faster than
+multi-string-key sort groupbys).  The sort now compares tiny ints with
+``n_parts`` distinct values, and each ``map_groups`` call receives a whole
+partition to hash-join in one vectorizable pass.  ``n_parts`` is derived
+from the pair count, so partitions stay bounded at 100-TB scale while the
+sandbox pays near-zero exchange overhead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def part_of(val, n_parts: int) -> int:
+    """Deterministic partition of any id value (stable across processes —
+    NEVER Python ``hash``, which is salted for strings)."""
+    if isinstance(val, bytes):
+        raw = val
+    else:
+        raw = str(val).encode()
+    return int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(), "big") % n_parts
+
+
+def _part_array(col: pa.ChunkedArray, n_parts: int) -> pa.Array:
+    return pa.array([part_of(v, n_parts) for v in col.to_pylist()], pa.int32())
+
+
+def derive_n_parts(n_rows: int, rows_per_part: int = 4096, cap: int = 256) -> int:
+    """Partition count from data size: 1 at sandbox scale (no exchange
+    fan-out at all), growing to ``cap`` as the pair set grows."""
+    return max(1, min(cap, -(-n_rows // rows_per_part)))
+
+
+def pair_payload_join(
+    pairs: ray.data.Dataset,
+    payloads: ray.data.Dataset,
+    id_type: pa.DataType,
+    payload_type: pa.DataType,
+    n_parts: int,
+) -> ray.data.Dataset:
+    """``pairs(a, b)`` ⋈ ``payloads(id, payload)`` →
+    ``(a, b, payload_a, payload_b)`` in two hash-partitioned exchanges.
+
+    Pass 1 partitions pairs by ``part(a)`` alongside the payloads by
+    ``part(id)`` and stamps ``payload_a``; pass 2 re-partitions by
+    ``part(b)`` and stamps ``payload_b``.  Pairs whose ids have no payload
+    row are dropped (inner join).  Payload rows are assumed semi-join
+    pruned by the caller, so each exchange moves O(|pairs|) rows.
+    """
+    mid_schema = pa.schema(
+        [
+            ("part", pa.int32()),
+            ("role", pa.string()),
+            ("id", id_type),
+            ("a", id_type),
+            ("b", id_type),
+            ("payload", payload_type),
+            ("payload_a", payload_type),
+        ]
+    )
+    out_schema = pa.schema(
+        [("a", id_type), ("b", id_type), ("payload_a", payload_type), ("payload_b", payload_type)]
+    )
+
+    def payload_leg(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("id").combine_chunks().cast(id_type)
+        return pa.Table.from_arrays(
+            [
+                _part_array(batch.column("id"), n_parts),
+                pa.array(["S"] * n),
+                ids,
+                pa.nulls(n, id_type),
+                pa.nulls(n, id_type),
+                batch.column("payload").combine_chunks().cast(payload_type),
+                pa.nulls(n, payload_type),
+            ],
+            schema=mid_schema,
+        )
+
+    def pair_leg(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        a = batch.column("a").combine_chunks().cast(id_type)
+        return pa.Table.from_arrays(
+            [
+                _part_array(batch.column("a"), n_parts),
+                pa.array(["P"] * n),
+                pa.nulls(n, id_type),
+                a,
+                batch.column("b").combine_chunks().cast(id_type),
+                pa.nulls(n, payload_type),
+                pa.nulls(n, payload_type),
+            ],
+            schema=mid_schema,
+        )
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
+        smask, pmask = roles == "S", roles == "P"
+        if not smask.any() or not pmask.any():
+            return mid_schema.empty_table()
+        st = group.filter(pa.array(smask))
+        lut = dict(zip(st.column("id").to_pylist(), st.column("payload").to_pylist()))
+        pt = group.filter(pa.array(pmask))
+        a_vals = pt.column("a").to_pylist()
+        b_vals = pt.column("b").to_pylist()
+        keep = [i for i, av in enumerate(a_vals) if av in lut]
+        n = len(keep)
+        return pa.Table.from_arrays(
+            [
+                pa.array([part_of(b_vals[i], n_parts) for i in keep], pa.int32()),
+                pa.array(["P"] * n),
+                pa.nulls(n, id_type),
+                pa.array([a_vals[i] for i in keep], id_type),
+                pa.array([b_vals[i] for i in keep], id_type),
+                pa.nulls(n, payload_type),
+                pa.array([lut[a_vals[i]] for i in keep], payload_type),
+            ],
+            schema=mid_schema,
+        )
+
+    def finish_b(group: pa.Table) -> pa.Table:
+        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
+        smask, pmask = roles == "S", roles == "P"
+        if not smask.any() or not pmask.any():
+            return out_schema.empty_table()
+        st = group.filter(pa.array(smask))
+        lut = dict(zip(st.column("id").to_pylist(), st.column("payload").to_pylist()))
+        pt = group.filter(pa.array(pmask))
+        b_vals = pt.column("b").to_pylist()
+        keep = [i for i, bv in enumerate(b_vals) if bv in lut]
+        return pa.Table.from_arrays(
+            [
+                pa.array([pt.column("a")[i].as_py() for i in keep], id_type),
+                pa.array([b_vals[i] for i in keep], id_type),
+                pa.array([pt.column("payload_a")[i].as_py() for i in keep], payload_type),
+                pa.array([lut[b_vals[i]] for i in keep], payload_type),
+            ],
+            schema=out_schema,
+        )
+
+    leg_s = payloads.map_batches(payload_leg, batch_format="pyarrow")
+    leg_p = pairs.map_batches(pair_leg, batch_format="pyarrow")
+    # num_partitions bounds the exchange fan-out to the derived partition
+    # count — without it the sort emits one reduce task per input block,
+    # and task scheduling (not data) dominates on small sides
+    mid = (
+        leg_s.union(leg_p)
+        .groupby("part", num_partitions=n_parts)
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+    return (
+        leg_s.union(mid)
+        .groupby("part", num_partitions=n_parts)
+        .map_groups(finish_b, batch_format="pyarrow")
+    )
+
+
+def hash_partitioned_groups(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    per_partition: "callable",
+    n_parts: int,
+    batch_format: str = "pyarrow",
+) -> ray.data.Dataset:
+    """Group-by replacement for high-cardinality keys: exchange on
+    ``blake2b(key) % n_parts`` only, then hand each whole partition to
+    ``per_partition`` (which must itself bucket by the logical key — a
+    plain dict pass — and may emit any schema).  Turns ``n_distinct``
+    sort groups into ``n_parts``."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = zip(*(batch.column(c).to_pylist() for c in key_cols))
+        parts = pa.array(
+            [part_of("|".join(map(str, k)), n_parts) for k in keys], pa.int32()
+        )
+        return batch.append_column("part", parts)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format=batch_format)
+    )
