@@ -142,3 +142,28 @@ def test_real_test_classified_and_officially_scored(ray_session):
     # it must simply run end-to-end and produce a valid score
     assert 0.0 <= scores["official_f1"] <= 100.0
     assert scores["coverage"] == 100.0
+
+
+def test_real_test_dual_model_officially_scored(ray_session):
+    """The trained DUAL-direction fixture (T3 "single" mode) classifies the
+    real test split distributed and must beat the unidirectional fixture's
+    recorded floor — the average-single ensemble is only worth shipping if
+    it actually helps (BASELINE.md records 53.97 vs 52.85)."""
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval_semeval import official_scores_from_pairs
+    from relation_extraction_ray.pipelines.fit import dual_model_classify
+    from relation_extraction_ray.sources.semeval import parsed_records, read_semeval_records
+    from relation_extraction_ray.state.scorer import fixture_path, load_dual
+
+    cfg = KGConfig(min_count=2)
+    params, vocab_lists = load_dual(fixture_path("semeval_single"))
+    parsed = parsed_records(read_semeval_records(TEST))
+    preds = dual_model_classify(parsed, params, vocab_lists, cfg).take_all()
+    assert len(preds) == 2717
+    key = read_key_file(f"{D}/test_keys.txt")
+    pairs: dict[tuple[str, str], int] = {}
+    for r in preds:
+        k = (r["pred"], key[r["sent_id"]])
+        pairs[k] = pairs.get(k, 0) + 1
+    scores = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    assert scores["official_f1"] > 50.0, scores

@@ -112,6 +112,44 @@ def main() -> None:
         f"(P {scores['macro_p']:.2f}% R {scores['macro_r']:.2f}%), "
         f"micro-F1 {scores['micro_f1']:.2f}%, acc {scores['accuracy']:.2f}%, n={len(preds)}"
     )
+
+    # --- real SemEval DUAL (single-mode) fixture ---------------------------
+    # T3: two direction GRUs over shared embeddings, trained on the M15
+    # reversed-duplicate examples, predicted with the average-single
+    # ensemble (relembed_single.py / RelEmbed Average Single.ipynb).
+    from relation_extraction_ray.pipelines.fit import (
+        build_record_vocabs as _bv,  # noqa: F401  (already imported)
+        dual_model_classify,
+        encode_single_examples,
+        fit_dual_classifier,
+    )
+    from relation_extraction_ray.state.scorer import save_dual
+
+    t0 = time.time()
+    train_parsed = train_parsed.materialize()
+    vocabs = build_record_vocabs(train_parsed, cfg_real)
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    singles = encode_single_examples(train_parsed, vocabs, cfg_real).materialize()
+    params, losses = fit_dual_classifier(
+        singles, (len(wv), len(dv), len(pv)), epochs=args.epochs, batch_size=256, lr=args.lr
+    )
+    dual_path = os.path.join(FIXTURE_DIR, "semeval_single.npz")
+    save_dual(params, dual_path, (wv, dv, pv))
+    print(
+        f"[semeval_single] {singles.count()} dual examples, "
+        f"loss {losses[0]:.3f} -> {losses[-1]:.3f}, {time.time()-t0:.0f}s -> {dual_path}"
+    )
+    dpreds = dual_model_classify(test_parsed, params, (wv, dv, pv), cfg_real).take_all()
+    dpairs: dict[tuple[str, str], int] = {}
+    for r in dpreds:
+        k = (r["pred"], key[r["sent_id"]])
+        dpairs[k] = dpairs.get(k, 0) + 1
+    ds_ = official_scores_from_pairs([(p, a, n) for (p, a), n in dpairs.items()])
+    print(
+        f"[semeval_single] OFFICIAL test scores: macro-F1 {ds_['official_f1']:.2f}% "
+        f"(P {ds_['macro_p']:.2f}% R {ds_['macro_r']:.2f}%), "
+        f"micro-F1 {ds_['micro_f1']:.2f}%, acc {ds_['accuracy']:.2f}%, n={len(dpreds)}"
+    )
     ray.shutdown()
 
 
