@@ -43,8 +43,10 @@ from ..state.scorer import (
     DUAL_FIELDS,
     ScorerWeights,
     WEIGHT_FIELDS,
+    dual_fields_of,
     dual_fixture,
     dual_view,
+    fields_of,
     grad_batch,
     grad_batch_dual,
     pad_paths,
@@ -59,6 +61,11 @@ EXAMPLE_SCHEMA = pa.schema(
         ("word_ids", pa.list_(pa.int32())),
         ("dep_ids", pa.list_(pa.int32())),
         ("pos_ids", pa.list_(pa.int32())),
+        # word-vocab ids of the two entity nominals (the reference's
+        # ``target = (X.text.lower(), Y.text.lower())``, fed to the scorer
+        # as left/right target embeddings — relembed.py:144-170)
+        ("x_id", pa.int32()),
+        ("y_id", pa.int32()),
         ("label_id", pa.int32()),
         ("label", pa.string()),
     ]
@@ -73,9 +80,10 @@ def _ws_offsets(text: str) -> list[int]:
     return offs
 
 
-def record_path(text: str, e1_ws: int, e2_ws: int, cfg: KGConfig):
-    """Parsed record → (word, dep, pos) path or None (shared featurization
-    for the lexicon classifier, the vocab pass and the encoder)."""
+def record_features(text: str, e1_ws: int, e2_ws: int, cfg: KGConfig):
+    """Parsed record → ((word, dep, pos) path, x_surface, y_surface) or
+    None.  The surfaces are the lowercased entity tokens — the reference's
+    ``target = (X.text.lower(), Y.text.lower())`` (``wiki2sdp.py:184``)."""
     sent = parse_sentence(text)
     ws_offs = _ws_offsets(text)
     idx_of = {off: i for i, off in enumerate(sent.idx)}
@@ -92,7 +100,14 @@ def record_path(text: str, e1_ws: int, e2_ws: int, cfg: KGConfig):
     path = post_process_path(sdp)
     if len(path) < cfg.min_len or len(path) > cfg.max_len:
         return None
-    return path
+    return path, sent.tokens[e1].lower(), sent.tokens[e2].lower()
+
+
+def record_path(text: str, e1_ws: int, e2_ws: int, cfg: KGConfig):
+    """Parsed record → (word, dep, pos) path or None (shared featurization
+    for the lexicon classifier, the vocab pass and the encoder)."""
+    feats = record_features(text, e1_ws, e2_ws, cfg)
+    return None if feats is None else feats[0]
 
 
 class RecordCountStage:
@@ -157,13 +172,16 @@ class EncodeExamplesStage:
             batch.column("e2_idx").to_pylist(),
             batch.column("label").to_pylist(),
         ):
-            path = record_path(text, e1, e2, self.cfg)
-            if path is None:
+            feats = record_features(text, e1, e2, self.cfg)
+            if feats is None:
                 continue
+            path, x_tok, y_tok = feats
             out["sent_id"].append(sid)
             out["word_ids"].append([vocab2idx(t[0], self.word_v) for t in path])
             out["dep_ids"].append([vocab2idx(t[1], self.dep_v) for t in path])
             out["pos_ids"].append([vocab2idx(t[2], self.pos_v) for t in path])
+            out["x_id"].append(vocab2idx(x_tok, self.word_v))
+            out["y_id"].append(vocab2idx(y_tok, self.word_v))
             out["label_id"].append(LABEL2INT[label])
             out["label"].append(label)
         return pa.Table.from_pydict(out, schema=EXAMPLE_SCHEMA)
@@ -186,7 +204,8 @@ def _examples_to_arrays(examples: ray.data.Dataset):
     d = [r["dep_ids"] for r in rows]
     p = [r["pos_ids"] for r in rows]
     labels = np.array([r["label_id"] for r in rows], dtype=np.int64)
-    return w, d, p, labels
+    targets = np.array([[r["x_id"], r["y_id"]] for r in rows], dtype=np.int32).reshape(-1, 2)
+    return w, d, p, labels, targets
 
 
 def distributed_grad(examples: ray.data.Dataset, wts: ScorerWeights) -> tuple[float, dict]:
@@ -215,8 +234,17 @@ def distributed_grad(examples: ray.data.Dataset, wts: ScorerWeights) -> tuple[fl
                 batch.column("pos_ids").to_pylist(),
             )
             labels = np.asarray(batch.column("label_id").to_pylist(), dtype=np.int64)
-            loss, g = grad_batch(self.wts, w, d, p, lengths, labels)
-            flat = np.concatenate([g[f].ravel() for f in WEIGHT_FIELDS])
+            targets = None
+            if self.wts.t_emb is not None:
+                targets = np.stack(
+                    [
+                        np.asarray(batch.column("x_id").to_pylist(), dtype=np.int32),
+                        np.asarray(batch.column("y_id").to_pylist(), dtype=np.int32),
+                    ],
+                    axis=1,
+                )
+            loss, g = grad_batch(self.wts, w, d, p, lengths, labels, targets=targets)
+            flat = np.concatenate([g[f].ravel() for f in fields_of(self.wts)])
             return pa.Table.from_pydict(
                 {
                     "key": pa.array([int(min(batch.column("sent_id").to_pylist()))], pa.int64()),
@@ -230,7 +258,8 @@ def distributed_grad(examples: ray.data.Dataset, wts: ScorerWeights) -> tuple[fl
         examples.map_batches(Grad, batch_format="pyarrow", concurrency=(1, 8)).take_all(),
         key=lambda r: r["key"],
     )
-    shapes = [getattr(wts, f).shape for f in WEIGHT_FIELDS]
+    fields = fields_of(wts)
+    shapes = [getattr(wts, f).shape for f in fields]
     sizes = [int(np.prod(s)) for s in shapes]
     total = np.zeros(sum(sizes))
     n_total = 0
@@ -242,7 +271,7 @@ def distributed_grad(examples: ray.data.Dataset, wts: ScorerWeights) -> tuple[fl
     total /= max(1, n_total)
     grads = {}
     off = 0
-    for f, s, sz in zip(WEIGHT_FIELDS, shapes, sizes):
+    for f, s, sz in zip(fields, shapes, sizes):
         grads[f] = total[off : off + sz].reshape(s)
         off += sz
     return loss_sum / max(1, n_total), grads
@@ -257,20 +286,27 @@ def fit_classifier(
     seed: int = 7,
     log_every: int = 0,
     n_out: int = len(LABELS),
+    use_targets: bool = True,
 ) -> tuple[ScorerWeights, list[float]]:
     """Mini-batch Adam over the encoded examples (driver-side — the encoded
     set is the SMALL output of the distributed parse/encode passes; the
     reference's fit loop is likewise single-process, ``relembed.py:627``).
     Deterministic: fixed init, fixed example order (sent_id), seeded
     per-epoch permutation.  ``n_out`` sizes the softmax head — the clustered
-    variant (T4) passes ``num_clusters**2``."""
+    variant (T4) passes ``num_clusters**2``.
+
+    ``use_targets`` (default) adds the entity-nominal embedding features
+    (reference target embeddings); the clustered variant turns it off —
+    its LABEL is a function of the targets, so feeding them as inputs
+    would let the head bypass the path entirely."""
     vw, vd, vp = vocab_sizes
-    wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out)
-    w_all, d_all, p_all, labels = _examples_to_arrays(examples)
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0)
+    fields = fields_of(wts)
+    w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
     n = len(labels)
     rng = np.random.default_rng(seed)
-    m = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in WEIGHT_FIELDS}
-    v = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in WEIGHT_FIELDS}
+    m = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
+    v = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
     b1, b2, eps = 0.9, 0.999, 1e-8
     step = 0
     losses = []
@@ -282,10 +318,13 @@ def fit_classifier(
             w, d, p, lengths = pad_paths(
                 [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
             )
-            loss, g = grad_batch(wts, w, d, p, lengths, labels[idx])
+            loss, g = grad_batch(
+                wts, w, d, p, lengths, labels[idx],
+                targets=targets_all[idx] if use_targets else None,
+            )
             ep_loss += loss * len(idx)
             step += 1
-            for f in WEIGHT_FIELDS:
+            for f in fields:
                 m[f] = b1 * m[f] + (1 - b1) * g[f]
                 v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
                 mh = m[f] / (1 - b1**step)
@@ -337,6 +376,11 @@ def clustered_softmax_examples(
                 out["word_ids"].append(row["word_ids"])
                 out["dep_ids"].append(row["dep_ids"])
                 out["pos_ids"].append(row["pos_ids"])
+                # x_id/y_id recorded for schema uniformity but NOT used as
+                # features (fit_clustered sets use_targets=False: the label
+                # is a function of the targets)
+                out["x_id"].append(x)
+                out["y_id"].append(y)
                 out["label_id"].append(cid)
                 out["label"].append(f"c{cid // num_clusters}|c{cid % num_clusters}")
             return pa.Table.from_pydict(out, schema=EXAMPLE_SCHEMA)
@@ -366,6 +410,7 @@ def fit_clustered(
         lr=lr,
         seed=seed,
         n_out=num_clusters * num_clusters,
+        use_targets=False,
     )
 
 
@@ -400,6 +445,8 @@ class EncodeSingleExamplesStage(EncodeExamplesStage):
                 out["word_ids"].append(row["word_ids"][::-1] if rev else row["word_ids"])
                 out["dep_ids"].append(row["dep_ids"][::-1] if rev else row["dep_ids"])
                 out["pos_ids"].append(row["pos_ids"][::-1] if rev else row["pos_ids"])
+                out["x_id"].append(row["x_id"])
+                out["y_id"].append(row["y_id"])
                 lab = lookup_inverse_relation(row["label"]) if rev else row["label"]
                 out["label_id"].append(LABEL2INT[lab])
                 out["label"].append(lab)
@@ -431,19 +478,25 @@ def fit_dual_classifier(
     dual-stack analogue of :func:`fit_classifier` (reference training graph
     ``relembed_single.py:251-320``-equivalent).  Deterministic as the base
     loop: fixed init, sent_id order (forward row before its reversed dual),
-    seeded permutation."""
+    seeded permutation.  Single-mode examples carry ONE target nominal (the
+    reference reduces the target to the single other entity, M15): the
+    forward row reads ``t_emb[y]``, the reversed row ``t_emb[x]``."""
     vw, vd, vp = vocab_sizes
-    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out)
+    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1)
+    fields = dual_fields_of(params)
     rows = sorted(examples.take_all(), key=lambda r: (r["sent_id"], not r["predict_x"]))
     w_all = [r["word_ids"] for r in rows]
     d_all = [r["dep_ids"] for r in rows]
     p_all = [r["pos_ids"] for r in rows]
     labels = np.array([r["label_id"] for r in rows], dtype=np.int64)
     flags = np.array([r["predict_x"] for r in rows], dtype=bool)
+    tgt = np.array(
+        [[r["y_id"] if r["predict_x"] else r["x_id"]] for r in rows], dtype=np.int32
+    ).reshape(-1, 1)
     n = len(labels)
     rng = np.random.default_rng(seed)
-    m = {f: np.zeros_like(params[f], dtype=np.float64) for f in DUAL_FIELDS}
-    v = {f: np.zeros_like(params[f], dtype=np.float64) for f in DUAL_FIELDS}
+    m = {f: np.zeros_like(params[f], dtype=np.float64) for f in fields}
+    v = {f: np.zeros_like(params[f], dtype=np.float64) for f in fields}
     b1, b2, eps = 0.9, 0.999, 1e-8
     step = 0
     losses = []
@@ -455,10 +508,12 @@ def fit_dual_classifier(
             w, d, p, lengths = pad_paths(
                 [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
             )
-            loss, g = grad_batch_dual(params, w, d, p, lengths, labels[idx], flags[idx])
+            loss, g = grad_batch_dual(
+                params, w, d, p, lengths, labels[idx], flags[idx], targets=tgt[idx]
+            )
             ep_loss += loss * len(idx)
             step += 1
-            for f in DUAL_FIELDS:
+            for f in fields:
                 m[f] = b1 * m[f] + (1 - b1) * g[f]
                 v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
                 mh = m[f] / (1 - b1**step)
@@ -489,8 +544,8 @@ class DualModelClassifyStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sids = batch.column("sent_id").to_pylist()
         labels = batch.column("label").to_pylist()
-        paths = [
-            record_path(text, e1, e2, self.cfg)
+        feats = [
+            record_features(text, e1, e2, self.cfg)
             for text, e1, e2 in zip(
                 batch.column("text").to_pylist(),
                 batch.column("e1_idx").to_pylist(),
@@ -498,8 +553,9 @@ class DualModelClassifyStage:
             )
         ]
         preds = [OTHER] * len(sids)
-        feat_idx = [i for i, p in enumerate(paths) if p]
+        feat_idx = [i for i, f in enumerate(feats) if f]
         if feat_idx:
+            paths = {i: feats[i][0] for i in feat_idx}
             wf = [[vocab2idx(t[0], self.word_v) for t in paths[i]] for i in feat_idx]
             df = [[vocab2idx(t[1], self.dep_v) for t in paths[i]] for i in feat_idx]
             pf = [[vocab2idx(t[2], self.pos_v) for t in paths[i]] for i in feat_idx]
@@ -509,7 +565,17 @@ class DualModelClassifyStage:
             p2 = [x for row in zip(pf, [r[::-1] for r in pf]) for x in row]
             flags = np.tile(np.array([True, False]), len(feat_idx))
             w, d, p, lengths = pad_paths(w2, d2, p2)
-            _, probs = score_batch_dual(self.params, w, d, p, lengths, flags)
+            targets = None
+            if self.params.get("t_emb") is not None:
+                # forward row reads t_emb[y], reversed row t_emb[x] — the
+                # same single-other-entity reduction used in training
+                tg = []
+                for i in feat_idx:
+                    x_id = vocab2idx(feats[i][1], self.word_v)
+                    y_id = vocab2idx(feats[i][2], self.word_v)
+                    tg.extend([[y_id], [x_id]])
+                targets = np.asarray(tg, dtype=np.int32)
+            _, probs = score_batch_dual(self.params, w, d, p, lengths, flags, targets=targets)
             fwd = probs[0::2]                      # p_fwd(l)
             bwd = probs[1::2][:, INVERSE_PERM]     # p_bwd(inverse(l)) re-indexed to l
             avg = (fwd + bwd) / 2.0
@@ -553,8 +619,8 @@ class ModelClassifyStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sids = batch.column("sent_id").to_pylist()
         labels = batch.column("label").to_pylist()
-        paths = [
-            record_path(text, e1, e2, self.cfg)
+        feats = [
+            record_features(text, e1, e2, self.cfg)
             for text, e1, e2 in zip(
                 batch.column("text").to_pylist(),
                 batch.column("e1_idx").to_pylist(),
@@ -562,14 +628,24 @@ class ModelClassifyStage:
             )
         ]
         preds = [OTHER] * len(sids)
-        feat_idx = [i for i, p in enumerate(paths) if p]
+        feat_idx = [i for i, f in enumerate(feats) if f]
         if feat_idx:
+            paths = {i: feats[i][0] for i in feat_idx}
             w, d, p, lengths = pad_paths(
                 [[vocab2idx(t[0], self.word_v) for t in paths[i]] for i in feat_idx],
                 [[vocab2idx(t[1], self.dep_v) for t in paths[i]] for i in feat_idx],
                 [[vocab2idx(t[2], self.pos_v) for t in paths[i]] for i in feat_idx],
             )
-            pred_ids, _ = score_batch(self.wts, w, d, p, lengths)
+            targets = None
+            if self.wts.t_emb is not None:
+                targets = np.asarray(
+                    [
+                        [vocab2idx(feats[i][1], self.word_v), vocab2idx(feats[i][2], self.word_v)]
+                        for i in feat_idx
+                    ],
+                    dtype=np.int32,
+                )
+            pred_ids, _ = score_batch(self.wts, w, d, p, lengths, targets=targets)
             for row, pid in zip(feat_idx, pred_ids):
                 preds[row] = LABELS[int(pid)]
         return pa.Table.from_pydict(

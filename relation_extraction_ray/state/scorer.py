@@ -25,6 +25,7 @@ import numpy as np
 from ..nlp.labeler import LABELS
 
 D_WORD, D_DEP, D_POS, D_HIDDEN = 32, 8, 8, 64
+D_TARGET = 32
 N_LABELS = len(LABELS)
 
 
@@ -42,28 +43,60 @@ class ScorerWeights:
     w_h: np.ndarray
     u_h: np.ndarray
     b_h: np.ndarray
-    w_out: np.ndarray     # [D_HIDDEN, N_LABELS]
+    w_out: np.ndarray     # [D_HIDDEN + n_targets*D_TARGET, N_LABELS]
     b_out: np.ndarray
+    # Target-entity embedding table (reference: RelEmbed scores phrase
+    # embeddings AGAINST left/right target-entity embeddings,
+    # ``relembed.py:144-170`` `left_target_embeddings`/`right_...`; the
+    # classifier consumes both the path and the nominals).  None → the
+    # path-only model (round-1 fixtures, the untrained KG scorer).
+    t_emb: np.ndarray | None = None  # [Vw, D_TARGET]
+
+    @property
+    def n_targets(self) -> int:
+        if self.t_emb is None:
+            return 0
+        return (self.w_out.shape[0] - D_HIDDEN) // D_TARGET
+
+
+def fields_of(wts: ScorerWeights) -> list[str]:
+    """The weight-field names present in this bundle (adds ``t_emb`` for
+    target-aware models)."""
+    return WEIGHT_FIELDS + (["t_emb"] if wts.t_emb is not None else [])
 
 
 def weights_fixture(
-    vocab_size: int, dep_size: int, pos_size: int, seed: int = 7, n_out: int = N_LABELS
+    vocab_size: int,
+    dep_size: int,
+    pos_size: int,
+    seed: int = 7,
+    n_out: int = N_LABELS,
+    n_targets: int = 0,
 ) -> ScorerWeights:
     """Deterministic weight bundle — pure function of shapes + seed.
 
     ``n_out`` sizes the softmax head: ``N_LABELS`` for the supervised
     classifier, ``num_clusters**2`` for the clustered variant (T4,
     ``relembed_clustered.py:85,257-292`` — full softmax over Brown
-    cluster-pair ids in place of the binary NEG objective)."""
-    # n_out enters the seed only when non-default so the classifier fixture
-    # stays bit-identical to round-1 artifacts.
-    entropy = [seed, vocab_size, dep_size, pos_size] + ([n_out] if n_out != N_LABELS else [])
+    cluster-pair ids in place of the binary NEG objective).
+
+    ``n_targets`` > 0 adds a target-entity embedding table and widens the
+    softmax input to ``[h ; t_emb[t_1] ; … ; t_emb[t_n]]`` (2 for the
+    unidirectional classifier's (x, y) pair, 1 for the single-mode duals)."""
+    # n_out/n_targets enter the seed only when non-default so the untrained
+    # KG-scorer fixture stays bit-identical to round-1 artifacts.
+    entropy = (
+        [seed, vocab_size, dep_size, pos_size]
+        + ([n_out] if n_out != N_LABELS else [])
+        + ([7919, n_targets] if n_targets else [])
+    )
     rng = np.random.default_rng(np.random.SeedSequence(entropy))
 
     def mat(*shape):
         return (rng.standard_normal(shape) * 0.1).astype(np.float32)
 
     d_in = D_WORD + D_DEP + D_POS
+    d_feat = D_HIDDEN + n_targets * D_TARGET
     return ScorerWeights(
         word_emb=mat(vocab_size, D_WORD),
         dep_emb=mat(dep_size, D_DEP),
@@ -71,7 +104,8 @@ def weights_fixture(
         w_z=mat(d_in, D_HIDDEN), u_z=mat(D_HIDDEN, D_HIDDEN), b_z=np.zeros(D_HIDDEN, np.float32),
         w_r=mat(d_in, D_HIDDEN), u_r=mat(D_HIDDEN, D_HIDDEN), b_r=np.zeros(D_HIDDEN, np.float32),
         w_h=mat(d_in, D_HIDDEN), u_h=mat(D_HIDDEN, D_HIDDEN), b_h=np.zeros(D_HIDDEN, np.float32),
-        w_out=mat(D_HIDDEN, n_out), b_out=np.zeros(n_out, np.float32),
+        w_out=mat(d_feat, n_out), b_out=np.zeros(n_out, np.float32),
+        t_emb=mat(vocab_size, D_TARGET) if n_targets else None,
     )
 
 
@@ -121,7 +155,7 @@ def save_weights(wts: ScorerWeights, path: str, vocabs: tuple[list, list, list])
     word_v, dep_v, pos_v = vocabs
     np.savez_compressed(
         path,
-        **{f: getattr(wts, f) for f in WEIGHT_FIELDS},
+        **{f: getattr(wts, f) for f in fields_of(wts)},
         word_vocab=np.array(word_v, dtype=object),
         dep_vocab=np.array(dep_v, dtype=object),
         pos_vocab=np.array(pos_v, dtype=object),
@@ -130,7 +164,10 @@ def save_weights(wts: ScorerWeights, path: str, vocabs: tuple[list, list, list])
 
 def load_weights(path: str) -> tuple[ScorerWeights, tuple[list, list, list]]:
     z = np.load(path, allow_pickle=True)
-    wts = ScorerWeights(**{f: z[f] for f in WEIGHT_FIELDS})
+    wts = ScorerWeights(
+        **{f: z[f] for f in WEIGHT_FIELDS},
+        t_emb=z["t_emb"] if "t_emb" in z.files else None,
+    )
     return wts, (
         [str(t) for t in z["word_vocab"]],
         [str(t) for t in z["dep_vocab"]],
@@ -145,14 +182,21 @@ def grad_batch(
     pos_ids: np.ndarray,
     lengths: np.ndarray,
     labels: np.ndarray,
+    targets: np.ndarray | None = None,
 ) -> tuple[float, dict[str, np.ndarray]]:
     """Forward + FULL backward pass (softmax xent → GRU-through-time →
     embedding scatter): mean loss over the batch and the gradient for every
     weight, in float64.  The hand-rolled analogue of the reference's
     ``partial_class_fit`` graph (``relembed.py:627-648``); verified against
-    numerical differentiation in ``tests/test_fit.py``."""
+    numerical differentiation in ``tests/test_fit.py``.
+
+    ``targets`` ([B, n_targets] int32 word-vocab ids of the entity
+    nominals) is required iff ``wts.t_emb`` is present: the softmax then
+    reads ``[h ; t_emb[targets[:,0]] ; …]`` (reference left/right target
+    embeddings feeding the scorer, ``relembed.py:144-170``)."""
     b, t = word_ids.shape
-    W = {f: getattr(wts, f).astype(np.float64) for f in WEIGHT_FIELDS}
+    fields = fields_of(wts)
+    W = {f: getattr(wts, f).astype(np.float64) for f in fields}
     x = np.concatenate(
         [W["word_emb"][word_ids], W["dep_emb"][dep_ids], W["pos_emb"][pos_ids]], axis=-1
     )  # [B, T, Din]
@@ -168,19 +212,32 @@ def grad_batch(
         cache.append((xt, h, z, r, hc, mask))
         h = np.where(mask, h_new, h)
 
-    logits = h @ W["w_out"] + W["b_out"]
+    if wts.t_emb is not None:
+        if targets is None:
+            raise ValueError("target-aware weights need a targets array")
+        feat = np.concatenate(
+            [h] + [W["t_emb"][targets[:, j]] for j in range(targets.shape[1])], axis=1
+        )
+    else:
+        feat = h
+    logits = feat @ W["w_out"] + W["b_out"]
     logits -= logits.max(axis=1, keepdims=True)
     e = np.exp(logits)
     probs = e / e.sum(axis=1, keepdims=True)
     loss = float(-np.log(np.clip(probs[np.arange(b), labels], 1e-12, None)).mean())
 
-    g = {f: np.zeros_like(W[f]) for f in WEIGHT_FIELDS}
+    g = {f: np.zeros_like(W[f]) for f in fields}
     dlogits = probs.copy()
     dlogits[np.arange(b), labels] -= 1.0
     dlogits /= b
-    g["w_out"] = h.T @ dlogits
+    g["w_out"] = feat.T @ dlogits
     g["b_out"] = dlogits.sum(axis=0)
-    dh = dlogits @ W["w_out"].T
+    dfeat = dlogits @ W["w_out"].T
+    dh = dfeat[:, :D_HIDDEN]
+    if wts.t_emb is not None:
+        for j in range(targets.shape[1]):
+            lo = D_HIDDEN + j * D_TARGET
+            np.add.at(g["t_emb"], targets[:, j], dfeat[:, lo : lo + D_TARGET])
     dx = np.zeros_like(x)
     for step in range(t - 1, -1, -1):
         xt, h_prev, z, r, hc, mask = cache[step]
@@ -227,10 +284,12 @@ def score_batch(
     dep_ids: np.ndarray,
     pos_ids: np.ndarray,
     lengths: np.ndarray,
+    targets: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched GRU forward → (pred_label_idx [B] int32, prob [B, N] float32).
 
-    Rows with length 0 get uniform probabilities.
+    Rows with length 0 get uniform probabilities.  ``targets`` ([B,
+    n_targets] word-vocab ids) is required iff the weights carry ``t_emb``.
     """
     b, t = word_ids.shape
     x = np.concatenate(
@@ -245,6 +304,12 @@ def score_batch(
         h_new = (1.0 - z) * h + z * hc
         mask = (step < lengths)[:, None]
         h = np.where(mask, h_new, h)
+    if wts.t_emb is not None:
+        if targets is None:
+            raise ValueError("target-aware weights need a targets array")
+        h = np.concatenate(
+            [h] + [wts.t_emb[targets[:, j]] for j in range(targets.shape[1])], axis=1
+        )
     logits = h @ wts.w_out + wts.b_out
     logits -= logits.max(axis=1, keepdims=True)
     e = np.exp(logits)
@@ -268,17 +333,32 @@ GRU_FIELDS = [f for f in WEIGHT_FIELDS if f not in EMB_FIELDS]
 DUAL_FIELDS = EMB_FIELDS + [f"fwd_{f}" for f in GRU_FIELDS] + [f"bwd_{f}" for f in GRU_FIELDS]
 
 
+def dual_fields_of(params: dict[str, np.ndarray]) -> list[str]:
+    """Field names present in a dual-param dict (``t_emb`` — shared across
+    directions like the other embedding tables — when target-aware)."""
+    return DUAL_FIELDS + (["t_emb"] if "t_emb" in params else [])
+
+
 def dual_fixture(
-    vocab_size: int, dep_size: int, pos_size: int, seed: int = 7, n_out: int = N_LABELS
+    vocab_size: int,
+    dep_size: int,
+    pos_size: int,
+    seed: int = 7,
+    n_out: int = N_LABELS,
+    n_targets: int = 0,
 ) -> dict[str, np.ndarray]:
     """Deterministic dual-model params: embeddings from the forward seed,
     direction stacks from seed and seed+1 (distinct inits so the two RNNs
-    break symmetry, as the reference's independent variable scopes do)."""
-    fwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed, n_out=n_out)
-    bwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed + 1, n_out=n_out)
+    break symmetry, as the reference's independent variable scopes do).
+    ``n_targets`` adds a SHARED target table (single mode carries one
+    target — the reduced "other entity" of M15 — so pass 1)."""
+    fwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed, n_out=n_out, n_targets=n_targets)
+    bwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed + 1, n_out=n_out, n_targets=n_targets)
     params = {f: getattr(fwd, f) for f in EMB_FIELDS}
     params.update({f"fwd_{f}": getattr(fwd, f) for f in GRU_FIELDS})
     params.update({f"bwd_{f}": getattr(bwd, f) for f in GRU_FIELDS})
+    if n_targets:
+        params["t_emb"] = fwd.t_emb
     return params
 
 
@@ -286,7 +366,7 @@ def dual_view(params: dict[str, np.ndarray], direction: str) -> ScorerWeights:
     """ScorerWeights view of one direction (embeddings aliased, not copied)."""
     kw = {f: params[f] for f in EMB_FIELDS}
     kw.update({f: params[f"{direction}_{f}"] for f in GRU_FIELDS})
-    return ScorerWeights(**kw)
+    return ScorerWeights(**kw, t_emb=params.get("t_emb"))
 
 
 def score_batch_dual(
@@ -296,6 +376,7 @@ def score_batch_dual(
     pos_ids: np.ndarray,
     lengths: np.ndarray,
     predict_x: np.ndarray,
+    targets: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row direction dispatch (``relembed_single.py:225``): rows with
     ``predict_x`` True run the forward GRU, the rest the backward GRU;
@@ -312,6 +393,7 @@ def score_batch_dual(
         p_sub, pr_sub = score_batch(
             dual_view(params, direction),
             word_ids[idx], dep_ids[idx], pos_ids[idx], lengths[idx],
+            targets=None if targets is None else targets[idx],
         )
         preds[idx] = p_sub
         probs[idx] = pr_sub
@@ -326,15 +408,17 @@ def grad_batch_dual(
     lengths: np.ndarray,
     labels: np.ndarray,
     predict_x: np.ndarray,
+    targets: np.ndarray | None = None,
 ) -> tuple[float, dict[str, np.ndarray]]:
     """Mean loss + gradient over a mixed-direction batch.  Each direction's
     subset gradient is a mean over its rows; rescaling by subset size /
     batch size makes the combination the exact full-batch mean.  Shared
-    embedding gradients sum across directions (one embedding table feeds
-    both RNNs, ``relembed_single.py:117-150``)."""
+    embedding gradients (incl. ``t_emb``) sum across directions (one
+    embedding table feeds both RNNs, ``relembed_single.py:117-150``)."""
     b = len(lengths)
     flags = np.asarray(predict_x, dtype=bool)
-    grads = {f: np.zeros_like(params[f], dtype=np.float64) for f in DUAL_FIELDS}
+    shared = EMB_FIELDS + (["t_emb"] if "t_emb" in params else [])
+    grads = {f: np.zeros_like(params[f], dtype=np.float64) for f in dual_fields_of(params)}
     loss_sum = 0.0
     for direction, mask in (("fwd", flags), ("bwd", ~flags)):
         idx = np.nonzero(mask)[0]
@@ -343,10 +427,11 @@ def grad_batch_dual(
         loss, g = grad_batch(
             dual_view(params, direction),
             word_ids[idx], dep_ids[idx], pos_ids[idx], lengths[idx], labels[idx],
+            targets=None if targets is None else targets[idx],
         )
         w = idx.size / b
         loss_sum += loss * idx.size
-        for f in EMB_FIELDS:
+        for f in shared:
             grads[f] += g[f] * w
         for f in GRU_FIELDS:
             grads[f"{direction}_{f}"] += g[f] * w
@@ -366,7 +451,7 @@ def save_dual(params: dict[str, np.ndarray], path: str, vocabs: tuple[list, list
 
 def load_dual(path: str) -> tuple[dict[str, np.ndarray], tuple[list, list, list]]:
     z = np.load(path, allow_pickle=True)
-    params = {f: z[f] for f in DUAL_FIELDS}
+    params = {f: z[f] for f in DUAL_FIELDS + (["t_emb"] if "t_emb" in z.files else [])}
     return params, (
         [str(t) for t in z["word_vocab"]],
         [str(t) for t in z["dep_vocab"]],

@@ -1,6 +1,10 @@
 """Trained GRU classifier: analytic gradient vs numerical differentiation,
 distributed data-parallel gradient ≡ single-process gradient, and a real
-fit on the synthetic labeled set that must beat the untrained fixture."""
+fit on the synthetic labeled set that must beat the untrained fixture.
+
+The classifier is target-aware (reference left/right target embeddings,
+``relembed.py:144-170``): the softmax reads ``[h ; t_emb[x] ; t_emb[y]]``.
+Both modes (with and without targets) are gradient-checked."""
 
 from __future__ import annotations
 
@@ -12,6 +16,7 @@ import ray
 from relation_extraction_ray.config import KGConfig
 from relation_extraction_ray.state.scorer import (
     WEIGHT_FIELDS,
+    fields_of,
     grad_batch,
     pad_paths,
     score_batch,
@@ -19,11 +24,11 @@ from relation_extraction_ray.state.scorer import (
 )
 
 
-def _tiny_setup(seed=3):
+def _tiny_setup(seed=3, n_targets=0):
     rng = np.random.default_rng(seed)
     vw, vd, vp = 11, 5, 6
-    wts = weights_fixture(vw, vd, vp, seed=seed)
-    for f in WEIGHT_FIELDS:  # float64 for clean numerical differentiation
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_targets=n_targets)
+    for f in fields_of(wts):  # float64 for clean numerical differentiation
         setattr(wts, f, getattr(wts, f).astype(np.float64))
     b, t = 4, 5
     w = rng.integers(0, vw, (b, t)).astype(np.int32)
@@ -31,25 +36,27 @@ def _tiny_setup(seed=3):
     p = rng.integers(0, vp, (b, t)).astype(np.int32)
     lengths = np.array([5, 3, 1, 4], dtype=np.int32)
     labels = rng.integers(0, 19, b).astype(np.int64)
-    return wts, w, d, p, lengths, labels
+    targets = rng.integers(0, vw, (b, n_targets)).astype(np.int32) if n_targets else None
+    return wts, w, d, p, lengths, labels, targets
 
 
-def test_grad_matches_numerical():
-    wts, w, d, p, lengths, labels = _tiny_setup()
-    loss0, g = grad_batch(wts, w, d, p, lengths, labels)
+@pytest.mark.parametrize("n_targets", [0, 2])
+def test_grad_matches_numerical(n_targets):
+    wts, w, d, p, lengths, labels, targets = _tiny_setup(n_targets=n_targets)
+    loss0, g = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
     assert loss0 > 0
     rng = np.random.default_rng(0)
     eps = 1e-6
-    for f in WEIGHT_FIELDS:
+    for f in fields_of(wts):
         arr = getattr(wts, f)
         flat = arr.reshape(-1)
         for _ in range(3):  # spot-check 3 coordinates per weight tensor
             i = int(rng.integers(0, flat.size))
             orig = flat[i]
             flat[i] = orig + eps
-            lp, _ = grad_batch(wts, w, d, p, lengths, labels)
+            lp, _ = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
             flat[i] = orig - eps
-            lm, _ = grad_batch(wts, w, d, p, lengths, labels)
+            lm, _ = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
             flat[i] = orig
             num = (lp - lm) / (2 * eps)
             ana = g[f].reshape(-1)[i]
@@ -57,13 +64,22 @@ def test_grad_matches_numerical():
 
 
 def test_padded_positions_get_no_gradient():
-    wts, w, d, p, lengths, labels = _tiny_setup()
+    wts, w, d, p, lengths, labels, _ = _tiny_setup()
     # a token id used ONLY in padding (beyond lengths) must get zero grad
     w[2, 1:] = 10  # row 2 has length 1 -> positions 1.. are padding
     used_elsewhere = (w[:, :1] == 10).any() or (w[0, :5] == 10).any() or (w[1, :3] == 10).any() or (w[3, :4] == 10).any()
     if not used_elsewhere:
         _, g = grad_batch(wts, w, d, p, lengths, labels)
         assert np.allclose(g["word_emb"][10], 0.0)
+
+
+def test_target_embeddings_only_hit_used_rows():
+    wts, w, d, p, lengths, labels, targets = _tiny_setup(n_targets=2)
+    _, g = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
+    used = set(targets.ravel().tolist())
+    for row in range(wts.t_emb.shape[0]):
+        if row not in used:
+            assert np.allclose(g["t_emb"][row], 0.0), row
 
 
 @pytest.fixture(scope="module")
@@ -85,13 +101,13 @@ def test_distributed_grad_equals_local(synth_examples):
 
     parsed, vocabs, examples = synth_examples
     (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
-    wts = weights_fixture(len(wv), len(dv), len(pv), seed=7)
+    wts = weights_fixture(len(wv), len(dv), len(pv), seed=7, n_targets=2)
     dloss, dg = distributed_grad(examples.repartition(5), wts)
-    w, d, p, labels = _examples_to_arrays(examples)
+    w, d, p, labels, targets = _examples_to_arrays(examples)
     ww, dd, pp, lengths = pad_paths(w, d, p)
-    lloss, lg = grad_batch(wts, ww, dd, pp, lengths, labels)
+    lloss, lg = grad_batch(wts, ww, dd, pp, lengths, labels, targets=targets)
     assert dloss == pytest.approx(lloss, rel=1e-9)
-    for f in WEIGHT_FIELDS:
+    for f in fields_of(wts):
         assert np.allclose(dg[f], lg[f], rtol=1e-7, atol=1e-10), f
 
 
@@ -111,11 +127,13 @@ def test_fit_beats_untrained_fixture(synth_examples):
     assert losses[-1] < losses[0] * 0.5, losses[::5]
 
     # accuracy of the trained model vs the untrained random fixture
-    w, d, p, labels = _examples_to_arrays(examples)
+    w, d, p, labels, targets = _examples_to_arrays(examples)
     ww, dd, pp, lengths = pad_paths(w, d, p)
-    pred_t, _ = score_batch(wts, ww, dd, pp, lengths)
+    pred_t, _ = score_batch(wts, ww, dd, pp, lengths, targets=targets)
     acc_trained = float((pred_t == labels).mean())
-    pred_u, _ = score_batch(weights_fixture(*sizes, seed=7), ww, dd, pp, lengths)
+    pred_u, _ = score_batch(
+        weights_fixture(*sizes, seed=7, n_targets=2), ww, dd, pp, lengths, targets=targets
+    )
     acc_untrained = float((pred_u == labels).mean())
     assert acc_trained > max(0.5, acc_untrained + 0.3), (acc_trained, acc_untrained)
 
@@ -123,3 +141,32 @@ def test_fit_beats_untrained_fixture(synth_examples):
     preds = model_classify(parsed, wts, (wv, dv, pv))
     m = evaluate_classification(preds)
     assert m["macro_f1"] > 0.5, m["macro_f1"]
+
+
+def test_pathonly_fit_still_works(synth_examples):
+    """``use_targets=False`` (the clustered variant's mode) keeps the
+    round-1 path-only model trainable."""
+    from relation_extraction_ray.pipelines.fit import fit_classifier
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    wts, losses = fit_classifier(
+        examples, (len(wv), len(dv), len(pv)), epochs=6, batch_size=64, lr=5e-3,
+        use_targets=False,
+    )
+    assert wts.t_emb is None
+    assert losses[-1] < losses[0]
+
+
+def test_weights_roundtrip_with_targets(tmp_path, synth_examples):
+    from relation_extraction_ray.state.scorer import load_weights, save_weights
+
+    _, vocabs, _ = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    wts = weights_fixture(len(wv), len(dv), len(pv), seed=7, n_targets=2)
+    path = str(tmp_path / "wts.npz")
+    save_weights(wts, path, (wv, dv, pv))
+    loaded, (wv2, dv2, pv2) = load_weights(path)
+    assert loaded.t_emb is not None and np.array_equal(loaded.t_emb, wts.t_emb)
+    assert loaded.n_targets == 2
+    assert wv2 == wv and dv2 == dv and pv2 == pv

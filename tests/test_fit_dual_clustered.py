@@ -14,6 +14,7 @@ from relation_extraction_ray.state.scorer import (
     DUAL_FIELDS,
     EMB_FIELDS,
     GRU_FIELDS,
+    dual_fields_of,
     dual_fixture,
     dual_view,
     grad_batch_dual,
@@ -24,10 +25,13 @@ from relation_extraction_ray.state.scorer import (
 )
 
 
-def _tiny_dual(seed=3, n_out=19):
+def _tiny_dual(seed=3, n_out=19, n_targets=0):
     rng = np.random.default_rng(seed)
     vw, vd, vp = 11, 5, 6
-    params = {f: a.astype(np.float64) for f, a in dual_fixture(vw, vd, vp, seed=seed, n_out=n_out).items()}
+    params = {
+        f: a.astype(np.float64)
+        for f, a in dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=n_targets).items()
+    }
     b, t = 6, 5
     w = rng.integers(0, vw, (b, t)).astype(np.int32)
     d = rng.integers(0, vd, (b, t)).astype(np.int32)
@@ -35,24 +39,26 @@ def _tiny_dual(seed=3, n_out=19):
     lengths = np.array([5, 3, 1, 4, 2, 5], dtype=np.int32)
     labels = rng.integers(0, n_out, b).astype(np.int64)
     flags = np.array([True, False, True, False, False, True])
-    return params, w, d, p, lengths, labels, flags
+    targets = rng.integers(0, vw, (b, n_targets)).astype(np.int32) if n_targets else None
+    return params, w, d, p, lengths, labels, flags, targets
 
 
-def test_dual_grad_matches_numerical():
-    params, w, d, p, lengths, labels, flags = _tiny_dual()
-    loss0, g = grad_batch_dual(params, w, d, p, lengths, labels, flags)
+@pytest.mark.parametrize("n_targets", [0, 1])
+def test_dual_grad_matches_numerical(n_targets):
+    params, w, d, p, lengths, labels, flags, targets = _tiny_dual(n_targets=n_targets)
+    loss0, g = grad_batch_dual(params, w, d, p, lengths, labels, flags, targets=targets)
     assert loss0 > 0
     rng = np.random.default_rng(0)
     eps = 1e-6
-    for f in DUAL_FIELDS:
+    for f in dual_fields_of(params):
         flat = params[f].reshape(-1)
         for _ in range(2):
             i = int(rng.integers(0, flat.size))
             orig = flat[i]
             flat[i] = orig + eps
-            lp, _ = grad_batch_dual(params, w, d, p, lengths, labels, flags)
+            lp, _ = grad_batch_dual(params, w, d, p, lengths, labels, flags, targets=targets)
             flat[i] = orig - eps
-            lm, _ = grad_batch_dual(params, w, d, p, lengths, labels, flags)
+            lm, _ = grad_batch_dual(params, w, d, p, lengths, labels, flags, targets=targets)
             flat[i] = orig
             num = (lp - lm) / (2 * eps)
             ana = g[f].reshape(-1)[i]
@@ -60,7 +66,7 @@ def test_dual_grad_matches_numerical():
 
 
 def test_dual_dispatch_selects_per_row_direction():
-    params, w, d, p, lengths, labels, flags = _tiny_dual()
+    params, w, d, p, lengths, labels, flags, _ = _tiny_dual()
     params32 = {f: a.astype(np.float32) for f, a in params.items()}
     preds, probs = score_batch_dual(params32, w, d, p, lengths, flags)
     pf, prf = score_batch(dual_view(params32, "fwd"), w, d, p, lengths)
@@ -75,7 +81,7 @@ def test_dual_dispatch_selects_per_row_direction():
 
 
 def test_dual_shared_embeddings_get_both_directions_gradient():
-    params, w, d, p, lengths, labels, flags = _tiny_dual()
+    params, w, d, p, lengths, labels, flags, _ = _tiny_dual()
     _, g_mixed = grad_batch_dual(params, w, d, p, lengths, labels, flags)
     _, g_fwd = grad_batch_dual(params, w, d, p, lengths, labels, np.ones_like(flags))
     _, g_bwd = grad_batch_dual(params, w, d, p, lengths, labels, np.zeros_like(flags))
@@ -130,7 +136,7 @@ def test_fit_dual_learns_and_classifies(single_examples):
     # deterministic: same fit twice -> identical weights
     params2, _ = fit_dual_classifier(examples, sizes, epochs=2, batch_size=64, lr=5e-3)
     params3, _ = fit_dual_classifier(examples, sizes, epochs=2, batch_size=64, lr=5e-3)
-    for f in DUAL_FIELDS:
+    for f in dual_fields_of(params2):
         assert np.array_equal(params2[f], params3[f]), f
 
     preds = dual_model_classify(parsed, params, (wv, dv, pv))
@@ -173,7 +179,7 @@ def test_fit_clustered_softmax_learns_cluster_pairs(kg_encoded):
     assert wts.w_out.shape[1] == K * K  # the head IS the K^2 clustered softmax
     assert losses[-1] < losses[0] * 0.7, losses[::5]
 
-    w, d, p, labels = _examples_to_arrays(examples)
+    w, d, p, labels, _targets = _examples_to_arrays(examples)
     ww, dd, pp, lengths = pad_paths(w, d, p)
     pred, _ = score_batch(wts, ww, dd, pp, lengths)
     acc = float((pred == labels).mean())
