@@ -338,6 +338,148 @@ def fit_classifier(
 
 
 # ---------------------------------------------------------------------------
+# Unsupervised NEG pretraining + alternating unsup/sup fit (reference
+# ``partial_unsup_fit`` relembed.py:650-671 and the alternating notebook
+# "RelEmbed Supervised with wikipretrain": cycles of unsup epochs over
+# negative-sampled target pairs interleaved with supervised epochs, all
+# updating ONE shared GRU trunk).
+# ---------------------------------------------------------------------------
+
+
+def unsup_pairs(examples: ray.data.Dataset, neg_per: int = 5, seed: int = 42):
+    """Driver-side arrays for the NEG objective: each encoded example
+    yields 1 positive (x, y, label 1) + ``neg_per`` corrupted pairs
+    (label 0).  Reference corruption scheme (``data_handler.py:151-212``):
+    negative #0 is the REVERSED pair, the rest redraw one side from the
+    unigram^0.75 target distribution.  Deterministic per-(row, k) hashes —
+    no RNG state shared across rows."""
+    from ..functions.training import _stable_unit, distribution_to_power
+
+    rows = sorted(examples.take_all(), key=lambda r: r["sent_id"])
+    ids = sorted({r["x_id"] for r in rows} | {r["y_id"] for r in rows})
+    counts = Counter()
+    for r in rows:
+        counts[r["x_id"]] += 1
+        counts[r["y_id"]] += 1
+    dist = distribution_to_power(
+        np.array([counts[i] for i in ids], dtype=np.float64) / (2 * len(rows)), 0.75
+    )
+    cdf = np.cumsum(dist)
+    ids_arr = np.array(ids, dtype=np.int32)
+
+    def draw(key: str) -> int:
+        u = _stable_unit(key)
+        return int(ids_arr[int(np.searchsorted(cdf, u, side="right").clip(0, len(ids_arr) - 1))])
+
+    w_all, d_all, p_all, xs, ys, labs = [], [], [], [], [], []
+    for r in rows:
+        x, y = r["x_id"], r["y_id"]
+        variants = [(x, y, 1)]
+        for k in range(neg_per):
+            key = f"{seed}:{r['sent_id']}:{k}"
+            if k == 0:
+                variants.append((y, x, 0))  # reversed pair first
+            else:
+                cand = draw(key + ":a")
+                variants.append((cand, y, 0) if _stable_unit(key + ":b") < 0.5 else (x, cand, 0))
+        for vx, vy, lab in variants:
+            w_all.append(r["word_ids"])
+            d_all.append(r["dep_ids"])
+            p_all.append(r["pos_ids"])
+            xs.append(vx)
+            ys.append(vy)
+            labs.append(lab)
+    return (
+        w_all, d_all, p_all,
+        np.array(xs, dtype=np.int32),
+        np.array(ys, dtype=np.int32),
+        np.array(labs, dtype=np.int64),
+    )
+
+
+def fit_alternating(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    cycles: int = 3,
+    unsup_epochs: int = 2,
+    sup_epochs: int = 10,
+    neg_per: int = 5,
+    batch_size: int = 256,
+    lr: float = 3e-3,
+    seed: int = 7,
+) -> tuple[ScorerWeights, dict[str, list[float]]]:
+    """Alternating unsup+sup training over ONE shared trunk: each cycle
+    runs ``unsup_epochs`` of the NEG objective (updating embeddings + GRU +
+    left/right target tables) then ``sup_epochs`` of the classifier
+    (updating trunk + softmax head + t_emb).  One Adam moment store per
+    field across both phases.  Deterministic."""
+    from ..state.scorer import UNSUP_FIELDS, unsup_fixture, unsup_grad_batch
+
+    vw, vd, vp = vocab_sizes
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_targets=2)
+    unsup = unsup_fixture(vw, seed=seed)
+    sup_fields = fields_of(wts)
+    w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
+    uw, ud, up, ux, uy, ulab = unsup_pairs(examples, neg_per=neg_per, seed=seed)
+    n_sup, n_unsup = len(labels), len(ulab)
+    rng = np.random.default_rng(seed)
+    m: dict[str, np.ndarray] = {}
+    v: dict[str, np.ndarray] = {}
+    for f in sup_fields:
+        m[f] = np.zeros_like(getattr(wts, f), dtype=np.float64)
+        v[f] = np.zeros_like(getattr(wts, f), dtype=np.float64)
+    for f in UNSUP_FIELDS:
+        m[f] = np.zeros_like(unsup[f], dtype=np.float64)
+        v[f] = np.zeros_like(unsup[f], dtype=np.float64)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    steps = dict.fromkeys(list(sup_fields) + UNSUP_FIELDS, 0)
+    losses: dict[str, list[float]] = {"unsup": [], "sup": []}
+
+    def adam_step(f: str, grad: np.ndarray, store: dict | None) -> None:
+        steps[f] += 1
+        m[f] = b1 * m[f] + (1 - b1) * grad
+        v[f] = b2 * v[f] + (1 - b2) * grad * grad
+        mh = m[f] / (1 - b1 ** steps[f])
+        vh = v[f] / (1 - b2 ** steps[f])
+        if store is None:
+            upd = getattr(wts, f).astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)
+            setattr(wts, f, upd.astype(np.float32))
+        else:
+            store[f] = (store[f].astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)).astype(
+                np.float32
+            )
+
+    for _cycle in range(cycles):
+        for _e in range(unsup_epochs):
+            order = rng.permutation(n_unsup)
+            ep = 0.0
+            for lo in range(0, n_unsup, batch_size):
+                idx = order[lo : lo + batch_size]
+                w, d, p, lens = pad_paths(
+                    [uw[i] for i in idx], [ud[i] for i in idx], [up[i] for i in idx]
+                )
+                loss, g = unsup_grad_batch(wts, unsup, w, d, p, lens, ux[idx], uy[idx], ulab[idx])
+                ep += loss * len(idx)
+                for f, grad in g.items():
+                    adam_step(f, grad, unsup if f in UNSUP_FIELDS else None)
+            losses["unsup"].append(ep / max(1, n_unsup))
+        for _e in range(sup_epochs):
+            order = rng.permutation(n_sup)
+            ep = 0.0
+            for lo in range(0, n_sup, batch_size):
+                idx = order[lo : lo + batch_size]
+                w, d, p, lens = pad_paths(
+                    [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
+                )
+                loss, g = grad_batch(wts, w, d, p, lens, labels[idx], targets=targets_all[idx])
+                ep += loss * len(idx)
+                for f, grad in g.items():
+                    adam_step(f, grad, None)
+            losses["sup"].append(ep / max(1, n_sup))
+    return wts, losses
+
+
+# ---------------------------------------------------------------------------
 # T4 — clustered-softmax training (relembed_clustered.py:85,257-292).
 # The reference's clustered model replaces the binary NCE objective of the
 # unsupervised path with a FULL softmax over ``num_clusters**2`` Brown

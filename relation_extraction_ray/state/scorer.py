@@ -197,20 +197,7 @@ def grad_batch(
     b, t = word_ids.shape
     fields = fields_of(wts)
     W = {f: getattr(wts, f).astype(np.float64) for f in fields}
-    x = np.concatenate(
-        [W["word_emb"][word_ids], W["dep_emb"][dep_ids], W["pos_emb"][pos_ids]], axis=-1
-    )  # [B, T, Din]
-    h = np.zeros((b, D_HIDDEN))
-    cache = []
-    for step in range(t):
-        xt = x[:, step, :]
-        z = 1.0 / (1.0 + np.exp(-(xt @ W["w_z"] + h @ W["u_z"] + W["b_z"])))
-        r = 1.0 / (1.0 + np.exp(-(xt @ W["w_r"] + h @ W["u_r"] + W["b_r"])))
-        hc = np.tanh(xt @ W["w_h"] + (r * h) @ W["u_h"] + W["b_h"])
-        h_new = (1.0 - z) * h + z * hc
-        mask = (step < lengths)[:, None]
-        cache.append((xt, h, z, r, hc, mask))
-        h = np.where(mask, h_new, h)
+    x, h, cache = _gru_forward_f64(W, word_ids, dep_ids, pos_ids, lengths)
 
     if wts.t_emb is not None:
         if targets is None:
@@ -238,6 +225,35 @@ def grad_batch(
         for j in range(targets.shape[1]):
             lo = D_HIDDEN + j * D_TARGET
             np.add.at(g["t_emb"], targets[:, j], dfeat[:, lo : lo + D_TARGET])
+    _gru_backward_f64(W, g, cache, x, dh, word_ids, dep_ids, pos_ids)
+    return loss, g
+
+
+def _gru_forward_f64(W: dict, word_ids, dep_ids, pos_ids, lengths):
+    """Shared float64 GRU-through-time forward: returns (x [B,T,Din],
+    final h [B,H], per-step cache for BPTT)."""
+    b, t = word_ids.shape
+    x = np.concatenate(
+        [W["word_emb"][word_ids], W["dep_emb"][dep_ids], W["pos_emb"][pos_ids]], axis=-1
+    )  # [B, T, Din]
+    h = np.zeros((b, D_HIDDEN))
+    cache = []
+    for step in range(t):
+        xt = x[:, step, :]
+        z = 1.0 / (1.0 + np.exp(-(xt @ W["w_z"] + h @ W["u_z"] + W["b_z"])))
+        r = 1.0 / (1.0 + np.exp(-(xt @ W["w_r"] + h @ W["u_r"] + W["b_r"])))
+        hc = np.tanh(xt @ W["w_h"] + (r * h) @ W["u_h"] + W["b_h"])
+        h_new = (1.0 - z) * h + z * hc
+        mask = (step < lengths)[:, None]
+        cache.append((xt, h, z, r, hc, mask))
+        h = np.where(mask, h_new, h)
+    return x, h, cache
+
+
+def _gru_backward_f64(W: dict, g: dict, cache, x, dh, word_ids, dep_ids, pos_ids) -> None:
+    """Shared GRU BPTT + embedding scatter: accumulates trunk gradients
+    into ``g`` given the gradient w.r.t. the final hidden state."""
+    t = x.shape[1]
     dx = np.zeros_like(x)
     for step in range(t - 1, -1, -1):
         xt, h_prev, z, r, hc, mask = cache[step]
@@ -275,6 +291,64 @@ def grad_batch(
     np.add.at(g["word_emb"], word_ids.reshape(-1), dw)
     np.add.at(g["dep_emb"], dep_ids.reshape(-1), dd)
     np.add.at(g["pos_emb"], pos_ids.reshape(-1), dp)
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised NEG-sampling objective (reference ``partial_unsup_fit``,
+# ``relembed.py:650-671``): the phrase GRU is trained to score TRUE target
+# pairs above corrupted ones via the bilinear-diagonal form
+# ``logit = Σ_k left_emb[x]_k · h_k · right_emb[y]_k``  (reference "x^T fI y",
+# ``relembed.py:272-274``) with sigmoid cross-entropy (``relembed.py:284``).
+# left/right target tables are separate [Vw, D_HIDDEN] matrices exactly as
+# the reference keeps ``left_target_embeddings``/``right_target_embeddings``
+# (``relembed.py:147-160``).
+# ---------------------------------------------------------------------------
+
+UNSUP_FIELDS = ["left_emb", "right_emb"]
+
+
+def unsup_fixture(vocab_size: int, seed: int = 7) -> dict[str, np.ndarray]:
+    """Deterministic left/right target tables for the NEG objective."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, vocab_size, 104729]))
+    return {
+        f: (rng.standard_normal((vocab_size, D_HIDDEN)) * 0.1).astype(np.float32)
+        for f in UNSUP_FIELDS
+    }
+
+
+def unsup_grad_batch(
+    wts: ScorerWeights,
+    unsup: dict[str, np.ndarray],
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    x_ids: np.ndarray,
+    y_ids: np.ndarray,
+    labels01: np.ndarray,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """Mean sigmoid-xent NEG loss + gradients for the GRU trunk
+    (word/dep/pos embeddings + gates) AND the left/right target tables.
+    ``labels01`` is 1 for true pairs, 0 for corrupted ones."""
+    b = len(lengths)
+    trunk = [f for f in WEIGHT_FIELDS if f not in ("w_out", "b_out")]
+    W = {f: getattr(wts, f).astype(np.float64) for f in trunk}
+    U = {f: unsup[f].astype(np.float64) for f in UNSUP_FIELDS}
+    x, h, cache = _gru_forward_f64(W, word_ids, dep_ids, pos_ids, lengths)
+    L = U["left_emb"][x_ids]    # [B, H]
+    R = U["right_emb"][y_ids]   # [B, H]
+    logits = np.sum(L * h * R, axis=1)
+    p = 1.0 / (1.0 + np.exp(-logits))
+    y = labels01.astype(np.float64)
+    loss = float(np.mean(-(y * np.log(np.clip(p, 1e-12, None))
+                           + (1 - y) * np.log(np.clip(1 - p, 1e-12, None)))))
+    dlogit = (p - y) / b  # [B]
+    g = {f: np.zeros_like(W[f]) for f in trunk}
+    g.update({f: np.zeros_like(U[f]) for f in UNSUP_FIELDS})
+    dh = dlogit[:, None] * L * R
+    np.add.at(g["left_emb"], x_ids, dlogit[:, None] * h * R)
+    np.add.at(g["right_emb"], y_ids, dlogit[:, None] * L * h)
+    _gru_backward_f64(W, g, cache, x, dh, word_ids, dep_ids, pos_ids)
     return loss, g
 
 

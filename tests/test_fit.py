@@ -158,6 +158,76 @@ def test_pathonly_fit_still_works(synth_examples):
     assert losses[-1] < losses[0]
 
 
+def test_unsup_grad_matches_numerical():
+    """NEG objective (reference partial_unsup_fit, relembed.py:650-671):
+    analytic gradient of the bilinear-diagonal sigmoid loss vs numerical
+    differentiation over trunk AND left/right target tables."""
+    from relation_extraction_ray.state.scorer import (
+        UNSUP_FIELDS,
+        unsup_fixture,
+        unsup_grad_batch,
+    )
+
+    wts, w, d, p, lengths, _labels, _ = _tiny_setup()
+    rng = np.random.default_rng(5)
+    vw = wts.word_emb.shape[0]
+    unsup = {f: a.astype(np.float64) for f, a in unsup_fixture(vw, seed=5).items()}
+    x_ids = rng.integers(0, vw, 4).astype(np.int32)
+    y_ids = rng.integers(0, vw, 4).astype(np.int32)
+    labs = np.array([1, 0, 0, 1], dtype=np.int64)
+    loss0, g = unsup_grad_batch(wts, unsup, w, d, p, lengths, x_ids, y_ids, labs)
+    assert loss0 > 0
+    eps = 1e-6
+    trunk = [f for f in g if f not in UNSUP_FIELDS]
+    for f in trunk + UNSUP_FIELDS:
+        arr = unsup[f] if f in UNSUP_FIELDS else getattr(wts, f)
+        flat = arr.reshape(-1)
+        for _ in range(3):
+            i = int(rng.integers(0, flat.size))
+            orig = flat[i]
+            flat[i] = orig + eps
+            lp, _ = unsup_grad_batch(wts, unsup, w, d, p, lengths, x_ids, y_ids, labs)
+            flat[i] = orig - eps
+            lm, _ = unsup_grad_batch(wts, unsup, w, d, p, lengths, x_ids, y_ids, labs)
+            flat[i] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = g[f].reshape(-1)[i]
+            assert num == pytest.approx(ana, rel=1e-4, abs=1e-7), (f, i, num, ana)
+
+
+def test_alternating_fit_learns_both_objectives(synth_examples):
+    """Alternating unsup+sup cycles must reduce BOTH losses and produce a
+    deterministic, usable classifier."""
+    from relation_extraction_ray.pipelines.fit import fit_alternating, unsup_pairs
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+
+    # negatives: 1 positive + neg_per corrupted per example, reversed first
+    uw, _, _, ux, uy, ulab = unsup_pairs(examples, neg_per=3, seed=7)
+    n_ex = examples.count()
+    assert len(ulab) == 4 * n_ex
+    assert ulab.sum() == n_ex
+
+    wts, losses = fit_alternating(
+        examples, sizes, cycles=2, unsup_epochs=2, sup_epochs=5, batch_size=64, lr=5e-3
+    )
+    assert losses["unsup"][-1] < losses["unsup"][0]
+    assert losses["sup"][-1] < losses["sup"][0] * 0.7
+    # determinism
+    wts2, _ = fit_alternating(
+        examples, sizes, cycles=1, unsup_epochs=1, sup_epochs=1, batch_size=64, lr=5e-3
+    )
+    wts3, _ = fit_alternating(
+        examples, sizes, cycles=1, unsup_epochs=1, sup_epochs=1, batch_size=64, lr=5e-3
+    )
+    from relation_extraction_ray.state.scorer import fields_of
+
+    for f in fields_of(wts2):
+        assert np.array_equal(getattr(wts2, f), getattr(wts3, f)), f
+
+
 def test_weights_roundtrip_with_targets(tmp_path, synth_examples):
     from relation_extraction_ray.state.scorer import load_weights, save_weights
 
