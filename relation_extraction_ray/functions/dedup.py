@@ -28,7 +28,13 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .joins import derive_n_parts, pair_payload_join
+from .joins import (
+    derive_n_parts,
+    derived_num_parts,
+    group_runs,
+    hash_partitioned_groups,
+    pair_payload_join,
+)
 
 
 def _md5_u64(token: str) -> int:
@@ -51,6 +57,12 @@ def shingle_set(text: str, n: int = 3) -> set[str]:
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+#: Max candidate-doc count for the broadcast verify path (above it the
+#: hash-partitioned pair↔shingles join keeps every worker/driver bounded).
+#: ~50 shingles × ~25 B each → ≲ 25 MB of broadcast payload at the bound.
+_BROADCAST_VERIFY_DOCS = 20_000
 
 
 def _jaccard_micro(inter: int, union: int) -> int:
@@ -146,19 +158,35 @@ def minhash_candidate_pairs(
     max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """LSH candidate duplicate pairs (doc_a < doc_b), deduplicated across
-    bands by a count-aggregate (not per-pair ``map_groups`` — pair groups
-    have size ≤ #bands, so per-group Python would dominate).  ``max_bucket``
-    caps degenerate buckets (all-identical spam) against quadratic blowup —
-    the cap is the documented coverage bound."""
+    bands by a count-aggregate.  The bucket grouping is hash-PARTITIONED
+    (``blake2b(band:bucket) % n_parts``), not per-bucket ``map_groups`` —
+    at sf0.1 there are ~300k mostly-singleton (band, bucket) groups and
+    Ray's per-group dispatch (~100 µs each) was 80 % of the query's wall;
+    grouping within a partition is one ``np.argsort`` + boundary scan, and
+    only multi-doc runs (actual duplicate buckets) touch Python.
+    ``max_bucket`` caps degenerate buckets (all-identical spam) against
+    quadratic blowup — the cap is the documented coverage bound."""
 
-    def pairs_of(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))[:max_bucket]
+    def pairs_part(part: pa.Table) -> pa.Table:
+        id_type = part.schema.field("doc_id").type
+        band = part.column("band").to_numpy()
+        bucket = np.asarray(part.column("bucket").to_pylist(), dtype=object)
+        doc = np.asarray(part.column("doc_id").to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(band.astype("U10"), ":"), bucket.astype("U"))
+        order = np.argsort(key, kind="stable")
+        starts, ends = group_runs(key[order])
         a_col, b_col = [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
-        return pa.Table.from_pydict({"doc_a": pa.array(a_col), "doc_b": pa.array(b_col)})
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = sorted(set(doc[order[s:e]].tolist()))[:max_bucket]
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    a_col.append(ids[i])
+                    b_col.append(ids[j])
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array(a_col, id_type), "doc_b": pa.array(b_col, id_type)}
+        )
 
     # task-based map with a per-worker-process stage cache — the stage's
     # only state (xor permutation keys) is microseconds to build, so an
@@ -171,7 +199,9 @@ def minhash_candidate_pairs(
         return st(batch)
 
     bands_ds = docs.map_batches(sign, batch_format="pyarrow")
-    cand = bands_ds.groupby(["band", "bucket"]).map_groups(pairs_of, batch_format="pyarrow")
+    cand = hash_partitioned_groups(
+        bands_ds, ["band", "bucket"], pairs_part, derived_num_parts()
+    )
     # distinct pairs across bands: aggregate + project (vectorized)
     distinct = cand.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Count(alias_name="n_bands")
@@ -256,6 +286,41 @@ def verify_jaccard(
 
     shingles = _shingle_rows(docs, id_ref, shingle_n)
     sh_type = pa.list_(pa.string())
+
+    # Join-strategy pick, the classic broadcast-vs-shuffle planner decision:
+    # the candidate-doc shingle payloads are O(|candidate docs|) — ALREADY
+    # bounded by the id-set broadcast above — so when that side is small
+    # (the common case: near-dups are rare), collect it once and verify in
+    # ONE map over pairs instead of paying two all-to-all exchanges
+    # (~8-10 s of fixed shuffle constants per query at sandbox scale).
+    # Above the bound, the hash-partitioned join keeps driver memory flat.
+    if len(id_set) <= _BROADCAST_VERIFY_DOCS:
+        sh_map = {}
+        for b in shingles.iter_batches(batch_format="pyarrow"):
+            for doc_id, sh in zip(b.column("doc_id").to_pylist(), b.column("sh").to_pylist()):
+                sh_map[doc_id] = set(sh)
+        sh_ref = ray.put(sh_map)
+
+        def jacc_broadcast(batch: pa.Table) -> pa.Table:
+            payload = ray.get(sh_ref)
+            a_out, b_out, sims = [], [], []
+            for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+                s1, s2 = payload.get(a), payload.get(b)
+                if s1 is None or s2 is None:
+                    continue
+                union = len(s1 | s2)
+                sim = (len(s1 & s2) / union) if union else 0.0
+                if sim >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    sims.append(_jaccard_micro(len(s1 & s2), union))
+            return pa.Table.from_arrays(
+                [pa.array(a_out, id_type), pa.array(b_out, id_type), pa.array(sims, pa.int64())],
+                names=["doc_a", "doc_b", "jaccard_micro"],
+            )
+
+        return pairs.map_batches(jacc_broadcast, batch_format="pyarrow")
+
     n_parts = derive_n_parts(pairs.count())
 
     payloads = shingles.map_batches(
@@ -358,30 +423,40 @@ def simhash_pairs(
             }
         )
 
-    def scan(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist()))
-        )[:max_bucket]
+    def scan_part(part: pa.Table) -> pa.Table:
+        id_type = part.schema.field("doc_id").type
+        key = (
+            part.column("block").to_numpy().astype(np.uint64) << np.uint64(32)
+        ) | part.column("val").to_numpy().astype(np.uint64)
+        doc = part.column("doc_id").to_pylist()
+        sig = part.column("simhash").to_pylist()
+        order = np.argsort(key, kind="stable")
+        starts, ends = group_runs(key[order])
         a_col, b_col, dist = [], [], []
-        for i in range(len(rows) - 1):
-            for j in range(i + 1, len(rows)):
-                d = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if d <= max_hamming:
-                    a_col.append(rows[i][0])
-                    b_col.append(rows[j][0])
-                    dist.append(d)
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            rows = sorted({(doc[i], sig[i]) for i in order[st:en]})[:max_bucket]
+            for i in range(len(rows) - 1):
+                for j in range(i + 1, len(rows)):
+                    d = bin(rows[i][1] ^ rows[j][1]).count("1")
+                    if d <= max_hamming:
+                        a_col.append(rows[i][0])
+                        b_col.append(rows[j][0])
+                        dist.append(d)
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(a_col),
-                "doc_b": pa.array(b_col),
+                "doc_a": pa.array(a_col, id_type),
+                "doc_b": pa.array(b_col, id_type),
                 "hamming": pa.array(dist, pa.int64()),
             }
         )
 
-    cand = (
-        docs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["block", "val"])
-        .map_groups(scan, batch_format="pyarrow")
+    cand = hash_partitioned_groups(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["block", "val"],
+        scan_part,
+        derived_num_parts(),
     )
     # a pair can collide on several blocks — distinct via aggregate
     return cand.groupby(["doc_a", "doc_b"]).aggregate(
@@ -439,46 +514,73 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def stamp_df(group: pa.Table) -> pa.Table:
-        return group.append_column(
-            "df", pa.array([group.num_rows] * group.num_rows, pa.int64())
-        )
+    # Each grouping below is hash-PARTITIONED (blake2b(key) % n_parts) with
+    # vectorized within-partition grouping — the shingle key space is
+    # ~1M distinct values at sf0.1 and per-group ``map_groups`` dispatch
+    # dominated the query (~50 of 53 s).  Same exchange volume, O(n_parts)
+    # Ray groups.
 
-    def prefix_of(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column("df").to_pylist(), group.column("s").to_pylist()),
-        )
-        n = len(rows)
-        p = n - int(np.ceil(threshold * n)) + 1
-        doc_id = group.column("doc_id")[0].as_py()
+    def stamp_df_part(part: pa.Table) -> pa.Table:
+        s = np.asarray(part.column("s").to_pylist(), dtype=object).astype("U")
+        _, inv, counts = np.unique(s, return_inverse=True, return_counts=True)
         return pa.Table.from_pydict(
             {
-                "s": pa.array([s for _, s in rows[:p]], pa.string()),
-                "doc_id": pa.array([doc_id] * p, id_type),
-                "size": pa.array([n] * p, pa.int32()),
+                "s": part.column("s"),
+                "doc_id": part.column("doc_id"),
+                "size": part.column("size"),
+                "df": pa.array(counts[inv], pa.int64()),
             }
         )
 
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column("doc_id").to_pylist(), group.column("size").to_pylist())
-        )[:max_group]
+    def prefix_part(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part.column("doc_id").to_pylist(), dtype=object)
+        s = np.asarray(part.column("s").to_pylist(), dtype=object).astype("U")
+        df = part.column("df").to_numpy()
+        order = np.lexsort((s, df, doc))  # doc, then (df, s) within the doc
+        doc_s, df_s, s_s = doc[order], df[order], s[order]
+        starts, ends = group_runs(doc_s)
+        sizes = ends - starts
+        group_idx = np.repeat(np.arange(len(starts)), sizes)
+        cumcount = np.arange(len(doc_s)) - starts[group_idx]
+        n = sizes[group_idx]
+        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = cumcount < p
+        return pa.Table.from_pydict(
+            {
+                "s": pa.array(s_s[keep].tolist(), pa.string()),
+                "doc_id": pa.array(doc_s[keep].tolist(), id_type),
+                "size": pa.array(n[keep], pa.int32()),
+            }
+        )
+
+    def pairs_part(part: pa.Table) -> pa.Table:
+        s = np.asarray(part.column("s").to_pylist(), dtype=object).astype("U")
+        doc = part.column("doc_id").to_pylist()
+        size = part.column("size").to_numpy()
+        order = np.argsort(s, kind="stable")
+        starts, ends = group_runs(s[order])
         a_col, b_col = [], []
-        for i in range(len(rows) - 1):
-            for j in range(i + 1, len(rows)):
-                (da, sa), (db, sb) = rows[i], rows[j]
-                lo, hi = min(sa, sb), max(sa, sb)
-                if lo >= threshold * hi:  # length filter: J ≥ t ⇒ |small| ≥ t·|big|
-                    a_col.append(da)
-                    b_col.append(db)
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            idx = order[st:en]
+            rows = sorted((doc[i], int(size[i])) for i in idx)[:max_group]
+            for i in range(len(rows) - 1):
+                for j in range(i + 1, len(rows)):
+                    (da, sa), (db, sb) = rows[i], rows[j]
+                    lo, hi = min(sa, sb), max(sa, sb)
+                    if lo >= threshold * hi:  # length filter: J ≥ t ⇒ |small| ≥ t·|big|
+                        a_col.append(da)
+                        b_col.append(db)
         return pa.Table.from_pydict(
             {"doc_a": pa.array(a_col, id_type), "doc_b": pa.array(b_col, id_type)}
         )
 
+    n_parts = derived_num_parts()
     exploded = docs.map_batches(explode, batch_format="pyarrow")
-    with_df = exploded.groupby("s").map_groups(stamp_df, batch_format="pyarrow")
-    prefixes = with_df.groupby("doc_id").map_groups(prefix_of, batch_format="pyarrow")
-    cand = prefixes.groupby("s").map_groups(pairs_in_group, batch_format="pyarrow")
+    with_df = hash_partitioned_groups(exploded, ["s"], stamp_df_part, n_parts)
+    prefixes = hash_partitioned_groups(with_df, ["doc_id"], prefix_part, n_parts)
+    cand = hash_partitioned_groups(prefixes, ["s"], pairs_part, n_parts)
     distinct = cand.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Count(alias_name="n_keys")
     ).select_columns(["doc_a", "doc_b"])

@@ -578,16 +578,8 @@ def _part_of(key: str, n_parts: int) -> int:
     return int.from_bytes(hashlib.blake2b(key.encode(), digest_size=4).digest(), "big") % n_parts
 
 
-def derived_num_parts(factor: int = 2, minimum: int = 8) -> int:
-    """Partition count ∝ cluster size (judge round 1: fixed single-node
-    constants like 64 baked into operators don't transfer to a 256-node
-    cluster).  ~2 partitions per CPU keeps reduce tasks small without
-    per-partition constants dominating."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # cluster not initialised yet
-        cpus = 8
-    return max(minimum, cpus * factor)
+# canonical definition lives with the other partitioning utilities
+from ..functions.joins import derived_num_parts  # noqa: E402  (re-export)
 
 
 def entities_from_triples(triples: ray.data.Dataset, n_parts: int | None = None) -> ray.data.Dataset:
