@@ -328,6 +328,11 @@ def banded_planes(dim: int, bands: int, planes_per_band: int) -> np.ndarray:
 
 _LSH_STAGES: dict = {}
 
+#: Max candidate-vector count for the broadcast cosine-verify path
+#: (20k × 64 float64 ≈ 10 MB); above it the hash-partitioned
+#: pair↔vector join keeps every worker and the driver bounded.
+_BROADCAST_VERIFY_VECS = 20_000
+
 
 class BandedLshStage:
     """vector → one (band, bucket) row per band.  Two
@@ -421,9 +426,8 @@ def embed_neardup_pairs(
     for b in distinct.iter_batches(batch_format="pyarrow"):
         ids_acc.append(b.column("vec_a").combine_chunks().to_numpy())
         ids_acc.append(b.column("vec_b").combine_chunks().to_numpy())
-    id_ref = ray.put(
-        np.unique(np.concatenate(ids_acc)) if ids_acc else np.array([], dtype=np.int64)
-    )
+    cand_ids = np.unique(np.concatenate(ids_acc)) if ids_acc else np.array([], dtype=np.int64)
+    id_ref = ray.put(cand_ids)
     vec_type = pa.list_(pa.float64())
 
     # plain-task map: no per-worker state beyond the broadcast id array
@@ -444,6 +448,57 @@ def embed_neardup_pairs(
         )
 
     payloads = embeddings.map_batches(vec_payload, batch_format="pyarrow")
+
+    # Join-strategy pick (same planner decision as dedup.verify_jaccard):
+    # the candidate VECTORS are O(|candidate ids| × dim) — bounded by the
+    # id broadcast above — so below the bound collect the normalized
+    # matrix once and verify every pair in ONE map, skipping two
+    # all-to-all exchanges that ship ~0.5 KB of payload per pair.
+    if len(cand_ids) <= _BROADCAST_VERIFY_VECS:
+        rows_i, rows_v = [], []
+        for b in payloads.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                rows_i.append(b.column("id").combine_chunks().to_numpy())
+                rows_v.append(_matrix(b, "payload"))
+        if rows_i:
+            all_ids = np.concatenate(rows_i)
+            mat = np.concatenate(rows_v, axis=0)
+        else:
+            all_ids = np.array([], dtype=np.int64)
+            mat = np.zeros((0, dim))
+        mat_ref = ray.put((all_ids, mat))
+
+        def cosine_broadcast(batch: pa.Table) -> pa.Table:
+            ids_b, m = ray.get(mat_ref)
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["vec_a", "vec_b", "cos_micro"],
+            )
+            if batch.num_rows == 0 or len(ids_b) == 0:
+                return empty
+            a = batch.column("vec_a").combine_chunks().to_numpy()
+            bb = batch.column("vec_b").combine_chunks().to_numpy()
+            pos = np.searchsorted(ids_b, a)
+            pos_b = np.searchsorted(ids_b, bb)
+            ok = (
+                (pos < len(ids_b)) & (pos_b < len(ids_b))
+            )
+            ok &= np.where(ok, ids_b[np.minimum(pos, len(ids_b) - 1)] == a, False)
+            ok &= np.where(ok, ids_b[np.minimum(pos_b, len(ids_b) - 1)] == bb, False)
+            cos = np.einsum("ij,ij->i", m[np.minimum(pos, len(ids_b) - 1)], m[np.minimum(pos_b, len(ids_b) - 1)])
+            keep = ok & (cos >= threshold)
+            micro = np.floor(cos[keep] * 1_000_000 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(a[keep], pa.int64()),
+                    pa.array(bb[keep], pa.int64()),
+                    pa.array(micro, pa.int64()),
+                ],
+                names=["vec_a", "vec_b", "cos_micro"],
+            )
+
+        return distinct.map_batches(cosine_broadcast, batch_format="pyarrow")
+
     pairs_ab = distinct.map_batches(
         lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
     )
