@@ -337,6 +337,69 @@ def fit_classifier(
     return wts, losses
 
 
+def fit_classifier_distributed(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    epochs: int = 5,
+    steps_per_epoch: int = 4,
+    lr: float = 3e-3,
+    seed: int = 7,
+    n_out: int = len(LABELS),
+    use_targets: bool = True,
+) -> tuple[ScorerWeights, list[float]]:
+    """DATA-PARALLEL fit: the scale path for when the encoded-example table
+    exceeds driver memory (``fit_classifier`` deliberately collects it — the
+    reference's fit loop is single-process, ``relembed.py:627``, and the
+    SemEval-sized fixtures train in seconds that way).
+
+    Each optimizer step is one :func:`distributed_grad` pass — weights
+    broadcast by ``ray.put``, per-block (n, loss·n, n·grad) partials from an
+    actor-pool ``map_batches``, deterministic driver reduce — over a
+    deterministic ``1/steps_per_epoch`` shard of the examples (shard id =
+    ``(sent_id + epoch·10007) % steps_per_epoch``, an epoch-rotating
+    assignment so consecutive epochs see different macro-batches).  Adam
+    moments live on the driver: O(model), never O(data).
+
+    Deterministic: same inputs → bit-identical weights (asserted in
+    tests/test_fit.py), because the reduce orders partials by min-sent_id
+    and shard assignment is a pure function of (sent_id, epoch)."""
+    vw, vd, vp = vocab_sizes
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0)
+    fields = fields_of(wts)
+    examples = examples.materialize()
+    m = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
+    v = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    losses: list[float] = []
+    for epoch in range(epochs):
+        ep_loss, ep_n = 0.0, 0
+        for s in range(steps_per_epoch):
+            if steps_per_epoch > 1:
+                off = epoch * 10007
+
+                def pick(batch: pa.Table, _off=off, _s=s) -> pa.Table:
+                    sid = batch.column("sent_id").to_numpy()
+                    return batch.filter(pa.array((sid + _off) % steps_per_epoch == _s))
+
+                shard = examples.map_batches(pick, batch_format="pyarrow")
+            else:
+                shard = examples
+            loss, g = distributed_grad(shard, wts)
+            step += 1
+            for f in fields:
+                m[f] = b1 * m[f] + (1 - b1) * g[f]
+                v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
+                mh = m[f] / (1 - b1**step)
+                vh = v[f] / (1 - b2**step)
+                upd = getattr(wts, f).astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)
+                setattr(wts, f, upd.astype(np.float32))
+            ep_loss += loss
+            ep_n += 1
+        losses.append(ep_loss / max(1, ep_n))
+    return wts, losses
+
+
 # ---------------------------------------------------------------------------
 # Unsupervised NEG pretraining + alternating unsup/sup fit (reference
 # ``partial_unsup_fit`` relembed.py:650-671 and the alternating notebook

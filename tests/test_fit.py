@@ -240,3 +240,61 @@ def test_weights_roundtrip_with_targets(tmp_path, synth_examples):
     assert loaded.t_emb is not None and np.array_equal(loaded.t_emb, wts.t_emb)
     assert loaded.n_targets == 2
     assert wv2 == wv and dv2 == dv and pv2 == pv
+
+def test_distributed_fit_descends_and_deterministic(synth_examples):
+    """fit_classifier_distributed: the data-parallel Adam loop (weights
+    broadcast per step, per-block gradient partials, driver reduce) must
+    reduce the loss and be bit-deterministic across runs."""
+    from relation_extraction_ray.pipelines.fit import fit_classifier_distributed
+    from relation_extraction_ray.state.scorer import fields_of
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    wts, losses = fit_classifier_distributed(
+        examples, sizes, epochs=4, steps_per_epoch=3, lr=1e-2
+    )
+    assert losses[-1] < losses[0]
+    wts2, _ = fit_classifier_distributed(
+        examples, sizes, epochs=2, steps_per_epoch=3, lr=1e-2
+    )
+    wts3, _ = fit_classifier_distributed(
+        examples, sizes, epochs=2, steps_per_epoch=3, lr=1e-2
+    )
+    for f in fields_of(wts2):
+        assert np.array_equal(getattr(wts2, f), getattr(wts3, f)), f
+
+
+def test_distributed_fit_single_step_equals_local_fullbatch(synth_examples):
+    """One distributed Adam step (steps_per_epoch=1) must equal the local
+    full-batch step computed with grad_batch + the same Adam math."""
+    from relation_extraction_ray.pipelines.fit import (
+        _examples_to_arrays,
+        fit_classifier_distributed,
+        pad_paths,
+    )
+    from relation_extraction_ray.state.scorer import (
+        fields_of,
+        grad_batch,
+        weights_fixture,
+    )
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    got, _ = fit_classifier_distributed(examples, sizes, epochs=1, steps_per_epoch=1, lr=1e-2)
+
+    wts = weights_fixture(*sizes, seed=7, n_targets=2)
+    w_all, d_all, p_all, labels, targets = _examples_to_arrays(examples)
+    w, d, p, lengths = pad_paths(w_all, d_all, p_all)
+    _, g = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for f in fields_of(wts):
+        m = (1 - b1) * g[f]
+        v = (1 - b2) * g[f] * g[f]
+        mh = m / (1 - b1)
+        vh = v / (1 - b2)
+        upd = getattr(wts, f).astype(np.float64) - 1e-2 * mh / (np.sqrt(vh) + eps)
+        setattr(wts, f, upd.astype(np.float32))
+    for f in fields_of(wts):
+        assert np.allclose(getattr(got, f), getattr(wts, f), atol=1e-6), f
