@@ -85,6 +85,12 @@ def _q_quality(sf_dir: str):
     return quality_features(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_token_counts(sf_dir: str):
+    from relation_extraction_ray.functions.text import token_counts
+
+    return token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from relation_extraction_ray.functions.dedup import exact_dedup
 
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "fingerprints": _q_fingerprints,
         "quality": _q_quality,
+        "token_counts": _q_token_counts,
         "dedup_exact": _q_dedup_exact,
         "knn_top10": _q_knn,
         "pricing_summary": _q_pricing,
@@ -571,6 +578,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY md5(text)
+        """,
+        # token_counts: the regex alternatives are disjoint character
+        # classes, so greedy matching is identical between Python re and
+        # DuckDB's RE2 (verified on unicode + whitespace edge cases)
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS regex_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
         """,
         "knn_top10": """
             WITH q AS (

@@ -159,3 +159,45 @@ class LangIdStage:
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# --- token counting: whitespace + subword-style regex runs -----------------
+
+#: Subword-ish pre-tokenizer pattern (letter runs | digit runs | single
+#: other non-space char) — the class-disjoint shape makes greedy matching
+#: identical between Python ``re`` and DuckDB's RE2, so the count is
+#: exactly SQL-checkable.  A production BPE would split the letter runs
+#: further against a merges table; the RUN count is the schedulable unit
+#: (batch sizing, cost estimates) a pipeline needs.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKEN_RE = None
+
+
+def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-doc token counts: whitespace tokens, regex subword-style tokens
+    (:data:`TOKEN_REGEX` runs) and characters — one vectorized scan, no
+    shuffle.  The regex is compiled once per worker process."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        global _TOKEN_RE
+        if _TOKEN_RE is None:
+            import re
+
+            _TOKEN_RE = re.compile(TOKEN_REGEX)
+        col = batch.column(text_col)
+        ws_counts = []
+        bpe_counts = []
+        for t in col.to_pylist():
+            ws_counts.append(len(t.split()))
+            bpe_counts.append(len(_TOKEN_RE.findall(t)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ws_tokens": pa.array(ws_counts, pa.int64()),
+                "regex_tokens": pa.array(bpe_counts, pa.int64()),
+                "n_chars": pc.utf8_length(col).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(counts, batch_format="pyarrow")

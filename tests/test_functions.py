@@ -349,3 +349,29 @@ def test_embed_neardup_matches_inprocess_replica(ray_session):
                     want[(i, j)] = int(cos * 1_000_000 + 0.5)
     assert got == want
     assert (0, 40) in got and (7, 41) in got  # planted near-dups found
+
+
+def test_token_counts_matches_python_reference(ray_session):
+    """token_counts: ws/regex token and char counts equal a direct Python
+    computation over the same rows (the SQL oracle replays the same
+    regex — parity verified separately in the driver contract)."""
+    import re
+
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.text import TOKEN_REGEX, token_counts
+
+    texts = [
+        "Hello, world! It's 2026-08-17 ... café № 42",
+        "  multi   space\ttab\nnewline  ",
+        "",
+        "abc123def",
+        "ümlaut Ürgh ßharp",
+    ]
+    docs = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = {r["doc_id"]: r for r in token_counts(docs).take_all()}
+    rex = re.compile(TOKEN_REGEX)
+    for i, t in enumerate(texts):
+        assert got[i]["ws_tokens"] == len(t.split())
+        assert got[i]["regex_tokens"] == len(rex.findall(t))
+        assert got[i]["n_chars"] == len(t)
