@@ -1,0 +1,66 @@
+"""CLI surface (python -m relation_extraction_ray) — the engine's
+equivalent of the reference's click builder scripts
+(wiki2sdp.py:275-288, semeval2sdp.py:279-289)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(ray_session, tmp_path_factory):
+    from relation_extraction_ray.sources.synth import documents_dataset
+
+    d = str(tmp_path_factory.mktemp("cli") / "docs")
+    documents_dataset(120, override_num_blocks=4).write_parquet(d)
+    return d
+
+
+def test_build_kg_cli(docs_parquet, tmp_path, capsys):
+    from relation_extraction_ray.__main__ import main
+
+    out = str(tmp_path / "kg")
+    rc = main(["build-kg", "--input", docs_parquet, "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"]["triples"] > 0
+    t = pq.read_table(os.path.join(out, "triples"))
+    assert {"subj", "pred", "obj", "span_hash"} <= set(t.schema.names)
+    assert t.num_rows == summary["rows"]["triples"]
+    assert pq.read_table(os.path.join(out, "vocab")).num_rows == summary["rows"]["vocab"]
+
+
+def test_build_kg_sharded_cli_resumes(docs_parquet, tmp_path, capsys):
+    from relation_extraction_ray.__main__ import main
+
+    out = str(tmp_path / "kgsh")
+    args = ["build-kg-sharded", "--input", docs_parquet, "--out", out, "--shards", "2"]
+    assert main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["triples"] > 0 and len(first["recomputed"]) == 4  # 2 stages x 2 shards
+    assert main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["recomputed"] == []
+    assert second["triples"] == first["triples"]
+
+
+def test_semeval_classify_cli(tmp_path, capsys, ray_session):
+    from relation_extraction_ray.__main__ import main
+    from relation_extraction_ray.oracle import SEMEVAL_DATA
+
+    test_file = os.path.join(
+        SEMEVAL_DATA, "SemEval2010_task8_testing_keys", "TEST_FILE_CLEAN.TXT"
+    )
+    if not os.path.exists(test_file):
+        pytest.skip("reference SemEval data not present")
+    out = str(tmp_path / "preds")
+    rc = main([
+        "semeval-classify", "--input", test_file, "--out", out,
+        "--keys", os.path.join(SEMEVAL_DATA, "test_keys.txt"),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 2717
+    assert summary["official_f1"] > 60.0
