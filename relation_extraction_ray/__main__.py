@@ -117,6 +117,52 @@ def cmd_build_kg_sharded(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_semeval_train(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .config import KGConfig
+    from .pipelines.fit import (
+        build_record_vocabs,
+        encode_examples,
+        fit_alternating,
+        fit_classifier,
+        fit_classifier_distributed,
+    )
+    from .sources.semeval import parsed_records, read_semeval_records
+    from .state.scorer import save_weights
+
+    cfg = KGConfig(min_count=2)
+    parsed = parsed_records(read_semeval_records(args.input)).materialize()
+    vocabs = build_record_vocabs(parsed, cfg)
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    examples = encode_examples(parsed, vocabs, cfg).materialize()
+    if args.mode == "alternating":
+        wts, losses_d = fit_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1,
+            sup_epochs=max(1, args.epochs // 3), lr=args.lr,
+        )
+        losses = losses_d["sup"]
+    elif args.mode == "distributed":
+        wts, losses = fit_classifier_distributed(
+            examples, sizes, epochs=args.epochs, lr=args.lr
+        )
+    else:
+        wts, losses = fit_classifier(examples, sizes, epochs=args.epochs, lr=args.lr)
+    save_weights(wts, args.out, (wv, dv, pv))
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "examples": examples.count(),
+                "vocab": len(wv),
+                "loss_first": round(losses[0], 4),
+                "loss_last": round(losses[-1], 4),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_semeval_classify(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .config import KGConfig
@@ -178,6 +224,18 @@ def main(argv: list[str] | None = None) -> int:
     _add_kg_flags(p)
     p.add_argument("--shards", type=int, default=8)
     p.set_defaults(fn=cmd_build_kg_sharded)
+
+    p = sub.add_parser("semeval-train", help="train the GRU classifier on SemEval-format records")
+    p.add_argument("--input", required=True, help="SemEval 4-line-record file")
+    p.add_argument("--out", required=True, help="weights .npz path to write")
+    p.add_argument("--mode", choices=["supervised", "alternating", "distributed"],
+                   default="alternating",
+                   help="alternating = NEG-pretrain cycles (best F1); "
+                        "distributed = data-parallel Adam (scale path)")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_semeval_train)
 
     p = sub.add_parser("semeval-classify", help="classify SemEval-format records")
     p.add_argument("--input", required=True, help="SemEval 4-line-record file")

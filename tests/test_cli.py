@@ -64,3 +64,30 @@ def test_semeval_classify_cli(tmp_path, capsys, ray_session):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 2717
     assert summary["official_f1"] > 60.0
+
+
+def test_semeval_train_then_classify_cli(tmp_path, capsys, ray_session):
+    """Train on the synthetic SemEval-style corpus, classify it with the
+    written weights — the reference's end-to-end train→predict workflow."""
+    import ray.data as rd
+
+    from relation_extraction_ray.__main__ import main
+    from relation_extraction_ray.sources.semeval import labeled_sentences_table
+
+    # write a record file in the 4-line format from the synthetic table
+    tbl = labeled_sentences_table(120)
+    rec_file = str(tmp_path / "train.txt")
+    with open(rec_file, "w") as f:
+        for r in tbl.to_pylist():
+            f.write(f'{r["sent_id"]}\t"{r["text"]}"\n{r["label"]}\n{r["comment"]}\n\n')
+    wpath = str(tmp_path / "wts.npz")
+    rc = main(["semeval-train", "--input", rec_file, "--out", wpath,
+               "--mode", "supervised", "--epochs", "8"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["loss_last"] < summary["loss_first"]
+    out = str(tmp_path / "preds")
+    rc = main(["semeval-classify", "--input", rec_file, "--out", out, "--fixture", wpath])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 120
