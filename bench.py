@@ -77,6 +77,7 @@ def run_kg(
             parse_concurrency=(parse, parse),
             score_concurrency=(half, half),
             batch_size=batch_size,
+            execution="actors",  # pool-frac fairness only applies to pools
         )
     _, counters = pipe.adjacency_oneshot(documents_dataset(n_docs, override_num_blocks=blocks))
     wall = time.perf_counter() - t0

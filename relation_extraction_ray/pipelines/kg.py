@@ -733,6 +733,43 @@ def documents_from_plain_text(ds: ray.data.Dataset, id_col: str = "doc_id", text
 # ---------------------------------------------------------------------------
 
 
+# Per-worker-process stage caches for task-based execution: a Ray task
+# map reuses the long-lived worker processes the cluster already started,
+# so caching the (cheap-to-build) stage per process gives actor-pool
+# amortization without actor-pool spin-up.  The fused cache is keyed by
+# the vocab ObjectRef and cleared on key change (one vocab generation
+# live per worker at a time).
+_STAGE_CACHE: dict = {}
+
+
+def _stage_task_fn(cls, key, ctor_kwargs):
+    """Task wrapper constructing ``cls(**ctor_kwargs)`` once per worker
+    process per ``key`` (e.g. the vocab generation).  Older generations of
+    the same class are evicted so at most one instance per class is live
+    in a worker."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        k = (cls.__name__, key)
+        st = _STAGE_CACHE.get(k)
+        if st is None:
+            for old in [x for x in _STAGE_CACHE if x[0] == cls.__name__]:
+                del _STAGE_CACHE[old]
+            st = _STAGE_CACHE[k] = cls(**ctor_kwargs)
+        return st(batch)
+
+    return run
+
+
+def _parse_count_task(batch: pa.Table) -> pa.Table:
+    return _stage_task_fn(ParseCountStage, (), {})(batch)
+
+
+def _fused_task_fn(vocab_ref, cfg: KGConfig):
+    return _stage_task_fn(
+        FusedParseExtractScoreStage, (vocab_ref.hex(), cfg), {"vocab_ref": vocab_ref, "cfg": cfg}
+    )
+
+
 class KGPipeline:
     """End-to-end KG construction over an interleaved-documents Dataset.
 
@@ -766,15 +803,31 @@ class KGPipeline:
         parse_concurrency: int | tuple[int, int] = (2, 8),
         score_concurrency: int | tuple[int, int] = (2, 8),
         batch_size: int = 256,
+        execution: str = "tasks",
     ) -> None:
         self.cfg = cfg or KGConfig()
         self.ok_dep_structures = ok_dep_structures
         self.parse_concurrency = parse_concurrency
         self.score_concurrency = score_concurrency
         self.batch_size = batch_size
+        # "tasks": headline stages run as plain map_batches tasks with a
+        # per-worker-process stage cache — the rule parser + vocab dicts
+        # are microseconds to build, and two 32-actor pool spin-ups were
+        # measured at ~8 s (~60 %) of the 40k-doc headline wall.  "actors"
+        # keeps the explicit pools: the right mode once the scorer is a
+        # real model whose load cost must amortize across the run AND be
+        # bounded to `concurrency` copies in memory.
+        assert execution in ("tasks", "actors")
+        self.execution = execution
         self._vocabs = None
 
     def sentences(self, documents: ray.data.Dataset) -> ray.data.Dataset:
+        if self.execution == "tasks":
+            return documents.map_batches(
+                _stage_task_fn(ParseStage, (), {}),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+            )
         return documents.map_batches(
             ParseStage,
             batch_format="pyarrow",
@@ -796,6 +849,16 @@ class KGPipeline:
     def encoded(self, sentences: ray.data.Dataset, vocabs=None) -> ray.data.Dataset:
         (wv, w2i, _), (dv, d2i, _), (pv, p2i, _) = vocabs or self.vocabs(sentences)
         vocab_ref = ray.put((w2i, d2i, p2i, self.ok_dep_structures))
+        if self.execution == "tasks":
+            return sentences.map_batches(
+                _stage_task_fn(
+                    ExtractEncodeStage,
+                    (vocab_ref.hex(), self.cfg),
+                    {"vocab_ref": vocab_ref, "cfg": self.cfg},
+                ),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+            )
         # extract runs pipelined with the scorer pool in one execution —
         # both get the half-budget so neither starves the other
         return sentences.map_batches(
@@ -810,6 +873,16 @@ class KGPipeline:
         (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
         sizes_ref = ray.put((len(wv), len(dv), len(pv)))
         good = encoded.filter(expr="verdict == 'GOOD'")
+        if self.execution == "tasks":
+            return good.map_batches(
+                _stage_task_fn(
+                    ScorerStage,
+                    (sizes_ref.hex(), self.cfg),
+                    {"sizes_ref": sizes_ref, "cfg": self.cfg},
+                ),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+            )
         return good.map_batches(
             ScorerStage,
             fn_constructor_kwargs={"sizes_ref": sizes_ref, "cfg": self.cfg},
@@ -861,13 +934,19 @@ class KGPipeline:
         import time as _time
 
         t0 = _time.perf_counter()
-        counted = (
-            documents.map_batches(
+        if self.execution == "tasks":
+            parsed_counts = documents.map_batches(
+                _parse_count_task, batch_format="pyarrow", batch_size=self.batch_size
+            )
+        else:
+            parsed_counts = documents.map_batches(
                 ParseCountStage,
                 batch_format="pyarrow",
                 batch_size=self.batch_size,
                 concurrency=self.parse_concurrency,
             )
+        counted = (
+            parsed_counts
             # partial-count blocks are tiny (≤ distinct tokens each); the
             # groupby's own exchange handles them — an extra repartition
             # here costs a whole barrier (~2-4 s) for nothing at realistic
@@ -882,13 +961,20 @@ class KGPipeline:
         self._vocabs = (word, dep, pos)
         t_barrier = _time.perf_counter() - t0
         vocab_ref = ray.put((word[1], dep[1], pos[1], self.ok_dep_structures))
-        triples = documents.map_batches(
-            FusedParseExtractScoreStage,
-            fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": self.cfg},
-            batch_format="pyarrow",
-            batch_size=self.batch_size,
-            concurrency=self.parse_concurrency,
-        )
+        if self.execution == "tasks":
+            triples = documents.map_batches(
+                _fused_task_fn(vocab_ref, self.cfg),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+            )
+        else:
+            triples = documents.map_batches(
+                FusedParseExtractScoreStage,
+                fn_constructor_kwargs={"vocab_ref": vocab_ref, "cfg": self.cfg},
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.parse_concurrency,
+            )
         adj_tab = pa.concat_tables(
             adjacency_from_triples(triples).iter_batches(batch_format="pyarrow")
         )
