@@ -91,6 +91,34 @@ def _q_token_counts(sf_dir: str):
     return token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_rolling_fps(sf_dir: str):
+    """Winnowing fingerprints, digested to scalar columns (the driver's
+    row-hash comparator handles scalars; the md5 of the ':'-joined sorted
+    fps list still pins the exact fingerprint CONTENT per doc)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.text import rolling_fingerprints
+
+    fps = rolling_fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(":".join(str(int(x)) for x in row).encode()).hexdigest()
+            for row in batch.column("fps").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fps": batch.column("n_fps"),
+                "fps_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return fps.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     from relation_extraction_ray.functions.dedup import exact_dedup
 
@@ -409,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "quality": _q_quality,
         "token_counts": _q_token_counts,
+        "rolling_fps": _q_rolling_fps,
         "dedup_exact": _q_dedup_exact,
         "knn_top10": _q_knn,
         "pricing_summary": _q_pricing,
@@ -543,6 +572,42 @@ _SIMHASH_CTE = f"""
 """
 
 
+
+
+def _rolling_fps_sql() -> str:
+    from relation_extraction_ray.functions.text import _RK_B, _RK_K, _RK_M, _RK_W
+
+    pw = [pow(_RK_B, _RK_K - 1 - j, _RK_M) for j in range(_RK_K)]
+    pw_sql = "[" + ",".join(f"{p}::HUGEINT" for p in pw) + "]"
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+            CASE WHEN length(text) < {_RK_K} THEN [] ELSE
+              list_transform(range(0, length(text) - {_RK_K} + 1), i ->
+                (list_sum(list_transform(range(0, {_RK_K}), j ->
+                  ord(substr(text, (i + j + 1)::INT, 1))::HUGEINT * ({pw_sql})[(j + 1)::INT])) % {_RK_M})::UBIGINT)
+            END AS hs
+          FROM documents
+        )
+        , f AS (
+          SELECT doc_id,
+               CASE WHEN len(hs) = 0 THEN []
+                    WHEN len(hs) <= {_RK_W} THEN [list_min(hs)]
+                    ELSE list_sort(list_distinct(list_transform(
+                        range(0, len(hs) - {_RK_W} + 1),
+                        i -> list_min(hs[(i+1)::INT:(i+{_RK_W})::INT])))) END AS fps
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS BIGINT) AS n_fps,
+               md5(array_to_string(fps, ':')) AS fps_md5
+        FROM f
+    """
+
+
+_ROLLING_FPS_SQL = _rolling_fps_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     kg_paths = _write_kg_oracle_parquet()
     lang_cols = ",\n".join(
@@ -579,6 +644,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY md5(text)
         """,
+        # rolling_fps: winnowing fingerprints — the HUGEINT polynomial
+        # replays the engine's Rabin-Karp hash exactly (parity verified on
+        # unicode/short/empty edge cases)
+        "rolling_fps": _ROLLING_FPS_SQL,
         # token_counts: the regex alternatives are disjoint character
         # classes, so greedy matching is identical between Python re and
         # DuckDB's RE2 (verified on unicode + whitespace edge cases)

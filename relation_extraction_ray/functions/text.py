@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -201,3 +202,57 @@ def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
         )
 
     return docs.map_batches(counts, batch_format="pyarrow")
+
+
+# --- rolling-hash document fingerprints (winnowing) ------------------------
+
+#: Rabin-Karp parameters: base, Mersenne modulus 2^31-1 (products stay
+#: < 2^52, so the whole pipeline is pure vectorized uint64 — no bigint),
+#: k-gram length, winnowing window.
+_RK_B, _RK_M = 257, 2147483647
+_RK_K, _RK_W = 5, 4
+
+
+def _rk_hashes(text: str) -> np.ndarray:
+    """All k-gram Rabin-Karp hashes of ``text`` (vectorized Horner over
+    character codes; rolling-equivalent values)."""
+    n = len(text)
+    if n < _RK_K:
+        return np.empty(0, dtype=np.uint64)
+    o = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    h = np.zeros(n - _RK_K + 1, dtype=np.uint64)
+    for j in range(_RK_K):
+        pw = np.uint64(pow(_RK_B, _RK_K - 1 - j, _RK_M))
+        h = (h + o[j : j + n - _RK_K + 1] * pw) % np.uint64(_RK_M)
+    return h
+
+
+def rolling_fingerprints(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS scheme): Rabin-Karp k-gram rolling hashes, then the minimum of
+    every w-window, distinct + sorted.  Any shared substring of length
+    ≥ k + w - 1 between two docs guarantees a shared fingerprint, so the
+    sorted fps lists support containment/overlap near-dup detection at a
+    fraction of full-shingle cost.  One scan, no shuffle; value-exact SQL
+    oracle (HUGEINT polynomial replay in DuckDB)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out: list[list[int]] = []
+        for t in batch.column(text_col).to_pylist():
+            h = _rk_hashes(t)
+            if len(h) == 0:
+                out.append([])
+            elif len(h) <= _RK_W:
+                out.append([int(h.min())])
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, _RK_W)
+                out.append(sorted({int(x) for x in sw.min(axis=1)}))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fps": pa.array(out, pa.list_(pa.uint64())),
+                "n_fps": pa.array([len(x) for x in out], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")

@@ -375,3 +375,37 @@ def test_token_counts_matches_python_reference(ray_session):
         assert got[i]["ws_tokens"] == len(t.split())
         assert got[i]["regex_tokens"] == len(rex.findall(t))
         assert got[i]["n_chars"] == len(t)
+
+
+def test_rolling_fingerprints_winnowing_guarantee(ray_session):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; plus edge cases."""
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.text import (
+        _RK_K,
+        _RK_W,
+        rolling_fingerprints,
+    )
+
+    shared = "a very distinctive shared passage of text"
+    assert len(shared) >= _RK_K + _RK_W - 1
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": f"prefix one {shared} suffix alpha"},
+            {"doc_id": 1, "text": f"other start {shared} different end"},
+            {"doc_id": 2, "text": "completely unrelated content here"},
+            {"doc_id": 3, "text": "abc"},   # shorter than k
+            {"doc_id": 4, "text": ""},
+        ]
+    )
+    got = {r["doc_id"]: r for r in rolling_fingerprints(docs).take_all()}
+    f0, f1, f2 = (set(got[i]["fps"]) for i in (0, 1, 2))
+    assert f0 & f1, "docs sharing a long substring must share a fingerprint"
+    assert not (f0 & f2 and f1 & f2) or True  # unrelated overlap is allowed but unlikely
+    assert got[3]["fps"] == [] and got[3]["n_fps"] == 0
+    assert got[4]["fps"] == [] and got[4]["n_fps"] == 0
+    for i in (0, 1, 2):
+        fps = list(got[i]["fps"])
+        assert fps == sorted(set(fps))
+        assert got[i]["n_fps"] == len(fps)
