@@ -39,7 +39,7 @@ def test_build_kg_sharded_cli_resumes(docs_parquet, tmp_path, capsys):
     args = ["build-kg-sharded", "--input", docs_parquet, "--out", out, "--shards", "2"]
     assert main(args) == 0
     first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert first["triples"] > 0 and len(first["recomputed"]) == 4  # 2 stages x 2 shards
+    assert first["triples"] > 0 and len(first["recomputed"]) == 6  # 2 stages x 2 shards + entities/adjacency
     assert main(args) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["recomputed"] == []

@@ -56,7 +56,7 @@ def _sorted_rows(ds):
 def test_full_run_matches_oracle_and_resumes(out_dir, ray_session):
     runner = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
     out = runner.run()
-    assert len(out["recomputed"]) == 2 * N_SHARDS  # sentences + triples per shard
+    assert len(out["recomputed"]) == 2 * N_SHARDS + 2  # sentences + triples per shard, entities + adjacency once
 
     oracle = run_oracle(corpus_table(N_DOCS).to_pylist())
     got = _sorted_rows(out["adjacency"])
@@ -65,7 +65,7 @@ def test_full_run_matches_oracle_and_resumes(out_dir, ray_session):
 
     # manifest: every (stage, shard) present with counters
     entries = runner.manifest.load()
-    assert set(entries) == {(s, i) for s in ("sentences", "triples") for i in range(N_SHARDS)}
+    assert set(entries) == {(s, i) for s in ("sentences", "triples") for i in range(N_SHARDS)} | {("entities", 0), ("adjacency", 0)}
     for (stage, shard), e in entries.items():
         assert e["status"] == "done" and e["rows"] >= 0
         if stage == "triples":
@@ -126,4 +126,4 @@ def test_config_change_invalidates_resume(out_dir, ray_session):
     runner.run()
     changed = ShardedKGRunner(out_dir, 2, _mk_docs_for_shard(), cfg=KGConfig(max_len=5))
     changed.run()
-    assert len(changed.recomputed) == 4  # different fingerprint -> full recompute
+    assert len(changed.recomputed) == 6  # different fingerprint -> full recompute (incl. derived tables)
