@@ -870,3 +870,126 @@ def model_classify(parsed: ray.data.Dataset, wts: ScorerWeights, vocabs_lists, c
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# Active learning (reference RelEmbed_semeval.ipynb cells 55/57: rank the
+# unlabeled pool by prediction uncertainty, label the top slice, refit).
+# ---------------------------------------------------------------------------
+
+
+def _pool_scores(examples: ray.data.Dataset, wts: ScorerWeights) -> ray.data.Dataset:
+    """(sent_id, entropy, pred_id) for every encoded example — weights
+    broadcast once, scored distributed (task map; ray.get of a local ref is
+    free per task)."""
+    wts_ref = ray.put(wts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(wts_ref)
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {"sent_id": pa.array([], pa.int64()), "entropy": pa.array([], pa.float64()),
+                 "pred_id": pa.array([], pa.int32())}
+            )
+        wi, d, p, lengths = pad_paths(
+            batch.column("word_ids").to_pylist(),
+            batch.column("dep_ids").to_pylist(),
+            batch.column("pos_ids").to_pylist(),
+        )
+        targets = None
+        if w.t_emb is not None:
+            targets = np.stack(
+                [
+                    np.asarray(batch.column("x_id").to_pylist(), dtype=np.int32),
+                    np.asarray(batch.column("y_id").to_pylist(), dtype=np.int32),
+                ],
+                axis=1,
+            )
+        pred, probs = score_batch(w, wi, d, p, lengths, targets=targets)
+        ent = -np.sum(probs * np.log(np.clip(probs, 1e-12, None)), axis=1)
+        return pa.Table.from_pydict(
+            {
+                "sent_id": pa.array(batch.column("sent_id").to_pylist(), pa.int64()),
+                "entropy": pa.array(ent.astype(np.float64), pa.float64()),
+                "pred_id": pa.array(pred, pa.int32()),
+            }
+        )
+
+    return examples.map_batches(score, batch_format="pyarrow")
+
+
+def active_learning_rounds(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    rounds: int = 3,
+    seed_count: int = 40,
+    acquire: int = 40,
+    epochs: int = 10,
+    lr: float = 3e-3,
+    seed: int = 7,
+    strategy: str = "entropy",
+    eval_frac_mod: int = 5,
+) -> tuple[ScorerWeights, dict]:
+    """Uncertainty-sampling active learning over the encoded example pool.
+
+    Deterministic protocol: rows with ``md5(sent_id) % eval_frac_mod == 0``
+    form a held-out eval split; the remainder is the pool.  The seed set is
+    the ``seed_count`` smallest pool sent_ids.  Each round fits from
+    scratch on the labeled set (the reference refits per query round),
+    scores the unlabeled pool distributed, and acquires the top ``acquire``
+    ids by (entropy desc, sent_id asc) — or a seeded hash draw when
+    ``strategy='random'`` (the control arm).  Returns the final weights and
+    a history dict with per-round eval accuracy and labeled-set sizes."""
+    from ..functions.training import _stable_unit
+
+    examples = examples.materialize()
+
+    def is_eval(sid: int) -> bool:
+        return int(hashlib.md5(f"aleval:{sid}".encode()).hexdigest()[:8], 16) % eval_frac_mod == 0
+
+    all_ids = sorted(r["sent_id"] for r in examples.select_columns(["sent_id"]).take_all())
+    eval_ids = {s for s in all_ids if is_eval(s)}
+    pool_ids = [s for s in all_ids if s not in eval_ids]
+    labeled = set(pool_ids[:seed_count])
+
+    def subset(ids: set) -> ray.data.Dataset:
+        ref = ray.put(ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            mask = [s in want for s in batch.column("sent_id").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        return examples.map_batches(keep, batch_format="pyarrow")
+
+    history: dict[str, list] = {"labeled": [], "eval_acc": []}
+    eval_ds = subset(eval_ids).materialize()
+    eval_labels = {
+        r["sent_id"]: r["label_id"] for r in eval_ds.select_columns(["sent_id", "label_id"]).take_all()
+    }
+    wts = None
+    for rnd in range(rounds):
+        wts, _ = fit_classifier(subset(labeled), vocab_sizes, epochs=epochs, lr=lr, seed=seed)
+        scored_eval = _pool_scores(eval_ds, wts).take_all()
+        acc = sum(1 for r in scored_eval if r["pred_id"] == eval_labels[r["sent_id"]]) / max(
+            1, len(scored_eval)
+        )
+        history["labeled"].append(len(labeled))
+        history["eval_acc"].append(round(acc, 4))
+        if rnd == rounds - 1:
+            break
+        unlabeled = [s for s in pool_ids if s not in labeled]
+        if strategy == "random":
+            ranked = sorted(unlabeled, key=lambda s: (_stable_unit(f"alrand:{seed}:{rnd}:{s}"), s))
+            picked = ranked[:acquire]
+        else:
+            scored = _pool_scores(subset(set(unlabeled)), wts)
+            top = (
+                scored.sort(["entropy", "sent_id"], descending=[True, False])
+                .limit(acquire)
+                .take_all()
+            )
+            picked = [r["sent_id"] for r in top]
+        labeled |= set(picked)
+    return wts, history
