@@ -287,6 +287,7 @@ def fit_classifier(
     log_every: int = 0,
     n_out: int = len(LABELS),
     use_targets: bool = True,
+    valid_mod: int = 0,
 ) -> tuple[ScorerWeights, list[float]]:
     """Mini-batch Adam over the encoded examples (driver-side — the encoded
     set is the SMALL output of the distributed parse/encode passes; the
@@ -303,6 +304,25 @@ def fit_classifier(
     wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0)
     fields = fields_of(wts)
     w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
+    # ``valid_mod`` > 0 reproduces the reference's keep-best-valid
+    # checkpointing (relembed.py:745-753 saves on best valid): every
+    # valid_mod-th example (by position in sent_id order — a deterministic
+    # split) is held out, the train loop never sees it, and the returned
+    # weights are the epoch snapshot with the lowest valid loss.
+    vi = np.array([], dtype=np.int64)
+    if valid_mod:
+        pos = np.arange(len(labels))
+        vi = pos[pos % valid_mod == 0]
+        ti = pos[pos % valid_mod != 0]
+        vw_all = [w_all[i] for i in vi]
+        vd_all = [d_all[i] for i in vi]
+        vp_all = [p_all[i] for i in vi]
+        vlabels, vtargets = labels[vi], targets_all[vi]
+        w_all = [w_all[i] for i in ti]
+        d_all = [d_all[i] for i in ti]
+        p_all = [p_all[i] for i in ti]
+        labels, targets_all = labels[ti], targets_all[ti]
+    best_valid, best_snap = float("inf"), None
     n = len(labels)
     rng = np.random.default_rng(seed)
     m = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
@@ -332,8 +352,20 @@ def fit_classifier(
                 upd = getattr(wts, f).astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)
                 setattr(wts, f, upd.astype(np.float32))
         losses.append(ep_loss / max(1, n))
+        if valid_mod and len(vi):
+            vwp, vdp, vpp, vlen = pad_paths(vw_all, vd_all, vp_all)
+            vloss, _ = grad_batch(
+                wts, vwp, vdp, vpp, vlen, vlabels,
+                targets=vtargets if use_targets else None,
+            )
+            if vloss < best_valid:
+                best_valid = vloss
+                best_snap = {f: getattr(wts, f).copy() for f in fields}
         if log_every and (epoch + 1) % log_every == 0:
             print(f"epoch {epoch + 1}: loss {losses[-1]:.4f}")
+    if valid_mod and best_snap is not None:
+        for f in fields:
+            setattr(wts, f, best_snap[f])
     return wts, losses
 
 

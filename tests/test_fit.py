@@ -327,3 +327,25 @@ def test_active_learning_entropy_beats_seed_and_is_deterministic(synth_examples)
         examples, sizes, rounds=2, seed_count=30, acquire=50, epochs=40, lr=5e-3
     )
     assert hist2["eval_acc"] == hist["eval_acc"][:2]
+
+
+def test_fit_keep_best_valid(synth_examples):
+    """valid_mod > 0 holds out a deterministic split and returns the
+    best-valid epoch snapshot (reference saves on best valid,
+    relembed.py:745-753) — deterministic and still a working classifier."""
+    from relation_extraction_ray.pipelines.fit import fit_classifier
+    from relation_extraction_ray.state.scorer import fields_of
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    wts, losses = fit_classifier(examples, sizes, epochs=12, lr=5e-3, valid_mod=5)
+    assert losses[-1] < losses[0]
+    wts2, _ = fit_classifier(examples, sizes, epochs=12, lr=5e-3, valid_mod=5)
+    for f in fields_of(wts):
+        assert np.array_equal(getattr(wts, f), getattr(wts2, f)), f
+    # and differs from the no-validation run (held-out rows removed)
+    plain, _ = fit_classifier(examples, sizes, epochs=12, lr=5e-3)
+    assert any(
+        not np.array_equal(getattr(wts, f), getattr(plain, f)) for f in fields_of(wts)
+    )
