@@ -12,6 +12,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..taskexec import cached_stage_fn
 from .joins import derive_n_parts, pair_payload_join
 
 
@@ -110,10 +111,8 @@ def knn_brute_force(
     q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
     query_ref = ray.put((q_ids, q))
     local = embeddings.map_batches(
-        BruteForceScan,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        cached_stage_fn(BruteForceScan, (query_ref.hex(), k), {"query_ref": query_ref, "k": k}),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")
 
@@ -209,10 +208,8 @@ def knn_ivf(
     probe_ref = ray.put((q_ids, qm, by_list))
 
     assigned = embeddings.map_batches(
-        IvfAssignStage,
-        fn_constructor_kwargs={"cent_ref": cent_ref},
+        cached_stage_fn(IvfAssignStage, cent_ref.hex(), {"cent_ref": cent_ref}),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def per_list(group: pa.Table) -> pa.Table:
@@ -270,10 +267,8 @@ def knn_lsh(
     (per-bucket brute force, buckets shuffled once)."""
     qset = set(query_ids)
     bucketed = embeddings.map_batches(
-        LshBucketStage,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        cached_stage_fn(LshBucketStage, (dim, n_planes), {"dim": dim, "n_planes": n_planes}),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def per_bucket(group: pa.Table) -> pa.Table:

@@ -75,28 +75,27 @@ def revenue_by_segment(orders: ray.data.Dataset, customer: ray.data.Dataset) -> 
         seg_map.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
     ref = ray.put(seg_map)
 
-    class Probe:
-        def __init__(self) -> None:
-            self.seg = ray.get(ref)
+    # plain-task probe: the broadcast map's ray.get is zero-copy after the
+    # first fetch per worker — an actor pool would pay spin-up for nothing
+    def probe(batch: pa.Table) -> pa.Table:
+        seg = ray.get(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        price_c = _cents(batch.column("o_totalprice").to_pylist())
+        agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+        for ck, p in zip(keys, price_c):
+            e = agg[seg.get(ck, "UNKNOWN")]
+            e[0] += 1
+            e[1] += int(p)
+        segs = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": segs,
+                "n_orders": pa.array([agg[s][0] for s in segs], pa.int64()),
+                "revenue_cents": pa.array([agg[s][1] for s in segs], pa.int64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            price_c = _cents(batch.column("o_totalprice").to_pylist())
-            agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
-            for ck, p in zip(keys, price_c):
-                e = agg[self.seg.get(ck, "UNKNOWN")]
-                e[0] += 1
-                e[1] += int(p)
-            segs = sorted(agg)
-            return pa.Table.from_pydict(
-                {
-                    "c_mktsegment": segs,
-                    "n_orders": pa.array([agg[s][0] for s in segs], pa.int64()),
-                    "revenue_cents": pa.array([agg[s][1] for s in segs], pa.int64()),
-                }
-            )
-
-    g = orders.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8)).groupby("c_mktsegment")
+    g = orders.map_batches(probe, batch_format="pyarrow").groupby("c_mktsegment")
     out = g.aggregate(
         ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
         ray.data.aggregate.Sum("revenue_cents", alias_name="revenue_cents"),

@@ -739,25 +739,7 @@ def documents_from_plain_text(ds: ray.data.Dataset, id_col: str = "doc_id", text
 # amortization without actor-pool spin-up.  The fused cache is keyed by
 # the vocab ObjectRef and cleared on key change (one vocab generation
 # live per worker at a time).
-_STAGE_CACHE: dict = {}
-
-
-def _stage_task_fn(cls, key, ctor_kwargs):
-    """Task wrapper constructing ``cls(**ctor_kwargs)`` once per worker
-    process per ``key`` (e.g. the vocab generation).  Older generations of
-    the same class are evicted so at most one instance per class is live
-    in a worker."""
-
-    def run(batch: pa.Table) -> pa.Table:
-        k = (cls.__name__, key)
-        st = _STAGE_CACHE.get(k)
-        if st is None:
-            for old in [x for x in _STAGE_CACHE if x[0] == cls.__name__]:
-                del _STAGE_CACHE[old]
-            st = _STAGE_CACHE[k] = cls(**ctor_kwargs)
-        return st(batch)
-
-    return run
+from ..taskexec import cached_stage_fn as _stage_task_fn  # noqa: E402 (shared task-mode cache)
 
 
 def _parse_count_task(batch: pa.Table) -> pa.Table:

@@ -108,11 +108,13 @@ class LinkerStage:
 
 def link_triples(triples: ray.data.Dataset, kb: dict[str, list[dict]], concurrency=(1, 8)) -> ray.data.Dataset:
     kb_ref = ray.put(kb)
+    # task map with a per-worker stage cache — the KB ref ray.get is the
+    # only state; actor-pool spin-up cost more than the whole query
+    from ..taskexec import cached_stage_fn
+
     return triples.map_batches(
-        LinkerStage,
-        fn_constructor_kwargs={"kb_ref": kb_ref},
+        cached_stage_fn(LinkerStage, kb_ref.hex(), {"kb_ref": kb_ref}),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
