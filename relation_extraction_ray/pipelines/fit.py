@@ -36,6 +36,7 @@ import pyarrow as pa
 import ray
 
 from ..config import KGConfig
+from ..taskexec import cached_stage_fn
 from ..nlp.labeler import LABEL2INT, LABELS, OTHER, lookup_inverse_relation
 from ..nlp.parser import parse_sentence
 from ..nlp.sdp import finalize_vocab, post_process_path, sdp_between, token_span_path, vocab2idx
@@ -832,10 +833,12 @@ def dual_model_classify(
 ) -> ray.data.Dataset:
     model_ref = ray.put((params, vocabs_lists))
     return parsed.map_batches(
-        DualModelClassifyStage,
-        fn_constructor_kwargs={"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        cached_stage_fn(
+            DualModelClassifyStage,
+            model_ref.hex(),
+            {"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
@@ -897,10 +900,12 @@ class ModelClassifyStage:
 def model_classify(parsed: ray.data.Dataset, wts: ScorerWeights, vocabs_lists, cfg: KGConfig | None = None):
     model_ref = ray.put((wts, vocabs_lists))
     return parsed.map_batches(
-        ModelClassifyStage,
-        fn_constructor_kwargs={"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        cached_stage_fn(
+            ModelClassifyStage,
+            model_ref.hex(),
+            {"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
