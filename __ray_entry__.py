@@ -653,8 +653,8 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB's RE2 (verified on unicode + whitespace edge cases)
         "token_counts": r"""
             SELECT doc_id,
-                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS regex_tokens,
+                   CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS regex_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,

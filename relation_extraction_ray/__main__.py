@@ -187,10 +187,17 @@ def cmd_semeval_classify(args: argparse.Namespace) -> int:
 
         key = read_key_file(args.keys, allow_nodir=True)
         pairs: dict[tuple[str, str], int] = {}
+        skipped = 0
         for r in preds.take_all():
-            k = (r["pred"], key[r["sent_id"]])
+            gold = key.get(r["sent_id"])
+            if gold is None:  # id not in the key file — score the intersection
+                skipped += 1
+                continue
+            k = (r["pred"], gold)
             pairs[k] = pairs.get(k, 0) + 1
         scores = official_scores_from_pairs([(p, a, c) for (p, a), c in pairs.items()])
+        if skipped:
+            summary["skipped_no_key"] = skipped
         summary["official_f1"] = round(scores["official_f1"], 2)
         summary["macro_p"] = round(scores["macro_p"], 2)
         summary["macro_r"] = round(scores["macro_r"], 2)

@@ -321,8 +321,6 @@ def banded_planes(dim: int, bands: int, planes_per_band: int) -> np.ndarray:
     return m
 
 
-_LSH_STAGES: dict = {}
-
 #: Max candidate-vector count for the broadcast cosine-verify path
 #: (20k × 64 float64 ≈ 10 MB); above it the hash-partitioned
 #: pair↔vector join keeps every worker and the driver bounded.
@@ -383,14 +381,14 @@ def embed_neardup_pairs(
 
     # task-based map with a per-worker stage cache (the deterministic
     # plane matrix is microseconds to build — actor spin-up costs more)
-    def bucketize(batch: pa.Table) -> pa.Table:
-        key = (dim, bands, planes_per_band)
-        st = _LSH_STAGES.get(key)
-        if st is None:
-            st = _LSH_STAGES[key] = BandedLshStage(dim, bands, planes_per_band)
-        return st(batch)
-
-    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    bucketed = embeddings.map_batches(
+        cached_stage_fn(
+            BandedLshStage,
+            (dim, bands, planes_per_band),
+            {"dim": dim, "bands": bands, "planes_per_band": planes_per_band},
+        ),
+        batch_format="pyarrow",
+    )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("vec_id").combine_chunks().to_numpy())[:max_bucket]
@@ -458,6 +456,10 @@ def embed_neardup_pairs(
         if rows_i:
             all_ids = np.concatenate(rows_i)
             mat = np.concatenate(rows_v, axis=0)
+            # batches arrive in ARBITRARY order — searchsorted below
+            # requires the id axis sorted, or lookups silently miss
+            order = np.argsort(all_ids)
+            all_ids, mat = all_ids[order], mat[order]
         else:
             all_ids = np.array([], dtype=np.int64)
             mat = np.zeros((0, dim))

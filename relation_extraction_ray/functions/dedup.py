@@ -101,9 +101,6 @@ def exact_dedup(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     )
 
 
-_MINHASH_STAGES: dict = {}
-
-
 class MinHashStage:
     """doc → LSH band rows. Permutation keys are built once per
     worker in ``__init__`` (pure function of num_perm →
@@ -191,14 +188,16 @@ def minhash_candidate_pairs(
     # task-based map with a per-worker-process stage cache — the stage's
     # only state (xor permutation keys) is microseconds to build, so an
     # actor pool would pay spin-up latency for nothing
-    def sign(batch: pa.Table) -> pa.Table:
-        key = (num_perm, bands, shingle_n)
-        st = _MINHASH_STAGES.get(key)
-        if st is None:
-            st = _MINHASH_STAGES[key] = MinHashStage(num_perm, bands, shingle_n)
-        return st(batch)
+    from ..taskexec import cached_stage_fn
 
-    bands_ds = docs.map_batches(sign, batch_format="pyarrow")
+    bands_ds = docs.map_batches(
+        cached_stage_fn(
+            MinHashStage,
+            (num_perm, bands, shingle_n),
+            {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+        ),
+        batch_format="pyarrow",
+    )
     cand = hash_partitioned_groups(
         bands_ds, ["band", "bucket"], pairs_part, derived_num_parts()
     )

@@ -158,19 +158,13 @@ class LangIdStage:
         )
 
 
-_LANG_STAGE: list = []
-
-
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     # task map with a per-worker-process stage cache — the marker sets are
     # microseconds to build, and the actor pool's spin-up was ~3 s of a
     # 4 s query (same finding as the KG task-mode stages)
-    def run(batch: pa.Table) -> pa.Table:
-        if not _LANG_STAGE:
-            _LANG_STAGE.append(LangIdStage())
-        return _LANG_STAGE[0](batch)
+    from ..taskexec import cached_stage_fn
 
-    return docs.map_batches(run, batch_format="pyarrow")
+    return docs.map_batches(cached_stage_fn(LangIdStage, (), {}), batch_format="pyarrow")
 
 
 # --- token counting: whitespace + subword-style regex runs -----------------
@@ -181,9 +175,15 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
 #: exactly SQL-checkable.  A production BPE would split the letter runs
 #: further against a merges table; the RUN count is the schedulable unit
 #: (batch sizing, cost estimates) a pipeline needs.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Whitespace is an EXPLICIT ASCII class, not ``\s`` — Python's \s is
+#: Unicode-aware (\x0b, \xa0, ...) while DuckDB RE2's is ASCII-only,
+#: and the two diverge on e.g. vertical tab; the literal class keeps the
+#: engines byte-identical.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+WS_REGEX = r"[ \t\n\f\r]+"
 
 _TOKEN_RE = None
+_WS_RE = None
 
 
 def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -192,16 +192,17 @@ def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
     shuffle.  The regex is compiled once per worker process."""
 
     def counts(batch: pa.Table) -> pa.Table:
-        global _TOKEN_RE
+        global _TOKEN_RE, _WS_RE
         if _TOKEN_RE is None:
             import re
 
             _TOKEN_RE = re.compile(TOKEN_REGEX)
+            _WS_RE = re.compile(WS_REGEX)
         col = batch.column(text_col)
         ws_counts = []
         bpe_counts = []
         for t in col.to_pylist():
-            ws_counts.append(len(t.split()))
+            ws_counts.append(sum(1 for x in _WS_RE.split(t) if x))
             bpe_counts.append(len(_TOKEN_RE.findall(t)))
         return pa.Table.from_pydict(
             {

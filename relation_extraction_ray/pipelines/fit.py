@@ -311,13 +311,14 @@ def fit_classifier(
     # split) is held out, the train loop never sees it, and the returned
     # weights are the epoch snapshot with the lowest valid loss.
     vi = np.array([], dtype=np.int64)
+    vpad = None
     if valid_mod:
         pos = np.arange(len(labels))
         vi = pos[pos % valid_mod == 0]
         ti = pos[pos % valid_mod != 0]
-        vw_all = [w_all[i] for i in vi]
-        vd_all = [d_all[i] for i in vi]
-        vp_all = [p_all[i] for i in vi]
+        vpad = pad_paths(
+            [w_all[i] for i in vi], [d_all[i] for i in vi], [p_all[i] for i in vi]
+        )
         vlabels, vtargets = labels[vi], targets_all[vi]
         w_all = [w_all[i] for i in ti]
         d_all = [d_all[i] for i in ti]
@@ -354,10 +355,14 @@ def fit_classifier(
                 setattr(wts, f, upd.astype(np.float32))
         losses.append(ep_loss / max(1, n))
         if valid_mod and len(vi):
-            vwp, vdp, vpp, vlen = pad_paths(vw_all, vd_all, vp_all)
-            vloss, _ = grad_batch(
-                wts, vwp, vdp, vpp, vlen, vlabels,
+            vwp, vdp, vpp, vlen = vpad
+            # forward-only valid loss (no BPTT): mean NLL from score_batch
+            _, vprobs = score_batch(
+                wts, vwp, vdp, vpp, vlen,
                 targets=vtargets if use_targets else None,
+            )
+            vloss = float(
+                np.mean(-np.log(np.clip(vprobs[np.arange(len(vlabels)), vlabels], 1e-12, None)))
             )
             if vloss < best_valid:
                 best_valid = vloss
@@ -389,8 +394,9 @@ def fit_classifier_distributed(
     broadcast by ``ray.put``, per-block (n, loss·n, n·grad) partials from an
     actor-pool ``map_batches``, deterministic driver reduce — over a
     deterministic ``1/steps_per_epoch`` shard of the examples (shard id =
-    ``(sent_id + epoch·10007) % steps_per_epoch``, an epoch-rotating
-    assignment so consecutive epochs see different macro-batches).  Adam
+    a multiplicative integer mix of (sent_id, epoch), so each epoch
+    re-PARTITIONS the examples into different macro-batches rather than
+    merely relabeling the same residue classes).  Adam
     moments live on the driver: O(model), never O(data).
 
     Deterministic: same inputs → bit-identical weights (asserted in
@@ -409,11 +415,15 @@ def fit_classifier_distributed(
         ep_loss, ep_n = 0.0, 0
         for s in range(steps_per_epoch):
             if steps_per_epoch > 1:
-                off = epoch * 10007
 
-                def pick(batch: pa.Table, _off=off, _s=s) -> pa.Table:
-                    sid = batch.column("sent_id").to_numpy()
-                    return batch.filter(pa.array((sid + _off) % steps_per_epoch == _s))
+                def pick(batch: pa.Table, _e=epoch, _s=s) -> pa.Table:
+                    sid = batch.column("sent_id").to_numpy().astype(np.uint64)
+                    # xorshift-multiply mix of (sid, epoch): composition of
+                    # each shard genuinely changes per epoch
+                    v = sid ^ np.uint64(_e * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+                    v = (v * np.uint64(0x2545F4914F6CDD1D)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                    v ^= v >> np.uint64(32)
+                    return batch.filter(pa.array((v % np.uint64(steps_per_epoch)) == _s))
 
                 shard = examples.map_batches(pick, batch_format="pyarrow")
             else:
@@ -468,16 +478,30 @@ def unsup_pairs(examples: ray.data.Dataset, neg_per: int = 5, seed: int = 42):
         return int(ids_arr[int(np.searchsorted(cdf, u, side="right").clip(0, len(ids_arr) - 1))])
 
     w_all, d_all, p_all, xs, ys, labs = [], [], [], [], [], []
+
+    def draw_noncolliding(key: str, avoid: int) -> int:
+        """Deterministic redraw until the corruption differs from the id it
+        replaces — a 'negative' identical to the positive pair would feed
+        the SAME input both labels (systematic noise; common when OOV
+        truncation maps both nominals to one bucket id).  Bounded retries
+        (8) keep determinism even on degenerate 1-id vocabularies."""
+        for t in range(8):
+            cand = draw(key if t == 0 else f"{key}:r{t}")
+            if cand != avoid:
+                return cand
+        return cand
+
     for r in rows:
         x, y = r["x_id"], r["y_id"]
         variants = [(x, y, 1)]
         for k in range(neg_per):
             key = f"{seed}:{r['sent_id']}:{k}"
-            if k == 0:
+            if k == 0 and x != y:
                 variants.append((y, x, 0))  # reversed pair first
+            elif _stable_unit(key + ":b") < 0.5:
+                variants.append((draw_noncolliding(key + ":a", x), y, 0))
             else:
-                cand = draw(key + ":a")
-                variants.append((cand, y, 0) if _stable_unit(key + ":b") < 0.5 else (x, cand, 0))
+                variants.append((x, draw_noncolliding(key + ":a", y), 0))
         for vx, vy, lab in variants:
             w_all.append(r["word_ids"])
             d_all.append(r["dep_ids"])

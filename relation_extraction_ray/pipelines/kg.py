@@ -763,7 +763,10 @@ class KGPipeline:
 
     @classmethod
     def for_cpus(cls, num_cpus: int, cfg: KGConfig | None = None, **kw) -> "KGPipeline":
-        """Pool sizing for an n-CPU node/cluster slice.  Fixed-size pools
+        """Pool sizing for an n-CPU node/cluster slice — EFFECTIVE ONLY
+        with ``execution="actors"`` (the task-mode default ignores pool
+        concurrency; Ray bounds task parallelism by the cluster's CPUs,
+        which is what a real N-node deployment wants).  Fixed-size pools
         (min == max) — the autoscaler's slow ramp-up costs ~40% wall on
         short stages — with 1-2 CPUs of headroom so producer tasks
         (read/generate, fused upstream ops) are never starved.  The extract

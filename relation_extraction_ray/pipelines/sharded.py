@@ -29,7 +29,6 @@ truncation pushed distributed) and the per-shard manifest rows themselves.
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import os
 import shutil
@@ -47,12 +46,6 @@ from ..state.lineage import (
     vocab_fingerprint,
     write_shard,
 )
-def _flat_num_rows(files: list) -> int:
-    """Footer-only row count over a flat parquet dir (derived tables are
-    single-directory, not shard=N partitioned)."""
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
-
-
 from .kg import (
     KGPipeline,
     adjacency_from_triples,
@@ -263,9 +256,7 @@ class ShardedKGRunner:
             ("adjacency", adjacency_from_triples),
         ):
             d = os.path.join(self.out_dir, name)
-            e = self.manifest.complete(name, 0, triples_fp)  # manifest-only check
-            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-            if e and files and _flat_num_rows(files) == e.get("rows"):
+            if self.manifest.complete(name, 0, triples_fp, self.out_dir, flat=True):
                 continue  # data present with the recorded row count — skip rebuild
             self.recomputed.append((name, 0))
             shutil.rmtree(d, ignore_errors=True)
@@ -276,7 +267,7 @@ class ShardedKGRunner:
                     "shard": 0,
                     "status": "done",
                     "fingerprint": triples_fp,
-                    "rows": _flat_num_rows(sorted(glob.glob(os.path.join(d, "*.parquet")))),
+                    "rows": shard_num_rows(self.out_dir, name, None),
                 }
             )
         return {

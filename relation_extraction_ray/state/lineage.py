@@ -57,11 +57,17 @@ def vocab_fingerprint(vocabs) -> str:
     return h.hexdigest()
 
 
-def shard_files(out_dir: str, stage: str, shard: int) -> list[str]:
-    return sorted(glob.glob(os.path.join(out_dir, stage, f"shard={shard}", "*.parquet")))
+def shard_files(out_dir: str, stage: str, shard: int | None) -> list[str]:
+    """Parquet fragments of one shard — or of a FLAT (non-sharded) stage
+    directory when ``shard is None`` (derived tables like entities/
+    adjacency are written flat so read_parquet sees no hive column)."""
+    sub = os.path.join(out_dir, stage) if shard is None else os.path.join(
+        out_dir, stage, f"shard={shard}"
+    )
+    return sorted(glob.glob(os.path.join(sub, "*.parquet")))
 
 
-def shard_num_rows(out_dir: str, stage: str, shard: int) -> int:
+def shard_num_rows(out_dir: str, stage: str, shard: int | None) -> int:
     """Row count from parquet FOOTERS only (no data read) — the worker-
     written fragments are the source of truth for manifest row counters."""
     return sum(pq.ParquetFile(p).metadata.num_rows for p in shard_files(out_dir, stage, shard))
@@ -150,18 +156,22 @@ class Manifest:
         with open(self.path, "a") as f:
             f.write(json.dumps(entry, sort_keys=True) + "\n")
 
-    def complete(self, stage: str, shard: int, fingerprint: str, out_dir: str | None = None) -> dict | None:
+    def complete(
+        self, stage: str, shard: int, fingerprint: str, out_dir: str | None = None,
+        flat: bool = False,
+    ) -> dict | None:
         """A (stage, shard) counts as complete only if the manifest entry
         matches AND the shard's parquet actually exists with the recorded
         row count — a manifest that outlives its data (partial disk loss)
         must trigger recompute, not silent underscount."""
+        flat_shard = None  # sentinel: validate the flat stage dir
         e = self.load().get((stage, shard))
         if not (e and e.get("fingerprint") == fingerprint and e.get("status") == "done"):
             return None
         if out_dir is not None:
             try:
-                files = shard_files(out_dir, stage, shard)
-                if not files or shard_num_rows(out_dir, stage, shard) != e.get("rows"):
+                fs = shard_files(out_dir, stage, flat_shard if flat else shard)
+                if not fs or shard_num_rows(out_dir, stage, flat_shard if flat else shard) != e.get("rows"):
                     return None
             except Exception:
                 return None

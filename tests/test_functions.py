@@ -367,14 +367,21 @@ def test_token_counts_matches_python_reference(ray_session):
         "",
         "abc123def",
         "ümlaut Ürgh ßharp",
+        "a b\x0bc",      # vertical tab: NOT whitespace (matches RE2)
+        "x\xa0y",        # NBSP: NOT whitespace (matches RE2)
     ]
+    from relation_extraction_ray.functions.text import WS_REGEX
+
     docs = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
     got = {r["doc_id"]: r for r in token_counts(docs).take_all()}
     rex = re.compile(TOKEN_REGEX)
+    wrex = re.compile(WS_REGEX)
     for i, t in enumerate(texts):
-        assert got[i]["ws_tokens"] == len(t.split())
+        assert got[i]["ws_tokens"] == sum(1 for x in wrex.split(t) if x)
         assert got[i]["regex_tokens"] == len(rex.findall(t))
         assert got[i]["n_chars"] == len(t)
+    assert got[5]["ws_tokens"] == 2 and got[5]["regex_tokens"] == 4
+    assert got[6]["ws_tokens"] == 1 and got[6]["regex_tokens"] == 3
 
 
 def test_rolling_fingerprints_winnowing_guarantee(ray_session):
