@@ -416,3 +416,29 @@ def test_rolling_fingerprints_winnowing_guarantee(ray_session):
         fps = list(got[i]["fps"])
         assert fps == sorted(set(fps))
         assert got[i]["n_fps"] == len(fps)
+
+
+def test_embed_neardup_broadcast_handles_unordered_blocks(ray_session):
+    """Regression: the broadcast cosine-verify path must not assume vector
+    batches arrive id-sorted (searchsorted over an unsorted id axis
+    silently dropped pairs)."""
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.ann import embed_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(40):
+        v = base + rng.standard_normal(16) * (0.01 if i < 10 else 2.0)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    # REVERSED id order across several blocks — ids are decreasing
+    docs = rd.from_items(rows[::-1]).repartition(5)
+    got = embed_neardup_pairs(docs, threshold=0.95, dim=16, bands=16, planes_per_band=2)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got.take_all()}
+    # the 10 tight copies of `base` must pair up (45 pairs modulo LSH
+    # recall; with 16 bands at 2 planes recall is ~1 for cos>0.95)
+    tight = {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert len(pairs & tight) >= 40, f"only {len(pairs & tight)} tight pairs found"
+    for a, b in pairs:
+        assert a < b
