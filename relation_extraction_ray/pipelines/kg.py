@@ -573,13 +573,8 @@ def _partial_mentions(batch: pa.Table) -> pa.Table:
     )
 
 
-def _part_of(key: str, n_parts: int) -> int:
-    """Stable hash partition id (PYTHONHASHSEED-independent)."""
-    return int.from_bytes(hashlib.blake2b(key.encode(), digest_size=4).digest(), "big") % n_parts
-
-
-# canonical definition lives with the other partitioning utilities
-from ..functions.joins import derived_num_parts  # noqa: E402  (re-export)
+# canonical definitions live with the other partitioning utilities
+from ..functions.joins import derived_num_parts, part_array  # noqa: E402  (re-export)
 
 
 def entities_from_triples(triples: ray.data.Dataset, n_parts: int | None = None) -> ray.data.Dataset:
@@ -593,8 +588,7 @@ def entities_from_triples(triples: ray.data.Dataset, n_parts: int | None = None)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = _partial_mentions(batch)
-        parts = [_part_of(n, n_parts) for n in t.column("norm").to_pylist()]
-        return t.append_column("part", pa.array(parts, pa.int32()))
+        return t.append_column("part", part_array(t, ["norm"], n_parts))
 
     def reduce_part(group: pa.Table) -> pa.Table:
         agg: dict[str, dict[str, int]] = {}
@@ -663,15 +657,7 @@ def adjacency_from_triples(triples: ray.data.Dataset, n_parts: int | None = None
 
     def partial(batch: pa.Table) -> pa.Table:
         t = _edge_partials(batch)
-        parts = [
-            _part_of(f"{s}\x00{p}\x00{d}", n_parts)
-            for s, p, d in zip(
-                t.column("src_id").to_pylist(),
-                t.column("pred").to_pylist(),
-                t.column("dst_id").to_pylist(),
-            )
-        ]
-        return t.append_column("part", pa.array(parts, pa.int32()))
+        return t.append_column("part", part_array(t, ["src_id", "pred", "dst_id"], n_parts))
 
     def reduce_part(group: pa.Table) -> pa.Table:
         agg: dict[tuple[str, str, str], list] = {}
