@@ -198,32 +198,29 @@ def main() -> None:
     import ray
 
     try:
-        # Headline is best-of-2: this shared-host VM swings ±40 % minute to
-        # minute (BASELINE.md noise control), so a single draw measures the
-        # VM; two draws in one session bound the noise at +~15 s of bench
-        # wall.  --kg-only stays single-run (the scaling harness interleaves
-        # and medians its own repeats).
-        kg = run_kg(
-            SF_DIR,
-            args.cpus,
-            n_docs=args.docs,
-            model_scale=args.model_scale,
-            pool_frac=args.pool_frac,
-            batch_size=args.batch_size,
-        )
+        # Headline is MEDIAN-of-3 with every run reported: this shared-host
+        # VM swings ±40 % minute to minute (BASELINE.md noise control), so a
+        # single draw measures the VM, and a best-of biases the recorded
+        # headline upward (advisor round 2) — the median is an unbiased
+        # location estimate under symmetric noise.  --kg-only stays
+        # single-run (the scaling harness interleaves/medians its own
+        # repeats).
+        runs = [
+            run_kg(
+                SF_DIR,
+                args.cpus,
+                n_docs=args.docs,
+                model_scale=args.model_scale,
+                pool_frac=args.pool_frac,
+                batch_size=args.batch_size,
+            )
+            for _ in range(1 if args.kg_only else 3)
+        ]
+        runs.sort(key=lambda r: r["docs_per_sec"])
+        kg = runs[len(runs) // 2]
         if args.kg_only:
             print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v) for k, v in kg.items()}))
             return
-        kg2 = run_kg(
-            SF_DIR,
-            args.cpus,
-            n_docs=args.docs,
-            model_scale=args.model_scale,
-            pool_frac=args.pool_frac,
-            batch_size=args.batch_size,
-        )
-        if kg2["docs_per_sec"] > kg["docs_per_sec"]:
-            kg = kg2
         queries = run_queries(SF_DIR)
         print(
             json.dumps(
@@ -236,6 +233,8 @@ def main() -> None:
                     "kg_triples": kg["triples"],
                     "kg_edges": kg["edges"],
                     "triples_per_sec": round(kg["triples_per_sec"], 2),
+                    "kg_runs_docs_per_sec": [round(r["docs_per_sec"], 2) for r in runs],
+                    "kg_stat": "median_of_3",
                     "queries": queries,
                     "sf": SF_DIR,
                     "num_cpus": args.cpus,

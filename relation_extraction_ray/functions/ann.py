@@ -321,10 +321,12 @@ def banded_planes(dim: int, bands: int, planes_per_band: int) -> np.ndarray:
     return m
 
 
-#: Max candidate-vector count for the broadcast cosine-verify path
-#: (20k × 64 float64 ≈ 10 MB); above it the hash-partitioned
-#: pair↔vector join keeps every worker and the driver bounded.
-_BROADCAST_VERIFY_VECS = 20_000
+#: Memory budget (bytes) for the broadcast cosine-verify payload — the
+#: broadcast-vs-partitioned cutoff is ``n_candidates × dim × 8 ≤ budget``
+#: so it adapts to the vector dimension and transfers across cluster
+#: memory sizes (advisor round 2: a fixed 20k-doc constant ignored dim
+#: and cluster memory).  Override per call via ``broadcast_bytes``.
+_BROADCAST_BYTES_BUDGET = 32 << 20
 
 
 class BandedLshStage:
@@ -360,6 +362,7 @@ def embed_neardup_pairs(
     bands: int = 8,
     planes_per_band: int = 8,
     max_bucket: int = 1024,
+    broadcast_bytes: int = _BROADCAST_BYTES_BUDGET,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_micro)
     for cosine ≥ threshold — the embedding analogue of MinHash dedup.
@@ -447,7 +450,7 @@ def embed_neardup_pairs(
     # id broadcast above — so below the bound collect the normalized
     # matrix once and verify every pair in ONE map, skipping two
     # all-to-all exchanges that ship ~0.5 KB of payload per pair.
-    if len(cand_ids) <= _BROADCAST_VERIFY_VECS:
+    if len(cand_ids) * dim * 8 <= broadcast_bytes:
         rows_i, rows_v = [], []
         for b in payloads.iter_batches(batch_format="pyarrow"):
             if b.num_rows:

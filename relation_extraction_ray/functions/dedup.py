@@ -59,10 +59,13 @@ def shingle_set(text: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-#: Max candidate-doc count for the broadcast verify path (above it the
-#: hash-partitioned pair↔shingles join keeps every worker/driver bounded).
-#: ~50 shingles × ~25 B each → ≲ 25 MB of broadcast payload at the bound.
-_BROADCAST_VERIFY_DOCS = 20_000
+#: Memory budget (bytes) for broadcast-side verify payloads, and the
+#: estimated per-doc shingle payload (~50 shingles × ~25 B).  The
+#: broadcast-vs-partitioned-join cutoff is derived from these — a byte
+#: budget transfers across cluster memory sizes where a fixed doc count
+#: does not (advisor round 2); override per call via ``broadcast_bytes``.
+_BROADCAST_BYTES_BUDGET = 32 << 20
+_EST_SHINGLE_BYTES_PER_DOC = 1280
 
 
 def _jaccard_micro(inter: int, union: int) -> int:
@@ -232,11 +235,46 @@ def _shingle_rows(docs: ray.data.Dataset, id_filter_ref, shingle_n: int) -> ray.
     return docs.map_batches(shingler, batch_format="pyarrow")
 
 
+class _JaccBroadcastStage:
+    """Broadcast-path verifier: the (doc_id → shingle set) payload is
+    fetched and dict-built ONCE per worker in ``__init__`` (advisor round
+    2: a pickled dict-of-sets is not zero-copy, so a per-batch ``ray.get``
+    paid a full unpickle of the broadcast payload every batch)."""
+
+    def __init__(self, sh_ref, threshold: float, id_type) -> None:
+        self.payload = ray.get(sh_ref)
+        self.threshold = threshold
+        self.id_type = id_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = self.payload
+        a_out, b_out, sims = [], [], []
+        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            s1, s2 = payload.get(a), payload.get(b)
+            if s1 is None or s2 is None:
+                continue
+            union = len(s1 | s2)
+            sim = (len(s1 & s2) / union) if union else 0.0
+            if sim >= self.threshold:
+                a_out.append(a)
+                b_out.append(b)
+                sims.append(_jaccard_micro(len(s1 & s2), union))
+        return pa.Table.from_arrays(
+            [
+                pa.array(a_out, self.id_type),
+                pa.array(b_out, self.id_type),
+                pa.array(sims, pa.int64()),
+            ],
+            names=["doc_a", "doc_b", "jaccard_micro"],
+        )
+
+
 def verify_jaccard(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    broadcast_bytes: int = _BROADCAST_BYTES_BUDGET,
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard verification of candidate pairs as a
     **hash-partitioned pair↔shingles join** — the corpus text is never
@@ -293,32 +331,22 @@ def verify_jaccard(
     # ONE map over pairs instead of paying two all-to-all exchanges
     # (~8-10 s of fixed shuffle constants per query at sandbox scale).
     # Above the bound, the hash-partitioned join keeps driver memory flat.
-    if len(id_set) <= _BROADCAST_VERIFY_DOCS:
+    if len(id_set) * _EST_SHINGLE_BYTES_PER_DOC <= broadcast_bytes:
+        from ..taskexec import cached_stage_fn
+
         sh_map = {}
         for b in shingles.iter_batches(batch_format="pyarrow"):
             for doc_id, sh in zip(b.column("doc_id").to_pylist(), b.column("sh").to_pylist()):
                 sh_map[doc_id] = set(sh)
         sh_ref = ray.put(sh_map)
-
-        def jacc_broadcast(batch: pa.Table) -> pa.Table:
-            payload = ray.get(sh_ref)
-            a_out, b_out, sims = [], [], []
-            for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-                s1, s2 = payload.get(a), payload.get(b)
-                if s1 is None or s2 is None:
-                    continue
-                union = len(s1 | s2)
-                sim = (len(s1 & s2) / union) if union else 0.0
-                if sim >= threshold:
-                    a_out.append(a)
-                    b_out.append(b)
-                    sims.append(_jaccard_micro(len(s1 & s2), union))
-            return pa.Table.from_arrays(
-                [pa.array(a_out, id_type), pa.array(b_out, id_type), pa.array(sims, pa.int64())],
-                names=["doc_a", "doc_b", "jaccard_micro"],
-            )
-
-        return pairs.map_batches(jacc_broadcast, batch_format="pyarrow")
+        return pairs.map_batches(
+            cached_stage_fn(
+                _JaccBroadcastStage,
+                sh_ref.hex(),
+                {"sh_ref": sh_ref, "threshold": threshold, "id_type": id_type},
+            ),
+            batch_format="pyarrow",
+        )
 
     n_parts = derive_n_parts(pairs.count())
 

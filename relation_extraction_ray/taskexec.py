@@ -8,14 +8,19 @@ queries.  Use for stages whose state is cheap to build (a `ray.get` of a
 broadcast ref, a compiled table); keep real actor pools for stages whose
 state must be loaded once and bounded in memory (a heavy model).
 
-One instance per (class, key) is live per worker; older generations of the
-same class are evicted (e.g. a new vocab broadcast replaces the previous
-one instead of accumulating).
+Per worker, the ``_PER_CLASS_CAPACITY`` most recently used keys of each
+class stay live (LRU): older generations are evicted so a new vocab
+broadcast replaces a stale one instead of accumulating, while two
+concurrently executing datasets using the same stage class with different
+keys (e.g. two interleaved knn calls) no longer evict each other per
+batch (advisor round 2).
 """
 
 from __future__ import annotations
 
 _STAGE_CACHE: dict = {}
+_CLASS_LRU: dict = {}  # (module, qualname) -> [cache keys, oldest first]
+_PER_CLASS_CAPACITY = 2
 
 
 def cached_stage_fn(cls, key, ctor_kwargs):
@@ -23,12 +28,17 @@ def cached_stage_fn(cls, key, ctor_kwargs):
     per worker process per ``key``."""
 
     def run(batch):
-        k = (cls.__module__, cls.__qualname__, key)
+        cls_key = (cls.__module__, cls.__qualname__)
+        k = cls_key + (key,)
         st = _STAGE_CACHE.get(k)
         if st is None:
-            for old in [x for x in _STAGE_CACHE if x[:2] == k[:2]]:
-                del _STAGE_CACHE[old]
             st = _STAGE_CACHE[k] = cls(**ctor_kwargs)
+        lru = _CLASS_LRU.setdefault(cls_key, [])
+        if k in lru:
+            lru.remove(k)
+        lru.append(k)
+        while len(lru) > _PER_CLASS_CAPACITY:
+            _STAGE_CACHE.pop(lru.pop(0), None)
         return st(batch)
 
     return run
