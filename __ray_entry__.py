@@ -224,8 +224,14 @@ def _q_lang_id(sf_dir: str):
 def _q_knn_lsh(sf_dir: str):
     from relation_extraction_ray.functions.ann import knn_lsh
 
+    # n_planes pinned: the SQL oracle replays exactly 8 planes.  The
+    # library default (n_planes=None) derives the plane count from the
+    # table size instead (functions/ann.py derived_n_planes).
     return knn_lsh(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), KNN_QUERY_IDS, k=10
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        KNN_QUERY_IDS,
+        k=10,
+        n_planes=8,
     ).sort(["query_id", "rank"])
 
 
