@@ -887,7 +887,9 @@ class KGPipeline:
             "adjacency": adjacency_from_triples(triples),
         }
 
-    def adjacency_oneshot(self, documents: ray.data.Dataset) -> tuple[pa.Table, dict]:
+    def adjacency_oneshot(
+        self, documents: ray.data.Dataset, out_dir: str | None = None
+    ) -> tuple[pa.Table | ray.data.Dataset, dict]:
         """Headline-throughput path — two fully-streaming scans, zero
         intermediate materialization:
 
@@ -900,8 +902,15 @@ class KGPipeline:
         Parsed sentences never cross the object store; this design moves
         half the memory traffic of the sentences-table variant, which is
         the binding constraint at high local core counts.  Returns the
-        adjacency table + counters (triple count = Σ weight; plus wall
-        seconds per phase for scaling diagnostics)."""
+        adjacency + counters (triple count = Σ weight; plus wall seconds
+        per phase for scaling diagnostics).
+
+        With ``out_dir`` (the 100-TB path, used by bench.py): workers
+        ``write_parquet`` the adjacency directly, the edge count comes
+        from the parquet FOOTERS and the weight sum from a column-pruned
+        re-read of the (small) adjacency output — nothing edge-sized
+        touches the driver; returns the written Dataset.  Without it
+        (test scale) the adjacency is returned as one Arrow table."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -946,13 +955,29 @@ class KGPipeline:
                 batch_size=self.batch_size,
                 concurrency=self.parse_concurrency,
             )
-        adj_tab = pa.concat_tables(
-            adjacency_from_triples(triples).iter_batches(batch_format="pyarrow")
-        )
-        return adj_tab, {
+        adjacency = adjacency_from_triples(triples)
+        if out_dir is not None:
+            import glob as _glob
+            import shutil as _shutil
+
+            import pyarrow.parquet as _pq
+            import ray.data as _rd
+
+            _shutil.rmtree(out_dir, ignore_errors=True)  # write_parquet appends
+            adjacency.write_parquet(out_dir)
+            frags = sorted(_glob.glob(f"{out_dir}/*.parquet"))
+            edges = sum(_pq.ParquetFile(p).metadata.num_rows for p in frags)
+            n_triples = int(_rd.read_parquet(out_dir, columns=["weight"]).sum("weight"))
+            result: pa.Table | ray.data.Dataset = _rd.read_parquet(out_dir)
+        else:
+            adj_tab = pa.concat_tables(adjacency.iter_batches(batch_format="pyarrow"))
+            edges = adj_tab.num_rows
+            n_triples = sum(adj_tab.column("weight").to_pylist())
+            result = adj_tab
+        return result, {
             "sentences": n_sentences,
-            "triples": sum(adj_tab.column("weight").to_pylist()),
-            "edges": adj_tab.num_rows,
+            "triples": n_triples,
+            "edges": edges,
             "scan1_sec": round(t_barrier, 3),
             "scan2_sec": round(_time.perf_counter() - t0 - t_barrier, 3),
         }
