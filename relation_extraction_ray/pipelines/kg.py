@@ -775,12 +775,17 @@ class KGPipeline:
         score_concurrency: int | tuple[int, int] = (2, 8),
         batch_size: int = 256,
         execution: str = "tasks",
+        sink_format: str = "parquet",
     ) -> None:
         self.cfg = cfg or KGConfig()
         self.ok_dep_structures = ok_dep_structures
         self.parse_concurrency = parse_concurrency
         self.score_concurrency = score_concurrency
         self.batch_size = batch_size
+        # "jsonl" mirrors the reference's line-delimited-JSON interchange
+        # files (S4, wiki2sdp.py:318-328) for checkpoint sinks
+        assert sink_format in ("parquet", "jsonl")
+        self.sink_format = sink_format
         # "tasks": headline stages run as plain map_batches tasks with a
         # per-worker-process stage cache — the rule parser + vocab dicts
         # are microseconds to build, and two 32-actor pool spin-ups were
@@ -982,8 +987,7 @@ class KGPipeline:
             "scan2_sec": round(_time.perf_counter() - t0 - t_barrier, 3),
         }
 
-    @staticmethod
-    def _checkpoint(ds: ray.data.Dataset, checkpoint_dir: str | None, name: str) -> ray.data.Dataset:
+    def _checkpoint(self, ds: ray.data.Dataset, checkpoint_dir: str | None, name: str) -> ray.data.Dataset:
         if checkpoint_dir is None:
             return ds.materialize()
         import shutil
@@ -991,8 +995,15 @@ class KGPipeline:
         import ray.data as rd
 
         path = f"{checkpoint_dir}/{name}"
-        # write_parquet appends into an existing directory — a stale
-        # checkpoint would silently duplicate rows, so clear it first.
+        # write_parquet/write_json append into an existing directory — a
+        # stale checkpoint would silently duplicate rows, so clear it first.
         shutil.rmtree(path, ignore_errors=True)
+        if self.sink_format == "jsonl":
+            from ..sources.io import read_jsonl, write_jsonl
+
+            schema = ds.schema()
+            arrow_schema = pa.schema(list(zip(schema.names, schema.types)))
+            write_jsonl(ds, path)
+            return read_jsonl(path, schema=arrow_schema)
         ds.write_parquet(path)
         return rd.read_parquet(path)

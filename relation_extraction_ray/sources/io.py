@@ -35,6 +35,25 @@ def read_documents(path: str, columns: list[str] | None = None) -> ray.data.Data
     return ray.data.read_parquet(path, columns=columns)
 
 
+def write_jsonl(ds: ray.data.Dataset, path: str) -> None:
+    """S4 JSONL sink — the reference's interchange format (one JSON object
+    per line, ``wiki2sdp.py:318-328``), for downstream tooling that reads
+    line-delimited JSON rather than parquet.  Workers write one ``.json``
+    file per block (partitioned layout, never one giant file)."""
+    ds.write_json(path)
+
+
+def read_jsonl(path: str, schema=None) -> ray.data.Dataset:
+    """Re-read a JSONL table.  Pass the original Arrow ``schema`` for a
+    bit-exact roundtrip — inference would widen int32→int64, float32→
+    float64 and lose uint64 precision to doubles."""
+    if schema is None:
+        return ray.data.read_json(path)
+    from pyarrow import json as pj
+
+    return ray.data.read_json(path, parse_options=pj.ParseOptions(explicit_schema=schema))
+
+
 def write_table(ds: ray.data.Dataset, path: str) -> None:
     """Write a logical table; Lance dataset when available, partitioned
     Parquet otherwise (never one giant file — resumable layout)."""
