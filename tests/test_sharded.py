@@ -121,6 +121,38 @@ def test_lost_file_with_intact_manifest_recomputes(out_dir, ray_session):
     assert _sorted_rows(out2["adjacency"]) == baseline
 
 
+def test_partial_sidestream_idempotent(tmp_path):
+    """A retried task re-writing the same content key folds exactly once;
+    distinct keys fold additively (the CounterActor replacement must keep
+    its idempotent-retry semantics)."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.state.lineage import fold_partial_scalars, write_partial
+
+    d = str(tmp_path / "audit")
+    t = pa.Table.from_pydict({"n": pa.array([], pa.int64())})
+    write_partial(t, d, "k1", {"sum:good": 3, "xor:span": 0b1010})
+    write_partial(t, d, "k1", {"sum:good": 3, "xor:span": 0b1010})  # retry: same key
+    write_partial(t, d, "k2", {"sum:good": 2, "xor:span": 0b0110})
+    folded = fold_partial_scalars(d)
+    assert folded == {"good": 5, "span": 0b1100}
+
+
+def test_lost_count_partials_recompute_sentences(out_dir, ray_session):
+    """The count side-stream is lineage too: a sentences manifest entry
+    whose partial fragments were lost (or truncated) must recompute, not
+    silently under-count the vocab."""
+    import glob
+
+    runner = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    baseline = _sorted_rows(runner.run()["adjacency"])
+    os.remove(glob.glob(os.path.join(out_dir, "counts", "shard=3", "part-*.parquet"))[0])
+    runner2 = ShardedKGRunner(out_dir, N_SHARDS, _mk_docs_for_shard())
+    out2 = runner2.run()
+    assert ("sentences", 3) in out2["recomputed"]
+    assert _sorted_rows(out2["adjacency"]) == baseline
+
+
 def test_config_change_invalidates_resume(out_dir, ray_session):
     runner = ShardedKGRunner(out_dir, 2, _mk_docs_for_shard())
     runner.run()
