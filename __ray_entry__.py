@@ -355,6 +355,37 @@ def _q_supervised_eval(sf_dir: str):
     )
 
 
+def _q_supervised_eval_large(sf_dir: str):
+    """Classification metrics of the ``synth_large`` fixture — trained on a
+    10× corpus with ``fit_alternating_distributed`` (distributed NEG-pair
+    generation + per-step data-parallel gradients; the scale path for the
+    reference's 31.6M-sentence wiki pretrain, ``wiki2sdp.py:285``)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval import evaluate_classification
+    from relation_extraction_ray.pipelines.fit import model_classify
+    from relation_extraction_ray.sources.semeval import labeled_sentences_table, parsed_records
+    from relation_extraction_ray.state.scorer import fixture_path, load_weights
+
+    cfg = KGConfig()
+    parsed = parsed_records(rd.from_arrow(labeled_sentences_table(500))).materialize()
+    wts, vocab_lists = load_weights(fixture_path("synth_large"))
+    mod = evaluate_classification(model_classify(parsed, wts, vocab_lists, cfg))
+    return pd.DataFrame(
+        [
+            {
+                "model_macro_f1": round(mod["macro_f1"], 6),
+                "model_micro_f1": round(mod["micro_f1"], 6),
+                "model_macro_precision": round(mod["macro_precision"], 6),
+                "model_macro_recall": round(mod["macro_recall"], 6),
+            }
+        ]
+    )
+
+
 def _q_semeval_official(sf_dir: str):
     """THE REAL SemEval-2010 Task-8 test split (shipped in the reference
     repo), classified distributed with the trained ``semeval_real`` fixture
@@ -466,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
+        "supervised_eval_large": _q_supervised_eval_large,
         "semeval_official": _q_semeval_official,
         "semeval_single_official": _q_semeval_single_official,
     }
@@ -492,6 +524,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         semeval_official_row,
         semeval_single_official_row,
         supervised_metrics_row,
+        supervised_metrics_row_large,
     )
     from relation_extraction_ray.sources.synth import corpus_table
     from relation_extraction_ray.stages.media import FEATURES_DIGEST
@@ -515,6 +548,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ["doc_id", "span_idx", "frame_idx"],
     )
     sup = pa.Table.from_pylist([supervised_metrics_row(500)])
+    sup_large = pa.Table.from_pylist([supervised_metrics_row_large(500)])
     official = pa.Table.from_pylist([semeval_official_row()])
     official_single = pa.Table.from_pylist([semeval_single_official_row()])
 
@@ -525,6 +559,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ("kg_linked", linked),
         ("media_features", media),
         ("supervised_eval", sup),
+        ("supervised_eval_large", sup_large),
         ("semeval_official", official),
         ("semeval_single_official", official_single),
     ):
@@ -929,6 +964,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supervised_eval": f"""
             SELECT * FROM read_parquet('{kg_paths["supervised_eval"]}')
+        """,
+        "supervised_eval_large": f"""
+            SELECT * FROM read_parquet('{kg_paths["supervised_eval_large"]}')
         """,
         "semeval_official": f"""
             SELECT * FROM read_parquet('{kg_paths["semeval_official"]}')

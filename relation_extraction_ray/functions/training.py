@@ -370,6 +370,125 @@ def embedding_init(vocab: list[str], table: dict[str, np.ndarray], dim: int, see
     return mat
 
 
+def skipgram_pairs(
+    parsed: ray.data.Dataset, w2i: dict[str, int], window: int = 4
+) -> ray.data.Dataset:
+    """DISTRIBUTED (center, context) skip-gram pair generation over parsed
+    records' full sentences — the data half of the self-trained word2vec
+    stand-in (the real reference init reads externally-trained GoogleNews
+    vectors, RelEmbed_semeval.ipynb cell 9; no such file can ship in this
+    sandbox, so the engine trains its own vectors on the task corpus).
+    Tokenization matches the vocab build exactly (``parse_sentence`` +
+    lowercase + OOV fallback), so every id indexes the model's word table.
+    ``key`` orders pairs deterministically regardless of block layout."""
+    from ..nlp.parser import parse_sentence
+    from ..nlp.sdp import vocab2idx
+
+    ref = ray.put(dict(w2i))
+
+    class Pairs:
+        def __init__(self) -> None:
+            self.w2i = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            centers: list[int] = []
+            contexts: list[int] = []
+            keys: list[int] = []
+            for sid, text in zip(
+                batch.column("sent_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                toks = parse_sentence(text).tokens
+                ids = [vocab2idx(t.lower(), self.w2i) for t in toks]
+                for i, c in enumerate(ids):
+                    for j in range(max(0, i - window), min(len(ids), i + window + 1)):
+                        if j != i:
+                            centers.append(c)
+                            contexts.append(ids[j])
+                            keys.append((sid << 20) | (i << 8) | (j & 0xFF))
+            return pa.Table.from_pydict(
+                {
+                    "key": pa.array(keys, pa.int64()),
+                    "center": pa.array(centers, pa.int32()),
+                    "context": pa.array(contexts, pa.int32()),
+                },
+                schema=pa.schema(
+                    [("key", pa.int64()), ("center", pa.int32()), ("context", pa.int32())]
+                ),
+            )
+
+    return parsed.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def train_skipgram(
+    centers: np.ndarray,
+    contexts: np.ndarray,
+    vocab_size: int,
+    dim: int = 32,
+    epochs: int = 3,
+    neg: int = 5,
+    lr: float = 0.05,
+    seed: int = 7,
+    batch_size: int = 1024,
+) -> np.ndarray:
+    """Skip-gram with negative sampling (word2vec SGNS, Mikolov et al.
+    2013) — vectorized numpy minibatch SGD, deterministic (seeded RNG,
+    fixed pair order).  Driver-side by design: the PAIR GENERATION is
+    distributed (:func:`skipgram_pairs`); at wiki scale embedding
+    pretraining goes through ``fit_alternating_distributed``'s NEG
+    objective instead.  Returns the input-side vectors [V, dim]."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, vocab_size, dim, 15485863]))
+    w_in = ((rng.random((vocab_size, dim)) - 0.5) / dim).astype(np.float64)
+    w_out = np.zeros((vocab_size, dim), dtype=np.float64)
+    counts = np.bincount(contexts, minlength=vocab_size).astype(np.float64)
+    noise = distribution_to_power(np.maximum(counts, 1e-9) / max(1.0, counts.sum()), 0.75)
+    noise_cdf = np.cumsum(noise)
+    n = len(centers)
+    for epoch in range(epochs):
+        order = rng.permutation(n)
+        alpha = lr * (1.0 - epoch / max(1, epochs))  # linear decay per epoch
+        for lo in range(0, n, batch_size):
+            idx = order[lo : lo + batch_size]
+            c, o = centers[idx], contexts[idx]
+            b = len(c)
+            negs = np.searchsorted(noise_cdf, rng.random((b, neg))).clip(0, vocab_size - 1)
+            vc = w_in[c]                              # [b, d]
+            targets = np.concatenate([o[:, None], negs], axis=1)   # [b, 1+neg]
+            vt = w_out[targets]                       # [b, 1+neg, d]
+            logits = np.clip(np.einsum("bd,bkd->bk", vc, vt), -30.0, 30.0)
+            p = 1.0 / (1.0 + np.exp(-logits))
+            lab = np.zeros_like(p)
+            lab[:, 0] = 1.0
+            dlogit = (p - lab) * alpha                # [b, 1+neg]
+            grad_c = np.einsum("bk,bkd->bd", dlogit, vt)
+            grad_t = dlogit[:, :, None] * vc[:, None, :]
+            np.add.at(w_in, c, -grad_c)
+            np.add.at(w_out, targets.ravel(), -grad_t.reshape(-1, dim))
+    return w_in.astype(np.float32)
+
+
+def pretrain_word_vectors(
+    parsed: ray.data.Dataset,
+    w2i: dict[str, int],
+    dim: int = 32,
+    window: int = 4,
+    epochs: int = 3,
+    neg: int = 5,
+    lr: float = 0.05,
+    seed: int = 7,
+) -> np.ndarray:
+    """End-to-end self-trained word vectors for :func:`embedding_init` /
+    the fit ``init_word_emb`` hooks: distributed pair generation over the
+    corpus sentences, deterministic collect (sorted by pair key), SGNS
+    fit.  The [V, dim] result rows are already in vocab-id order."""
+    pairs = skipgram_pairs(parsed, w2i, window=window)
+    rows = pairs.sort("key").take_all()
+    centers = np.array([r["center"] for r in rows], dtype=np.int64)
+    contexts = np.array([r["context"] for r in rows], dtype=np.int64)
+    return train_skipgram(
+        centers, contexts, len(w2i), dim=dim, epochs=epochs, neg=neg, lr=lr, seed=seed
+    )
+
+
 def cluster_pair_labels(
     encoded: ray.data.Dataset, clusters: dict[int, int], num_clusters: int, oov_cluster: int | None = None
 ) -> ray.data.Dataset:

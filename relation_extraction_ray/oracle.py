@@ -323,6 +323,27 @@ def supervised_metrics_row(n: int, cfg: KGConfig | None = None) -> dict:
     }
 
 
+def supervised_metrics_row_large(n: int, cfg: KGConfig | None = None) -> dict:
+    """Oracle row for the ``synth_large`` fixture (trained on a 10× corpus
+    via ``fit_alternating_distributed`` — the distributed NEG+supervised
+    recipe): same single-process replay discipline as
+    :func:`supervised_metrics_row`, model metrics only."""
+    from .pipelines.fit import ModelClassifyStage
+    from .sources.semeval import labeled_sentences_table, parse_records_batch
+    from .state.scorer import fixture_path, load_weights
+
+    cfg = cfg or KGConfig()
+    parsed = parse_records_batch(labeled_sentences_table(n))
+    model = load_weights(fixture_path("synth_large"))
+    mod = _metrics_of(ModelClassifyStage(cfg=cfg, model=model)(parsed))
+    return {
+        "model_macro_f1": round(mod["macro_f1"], 6),
+        "model_micro_f1": round(mod["micro_f1"], 6),
+        "model_macro_precision": round(mod["macro_precision"], 6),
+        "model_macro_recall": round(mod["macro_recall"], 6),
+    }
+
+
 SEMEVAL_DATA = "/root/reference/SemEval2010_task8_all_data"
 
 

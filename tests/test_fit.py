@@ -349,3 +349,168 @@ def test_fit_keep_best_valid(synth_examples):
     assert any(
         not np.array_equal(getattr(wts, f), getattr(plain, f)) for f in fields_of(wts)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: embedding-init hooks (S9→T5 wiring), distributed NEG/alternating,
+# wall-clock checkpoint/resume.
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_init_changes_epoch0_loss_and_is_deterministic(synth_examples):
+    """init-from-table must actually enter the fit (epoch-0 loss changes)
+    and stay deterministic (two initialized runs -> bit-equal weights)."""
+    from relation_extraction_ray.functions.training import embedding_init
+    from relation_extraction_ray.pipelines.fit import fit_classifier
+    from relation_extraction_ray.state.scorer import D_TARGET, D_WORD
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    table = {tok: np.full(D_WORD, 0.05 * (i % 7 - 3), dtype=np.float32) for i, tok in enumerate(wv)}
+    init_w = embedding_init(wv, table, D_WORD)
+    init_t = embedding_init(wv, table, D_TARGET, seed=11)
+
+    base_wts, base_losses = fit_classifier(examples, sizes, epochs=1)
+    init_wts, init_losses = fit_classifier(
+        examples, sizes, epochs=1, init_word_emb=init_w, init_t_emb=init_t
+    )
+    assert init_losses[0] != base_losses[0]
+    again, _ = fit_classifier(examples, sizes, epochs=1, init_word_emb=init_w, init_t_emb=init_t)
+    for f in fields_of(init_wts):
+        assert np.array_equal(getattr(init_wts, f), getattr(again, f)), f
+
+    with pytest.raises(ValueError):
+        fit_classifier(examples, sizes, epochs=1, init_word_emb=init_w[:, :3])
+
+
+def test_unsup_pairs_ds_matches_driver(synth_examples):
+    """Distributed NEG-pair generation must produce the exact same pairs as
+    the driver-side generator (same per-(sent_id, k) corruption keys)."""
+    from relation_extraction_ray.pipelines.fit import unsup_pair_stats, unsup_pairs, unsup_pairs_ds
+
+    _, _, examples = synth_examples
+    w_all, d_all, p_all, xs, ys, labs = unsup_pairs(examples, neg_per=5, seed=42)
+    rows = sorted(unsup_pairs_ds(examples.repartition(5), neg_per=5, seed=42).take_all(),
+                  key=lambda r: r["uid"])
+    assert len(rows) == len(labs)
+    assert [r["x_id"] for r in rows] == xs.tolist()
+    assert [r["y_id"] for r in rows] == ys.tolist()
+    assert [r["label01"] for r in rows] == labs.tolist()
+    assert [r["word_ids"] for r in rows] == w_all
+
+    # the distributed stats equal what the driver derives
+    ids_arr, cdf, n = unsup_pair_stats(examples.repartition(7))
+    drv = sorted({int(x) for x in xs[labs == 1]} | {int(y) for y in ys[labs == 1]})
+    assert ids_arr.tolist() == drv
+    assert n == int((labs == 1).sum())
+
+
+def test_alternating_distributed_single_step_equals_local(synth_examples):
+    """steps_per_epoch=1 distributed alternating fit == the local loop run
+    full-batch (cycles=1, 1 unsup + 1 sup epoch): same Adam sequencing."""
+    from relation_extraction_ray.pipelines.fit import fit_alternating, fit_alternating_distributed
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    kw = dict(cycles=1, unsup_epochs=1, sup_epochs=1, neg_per=3, lr=1e-2, seed=7)
+    local_wts, local_losses = fit_alternating(examples, sizes, batch_size=10**9, **kw)
+    dist_wts, dist_losses = fit_alternating_distributed(
+        examples.repartition(4), sizes, steps_per_epoch=1, **kw
+    )
+    assert dist_losses["unsup"][0] == pytest.approx(local_losses["unsup"][0], rel=1e-9)
+    assert dist_losses["sup"][0] == pytest.approx(local_losses["sup"][0], rel=1e-6)
+    for f in fields_of(local_wts):
+        assert np.allclose(getattr(dist_wts, f), getattr(local_wts, f), atol=1e-6), f
+
+
+def test_alternating_distributed_descends_and_deterministic(synth_examples):
+    from relation_extraction_ray.pipelines.fit import fit_alternating_distributed
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    wts, losses = fit_alternating_distributed(
+        examples, sizes, cycles=2, unsup_epochs=2, sup_epochs=2, steps_per_epoch=2, lr=1e-2
+    )
+    assert losses["unsup"][-1] < losses["unsup"][0]
+    assert losses["sup"][-1] < losses["sup"][0]
+    wts2, _ = fit_alternating_distributed(
+        examples, sizes, cycles=2, unsup_epochs=2, sup_epochs=2, steps_per_epoch=2, lr=1e-2
+    )
+    for f in fields_of(wts):
+        assert np.array_equal(getattr(wts, f), getattr(wts2, f)), f
+
+
+def test_distributed_fit_checkpoint_kill_and_resume(tmp_path, synth_examples, monkeypatch):
+    """Kill the distributed fit mid-run; a rerun with the same
+    checkpoint_path must resume from the last snapshot and land on
+    bit-identical final weights (reference save_interval semantics,
+    relembed.py:745-753)."""
+    import relation_extraction_ray.pipelines.fit as fit_mod
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    ref_wts, ref_losses = fit_mod.fit_classifier_distributed(
+        examples, sizes, epochs=3, steps_per_epoch=2, lr=1e-2
+    )
+
+    ck = str(tmp_path / "fit.ck.npz")
+    real_grad = fit_mod.distributed_grad
+    calls = {"n": 0}
+
+    def dying_grad(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("simulated crash")
+        return real_grad(*a, **k)
+
+    monkeypatch.setattr(fit_mod, "distributed_grad", dying_grad)
+    with pytest.raises(RuntimeError):
+        fit_mod.fit_classifier_distributed(
+            examples, sizes, epochs=3, steps_per_epoch=2, lr=1e-2,
+            checkpoint_path=ck, checkpoint_every_s=0.0,
+        )
+    monkeypatch.setattr(fit_mod, "distributed_grad", real_grad)
+    got_wts, got_losses = fit_mod.fit_classifier_distributed(
+        examples, sizes, epochs=3, steps_per_epoch=2, lr=1e-2,
+        checkpoint_path=ck, checkpoint_every_s=0.0,
+    )
+    assert got_losses == ref_losses
+    for f in fields_of(ref_wts):
+        assert np.array_equal(getattr(got_wts, f), getattr(ref_wts, f)), f
+
+
+def test_alternating_distributed_checkpoint_resume(tmp_path, synth_examples, monkeypatch):
+    import relation_extraction_ray.pipelines.fit as fit_mod
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    kw = dict(cycles=1, unsup_epochs=1, sup_epochs=2, neg_per=2, steps_per_epoch=1, lr=1e-2)
+    ref_wts, ref_losses = fit_mod.fit_alternating_distributed(examples, sizes, **kw)
+
+    ck = str(tmp_path / "alt.ck.npz")
+    real_grad = fit_mod.distributed_grad
+    calls = {"n": 0}
+
+    def dying_grad(*a, **k):  # sup phase runs after 1 unsup step: die on 2nd sup step
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash")
+        return real_grad(*a, **k)
+
+    monkeypatch.setattr(fit_mod, "distributed_grad", dying_grad)
+    with pytest.raises(RuntimeError):
+        fit_mod.fit_alternating_distributed(
+            examples, sizes, checkpoint_path=ck, checkpoint_every_s=0.0, **kw
+        )
+    monkeypatch.setattr(fit_mod, "distributed_grad", real_grad)
+    got_wts, got_losses = fit_mod.fit_alternating_distributed(
+        examples, sizes, checkpoint_path=ck, checkpoint_every_s=0.0, **kw
+    )
+    assert got_losses == ref_losses
+    for f in fields_of(ref_wts):
+        assert np.array_equal(getattr(got_wts, f), getattr(ref_wts, f)), f

@@ -197,3 +197,27 @@ def test_word2vec_binary_roundtrip(tmp_path):
     mat = embedding_init(["cat", "unknown", "mat"], back, dim=8)
     assert (mat[0] == table["cat"]).all() and (mat[2] == table["mat"]).all()
     assert not (mat[1] == table["cat"]).all()
+
+
+def test_pretrain_word_vectors_deterministic_and_used_rows_move(ray_session):
+    """Self-trained SGNS vectors (the S9 stand-in when no word2vec file can
+    ship): deterministic across runs and block layouts; rows for tokens
+    that occur in the corpus move away from their init while the result
+    shape matches the vocab."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.functions.training import pretrain_word_vectors
+    from relation_extraction_ray.pipelines.fit import build_record_vocabs
+    from relation_extraction_ray.sources.semeval import labeled_sentences_table, parsed_records
+
+    parsed = parsed_records(rd.from_arrow(labeled_sentences_table(120))).materialize()
+    (wv, w2i, _), _, _ = build_record_vocabs(parsed, KGConfig())
+    vecs = pretrain_word_vectors(parsed, w2i, dim=16, epochs=2)
+    assert vecs.shape == (len(wv), 16)
+    vecs2 = pretrain_word_vectors(parsed.repartition(6), w2i, dim=16, epochs=2)
+    assert np.array_equal(vecs, vecs2)
+    # the output table is not the init (training moved in-corpus rows)
+    assert float(np.abs(vecs).max()) > (0.5 / 16) + 1e-6

@@ -101,6 +101,30 @@ def main() -> None:
     synth_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(500)))
     train_one(synth_parsed, cfg, "synth", args.epochs)
 
+    # --- synthetic LARGE fixture (distributed alternating path) ------------
+    # 10× the synth corpus, trained end-to-end with
+    # fit_alternating_distributed: NEG pairs generated in map_batches and
+    # materialized in the object store, per-step distributed gradients —
+    # the scale recipe the reference runs on 31.6M wiki sentences
+    # (wiki2sdp.py:285), exercised here as a committed artifact.
+    from relation_extraction_ray.pipelines.fit import fit_alternating_distributed
+
+    t0 = time.time()
+    large_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(5000))).materialize()
+    vocabs_l = build_record_vocabs(large_parsed, cfg)
+    (wvl, _, _), (dvl, _, _), (pvl, _, _) = vocabs_l
+    examples_l = encode_examples(large_parsed, vocabs_l, cfg).materialize()
+    wts_l, losses_l = fit_alternating_distributed(
+        examples_l, (len(wvl), len(dvl), len(pvl)),
+        cycles=3, unsup_epochs=1, sup_epochs=10, steps_per_epoch=8, lr=args.lr,
+    )
+    save_weights(wts_l, os.path.join(FIXTURE_DIR, "synth_large.npz"), (wvl, dvl, pvl))
+    print(
+        f"[synth_large] {examples_l.count()} examples (10x corpus, distributed alternating), "
+        f"sup loss {losses_l['sup'][0]:.3f} -> {losses_l['sup'][-1]:.3f}, "
+        f"unsup {losses_l['unsup'][0]:.3f} -> {losses_l['unsup'][-1]:.3f}, {time.time()-t0:.0f}s"
+    )
+
     # --- real SemEval fixture ---------------------------------------------
     if args.skip_real or not os.path.isdir(SEMEVAL):
         return
