@@ -1217,6 +1217,164 @@ def fit_dual_classifier(
     return params, losses
 
 
+def distributed_grad_dual(
+    examples: ray.data.Dataset, params: dict[str, np.ndarray]
+) -> tuple[float, dict[str, np.ndarray]]:
+    """ONE data-parallel gradient over mixed-direction single-mode examples
+    (``SINGLE_EXAMPLE_SCHEMA``) — ``grad_batch_dual``'s per-direction means
+    combine linearly weighted by batch size, so per-block partials reduce
+    to the exact full-batch gradient (same discipline as
+    :func:`distributed_grad`; deterministic key order)."""
+    fields = dual_fields_of(params)
+    params_ref = ray.put(params)
+
+    def grad(batch: pa.Table) -> pa.Table:
+        p_ = ray.get(params_ref)
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                 "loss": pa.array([], pa.float64()), "grad": pa.array([], pa.binary())}
+            )
+        w, d, p, lengths = pad_paths(
+            batch.column("word_ids").to_pylist(),
+            batch.column("dep_ids").to_pylist(),
+            batch.column("pos_ids").to_pylist(),
+        )
+        labels = batch.column("label_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flags = batch.column("predict_x").to_numpy(zero_copy_only=False).astype(bool)
+        sids = batch.column("sent_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        targets = None
+        if p_.get("t_emb") is not None:
+            xs = batch.column("x_id").to_numpy(zero_copy_only=False).astype(np.int32)
+            ys = batch.column("y_id").to_numpy(zero_copy_only=False).astype(np.int32)
+            # forward rows read t_emb[y], reversed rows t_emb[x] (M15's
+            # single-other-entity reduction) — same as fit_dual_classifier
+            targets = np.where(flags, ys, xs).astype(np.int32).reshape(-1, 1)
+        loss, g = grad_batch_dual(p_, w, d, p, lengths, labels, flags, targets=targets)
+        flat = np.concatenate([g[f].ravel() for f in dual_fields_of(p_)])
+        key = int((sids * 2 + (~flags).astype(np.int64)).min())
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array([key], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "loss": pa.array([loss], pa.float64()),
+                "grad": pa.array([(flat * n).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = sorted(
+        examples.map_batches(grad, batch_format="pyarrow").take_all(), key=lambda r: r["key"]
+    )
+    shapes = [params[f].shape for f in fields]
+    sizes = [int(np.prod(s)) for s in shapes]
+    total = np.zeros(sum(sizes))
+    n_total, loss_sum = 0, 0.0
+    for r in parts:
+        total += np.frombuffer(r["grad"], dtype=np.float64)
+        n_total += r["n"]
+        loss_sum += r["loss"] * r["n"]
+    total /= max(1, n_total)
+    grads, off = {}, 0
+    for f, s, sz in zip(fields, shapes, sizes):
+        grads[f] = total[off : off + sz].reshape(s)
+        off += sz
+    return loss_sum / max(1, n_total), grads
+
+
+def fit_dual_classifier_distributed(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    epochs: int = 5,
+    steps_per_epoch: int = 1,
+    lr: float = 3e-3,
+    seed: int = 7,
+    n_out: int = len(LABELS),
+    init_word_emb: np.ndarray | None = None,
+    init_t_emb: np.ndarray | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every_s: float = 30 * 60,
+) -> tuple[dict[str, np.ndarray], list[float]]:
+    """DATA-PARALLEL dual-direction fit (T3 at corpus scale — closes the
+    last driver-bound trainer): per-step :func:`distributed_grad_dual`
+    over an epoch-resharded slice, Adam moments on the driver, wall-clock
+    checkpoint/resume as in :func:`fit_classifier_distributed`."""
+    import time as _time
+
+    vw, vd, vp = vocab_sizes
+    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1)
+    if init_word_emb is not None:
+        init_word_emb = np.asarray(init_word_emb, dtype=np.float32)
+        if init_word_emb.shape != params["word_emb"].shape:
+            raise ValueError("init_word_emb shape mismatch")
+        params["word_emb"] = init_word_emb.copy()
+    if init_t_emb is not None:
+        init_t_emb = np.asarray(init_t_emb, dtype=np.float32)
+        if init_t_emb.shape != params["t_emb"].shape:
+            raise ValueError("init_t_emb shape mismatch")
+        params["t_emb"] = init_t_emb.copy()
+    fields = dual_fields_of(params)
+    examples = examples.materialize()
+    m = {f: np.zeros_like(params[f], dtype=np.float64) for f in fields}
+    v = {f: np.zeros_like(params[f], dtype=np.float64) for f in fields}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    losses: list[float] = []
+    cursor, ep_loss, ep_n = 0, 0.0, 0
+    ck_tag = f"dualfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}"
+    state = _load_fit_state(checkpoint_path, ck_tag)
+    if state is not None:
+        for f in fields:
+            params[f] = state[f"w:{f}"]
+            m[f], v[f] = state[f"m:{f}"], state[f"v:{f}"]
+        step = int(state["step"])
+        losses = [float(x) for x in state["losses"]]
+        cursor = int(state["cursor"])
+        ep_loss, ep_n = float(state["ep_loss"]), int(state["ep_n"])
+    last_save = _time.monotonic()
+    for t in range(cursor, epochs * steps_per_epoch):
+        epoch, s = divmod(t, steps_per_epoch)
+        if steps_per_epoch > 1:
+
+            def pick(batch: pa.Table, _e=epoch, _s=s) -> pa.Table:
+                sid = batch.column("sent_id").to_numpy().astype(np.uint64) * np.uint64(2)
+                sid += (~batch.column("predict_x").to_numpy(zero_copy_only=False)).astype(np.uint64)
+                h = sid ^ np.uint64(_e * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+                h = (h * np.uint64(0x2545F4914F6CDD1D)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                h ^= h >> np.uint64(32)
+                return batch.filter(pa.array((h % np.uint64(steps_per_epoch)) == _s))
+
+            shard = examples.map_batches(pick, batch_format="pyarrow")
+        else:
+            shard = examples
+        loss, g = distributed_grad_dual(shard, params)
+        step += 1
+        for f in fields:
+            m[f] = b1 * m[f] + (1 - b1) * g[f]
+            v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
+            mh = m[f] / (1 - b1**step)
+            vh = v[f] / (1 - b2**step)
+            params[f] = (params[f].astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)).astype(
+                np.float32
+            )
+        ep_loss += loss
+        ep_n += 1
+        if s == steps_per_epoch - 1:
+            losses.append(ep_loss / max(1, ep_n))
+            ep_loss, ep_n = 0.0, 0
+        if checkpoint_path is not None and _time.monotonic() - last_save >= checkpoint_every_s:
+            snap = {f"w:{f}": params[f] for f in fields}
+            snap.update({f"m:{f}": m[f] for f in fields})
+            snap.update({f"v:{f}": v[f] for f in fields})
+            snap.update(
+                {"step": step, "losses": np.array(losses, dtype=np.float64),
+                 "cursor": t + 1, "ep_loss": ep_loss, "ep_n": ep_n}
+            )
+            _save_fit_state(checkpoint_path, ck_tag, snap)
+            last_save = _time.monotonic()
+    return params, losses
+
+
 class DualModelClassifyStage:
     """Actor-pool prediction with the trained dual model: each record is
     scored in BOTH directions (forward path through the fwd GRU, reversed

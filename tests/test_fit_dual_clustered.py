@@ -187,3 +187,64 @@ def test_fit_clustered_softmax_learns_cluster_pairs(kg_encoded):
     pred_u, _ = score_batch(untrained, ww, dd, pp, lengths)
     acc_u = float((pred_u == labels).mean())
     assert acc > max(1.0 / (K * K) * 2, acc_u), (acc, acc_u)
+
+
+def test_dual_distributed_single_step_equals_local(single_examples):
+    """One distributed dual Adam step == the local loop run full-batch."""
+    import numpy as np
+    import pytest
+
+    from relation_extraction_ray.pipelines.fit import (
+        fit_dual_classifier,
+        fit_dual_classifier_distributed,
+    )
+    from relation_extraction_ray.state.scorer import dual_fields_of
+
+    _, vocabs, singles = single_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    local, l_losses = fit_dual_classifier(singles, sizes, epochs=1, batch_size=10**9, lr=1e-2)
+    dist, d_losses = fit_dual_classifier_distributed(
+        singles.repartition(4), sizes, epochs=1, steps_per_epoch=1, lr=1e-2
+    )
+    assert d_losses[0] == pytest.approx(l_losses[0], rel=1e-6)
+    for f in dual_fields_of(local):
+        assert np.allclose(dist[f], local[f], atol=1e-6), f
+
+
+def test_dual_distributed_descends_deterministic_and_resumes(single_examples, tmp_path, monkeypatch):
+    import numpy as np
+    import pytest
+
+    import relation_extraction_ray.pipelines.fit as fit_mod
+    from relation_extraction_ray.state.scorer import dual_fields_of
+
+    _, vocabs, singles = single_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    kw = dict(epochs=3, steps_per_epoch=2, lr=1e-2)
+    ref, losses = fit_mod.fit_dual_classifier_distributed(singles, sizes, **kw)
+    assert losses[-1] < losses[0]
+
+    ck = str(tmp_path / "dual.ck.npz")
+    real = fit_mod.distributed_grad_dual
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(fit_mod, "distributed_grad_dual", dying)
+    with pytest.raises(RuntimeError):
+        fit_mod.fit_dual_classifier_distributed(
+            singles, sizes, checkpoint_path=ck, checkpoint_every_s=0.0, **kw
+        )
+    monkeypatch.setattr(fit_mod, "distributed_grad_dual", real)
+    got, got_losses = fit_mod.fit_dual_classifier_distributed(
+        singles, sizes, checkpoint_path=ck, checkpoint_every_s=0.0, **kw
+    )
+    assert got_losses == losses
+    for f in dual_fields_of(ref):
+        assert np.array_equal(got[f], ref[f]), f

