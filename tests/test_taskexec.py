@@ -57,3 +57,26 @@ def test_classes_do_not_evict_each_other():
         s(0)
         o(0)
     assert _Stage.built == 1 and _Other.built == 1
+
+
+def test_cached_fn_pickle_excludes_driver_cache(ray_session):
+    """Regression: the pickled task fn must NOT ship the driver's live
+    stage cache (cloudpickle captures a dynamic closure's referenced
+    globals by value — instances of a test-local class in the cache used
+    to break worker deserialization with ModuleNotFoundError)."""
+    import ray
+
+    fn = cached_stage_fn(_Stage, "poison", {"tag": "x"})
+    fn(0)  # driver cache now holds a test-local (unimportable) instance
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from relation_extraction_ray.pipelines.kg import ParseStage
+    from relation_extraction_ray.sources.synth import documents_dataset
+
+    ds = documents_dataset(8, override_num_blocks=2).map_batches(
+        cached_stage_fn(ParseStage, (), {}), batch_format="pyarrow"
+    )
+    assert ds.count() > 0  # would raise RaySystemError before the fix
