@@ -87,3 +87,19 @@ def test_pair_payload_join_matches_dict_join(ray_session):
     )
     got = sorted((r["a"], r["b"], r["payload_a"], r["payload_b"]) for r in out)
     assert got == want
+
+
+def test_powers_block_tiling_exact():
+    """The cached-block/tiled _powers must equal true modular powers (the
+    np.cumprod it replaced was a uint64 scalar loop — 10x slower than the
+    per-row hash it was supposed to vectorize)."""
+    import numpy as np
+
+    from relation_extraction_ray.functions.joins import _G, _GINV, _powers
+
+    for g in (_G, _GINV):
+        for n in (1, 7, 1 << 16, (1 << 16) + 3, 200_001):
+            pw = _powers(n, g)
+            assert pw.dtype == np.uint64 and len(pw) == n
+            for k in sorted({0, min(1, n - 1), n // 2, n - 1}):
+                assert int(pw[k]) == pow(int(g), k, 2**64), (int(g), n, k)
