@@ -217,11 +217,11 @@ class EmbedStage:
 
 def _gru_hidden(wts, w, d, p, lengths) -> np.ndarray:
     """Final GRU hidden state (same recurrence as score_batch)."""
-    from ..state.scorer import D_HIDDEN, _sigmoid
+    from ..state.scorer import _sigmoid
 
     b, t = w.shape
     x = np.concatenate([wts.word_emb[w], wts.dep_emb[d], wts.pos_emb[p]], axis=-1)
-    h = np.zeros((b, D_HIDDEN), dtype=np.float32)
+    h = np.zeros((b, wts.d_hidden), dtype=np.float32)
     for step in range(t):
         xt = x[:, step, :]
         z = _sigmoid(xt @ wts.w_z + h @ wts.u_z + wts.b_z)

@@ -326,6 +326,7 @@ def fit_classifier(
     valid_mod: int = 0,
     init_word_emb: np.ndarray | None = None,
     init_t_emb: np.ndarray | None = None,
+    dims: dict | None = None,
 ) -> tuple[ScorerWeights, list[float]]:
     """Mini-batch Adam over the encoded examples (driver-side — the encoded
     set is the SMALL output of the distributed parse/encode passes; the
@@ -339,7 +340,9 @@ def fit_classifier(
     its LABEL is a function of the targets, so feeding them as inputs
     would let the head bypass the path entirely."""
     vw, vd, vp = vocab_sizes
-    wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0)
+    wts = weights_fixture(
+        vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0, **(dims or {})
+    )
     apply_embedding_init(wts, init_word_emb, init_t_emb)
     fields = fields_of(wts)
     w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
@@ -448,6 +451,7 @@ def fit_classifier_distributed(
     init_t_emb: np.ndarray | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every_s: float = 30 * 60,
+    dims: dict | None = None,
 ) -> tuple[ScorerWeights, list[float]]:
     """DATA-PARALLEL fit: the scale path for when the encoded-example table
     exceeds driver memory (``fit_classifier`` deliberately collects it — the
@@ -477,7 +481,9 @@ def fit_classifier_distributed(
     import time as _time
 
     vw, vd, vp = vocab_sizes
-    wts = weights_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0)
+    wts = weights_fixture(
+        vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0, **(dims or {})
+    )
     apply_embedding_init(wts, init_word_emb, init_t_emb)
     fields = fields_of(wts)
     examples = examples.materialize()
@@ -487,7 +493,7 @@ def fit_classifier_distributed(
     step = 0
     losses: list[float] = []
     cursor, ep_loss, ep_n = 0, 0.0, 0
-    ck_tag = f"distfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:{use_targets}"
+    ck_tag = f"distfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:{use_targets}:{sorted((dims or {}).items())}"
     state = _load_fit_state(checkpoint_path, ck_tag)
     if state is not None:
         for f in fields:
@@ -791,6 +797,7 @@ def fit_alternating_distributed(
     init_t_emb: np.ndarray | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every_s: float = 30 * 60,
+    dims: dict | None = None,
 ) -> tuple[ScorerWeights, dict[str, list[float]]]:
     """DATA-PARALLEL alternating NEG+supervised fit — the scale path for
     the flagship recipe (judge round 2: ``fit_alternating`` materializes
@@ -814,9 +821,9 @@ def fit_alternating_distributed(
     from ..state.scorer import UNSUP_FIELDS, unsup_fixture
 
     vw, vd, vp = vocab_sizes
-    wts = weights_fixture(vw, vd, vp, seed=seed, n_targets=2)
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_targets=2, **(dims or {}))
     apply_embedding_init(wts, init_word_emb, init_t_emb)
-    unsup = unsup_fixture(vw, seed=seed)
+    unsup = unsup_fixture(vw, seed=seed, d_hidden=wts.d_hidden)
     sup_fields = fields_of(wts)
     trunk = [f for f in sup_fields if f not in ("w_out", "b_out", "t_emb")]
     examples = examples.materialize()
@@ -877,7 +884,7 @@ def fit_alternating_distributed(
     ck_fields = [("w", f) for f in sup_fields] + [("u", f) for f in UNSUP_FIELDS]
     ck_tag = (
         f"altfit:{seed}:{lr}:{cycles}:{unsup_epochs}:{sup_epochs}:{neg_per}:"
-        f"{steps_per_epoch}:{vw}:{vd}:{vp}"
+        f"{steps_per_epoch}:{vw}:{vd}:{vp}:{sorted((dims or {}).items())}"
     )
     state = _load_fit_state(checkpoint_path, ck_tag)
     if state is not None:
@@ -942,6 +949,7 @@ def fit_alternating(
     seed: int = 7,
     init_word_emb: np.ndarray | None = None,
     init_t_emb: np.ndarray | None = None,
+    dims: dict | None = None,
 ) -> tuple[ScorerWeights, dict[str, list[float]]]:
     """Alternating unsup+sup training over ONE shared trunk: each cycle
     runs ``unsup_epochs`` of the NEG objective (updating embeddings + GRU +
@@ -951,9 +959,9 @@ def fit_alternating(
     from ..state.scorer import UNSUP_FIELDS, unsup_fixture, unsup_grad_batch
 
     vw, vd, vp = vocab_sizes
-    wts = weights_fixture(vw, vd, vp, seed=seed, n_targets=2)
+    wts = weights_fixture(vw, vd, vp, seed=seed, n_targets=2, **(dims or {}))
     apply_embedding_init(wts, init_word_emb, init_t_emb)
-    unsup = unsup_fixture(vw, seed=seed)
+    unsup = unsup_fixture(vw, seed=seed, d_hidden=wts.d_hidden)
     sup_fields = fields_of(wts)
     w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
     uw, ud, up, ux, uy, ulab = unsup_pairs(examples, neg_per=neg_per, seed=seed)
@@ -1153,6 +1161,7 @@ def fit_dual_classifier(
     n_out: int = len(LABELS),
     init_word_emb: np.ndarray | None = None,
     init_t_emb: np.ndarray | None = None,
+    dims: dict | None = None,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Mini-batch Adam over mixed-direction single-mode examples — the
     dual-stack analogue of :func:`fit_classifier` (reference training graph
@@ -1162,7 +1171,7 @@ def fit_dual_classifier(
     reference reduces the target to the single other entity, M15): the
     forward row reads ``t_emb[y]``, the reversed row ``t_emb[x]``."""
     vw, vd, vp = vocab_sizes
-    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1)
+    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1, **(dims or {}))
     if init_word_emb is not None:
         init_word_emb = np.asarray(init_word_emb, dtype=np.float32)
         if init_word_emb.shape != params["word_emb"].shape:
@@ -1294,6 +1303,7 @@ def fit_dual_classifier_distributed(
     init_t_emb: np.ndarray | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every_s: float = 30 * 60,
+    dims: dict | None = None,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """DATA-PARALLEL dual-direction fit (T3 at corpus scale — closes the
     last driver-bound trainer): per-step :func:`distributed_grad_dual`
@@ -1302,7 +1312,7 @@ def fit_dual_classifier_distributed(
     import time as _time
 
     vw, vd, vp = vocab_sizes
-    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1)
+    params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1, **(dims or {}))
     if init_word_emb is not None:
         init_word_emb = np.asarray(init_word_emb, dtype=np.float32)
         if init_word_emb.shape != params["word_emb"].shape:
@@ -1321,7 +1331,7 @@ def fit_dual_classifier_distributed(
     step = 0
     losses: list[float] = []
     cursor, ep_loss, ep_n = 0, 0.0, 0
-    ck_tag = f"dualfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}"
+    ck_tag = f"dualfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:{sorted((dims or {}).items())}"
     state = _load_fit_state(checkpoint_path, ck_tag)
     if state is not None:
         for f in fields:

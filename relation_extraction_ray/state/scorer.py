@@ -53,10 +53,14 @@ class ScorerWeights:
     t_emb: np.ndarray | None = None  # [Vw, D_TARGET]
 
     @property
+    def d_hidden(self) -> int:
+        return self.u_z.shape[0]
+
+    @property
     def n_targets(self) -> int:
         if self.t_emb is None:
             return 0
-        return (self.w_out.shape[0] - D_HIDDEN) // D_TARGET
+        return (self.w_out.shape[0] - self.d_hidden) // self.t_emb.shape[1]
 
 
 def fields_of(wts: ScorerWeights) -> list[str]:
@@ -72,6 +76,9 @@ def weights_fixture(
     seed: int = 7,
     n_out: int = N_LABELS,
     n_targets: int = 0,
+    d_word: int = D_WORD,
+    d_hidden: int = D_HIDDEN,
+    d_target: int = D_TARGET,
 ) -> ScorerWeights:
     """Deterministic weight bundle — pure function of shapes + seed.
 
@@ -83,29 +90,34 @@ def weights_fixture(
     ``n_targets`` > 0 adds a target-entity embedding table and widens the
     softmax input to ``[h ; t_emb[t_1] ; … ; t_emb[t_n]]`` (2 for the
     unidirectional classifier's (x, y) pair, 1 for the single-mode duals)."""
-    # n_out/n_targets enter the seed only when non-default so the untrained
-    # KG-scorer fixture stays bit-identical to round-1 artifacts.
+    # n_out/n_targets/dims enter the seed only when non-default so the
+    # untrained KG-scorer fixture stays bit-identical to round-1 artifacts.
     entropy = (
         [seed, vocab_size, dep_size, pos_size]
         + ([n_out] if n_out != N_LABELS else [])
         + ([7919, n_targets] if n_targets else [])
+        + (
+            [104651, d_word, d_hidden, d_target]
+            if (d_word, d_hidden, d_target) != (D_WORD, D_HIDDEN, D_TARGET)
+            else []
+        )
     )
     rng = np.random.default_rng(np.random.SeedSequence(entropy))
 
     def mat(*shape):
         return (rng.standard_normal(shape) * 0.1).astype(np.float32)
 
-    d_in = D_WORD + D_DEP + D_POS
-    d_feat = D_HIDDEN + n_targets * D_TARGET
+    d_in = d_word + D_DEP + D_POS
+    d_feat = d_hidden + n_targets * d_target
     return ScorerWeights(
-        word_emb=mat(vocab_size, D_WORD),
+        word_emb=mat(vocab_size, d_word),
         dep_emb=mat(dep_size, D_DEP),
         pos_emb=mat(pos_size, D_POS),
-        w_z=mat(d_in, D_HIDDEN), u_z=mat(D_HIDDEN, D_HIDDEN), b_z=np.zeros(D_HIDDEN, np.float32),
-        w_r=mat(d_in, D_HIDDEN), u_r=mat(D_HIDDEN, D_HIDDEN), b_r=np.zeros(D_HIDDEN, np.float32),
-        w_h=mat(d_in, D_HIDDEN), u_h=mat(D_HIDDEN, D_HIDDEN), b_h=np.zeros(D_HIDDEN, np.float32),
+        w_z=mat(d_in, d_hidden), u_z=mat(d_hidden, d_hidden), b_z=np.zeros(d_hidden, np.float32),
+        w_r=mat(d_in, d_hidden), u_r=mat(d_hidden, d_hidden), b_r=np.zeros(d_hidden, np.float32),
+        w_h=mat(d_in, d_hidden), u_h=mat(d_hidden, d_hidden), b_h=np.zeros(d_hidden, np.float32),
         w_out=mat(d_feat, n_out), b_out=np.zeros(n_out, np.float32),
-        t_emb=mat(vocab_size, D_TARGET) if n_targets else None,
+        t_emb=mat(vocab_size, d_target) if n_targets else None,
     )
 
 
@@ -220,11 +232,13 @@ def grad_batch(
     g["w_out"] = feat.T @ dlogits
     g["b_out"] = dlogits.sum(axis=0)
     dfeat = dlogits @ W["w_out"].T
-    dh = dfeat[:, :D_HIDDEN]
+    d_hidden = wts.d_hidden
+    dh = dfeat[:, :d_hidden]
     if wts.t_emb is not None:
+        d_target = wts.t_emb.shape[1]
         for j in range(targets.shape[1]):
-            lo = D_HIDDEN + j * D_TARGET
-            np.add.at(g["t_emb"], targets[:, j], dfeat[:, lo : lo + D_TARGET])
+            lo = d_hidden + j * d_target
+            np.add.at(g["t_emb"], targets[:, j], dfeat[:, lo : lo + d_target])
     _gru_backward_f64(W, g, cache, x, dh, word_ids, dep_ids, pos_ids)
     return loss, g
 
@@ -236,7 +250,7 @@ def _gru_forward_f64(W: dict, word_ids, dep_ids, pos_ids, lengths):
     x = np.concatenate(
         [W["word_emb"][word_ids], W["dep_emb"][dep_ids], W["pos_emb"][pos_ids]], axis=-1
     )  # [B, T, Din]
-    h = np.zeros((b, D_HIDDEN))
+    h = np.zeros((b, W["u_z"].shape[0]))
     cache = []
     for step in range(t):
         xt = x[:, step, :]
@@ -285,9 +299,11 @@ def _gru_backward_f64(W: dict, g: dict, cache, x, dh, word_ids, dep_ids, pos_ids
         dx[:, step, :] = dxt
         dh = dh_prev
 
-    dw = dx[:, :, :D_WORD].reshape(-1, D_WORD)
-    dd = dx[:, :, D_WORD : D_WORD + D_DEP].reshape(-1, D_DEP)
-    dp = dx[:, :, D_WORD + D_DEP :].reshape(-1, D_POS)
+    d_word, d_dep = g["word_emb"].shape[1], g["dep_emb"].shape[1]
+    d_pos = g["pos_emb"].shape[1]
+    dw = dx[:, :, :d_word].reshape(-1, d_word)
+    dd = dx[:, :, d_word : d_word + d_dep].reshape(-1, d_dep)
+    dp = dx[:, :, d_word + d_dep :].reshape(-1, d_pos)
     np.add.at(g["word_emb"], word_ids.reshape(-1), dw)
     np.add.at(g["dep_emb"], dep_ids.reshape(-1), dd)
     np.add.at(g["pos_emb"], pos_ids.reshape(-1), dp)
@@ -307,11 +323,14 @@ def _gru_backward_f64(W: dict, g: dict, cache, x, dh, word_ids, dep_ids, pos_ids
 UNSUP_FIELDS = ["left_emb", "right_emb"]
 
 
-def unsup_fixture(vocab_size: int, seed: int = 7) -> dict[str, np.ndarray]:
-    """Deterministic left/right target tables for the NEG objective."""
-    rng = np.random.default_rng(np.random.SeedSequence([seed, vocab_size, 104729]))
+def unsup_fixture(vocab_size: int, seed: int = 7, d_hidden: int = D_HIDDEN) -> dict[str, np.ndarray]:
+    """Deterministic left/right target tables for the NEG objective
+    (``d_hidden`` must match the trunk's — the bilinear form contracts
+    over the hidden dimension)."""
+    entropy = [seed, vocab_size, 104729] + ([d_hidden] if d_hidden != D_HIDDEN else [])
+    rng = np.random.default_rng(np.random.SeedSequence(entropy))
     return {
-        f: (rng.standard_normal((vocab_size, D_HIDDEN)) * 0.1).astype(np.float32)
+        f: (rng.standard_normal((vocab_size, d_hidden)) * 0.1).astype(np.float32)
         for f in UNSUP_FIELDS
     }
 
@@ -369,7 +388,7 @@ def score_batch(
     x = np.concatenate(
         [wts.word_emb[word_ids], wts.dep_emb[dep_ids], wts.pos_emb[pos_ids]], axis=-1
     )  # [B, T, d_in]
-    h = np.zeros((b, D_HIDDEN), dtype=np.float32)
+    h = np.zeros((b, wts.d_hidden), dtype=np.float32)
     for step in range(t):
         xt = x[:, step, :]
         z = _sigmoid(xt @ wts.w_z + h @ wts.u_z + wts.b_z)
@@ -420,14 +439,19 @@ def dual_fixture(
     seed: int = 7,
     n_out: int = N_LABELS,
     n_targets: int = 0,
+    **dims,
 ) -> dict[str, np.ndarray]:
     """Deterministic dual-model params: embeddings from the forward seed,
     direction stacks from seed and seed+1 (distinct inits so the two RNNs
     break symmetry, as the reference's independent variable scopes do).
     ``n_targets`` adds a SHARED target table (single mode carries one
     target — the reduced "other entity" of M15 — so pass 1)."""
-    fwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed, n_out=n_out, n_targets=n_targets)
-    bwd = weights_fixture(vocab_size, dep_size, pos_size, seed=seed + 1, n_out=n_out, n_targets=n_targets)
+    fwd = weights_fixture(
+        vocab_size, dep_size, pos_size, seed=seed, n_out=n_out, n_targets=n_targets, **dims
+    )
+    bwd = weights_fixture(
+        vocab_size, dep_size, pos_size, seed=seed + 1, n_out=n_out, n_targets=n_targets, **dims
+    )
     params = {f: getattr(fwd, f) for f in EMB_FIELDS}
     params.update({f"fwd_{f}": getattr(fwd, f) for f in GRU_FIELDS})
     params.update({f"bwd_{f}": getattr(bwd, f) for f in GRU_FIELDS})

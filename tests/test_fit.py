@@ -514,3 +514,43 @@ def test_alternating_distributed_checkpoint_resume(tmp_path, synth_examples, mon
     assert got_losses == ref_losses
     for f in fields_of(ref_wts):
         assert np.array_equal(getattr(got_wts, f), getattr(ref_wts, f)), f
+
+
+def test_grad_matches_numerical_nondefault_dims():
+    """The scorer is shape-generic (dims derive from the weight bundle,
+    never module constants) — gradient-check a model with non-default
+    word/hidden/target dims, the config path the reference's 300-d
+    word2vec / 100-d GRU uses."""
+    rng = np.random.default_rng(5)
+    vw, vd, vp = 11, 5, 6
+    wts = weights_fixture(vw, vd, vp, seed=5, n_targets=2, d_word=10, d_hidden=12, d_target=6)
+    assert wts.word_emb.shape == (vw, 10) and wts.u_z.shape == (12, 12)
+    assert wts.t_emb.shape == (vw, 6) and wts.w_out.shape[0] == 12 + 2 * 6
+    for f in fields_of(wts):
+        setattr(wts, f, getattr(wts, f).astype(np.float64))
+    b, t = 4, 5
+    w = rng.integers(0, vw, (b, t)).astype(np.int32)
+    d = rng.integers(0, vd, (b, t)).astype(np.int32)
+    p = rng.integers(0, vp, (b, t)).astype(np.int32)
+    lengths = np.array([5, 3, 1, 4], dtype=np.int32)
+    labels = rng.integers(0, 19, b).astype(np.int64)
+    targets = rng.integers(0, vw, (b, 2)).astype(np.int32)
+    loss0, g = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
+    assert loss0 > 0
+    eps = 1e-6
+    for f in fields_of(wts):
+        flat = getattr(wts, f).reshape(-1)
+        for _ in range(2):
+            i = int(rng.integers(0, flat.size))
+            orig = flat[i]
+            flat[i] = orig + eps
+            lp, _ = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
+            flat[i] = orig - eps
+            lm, _ = grad_batch(wts, w, d, p, lengths, labels, targets=targets)
+            flat[i] = orig
+            assert (lp - lm) / (2 * eps) == pytest.approx(g[f].reshape(-1)[i], rel=1e-4, abs=1e-7), f
+    # prediction path uses the same derived dims
+    pred, probs = score_batch(
+        wts, w, d, p, lengths, targets=targets
+    )
+    assert probs.shape == (b, 19)
