@@ -144,6 +144,12 @@ def cmd_semeval_train(args: argparse.Namespace) -> int:
 
         init_w = pretrain_word_vectors(parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
     ck = getattr(args, "checkpoint", None)
+    if ck and args.mode not in ("distributed", "alternating-distributed"):
+        raise SystemExit(
+            "--checkpoint is only supported by the distributed modes "
+            "(--mode distributed / alternating-distributed); the local fits "
+            "run in seconds and keep no optimizer snapshot"
+        )
     if args.mode == "alternating":
         wts, losses_d = fit_alternating(
             examples, sizes, cycles=3, unsup_epochs=1,

@@ -278,15 +278,25 @@ def knn_lsh(
     dim: int = 64,
     n_planes: int | None = None,
     target_bucket_rows: int = 256,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Approximate top-k: queries only scan embeddings in their own LSH
     bucket.  Recall < 1 by design; per-bucket brute force, buckets
     shuffled once.  ``n_planes=None`` (default) derives the plane count
     from the dataset size via :func:`derived_n_planes` so no bucket group
     grows unboundedly with the table; pass an explicit ``n_planes`` when
-    the bucket assignment must be replayable (e.g. the SQL oracle)."""
+    the bucket assignment must be replayable (e.g. the SQL oracle).
+
+    Sizing needs a row count: pass ``n_rows`` when you already know it
+    (e.g. from read metadata) — otherwise the input is ``materialize()``d
+    first so the sizing ``count()`` is a metadata lookup and the bucketing
+    scan re-reads the SAME blocks instead of re-executing the upstream
+    pipeline (a derived dataset would otherwise compute twice)."""
     if n_planes is None:
-        n_planes = derived_n_planes(embeddings.count(), target_bucket_rows)
+        if n_rows is None:
+            embeddings = embeddings.materialize()
+            n_rows = embeddings.count()
+        n_planes = derived_n_planes(n_rows, target_bucket_rows)
     qset = set(query_ids)
     bucketed = embeddings.map_batches(
         cached_stage_fn(LshBucketStage, (dim, n_planes), {"dim": dim, "n_planes": n_planes}),

@@ -128,7 +128,12 @@ def _hash_one(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if arr.null_count:
         # partition-only semantics: null may co-locate with the fill value
         # (over-co-location is harmless; equal keys still collide)
-        fill = "" if (pa.types.is_string(t) or pa.types.is_large_string(t)) else 0
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            fill = ""
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            fill = b""
+        else:
+            fill = 0
         arr = pc.fill_null(arr, fill)
     if pa.types.is_integer(t):
         return _mix64(arr.to_numpy(zero_copy_only=False).astype(np.uint64))

@@ -313,6 +313,25 @@ def apply_embedding_init(
     return wts
 
 
+def _apply_init_params(
+    params: dict[str, np.ndarray],
+    init_word_emb: np.ndarray | None = None,
+    init_t_emb: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
+    """Dict-param variant of :func:`apply_embedding_init` (the dual model's
+    shared embedding tables)."""
+    for name, init in (("word_emb", init_word_emb), ("t_emb", init_t_emb)):
+        if init is None:
+            continue
+        if name not in params or params[name] is None:
+            raise ValueError(f"init given for {name} but the model has no such table")
+        init = np.asarray(init, dtype=np.float32)
+        if init.shape != params[name].shape:
+            raise ValueError(f"init {name} shape {init.shape} != {params[name].shape}")
+        params[name] = init.copy()
+    return params
+
+
 def fit_classifier(
     examples: ray.data.Dataset,
     vocab_sizes: tuple[int, int, int],
@@ -438,6 +457,84 @@ def _load_fit_state(path: str | None, tag: str) -> dict | None:
         return {k: z[k].copy() for k in z.files if k != "tag"}
 
 
+def _init_fp(init_word_emb, init_t_emb) -> str:
+    """Fingerprint of the embedding-init matrices for the checkpoint tag:
+    a resume whose init differs (e.g. --pretrain-init added after the
+    crash) must start fresh, never silently adopt the old run's state."""
+    h = hashlib.blake2b(digest_size=8)
+    for a in (init_word_emb, init_t_emb):
+        if a is None:
+            h.update(b"\x00none")
+        else:
+            a = np.asarray(a, dtype=np.float32)
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def _epoch_shard(ds: ray.data.Dataset, epoch: int, s: int, steps_per_epoch: int, key_fn):
+    """Deterministic 1/steps_per_epoch shard of ``ds`` for optimizer step
+    ``s`` of ``epoch``: xorshift-multiply mix of (key, epoch) so each
+    epoch re-PARTITIONS the examples into different macro-batches rather
+    than relabeling the same residue classes.  ``key_fn(batch)`` returns
+    the per-row uint64 identity (shared by all three distributed fits)."""
+    if steps_per_epoch <= 1:
+        return ds
+
+    def pick(batch: pa.Table, _e=epoch, _s=s) -> pa.Table:
+        h = key_fn(batch).astype(np.uint64)
+        h = h ^ np.uint64(_e * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+        h = (h * np.uint64(0x2545F4914F6CDD1D)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h ^= h >> np.uint64(32)
+        return batch.filter(pa.array((h % np.uint64(steps_per_epoch)) == _s))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _sent_id_key(batch: pa.Table) -> np.ndarray:
+    return batch.column("sent_id").to_numpy().astype(np.uint64)
+
+
+class _AdamState:
+    """Driver-side Adam moments + per-field step counters, shared by the
+    three distributed fit loops (one update rule, one snapshot format —
+    O(model) state, never O(data)).  Per-field counters generalize the
+    single global counter: a loop that updates every field each step gets
+    identical bias-correction terms."""
+
+    B1, B2, EPS = 0.9, 0.999, 1e-8
+
+    def __init__(self, templates: dict[str, np.ndarray], lr: float) -> None:
+        self.lr = lr
+        self.m = {f: np.zeros_like(t, dtype=np.float64) for f, t in templates.items()}
+        self.v = {f: np.zeros_like(t, dtype=np.float64) for f, t in templates.items()}
+        self.steps = dict.fromkeys(templates, 0)
+
+    def update(self, f: str, grad: np.ndarray, current: np.ndarray) -> np.ndarray:
+        self.steps[f] += 1
+        self.m[f] = self.B1 * self.m[f] + (1 - self.B1) * grad
+        self.v[f] = self.B2 * self.v[f] + (1 - self.B2) * grad * grad
+        mh = self.m[f] / (1 - self.B1 ** self.steps[f])
+        vh = self.v[f] / (1 - self.B2 ** self.steps[f])
+        return (current.astype(np.float64) - self.lr * mh / (np.sqrt(vh) + self.EPS)).astype(
+            np.float32
+        )
+
+    def snapshot(self) -> dict:
+        snap: dict = {}
+        for f in self.m:
+            snap[f"m:{f}"] = self.m[f]
+            snap[f"v:{f}"] = self.v[f]
+            snap[f"steps:{f}"] = np.int64(self.steps[f])
+        return snap
+
+    def restore(self, state: dict) -> None:
+        for f in list(self.m):
+            self.m[f] = state[f"m:{f}"]
+            self.v[f] = state[f"v:{f}"]
+            self.steps[f] = int(state[f"steps:{f}"])
+
+
 def fit_classifier_distributed(
     examples: ray.data.Dataset,
     vocab_sizes: tuple[int, int, int],
@@ -487,19 +584,18 @@ def fit_classifier_distributed(
     apply_embedding_init(wts, init_word_emb, init_t_emb)
     fields = fields_of(wts)
     examples = examples.materialize()
-    m = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
-    v = {f: np.zeros_like(getattr(wts, f), dtype=np.float64) for f in fields}
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    step = 0
+    opt = _AdamState({f: getattr(wts, f) for f in fields}, lr)
     losses: list[float] = []
     cursor, ep_loss, ep_n = 0, 0.0, 0
-    ck_tag = f"distfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:{use_targets}:{sorted((dims or {}).items())}"
+    ck_tag = (
+        f"distfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:"
+        f"{use_targets}:{sorted((dims or {}).items())}:{_init_fp(init_word_emb, init_t_emb)}"
+    )
     state = _load_fit_state(checkpoint_path, ck_tag)
     if state is not None:
         for f in fields:
             setattr(wts, f, state[f"w:{f}"])
-            m[f], v[f] = state[f"m:{f}"], state[f"v:{f}"]
-        step = int(state["step"])
+        opt.restore(state)
         losses = [float(x) for x in state["losses"]]
         cursor = int(state["cursor"])
         ep_loss, ep_n = float(state["ep_loss"]), int(state["ep_n"])
@@ -508,29 +604,10 @@ def fit_classifier_distributed(
     # integer and epoch-boundary bookkeeping can't drift
     for t in range(cursor, epochs * steps_per_epoch):
         epoch, s = divmod(t, steps_per_epoch)
-        if steps_per_epoch > 1:
-
-            def pick(batch: pa.Table, _e=epoch, _s=s) -> pa.Table:
-                sid = batch.column("sent_id").to_numpy().astype(np.uint64)
-                # xorshift-multiply mix of (sid, epoch): composition of
-                # each shard genuinely changes per epoch
-                v = sid ^ np.uint64(_e * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
-                v = (v * np.uint64(0x2545F4914F6CDD1D)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                v ^= v >> np.uint64(32)
-                return batch.filter(pa.array((v % np.uint64(steps_per_epoch)) == _s))
-
-            shard = examples.map_batches(pick, batch_format="pyarrow")
-        else:
-            shard = examples
+        shard = _epoch_shard(examples, epoch, s, steps_per_epoch, _sent_id_key)
         loss, g = distributed_grad(shard, wts)
-        step += 1
         for f in fields:
-            m[f] = b1 * m[f] + (1 - b1) * g[f]
-            v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
-            mh = m[f] / (1 - b1**step)
-            vh = v[f] / (1 - b2**step)
-            upd = getattr(wts, f).astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)
-            setattr(wts, f, upd.astype(np.float32))
+            setattr(wts, f, opt.update(f, g[f], getattr(wts, f)))
         ep_loss += loss
         ep_n += 1
         if s == steps_per_epoch - 1:
@@ -538,10 +615,9 @@ def fit_classifier_distributed(
             ep_loss, ep_n = 0.0, 0
         if checkpoint_path is not None and _time.monotonic() - last_save >= checkpoint_every_s:
             snap = {f"w:{f}": getattr(wts, f) for f in fields}
-            snap.update({f"m:{f}": m[f] for f in fields})
-            snap.update({f"v:{f}": v[f] for f in fields})
+            snap.update(opt.snapshot())
             snap.update(
-                {"step": step, "losses": np.array(losses, dtype=np.float64),
+                {"losses": np.array(losses, dtype=np.float64),
                  "cursor": t + 1, "ep_loss": ep_loss, "ep_n": ep_n}
             )
             _save_fit_state(checkpoint_path, ck_tag, snap)
@@ -829,44 +905,19 @@ def fit_alternating_distributed(
     examples = examples.materialize()
     pairs = unsup_pairs_ds(examples, neg_per=neg_per, seed=seed).materialize()
 
-    m: dict[str, np.ndarray] = {}
-    v: dict[str, np.ndarray] = {}
-    for f in sup_fields:
-        m[f] = np.zeros_like(getattr(wts, f), dtype=np.float64)
-        v[f] = np.zeros_like(getattr(wts, f), dtype=np.float64)
-    for f in UNSUP_FIELDS:
-        m[f] = np.zeros_like(unsup[f], dtype=np.float64)
-        v[f] = np.zeros_like(unsup[f], dtype=np.float64)
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    steps = dict.fromkeys(list(sup_fields) + UNSUP_FIELDS, 0)
+    templates = {f: getattr(wts, f) for f in sup_fields}
+    templates.update({f: unsup[f] for f in UNSUP_FIELDS})
+    opt = _AdamState(templates, lr)
     losses: dict[str, list[float]] = {"unsup": [], "sup": []}
 
     def adam_step(f: str, grad: np.ndarray) -> None:
-        steps[f] += 1
-        m[f] = b1 * m[f] + (1 - b1) * grad
-        v[f] = b2 * v[f] + (1 - b2) * grad * grad
-        mh = m[f] / (1 - b1 ** steps[f])
-        vh = v[f] / (1 - b2 ** steps[f])
         if f in UNSUP_FIELDS:
-            unsup[f] = (unsup[f].astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)).astype(
-                np.float32
-            )
+            unsup[f] = opt.update(f, grad, unsup[f])
         else:
-            upd = getattr(wts, f).astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)
-            setattr(wts, f, upd.astype(np.float32))
+            setattr(wts, f, opt.update(f, grad, getattr(wts, f)))
 
-    def epoch_shard(ds: ray.data.Dataset, key_col: str, phase_epoch: int, s: int):
-        if steps_per_epoch <= 1:
-            return ds
-
-        def pick(batch: pa.Table, _e=phase_epoch, _s=s) -> pa.Table:
-            kid = batch.column(key_col).to_numpy().astype(np.uint64)
-            h = kid ^ np.uint64(_e * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
-            h = (h * np.uint64(0x2545F4914F6CDD1D)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            h ^= h >> np.uint64(32)
-            return batch.filter(pa.array((h % np.uint64(steps_per_epoch)) == _s))
-
-        return ds.map_batches(pick, batch_format="pyarrow")
+    def _uid_key(batch: pa.Table) -> np.ndarray:
+        return batch.column("uid").to_numpy().astype(np.uint64)
 
     # flat schedule: each entry is one (phase, phase_epoch, s) optimizer step
     schedule: list[tuple[str, int, int]] = []
@@ -884,7 +935,8 @@ def fit_alternating_distributed(
     ck_fields = [("w", f) for f in sup_fields] + [("u", f) for f in UNSUP_FIELDS]
     ck_tag = (
         f"altfit:{seed}:{lr}:{cycles}:{unsup_epochs}:{sup_epochs}:{neg_per}:"
-        f"{steps_per_epoch}:{vw}:{vd}:{vp}:{sorted((dims or {}).items())}"
+        f"{steps_per_epoch}:{vw}:{vd}:{vp}:{sorted((dims or {}).items())}:"
+        f"{_init_fp(init_word_emb, init_t_emb)}"
     )
     state = _load_fit_state(checkpoint_path, ck_tag)
     if state is not None:
@@ -893,9 +945,7 @@ def fit_alternating_distributed(
                 setattr(wts, f, state[f"w:{f}"])
             else:
                 unsup[f] = state[f"u:{f}"]
-            m[f], v[f] = state[f"m:{f}"], state[f"v:{f}"]
-        for f in list(steps):
-            steps[f] = int(state[f"steps:{f}"])
+        opt.restore(state)
         losses = {"unsup": [float(x) for x in state["l_unsup"]],
                   "sup": [float(x) for x in state["l_sup"]]}
         cursor = int(state["cursor"])
@@ -905,12 +955,12 @@ def fit_alternating_distributed(
     for t in range(cursor, len(schedule)):
         phase, phase_epoch, s = schedule[t]
         if phase == "unsup":
-            shard = epoch_shard(pairs, "uid", phase_epoch, s)
+            shard = _epoch_shard(pairs, phase_epoch, s, steps_per_epoch, _uid_key)
             loss, g = distributed_unsup_grad(shard, wts, unsup)
             for f in trunk + UNSUP_FIELDS:
                 adam_step(f, g[f])
         else:
-            shard = epoch_shard(examples, "sent_id", phase_epoch, s)
+            shard = _epoch_shard(examples, phase_epoch, s, steps_per_epoch, _sent_id_key)
             loss, g = distributed_grad(shard, wts)
             for f in sup_fields:
                 adam_step(f, g[f])
@@ -920,13 +970,11 @@ def fit_alternating_distributed(
             losses[phase].append(ep_loss / max(1, ep_n))
             ep_loss, ep_n = 0.0, 0
         if checkpoint_path is not None and _time.monotonic() - last_save >= checkpoint_every_s:
-            snap: dict[str, np.ndarray] = {}
-            for kind, f in ck_fields:
-                snap[f"{kind}:{f}"] = getattr(wts, f) if kind == "w" else unsup[f]
-                snap[f"m:{f}"] = m[f]
-                snap[f"v:{f}"] = v[f]
-            for f, n_ in steps.items():
-                snap[f"steps:{f}"] = np.int64(n_)
+            snap: dict[str, np.ndarray] = {
+                f"{kind}:{f}": getattr(wts, f) if kind == "w" else unsup[f]
+                for kind, f in ck_fields
+            }
+            snap.update(opt.snapshot())
             snap.update(
                 {"l_unsup": np.array(losses["unsup"], dtype=np.float64),
                  "l_sup": np.array(losses["sup"], dtype=np.float64),
@@ -1172,18 +1220,7 @@ def fit_dual_classifier(
     forward row reads ``t_emb[y]``, the reversed row ``t_emb[x]``."""
     vw, vd, vp = vocab_sizes
     params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1, **(dims or {}))
-    if init_word_emb is not None:
-        init_word_emb = np.asarray(init_word_emb, dtype=np.float32)
-        if init_word_emb.shape != params["word_emb"].shape:
-            raise ValueError(
-                f"init_word_emb shape {init_word_emb.shape} != word_emb {params['word_emb'].shape}"
-            )
-        params["word_emb"] = init_word_emb.copy()
-    if init_t_emb is not None:
-        init_t_emb = np.asarray(init_t_emb, dtype=np.float32)
-        if init_t_emb.shape != params["t_emb"].shape:
-            raise ValueError(f"init_t_emb shape {init_t_emb.shape} != t_emb {params['t_emb'].shape}")
-        params["t_emb"] = init_t_emb.copy()
+    _apply_init_params(params, init_word_emb, init_t_emb)
     fields = dual_fields_of(params)
     rows = sorted(examples.take_all(), key=lambda r: (r["sent_id"], not r["predict_x"]))
     w_all = [r["word_ids"] for r in rows]
@@ -1313,60 +1350,36 @@ def fit_dual_classifier_distributed(
 
     vw, vd, vp = vocab_sizes
     params = dual_fixture(vw, vd, vp, seed=seed, n_out=n_out, n_targets=1, **(dims or {}))
-    if init_word_emb is not None:
-        init_word_emb = np.asarray(init_word_emb, dtype=np.float32)
-        if init_word_emb.shape != params["word_emb"].shape:
-            raise ValueError("init_word_emb shape mismatch")
-        params["word_emb"] = init_word_emb.copy()
-    if init_t_emb is not None:
-        init_t_emb = np.asarray(init_t_emb, dtype=np.float32)
-        if init_t_emb.shape != params["t_emb"].shape:
-            raise ValueError("init_t_emb shape mismatch")
-        params["t_emb"] = init_t_emb.copy()
+    _apply_init_params(params, init_word_emb, init_t_emb)
     fields = dual_fields_of(params)
     examples = examples.materialize()
-    m = {f: np.zeros_like(params[f], dtype=np.float64) for f in fields}
-    v = {f: np.zeros_like(params[f], dtype=np.float64) for f in fields}
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    step = 0
+    opt = _AdamState({f: params[f] for f in fields}, lr)
     losses: list[float] = []
     cursor, ep_loss, ep_n = 0, 0.0, 0
-    ck_tag = f"dualfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:{sorted((dims or {}).items())}"
+    ck_tag = (
+        f"dualfit:{seed}:{lr}:{epochs}:{steps_per_epoch}:{vw}:{vd}:{vp}:{n_out}:"
+        f"{sorted((dims or {}).items())}:{_init_fp(init_word_emb, init_t_emb)}"
+    )
     state = _load_fit_state(checkpoint_path, ck_tag)
     if state is not None:
         for f in fields:
             params[f] = state[f"w:{f}"]
-            m[f], v[f] = state[f"m:{f}"], state[f"v:{f}"]
-        step = int(state["step"])
+        opt.restore(state)
         losses = [float(x) for x in state["losses"]]
         cursor = int(state["cursor"])
         ep_loss, ep_n = float(state["ep_loss"]), int(state["ep_n"])
     last_save = _time.monotonic()
+
+    def dual_key(batch: pa.Table) -> np.ndarray:
+        k = batch.column("sent_id").to_numpy().astype(np.uint64) * np.uint64(2)
+        return k + (~batch.column("predict_x").to_numpy(zero_copy_only=False)).astype(np.uint64)
+
     for t in range(cursor, epochs * steps_per_epoch):
         epoch, s = divmod(t, steps_per_epoch)
-        if steps_per_epoch > 1:
-
-            def pick(batch: pa.Table, _e=epoch, _s=s) -> pa.Table:
-                sid = batch.column("sent_id").to_numpy().astype(np.uint64) * np.uint64(2)
-                sid += (~batch.column("predict_x").to_numpy(zero_copy_only=False)).astype(np.uint64)
-                h = sid ^ np.uint64(_e * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
-                h = (h * np.uint64(0x2545F4914F6CDD1D)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                h ^= h >> np.uint64(32)
-                return batch.filter(pa.array((h % np.uint64(steps_per_epoch)) == _s))
-
-            shard = examples.map_batches(pick, batch_format="pyarrow")
-        else:
-            shard = examples
+        shard = _epoch_shard(examples, epoch, s, steps_per_epoch, dual_key)
         loss, g = distributed_grad_dual(shard, params)
-        step += 1
         for f in fields:
-            m[f] = b1 * m[f] + (1 - b1) * g[f]
-            v[f] = b2 * v[f] + (1 - b2) * g[f] * g[f]
-            mh = m[f] / (1 - b1**step)
-            vh = v[f] / (1 - b2**step)
-            params[f] = (params[f].astype(np.float64) - lr * mh / (np.sqrt(vh) + eps)).astype(
-                np.float32
-            )
+            params[f] = opt.update(f, g[f], params[f])
         ep_loss += loss
         ep_n += 1
         if s == steps_per_epoch - 1:
@@ -1374,10 +1387,9 @@ def fit_dual_classifier_distributed(
             ep_loss, ep_n = 0.0, 0
         if checkpoint_path is not None and _time.monotonic() - last_save >= checkpoint_every_s:
             snap = {f"w:{f}": params[f] for f in fields}
-            snap.update({f"m:{f}": m[f] for f in fields})
-            snap.update({f"v:{f}": v[f] for f in fields})
+            snap.update(opt.snapshot())
             snap.update(
-                {"step": step, "losses": np.array(losses, dtype=np.float64),
+                {"losses": np.array(losses, dtype=np.float64),
                  "cursor": t + 1, "ep_loss": ep_loss, "ep_n": ep_n}
             )
             _save_fit_state(checkpoint_path, ck_tag, snap)

@@ -784,7 +784,8 @@ class KGPipeline:
         self.batch_size = batch_size
         # "jsonl" mirrors the reference's line-delimited-JSON interchange
         # files (S4, wiki2sdp.py:318-328) for checkpoint sinks
-        assert sink_format in ("parquet", "jsonl")
+        if sink_format not in ("parquet", "jsonl"):
+            raise ValueError(f"sink_format must be 'parquet' or 'jsonl', got {sink_format!r}")
         self.sink_format = sink_format
         # "tasks": headline stages run as plain map_batches tasks with a
         # per-worker-process stage cache — the rule parser + vocab dicts
@@ -972,8 +973,15 @@ class KGPipeline:
             adjacency.write_parquet(out_dir)
             frags = sorted(_glob.glob(f"{out_dir}/*.parquet"))
             edges = sum(_pq.ParquetFile(p).metadata.num_rows for p in frags)
-            n_triples = int(_rd.read_parquet(out_dir, columns=["weight"]).sum("weight"))
-            result: pa.Table | ray.data.Dataset = _rd.read_parquet(out_dir)
+            if edges:
+                n_triples = int(_rd.read_parquet(out_dir, columns=["weight"]).sum("weight"))
+                result: pa.Table | ray.data.Dataset = _rd.read_parquet(out_dir)
+            else:
+                # empty corpus: write_parquet may emit zero fragments, and
+                # Dataset.sum on an empty input returns None — keep the
+                # counters exact (0) instead of crashing
+                n_triples = 0
+                result = adjacency
         else:
             adj_tab = pa.concat_tables(adjacency.iter_batches(batch_format="pyarrow"))
             edges = adj_tab.num_rows

@@ -554,3 +554,26 @@ def test_grad_matches_numerical_nondefault_dims():
         wts, w, d, p, lengths, targets=targets
     )
     assert probs.shape == (b, 19)
+
+
+def test_checkpoint_tag_invalidates_on_init_change(tmp_path, synth_examples):
+    """A resume whose embedding init differs from the crashed run's must
+    start FRESH (the tag fingerprints the init matrices), never silently
+    adopt the old optimizer state."""
+    from relation_extraction_ray.pipelines.fit import fit_classifier_distributed
+
+    _, vocabs, examples = synth_examples
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    ck = str(tmp_path / "tag.ck.npz")
+    kw = dict(epochs=1, steps_per_epoch=1, lr=1e-2, checkpoint_path=ck, checkpoint_every_s=0.0)
+    fit_classifier_distributed(examples, sizes, **kw)  # leaves a no-init snapshot
+
+    from relation_extraction_ray.state.scorer import D_WORD
+
+    init_w = np.full((len(wv), D_WORD), 0.05, dtype=np.float32)
+    with_init, _ = fit_classifier_distributed(examples, sizes, init_word_emb=init_w, **kw)
+    fresh, _ = fit_classifier_distributed(examples, sizes, init_word_emb=init_w,
+                                          epochs=1, steps_per_epoch=1, lr=1e-2)
+    for f in fields_of(fresh):
+        assert np.array_equal(getattr(with_init, f), getattr(fresh, f)), f

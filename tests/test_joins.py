@@ -103,3 +103,18 @@ def test_powers_block_tiling_exact():
             assert pw.dtype == np.uint64 and len(pw) == n
             for k in sorted({0, min(1, n - 1), n // 2, n - 1}):
                 assert int(pw[k]) == pow(int(g), k, 2**64), (int(g), n, k)
+
+
+def test_hash_columns_nullable_binary():
+    """Binary key columns with nulls must hash, not crash (the null fill
+    value used to be the int 0, which fill_null can't coerce to binary)."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.joins import hash_columns, part_array
+
+    tab = pa.table({"k": pa.array([b"x", None, b"x", b""], pa.binary())})
+    h = hash_columns(tab, ["k"])
+    assert h[0] == h[2]
+    assert part_array(tab, ["k"], 8).to_pylist()[0] == part_array(tab, ["k"], 8).to_pylist()[2]
+    big = pa.table({"k": pa.array([b"y", None], pa.large_binary())})
+    hash_columns(big, ["k"])  # large_binary nulls too

@@ -188,3 +188,21 @@ def test_adjacency_weights_consistent(results):
         dc <= w
         for dc, w in zip(adj.column("doc_count").to_pylist(), adj.column("weight").to_pylist())
     )
+
+
+def test_oneshot_empty_corpus_streaming(tmp_path, ray_session):
+    """Empty/no-triple corpus through the out_dir (bench/100-TB) path:
+    write_parquet may emit zero fragments and Dataset.sum returns None —
+    the counters must still come back exact zeros, not crash."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from relation_extraction_ray import schemas as _schemas
+    from relation_extraction_ray.pipelines.kg import KGPipeline
+
+    empty = rd.from_arrow(pa.Table.from_pylist([], schema=_schemas.DOCUMENTS))
+    pipe = KGPipeline(KGConfig(), parse_concurrency=2, score_concurrency=2, batch_size=32)
+    ds, counters = pipe.adjacency_oneshot(empty, out_dir=str(tmp_path / "adj0"))
+    assert counters["triples"] == 0 and counters["edges"] == 0
+    assert ds.count() == 0
