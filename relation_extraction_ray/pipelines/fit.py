@@ -786,7 +786,10 @@ def unsup_pairs_ds(
                 row["x_id"], row["y_id"], row["sent_id"], neg_per, seed, ids_a, cdf_a
             )
             for j, (vx, vy, lab) in enumerate(variants):
-                out["uid"].append(row["sent_id"] * (neg_per + 1) + j)
+                # 63-bit mask: hash-derived sent_ids (clustered examples)
+                # would overflow int64 after the ×(neg_per+1) scale; the
+                # mask keeps the key deterministic and collision-sparse
+                out["uid"].append((row["sent_id"] * (neg_per + 1) + j) & ((1 << 63) - 1))
                 out["sent_id"].append(row["sent_id"])
                 out["word_ids"].append(row["word_ids"])
                 out["dep_ids"].append(row["dep_ids"])
