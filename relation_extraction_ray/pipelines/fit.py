@@ -1667,3 +1667,264 @@ def active_learning_rounds(
             picked = [r["sent_id"] for r in top]
         labeled |= set(picked)
     return wts, history
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional-trunk training/prediction (reference relembed.py:87,230-235
+# `tf.nn.bidirectional_rnn` — the configuration of the reference's best run,
+# RelEmbed_semeval-bi.ipynb cell 38).  Same EXAMPLE_SCHEMA as the
+# unidirectional classifier; only the trunk differs (fw+bw stacks over
+# shared embeddings, one head over the concatenated final states).
+# ---------------------------------------------------------------------------
+
+
+def fit_bi_classifier(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    epochs: int = 30,
+    batch_size: int = 256,
+    lr: float = 3e-3,
+    seed: int = 7,
+    n_out: int = len(LABELS),
+    use_targets: bool = True,
+    valid_mod: int = 0,
+    init_word_emb: np.ndarray | None = None,
+    init_t_emb: np.ndarray | None = None,
+    dims: dict | None = None,
+) -> tuple[dict[str, np.ndarray], list[float]]:
+    """Mini-batch Adam over the encoded examples with the BIDIRECTIONAL
+    trunk — the bi analogue of :func:`fit_classifier` (same determinism,
+    same keep-best-valid protocol, same embedding-init hooks)."""
+    from ..state.scorer import bi_fields_of, bi_fixture, grad_batch_bi, score_batch_bi
+
+    vw, vd, vp = vocab_sizes
+    params = bi_fixture(
+        vw, vd, vp, seed=seed, n_out=n_out, n_targets=2 if use_targets else 0, **(dims or {})
+    )
+    _apply_init_params(
+        params, init_word_emb, init_t_emb if use_targets else None
+    )
+    fields = bi_fields_of(params)
+    w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
+    vi = np.array([], dtype=np.int64)
+    vpad = None
+    if valid_mod:
+        pos = np.arange(len(labels))
+        vi = pos[pos % valid_mod == 0]
+        ti = pos[pos % valid_mod != 0]
+        vpad = pad_paths(
+            [w_all[i] for i in vi], [d_all[i] for i in vi], [p_all[i] for i in vi]
+        )
+        vlabels, vtargets = labels[vi], targets_all[vi]
+        w_all = [w_all[i] for i in ti]
+        d_all = [d_all[i] for i in ti]
+        p_all = [p_all[i] for i in ti]
+        labels, targets_all = labels[ti], targets_all[ti]
+    best_valid, best_snap = float("inf"), None
+    n = len(labels)
+    rng = np.random.default_rng(seed)
+    opt = _AdamState({f: params[f] for f in fields}, lr)
+    losses = []
+    for _epoch in range(epochs):
+        order = rng.permutation(n)
+        ep_loss = 0.0
+        for lo in range(0, n, batch_size):
+            idx = order[lo : lo + batch_size]
+            w, d, p, lengths = pad_paths(
+                [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
+            )
+            loss, g = grad_batch_bi(
+                params, w, d, p, lengths, labels[idx],
+                targets=targets_all[idx] if use_targets else None,
+            )
+            ep_loss += loss * len(idx)
+            for f in fields:
+                params[f] = opt.update(f, g[f], params[f])
+        losses.append(ep_loss / max(1, n))
+        if valid_mod and len(vi):
+            vwp, vdp, vpp, vlen = vpad
+            _, vprobs = score_batch_bi(
+                params, vwp, vdp, vpp, vlen, targets=vtargets if use_targets else None
+            )
+            vloss = float(
+                np.mean(-np.log(np.clip(vprobs[np.arange(len(vlabels)), vlabels], 1e-12, None)))
+            )
+            if vloss < best_valid:
+                best_valid = vloss
+                best_snap = {f: params[f].copy() for f in fields}
+    if valid_mod and best_snap is not None:
+        for f in fields:
+            params[f] = best_snap[f]
+    return params, losses
+
+
+def fit_bi_alternating(
+    examples: ray.data.Dataset,
+    vocab_sizes: tuple[int, int, int],
+    cycles: int = 3,
+    unsup_epochs: int = 2,
+    sup_epochs: int = 10,
+    neg_per: int = 5,
+    batch_size: int = 256,
+    lr: float = 3e-3,
+    seed: int = 7,
+    init_word_emb: np.ndarray | None = None,
+    init_t_emb: np.ndarray | None = None,
+    dims: dict | None = None,
+) -> tuple[dict[str, np.ndarray], dict[str, list[float]]]:
+    """Alternating NEG+supervised fit of the bi trunk (the flagship recipe
+    with the bidirectional encoder): the NEG bilinear form contracts over
+    the CONCATENATED 2H state, so the left/right tables are [Vw, 2H]
+    (``unsup_fixture(d_hidden=2·H)``).  One Adam store per field across
+    both phases, deterministic as :func:`fit_alternating`."""
+    from ..state.scorer import (
+        EMB_FIELDS,
+        GATE_FIELDS,
+        UNSUP_FIELDS,
+        bi_fields_of,
+        bi_fixture,
+        grad_batch_bi,
+        unsup_fixture,
+        unsup_grad_batch_bi,
+    )
+
+    vw, vd, vp = vocab_sizes
+    params = bi_fixture(vw, vd, vp, seed=seed, n_targets=2, **(dims or {}))
+    _apply_init_params(params, init_word_emb, init_t_emb)
+    d_hidden = params["fw_u_z"].shape[0]
+    unsup = unsup_fixture(vw, seed=seed, d_hidden=2 * d_hidden)
+    sup_fields = bi_fields_of(params)
+    trunk = EMB_FIELDS + [f"fw_{f}" for f in GATE_FIELDS] + [f"bw_{f}" for f in GATE_FIELDS]
+    w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
+    uw, ud, up, ux, uy, ulab = unsup_pairs(examples, neg_per=neg_per, seed=seed)
+    n_sup, n_unsup = len(labels), len(ulab)
+    rng = np.random.default_rng(seed)
+    templates = {f: params[f] for f in sup_fields}
+    templates.update({f: unsup[f] for f in UNSUP_FIELDS})
+    opt = _AdamState(templates, lr)
+    losses: dict[str, list[float]] = {"unsup": [], "sup": []}
+
+    def adam_step(f: str, grad: np.ndarray) -> None:
+        if f in UNSUP_FIELDS:
+            unsup[f] = opt.update(f, grad, unsup[f])
+        else:
+            params[f] = opt.update(f, grad, params[f])
+
+    for _cycle in range(cycles):
+        for _e in range(unsup_epochs):
+            order = rng.permutation(n_unsup)
+            ep = 0.0
+            for lo in range(0, n_unsup, batch_size):
+                idx = order[lo : lo + batch_size]
+                w, d, p, lens = pad_paths(
+                    [uw[i] for i in idx], [ud[i] for i in idx], [up[i] for i in idx]
+                )
+                loss, g = unsup_grad_batch_bi(
+                    params, unsup, w, d, p, lens, ux[idx], uy[idx], ulab[idx]
+                )
+                ep += loss * len(idx)
+                for f, grad in g.items():
+                    adam_step(f, grad)
+            losses["unsup"].append(ep / max(1, n_unsup))
+        for _e in range(sup_epochs):
+            order = rng.permutation(n_sup)
+            ep = 0.0
+            for lo in range(0, n_sup, batch_size):
+                idx = order[lo : lo + batch_size]
+                w, d, p, lens = pad_paths(
+                    [w_all[i] for i in idx], [d_all[i] for i in idx], [p_all[i] for i in idx]
+                )
+                loss, g = grad_batch_bi(
+                    params, w, d, p, lens, labels[idx], targets=targets_all[idx]
+                )
+                ep += loss * len(idx)
+                for f, grad in g.items():
+                    adam_step(f, grad)
+            losses["sup"].append(ep / max(1, n_sup))
+    return params, losses
+
+
+class BiModelClassifyStage:
+    """Actor-pool prediction with a trained BI-trunk model (same contract
+    as ``ModelClassifyStage``: unfeaturizable records predict Other)."""
+
+    def __init__(self, model_ref=None, cfg: KGConfig | None = None, model=None) -> None:
+        from ..state.scorer import score_batch_bi  # noqa: F401  (bind at init)
+
+        cfg = cfg or KGConfig()
+        params, (word_v, dep_v, pos_v) = model if model is not None else ray.get(model_ref)
+        self.params = params
+        self.word_v = {t: i for i, t in enumerate(word_v)}
+        self.dep_v = {t: i for i, t in enumerate(dep_v)}
+        self.pos_v = {t: i for i, t in enumerate(pos_v)}
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.scorer import score_batch_bi
+
+        sids = batch.column("sent_id").to_pylist()
+        labels = batch.column("label").to_pylist()
+        feats = [
+            record_features(text, e1, e2, self.cfg)
+            for text, e1, e2 in zip(
+                batch.column("text").to_pylist(),
+                batch.column("e1_idx").to_pylist(),
+                batch.column("e2_idx").to_pylist(),
+            )
+        ]
+        preds = [OTHER] * len(sids)
+        feat_idx = [i for i, f in enumerate(feats) if f]
+        if feat_idx:
+            paths = {i: feats[i][0] for i in feat_idx}
+            w, d, p, lengths = pad_paths(
+                [[vocab2idx(t[0], self.word_v) for t in paths[i]] for i in feat_idx],
+                [[vocab2idx(t[1], self.dep_v) for t in paths[i]] for i in feat_idx],
+                [[vocab2idx(t[2], self.pos_v) for t in paths[i]] for i in feat_idx],
+            )
+            targets = None
+            if self.params.get("t_emb") is not None:
+                targets = np.asarray(
+                    [
+                        [vocab2idx(feats[i][1], self.word_v), vocab2idx(feats[i][2], self.word_v)]
+                        for i in feat_idx
+                    ],
+                    dtype=np.int32,
+                )
+            pred_ids, _ = score_batch_bi(self.params, w, d, p, lengths, targets=targets)
+            for row, pid in zip(feat_idx, pred_ids):
+                preds[row] = LABELS[int(pid)]
+        return pa.Table.from_pydict(
+            {
+                "sent_id": pa.array(sids, pa.int64()),
+                "pred": pa.array(preds, pa.string()),
+                "label": pa.array(labels, pa.string()),
+            }
+        )
+
+
+def bi_model_classify(
+    parsed: ray.data.Dataset, params: dict, vocabs_lists, cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    model_ref = ray.put((params, vocabs_lists))
+    return parsed.map_batches(
+        cached_stage_fn(
+            BiModelClassifyStage,
+            model_ref.hex(),
+            {"model_ref": model_ref, "cfg": cfg or KGConfig()},
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def model_classify_any(parsed: ray.data.Dataset, fixture: str, cfg: KGConfig | None = None):
+    """Classify with a fixture of EITHER architecture: dispatches on the
+    .npz contents (bi param dict vs unidirectional ScorerWeights), so the
+    flagship query always runs whatever the accepted best model is —
+    exactly as the reference's notebooks load whichever checkpoint won."""
+    from ..state.scorer import is_bi_fixture, load_bi, load_weights
+
+    if is_bi_fixture(fixture):
+        params, vocab_lists = load_bi(fixture)
+        return bi_model_classify(parsed, params, vocab_lists, cfg)
+    wts, vocab_lists = load_weights(fixture)
+    return model_classify(parsed, wts, vocab_lists, cfg)

@@ -371,19 +371,15 @@ def unsup_grad_batch(
     return loss, g
 
 
-def score_batch(
+def _final_h_f32(
     wts: ScorerWeights,
     word_ids: np.ndarray,
     dep_ids: np.ndarray,
     pos_ids: np.ndarray,
     lengths: np.ndarray,
-    targets: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Batched GRU forward → (pred_label_idx [B] int32, prob [B, N] float32).
-
-    Rows with length 0 get uniform probabilities.  ``targets`` ([B,
-    n_targets] word-vocab ids) is required iff the weights carry ``t_emb``.
-    """
+) -> np.ndarray:
+    """Inference-precision GRU-through-time: final hidden state [B, H]
+    (shared by the unidirectional head and each direction of the bi trunk)."""
     b, t = word_ids.shape
     x = np.concatenate(
         [wts.word_emb[word_ids], wts.dep_emb[dep_ids], wts.pos_emb[pos_ids]], axis=-1
@@ -397,6 +393,23 @@ def score_batch(
         h_new = (1.0 - z) * h + z * hc
         mask = (step < lengths)[:, None]
         h = np.where(mask, h_new, h)
+    return h
+
+
+def score_batch(
+    wts: ScorerWeights,
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    targets: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched GRU forward → (pred_label_idx [B] int32, prob [B, N] float32).
+
+    Rows with length 0 get uniform probabilities.  ``targets`` ([B,
+    n_targets] word-vocab ids) is required iff the weights carry ``t_emb``.
+    """
+    h = _final_h_f32(wts, word_ids, dep_ids, pos_ids, lengths)
     if wts.t_emb is not None:
         if targets is None:
             raise ValueError("target-aware weights need a targets array")
@@ -555,3 +568,257 @@ def load_dual(path: str) -> tuple[dict[str, np.ndarray], tuple[list, list, list]
         [str(t) for t in z["dep_vocab"]],
         [str(t) for t in z["pos_vocab"]],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional GRU trunk (reference ``relembed.py:87`` ``self.bidirectional``
+# and ``:230-235`` ``tf.nn.bidirectional_rnn`` — the configuration of the
+# reference's BEST run, ``RelEmbed_semeval-bi.ipynb`` cell 38, 80.38 test F1).
+#
+# Two GRU stacks share the word/dep/pos embedding tables: the ``fw`` stack
+# reads the path left-to-right, the ``bw`` stack reads the SAME path
+# right-to-left (per-row reversal of the first ``length`` steps — padding
+# never moves), and their final hidden states CONCATENATE into the softmax
+# input ``[h_fw ; h_bw ; t_emb[x] ; t_emb[y]]``.  Unlike the "single" dual
+# model (one direction per row, selected by ``predict_x``), BOTH stacks see
+# every row and ONE shared head consumes the joint encoding.
+# ---------------------------------------------------------------------------
+
+GATE_FIELDS = [f for f in GRU_FIELDS if f not in ("w_out", "b_out")]
+BI_FIELDS = (
+    EMB_FIELDS
+    + [f"fw_{f}" for f in GATE_FIELDS]
+    + [f"bw_{f}" for f in GATE_FIELDS]
+    + ["w_out", "b_out"]
+)
+
+
+def bi_fields_of(params: dict[str, np.ndarray]) -> list[str]:
+    return BI_FIELDS + (["t_emb"] if "t_emb" in params else [])
+
+
+def bi_fixture(
+    vocab_size: int,
+    dep_size: int,
+    pos_size: int,
+    seed: int = 7,
+    n_out: int = N_LABELS,
+    n_targets: int = 0,
+    d_word: int = D_WORD,
+    d_hidden: int = D_HIDDEN,
+    d_target: int = D_TARGET,
+) -> dict[str, np.ndarray]:
+    """Deterministic bi-trunk params: embeddings from the forward seed,
+    direction stacks from seed / seed+1 (symmetry break, as the reference's
+    separate fw/bw variable scopes), plus ONE shared head sized for the
+    concatenated state ``[2·d_hidden + n_targets·d_target, n_out]``."""
+    fwd = weights_fixture(
+        vocab_size, dep_size, pos_size, seed=seed, n_out=n_out, n_targets=n_targets,
+        d_word=d_word, d_hidden=d_hidden, d_target=d_target,
+    )
+    bwd = weights_fixture(
+        vocab_size, dep_size, pos_size, seed=seed + 1, n_out=n_out, n_targets=n_targets,
+        d_word=d_word, d_hidden=d_hidden, d_target=d_target,
+    )
+    params = {f: getattr(fwd, f) for f in EMB_FIELDS}
+    params.update({f"fw_{f}": getattr(fwd, f) for f in GATE_FIELDS})
+    params.update({f"bw_{f}": getattr(bwd, f) for f in GATE_FIELDS})
+    rng = np.random.default_rng(
+        np.random.SeedSequence(
+            [seed, vocab_size, dep_size, pos_size, 1299709, n_out, n_targets,
+             d_word, d_hidden, d_target]
+        )
+    )
+    d_feat = 2 * d_hidden + n_targets * d_target
+    params["w_out"] = (rng.standard_normal((d_feat, n_out)) * 0.1).astype(np.float32)
+    params["b_out"] = np.zeros(n_out, np.float32)
+    if n_targets:
+        params["t_emb"] = fwd.t_emb
+    return params
+
+
+def bi_view(params: dict[str, np.ndarray], direction: str) -> ScorerWeights:
+    """ScorerWeights view of one direction's stack (embeddings aliased; the
+    shared head is carried along for shape bookkeeping but the helpers that
+    take this view never apply it)."""
+    kw = {f: params[f] for f in EMB_FIELDS}
+    kw.update({f: params[f"{direction}_{f}"] for f in GATE_FIELDS})
+    return ScorerWeights(**kw, w_out=params["w_out"], b_out=params["b_out"],
+                         t_emb=params.get("t_emb"))
+
+
+def reverse_padded(arrays: list[np.ndarray], lengths: np.ndarray) -> list[np.ndarray]:
+    """Row-wise reversal of the first ``lengths[i]`` entries of each [B, T]
+    array; padding positions are untouched (what feeds the ``bw`` stack —
+    the reference reverses the sequence, not the pad, before the second
+    RNN)."""
+    b, t = arrays[0].shape
+    ar = np.arange(t)[None, :]
+    valid = ar < lengths[:, None]
+    idx = np.where(valid, lengths[:, None] - 1 - ar, ar)
+    return [np.take_along_axis(a, idx, axis=1) for a in arrays]
+
+
+def _bi_feat_f32(params, word_ids, dep_ids, pos_ids, lengths, targets):
+    h_fw = _final_h_f32(bi_view(params, "fw"), word_ids, dep_ids, pos_ids, lengths)
+    wr, dr, pr = reverse_padded([word_ids, dep_ids, pos_ids], lengths)
+    h_bw = _final_h_f32(bi_view(params, "bw"), wr, dr, pr, lengths)
+    parts = [h_fw, h_bw]
+    if params.get("t_emb") is not None:
+        if targets is None:
+            raise ValueError("target-aware weights need a targets array")
+        parts += [params["t_emb"][targets[:, j]] for j in range(targets.shape[1])]
+    return np.concatenate(parts, axis=1)
+
+
+def score_batch_bi(
+    params: dict[str, np.ndarray],
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    targets: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched bi-GRU forward → (pred_label_idx [B], probs [B, N])."""
+    feat = _bi_feat_f32(params, word_ids, dep_ids, pos_ids, lengths, targets)
+    logits = feat @ params["w_out"] + params["b_out"]
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    probs = (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
+    return probs.argmax(axis=1).astype(np.int32), probs
+
+
+def _bi_forward_f64(params, word_ids, dep_ids, pos_ids, lengths):
+    """Shared float64 bi-trunk forward for the two training objectives:
+    returns (h [B, 2H], per-direction caches for BPTT)."""
+    emb64 = {f: params[f].astype(np.float64) for f in EMB_FIELDS}
+    W_fw = {**emb64, **{f: params[f"fw_{f}"].astype(np.float64) for f in GATE_FIELDS}}
+    W_bw = {**emb64, **{f: params[f"bw_{f}"].astype(np.float64) for f in GATE_FIELDS}}
+    x_fw, h_fw, cache_fw = _gru_forward_f64(W_fw, word_ids, dep_ids, pos_ids, lengths)
+    wr, dr, pr = reverse_padded([word_ids, dep_ids, pos_ids], lengths)
+    x_bw, h_bw, cache_bw = _gru_forward_f64(W_bw, wr, dr, pr, lengths)
+    h = np.concatenate([h_fw, h_bw], axis=1)
+    fw_ctx = (W_fw, cache_fw, x_fw, word_ids, dep_ids, pos_ids)
+    bw_ctx = (W_bw, cache_bw, x_bw, wr, dr, pr)
+    return h, fw_ctx, bw_ctx
+
+
+def _bi_backward_f64(g: dict, fw_ctx, bw_ctx, dh: np.ndarray) -> None:
+    """BPTT through both stacks given the gradient w.r.t. the concatenated
+    hidden state: per-direction trunk grads land in ``g['fw_*']``/``g['bw_*']``,
+    shared embedding grads SUM across directions (one table feeds both)."""
+    d_hidden = fw_ctx[0]["u_z"].shape[0]
+    for prefix, ctx, dh_dir in (("fw", fw_ctx, dh[:, :d_hidden]),
+                                ("bw", bw_ctx, dh[:, d_hidden:])):
+        W, cache, x, wi, di, pi = ctx
+        g_dir = {f: np.zeros_like(W[f]) for f in EMB_FIELDS + GATE_FIELDS}
+        _gru_backward_f64(W, g_dir, cache, x, dh_dir, wi, di, pi)
+        for f in EMB_FIELDS:
+            g[f] += g_dir[f]
+        for f in GATE_FIELDS:
+            g[f"{prefix}_{f}"] = g_dir[f]
+
+
+def grad_batch_bi(
+    params: dict[str, np.ndarray],
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    labels: np.ndarray,
+    targets: np.ndarray | None = None,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """Forward + full backward for the bi trunk (softmax xent → per-direction
+    BPTT → shared-embedding scatter): mean loss + gradient for every field.
+    Numerically verified against central differences in tests/test_fit.py."""
+    b = len(lengths)
+    fields = bi_fields_of(params)
+    h, fw_ctx, bw_ctx = _bi_forward_f64(params, word_ids, dep_ids, pos_ids, lengths)
+    t_emb64 = params["t_emb"].astype(np.float64) if params.get("t_emb") is not None else None
+    if t_emb64 is not None:
+        if targets is None:
+            raise ValueError("target-aware weights need a targets array")
+        feat = np.concatenate(
+            [h] + [t_emb64[targets[:, j]] for j in range(targets.shape[1])], axis=1
+        )
+    else:
+        feat = h
+    w_out = params["w_out"].astype(np.float64)
+    logits = feat @ w_out + params["b_out"].astype(np.float64)
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    probs = e / e.sum(axis=1, keepdims=True)
+    loss = float(-np.log(np.clip(probs[np.arange(b), labels], 1e-12, None)).mean())
+
+    g = {f: np.zeros(params[f].shape, dtype=np.float64) for f in fields}
+    dlogits = probs.copy()
+    dlogits[np.arange(b), labels] -= 1.0
+    dlogits /= b
+    g["w_out"] = feat.T @ dlogits
+    g["b_out"] = dlogits.sum(axis=0)
+    dfeat = dlogits @ w_out.T
+    two_h = h.shape[1]
+    if t_emb64 is not None:
+        d_target = params["t_emb"].shape[1]
+        for j in range(targets.shape[1]):
+            lo = two_h + j * d_target
+            np.add.at(g["t_emb"], targets[:, j], dfeat[:, lo : lo + d_target])
+    _bi_backward_f64(g, fw_ctx, bw_ctx, dfeat[:, :two_h])
+    return loss, g
+
+
+def unsup_grad_batch_bi(
+    params: dict[str, np.ndarray],
+    unsup: dict[str, np.ndarray],
+    word_ids: np.ndarray,
+    dep_ids: np.ndarray,
+    pos_ids: np.ndarray,
+    lengths: np.ndarray,
+    x_ids: np.ndarray,
+    y_ids: np.ndarray,
+    labels01: np.ndarray,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """NEG objective over the CONCATENATED bi encoding (the reference's
+    ``x^T fI y`` bilinear-diagonal form, relembed.py:272-284, with the
+    phrase embedding being the bidirectional state): left/right target
+    tables are [Vw, 2H] (``unsup_fixture(d_hidden=2H)``).  Mean sigmoid
+    xent + gradients for both stacks, shared embeddings and both tables."""
+    b = len(lengths)
+    trunk = EMB_FIELDS + [f"fw_{f}" for f in GATE_FIELDS] + [f"bw_{f}" for f in GATE_FIELDS]
+    U = {f: unsup[f].astype(np.float64) for f in UNSUP_FIELDS}
+    h, fw_ctx, bw_ctx = _bi_forward_f64(params, word_ids, dep_ids, pos_ids, lengths)
+    L = U["left_emb"][x_ids]
+    R = U["right_emb"][y_ids]
+    logits = np.sum(L * h * R, axis=1)
+    p = 1.0 / (1.0 + np.exp(-logits))
+    y = labels01.astype(np.float64)
+    loss = float(np.mean(-(y * np.log(np.clip(p, 1e-12, None))
+                           + (1 - y) * np.log(np.clip(1 - p, 1e-12, None)))))
+    dlogit = (p - y) / b
+    g = {f: np.zeros(params[f].shape, dtype=np.float64) for f in trunk}
+    g.update({f: np.zeros_like(U[f]) for f in UNSUP_FIELDS})
+    np.add.at(g["left_emb"], x_ids, dlogit[:, None] * h * R)
+    np.add.at(g["right_emb"], y_ids, dlogit[:, None] * L * h)
+    _bi_backward_f64(g, fw_ctx, bw_ctx, dlogit[:, None] * L * R)
+    return loss, g
+
+
+#: bi params persist exactly like dual params (a flat dict + its vocabs)
+save_bi = save_dual
+
+
+def load_bi(path: str) -> tuple[dict[str, np.ndarray], tuple[list, list, list]]:
+    z = np.load(path, allow_pickle=True)
+    params = {f: z[f] for f in BI_FIELDS + (["t_emb"] if "t_emb" in z.files else [])}
+    return params, (
+        [str(t) for t in z["word_vocab"]],
+        [str(t) for t in z["dep_vocab"]],
+        [str(t) for t in z["pos_vocab"]],
+    )
+
+
+def is_bi_fixture(path: str) -> bool:
+    """True when a fixture .npz holds a bi-trunk param dict (fw_/bw_ gate
+    stacks) rather than unidirectional ScorerWeights fields."""
+    with np.load(path, allow_pickle=True) as z:
+        return "fw_w_z" in z.files

@@ -577,3 +577,112 @@ def test_checkpoint_tag_invalidates_on_init_change(tmp_path, synth_examples):
                                           epochs=1, steps_per_epoch=1, lr=1e-2)
     for f in fields_of(fresh):
         assert np.array_equal(getattr(with_init, f), getattr(fresh, f)), f
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional GRU trunk (reference relembed.py:87,230-235 — the bi model)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_bi_setup(seed=3, n_targets=0, dims=None):
+    from relation_extraction_ray.state.scorer import bi_fields_of, bi_fixture
+
+    rng = np.random.default_rng(seed)
+    vw, vd, vp = 11, 5, 6
+    params = bi_fixture(vw, vd, vp, seed=seed, n_targets=n_targets, **(dims or {}))
+    for f in bi_fields_of(params):  # float64 for clean numerical differentiation
+        params[f] = params[f].astype(np.float64)
+    b, t = 4, 5
+    w = rng.integers(0, vw, (b, t)).astype(np.int32)
+    d = rng.integers(0, vd, (b, t)).astype(np.int32)
+    p = rng.integers(0, vp, (b, t)).astype(np.int32)
+    lengths = np.array([5, 3, 1, 4], dtype=np.int32)
+    labels = rng.integers(0, 19, b).astype(np.int64)
+    targets = rng.integers(0, vw, (b, n_targets)).astype(np.int32) if n_targets else None
+    return params, w, d, p, lengths, labels, targets
+
+
+def test_reverse_padded_reverses_only_valid_prefix():
+    from relation_extraction_ray.state.scorer import reverse_padded
+
+    a = np.array([[1, 2, 3, 9, 9], [4, 5, 9, 9, 9]], dtype=np.int32)
+    lengths = np.array([3, 2], dtype=np.int32)
+    (r,) = reverse_padded([a], lengths)
+    assert r[0].tolist() == [3, 2, 1, 9, 9]
+    assert r[1].tolist() == [5, 4, 9, 9, 9]
+
+
+@pytest.mark.parametrize(
+    "n_targets,dims",
+    [(0, None), (2, None), (2, {"d_word": 12, "d_hidden": 10, "d_target": 6})],
+)
+def test_bi_grad_matches_numerical(n_targets, dims):
+    from relation_extraction_ray.state.scorer import bi_fields_of, grad_batch_bi
+
+    params, w, d, p, lengths, labels, targets = _tiny_bi_setup(n_targets=n_targets, dims=dims)
+    loss0, g = grad_batch_bi(params, w, d, p, lengths, labels, targets=targets)
+    assert loss0 > 0
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    for f in bi_fields_of(params):
+        flat = params[f].reshape(-1)
+        for _ in range(3):
+            i = int(rng.integers(0, flat.size))
+            orig = flat[i]
+            flat[i] = orig + eps
+            lp, _ = grad_batch_bi(params, w, d, p, lengths, labels, targets=targets)
+            flat[i] = orig - eps
+            lm, _ = grad_batch_bi(params, w, d, p, lengths, labels, targets=targets)
+            flat[i] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = g[f].reshape(-1)[i]
+            assert num == pytest.approx(ana, rel=1e-4, abs=1e-7), (f, i, num, ana)
+
+
+def test_bi_unsup_grad_matches_numerical():
+    from relation_extraction_ray.state.scorer import (
+        UNSUP_FIELDS,
+        unsup_fixture,
+        unsup_grad_batch_bi,
+    )
+
+    params, w, d, p, lengths, _, _ = _tiny_bi_setup()
+    d_hidden = params["fw_u_z"].shape[0]
+    unsup = unsup_fixture(11, seed=3, d_hidden=2 * d_hidden)
+    unsup = {f: unsup[f].astype(np.float64) for f in UNSUP_FIELDS}
+    rng = np.random.default_rng(1)
+    xs = rng.integers(0, 11, 4).astype(np.int32)
+    ys = rng.integers(0, 11, 4).astype(np.int32)
+    labs = np.array([1, 0, 0, 1], dtype=np.int64)
+    loss0, g = unsup_grad_batch_bi(params, unsup, w, d, p, lengths, xs, ys, labs)
+    assert loss0 > 0
+    eps = 1e-6
+    for name, arr in [("fw_w_h", params["fw_w_h"]), ("bw_u_r", params["bw_u_r"]),
+                      ("word_emb", params["word_emb"]),
+                      ("left_emb", unsup["left_emb"]), ("right_emb", unsup["right_emb"])]:
+        flat = arr.reshape(-1)
+        for _ in range(3):
+            i = int(rng.integers(0, flat.size))
+            orig = flat[i]
+            flat[i] = orig + eps
+            lp, _ = unsup_grad_batch_bi(params, unsup, w, d, p, lengths, xs, ys, labs)
+            flat[i] = orig - eps
+            lm, _ = unsup_grad_batch_bi(params, unsup, w, d, p, lengths, xs, ys, labs)
+            flat[i] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = g[name].reshape(-1)[i]
+            assert num == pytest.approx(ana, rel=1e-4, abs=1e-7), (name, i, num, ana)
+
+
+def test_bi_score_matches_grad_forward():
+    """score_batch_bi (float32 path) and grad_batch_bi (float64 path) agree
+    on the predicted argmax for a non-degenerate batch."""
+    from relation_extraction_ray.state.scorer import grad_batch_bi, score_batch_bi
+
+    params, w, d, p, lengths, labels, targets = _tiny_bi_setup(n_targets=2)
+    preds, probs = score_batch_bi(params, w, d, p, lengths, targets=targets)
+    assert probs.shape == (4, 19)
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    # loss from grad path at the predicted labels must match -log prob
+    loss, _ = grad_batch_bi(params, w, d, p, lengths, preds.astype(np.int64), targets=targets)
+    assert loss == pytest.approx(float(-np.log(probs[np.arange(4), preds]).mean()), abs=1e-4)

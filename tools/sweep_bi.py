@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Round-4 model sweep: bidirectional GRU trunk vs the round-3 flagship.
+
+Protocol (same discipline as round 3's dims sweep — BASELINE.md):
+90/10 split of the REAL SemEval TRAIN file by sent_id (% 10 == 0 held
+out), every candidate trained ONLY on the 90 % with vocabs/init built
+from the 90 %, compared by OFFICIAL macro-F1 on the held-out 10 %.
+The winner is then retrained on the full 8k train set by
+tools/train_fixture.py and measured ONCE on the real test split.
+
+Run:  python tools/sweep_bi.py [--configs uni_alt,bi_sup,bi_alt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEMEVAL = "/root/reference/SemEval2010_task8_all_data"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="uni_alt,bi_sup,bi_alt,bi_alt_h48")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--out", default="/tmp/sweep_bi.json")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval_semeval import official_scores_from_pairs
+    from relation_extraction_ray.functions.training import pretrain_word_vectors
+    from relation_extraction_ray.pipelines.fit import (
+        bi_model_classify,
+        build_record_vocabs,
+        encode_examples,
+        fit_alternating,
+        fit_bi_alternating,
+        fit_bi_classifier,
+        model_classify,
+    )
+    from relation_extraction_ray.sources.semeval import parsed_records, read_semeval_records
+    from relation_extraction_ray.state.scorer import D_WORD
+
+    cfg = KGConfig(min_count=2)
+    parsed_all = parsed_records(
+        read_semeval_records(f"{SEMEVAL}/SemEval2010_task8_training/TRAIN_FILE.TXT")
+    ).materialize()
+
+    def split(batch: pa.Table, keep_valid: bool) -> pa.Table:
+        import numpy as np
+
+        mod = pa.array(batch.column("sent_id").to_numpy() % 10 == 0)
+        return batch.filter(mod if keep_valid else pc.invert(mod))
+
+    train_parsed = parsed_all.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    ).materialize()
+    valid_parsed = parsed_all.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    ).materialize()
+    print(f"train={train_parsed.count()} valid={valid_parsed.count()}", flush=True)
+
+    vocabs = build_record_vocabs(train_parsed, cfg)
+    (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
+    sizes = (len(wv), len(dv), len(pv))
+    examples = encode_examples(train_parsed, vocabs, cfg).materialize()
+    init_w = pretrain_word_vectors(train_parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
+
+    def valid_f1(classified) -> float:
+        pairs: dict[tuple[str, str], int] = {}
+        for r in classified.take_all():
+            k = (r["pred"], r["label"])
+            pairs[k] = pairs.get(k, 0) + 1
+        s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+        return s["official_f1"]
+
+    results: dict[str, dict] = {}
+
+    def record(name: str, f1: float, secs: float, extra: str = "") -> None:
+        results[name] = {"valid_f1": round(f1, 2), "secs": round(secs, 1), "note": extra}
+        print(f"[{name}] valid official F1 {f1:.2f}  ({secs:.0f}s) {extra}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+    want = set(args.configs.split(","))
+
+    if "uni_alt" in want:  # round-3 flagship recipe, on the 90% split
+        t0 = time.time()
+        wts, _ = fit_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+        )
+        f1 = valid_f1(model_classify(valid_parsed, wts, (wv, dv, pv), cfg))
+        record("uni_alt", f1, time.time() - t0, "round-3 recipe (baseline arm)")
+
+    if "bi_sup" in want:  # bi trunk, supervised only
+        t0 = time.time()
+        params, _ = fit_bi_classifier(
+            examples, sizes, epochs=args.epochs, batch_size=256, lr=args.lr,
+            init_word_emb=init_w,
+        )
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
+        record("bi_sup", f1, time.time() - t0)
+
+    if "bi_alt" in want:  # bi trunk, alternating NEG+sup (flagship recipe)
+        t0 = time.time()
+        params, _ = fit_bi_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+        )
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
+        record("bi_alt", f1, time.time() - t0)
+
+    if "bi_alt_h48" in want:  # halved per-direction hidden (96 concat ~ uni 64+)
+        t0 = time.time()
+        params, _ = fit_bi_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+            dims={"d_hidden": 48},
+        )
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
+        record("bi_alt_h48", f1, time.time() - t0, "d_hidden=48 per direction")
+
+    # generic dims/schedule probes around the best arm: name pattern
+    # biX_h<H>[_w<DW>][_c<CY>u<UE>s<SE>][_s<SEED>]
+    for name in sorted(want):
+        if not name.startswith("biX_"):
+            continue
+        t0 = time.time()
+        dims: dict = {}
+        cy, ue, se, seed = 3, 1, 10, 7
+        for tokn in name.split("_")[1:]:
+            if tokn.startswith("h"):
+                dims["d_hidden"] = int(tokn[1:])
+            elif tokn.startswith("w"):
+                dims["d_word"] = int(tokn[1:])
+            elif tokn.startswith("c"):
+                import re as _re
+
+                m = _re.match(r"c(\d+)u(\d+)s(\d+)", tokn)
+                cy, ue, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            elif tokn.startswith("s") and tokn[1:].isdigit():
+                seed = int(tokn[1:])
+        params, _ = fit_bi_alternating(
+            examples, sizes, cycles=cy, unsup_epochs=ue, sup_epochs=se,
+            batch_size=256, lr=args.lr, seed=seed, init_word_emb=init_w, dims=dims,
+        )
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
+        record(name, f1, time.time() - t0, f"dims={dims} cy={cy} ue={ue} se={se} seed={seed}")
+
+    print(json.dumps(results, indent=1))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
