@@ -139,20 +139,32 @@ _LANG_MARKERS: dict[str, frozenset[str]] = {
 
 class LangIdStage:
     """Stopword-overlap language scorer (actor-pool stage; marker sets are
-    compiled once per actor). Deterministic: ties broken by language code."""
+    compiled once per actor). Deterministic: ties broken by language code
+    (``argmax`` over the code-sorted count vector returns the FIRST max —
+    the same winner as ``max(sorted(langs), key=overlap)``)."""
 
     def __init__(self) -> None:
-        self.markers = _LANG_MARKERS
+        self.langs = sorted(_LANG_MARKERS)
+        # token → indices of the languages whose marker set contains it
+        # (markers overlap across languages, e.g. "de"/"la"), built once
+        # per actor so __call__ only does dict lookups + one argmax per row
+        self.tok2langs: dict[str, np.ndarray] = {}
+        for i, lang in enumerate(self.langs):
+            for tok in _LANG_MARKERS[lang]:
+                self.tok2langs.setdefault(tok, []).append(i)  # type: ignore[arg-type]
+        self.tok2langs = {t: np.array(v, dtype=np.int64) for t, v in self.tok2langs.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = []
+        n_langs = len(self.langs)
         for toks in _split_lower(batch.column("text")).to_pylist():
-            tokset = set(toks)
-            best = max(
-                sorted(self.markers),
-                key=lambda lang: len(tokset & self.markers[lang]),
-            )
-            langs.append(best if tokset & self.markers[best] else "und")
+            counts = np.zeros(n_langs, dtype=np.int64)
+            for tok in set(toks):
+                hit = self.tok2langs.get(tok)
+                if hit is not None:
+                    counts[hit] += 1
+            best = int(np.argmax(counts))
+            langs.append(self.langs[best] if counts[best] else "und")
         return pa.Table.from_pydict(
             {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(langs, pa.string())}
         )
