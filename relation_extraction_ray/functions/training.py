@@ -442,27 +442,148 @@ def train_skipgram(
     counts = np.bincount(contexts, minlength=vocab_size).astype(np.float64)
     noise = distribution_to_power(np.maximum(counts, 1e-9) / max(1.0, counts.sum()), 0.75)
     noise_cdf = np.cumsum(noise)
-    n = len(centers)
     for epoch in range(epochs):
-        order = rng.permutation(n)
         alpha = lr * (1.0 - epoch / max(1, epochs))  # linear decay per epoch
-        for lo in range(0, n, batch_size):
-            idx = order[lo : lo + batch_size]
-            c, o = centers[idx], contexts[idx]
-            b = len(c)
-            negs = np.searchsorted(noise_cdf, rng.random((b, neg))).clip(0, vocab_size - 1)
-            vc = w_in[c]                              # [b, d]
-            targets = np.concatenate([o[:, None], negs], axis=1)   # [b, 1+neg]
-            vt = w_out[targets]                       # [b, 1+neg, d]
-            logits = np.clip(np.einsum("bd,bkd->bk", vc, vt), -30.0, 30.0)
-            p = 1.0 / (1.0 + np.exp(-logits))
-            lab = np.zeros_like(p)
-            lab[:, 0] = 1.0
-            dlogit = (p - lab) * alpha                # [b, 1+neg]
-            grad_c = np.einsum("bk,bkd->bd", dlogit, vt)
-            grad_t = dlogit[:, :, None] * vc[:, None, :]
-            np.add.at(w_in, c, -grad_c)
-            np.add.at(w_out, targets.ravel(), -grad_t.reshape(-1, dim))
+        _sgns_epoch(w_in, w_out, centers, contexts, noise_cdf, alpha, rng, neg, batch_size)
+    return w_in.astype(np.float32)
+
+
+def _sgns_epoch(
+    w_in: np.ndarray,
+    w_out: np.ndarray,
+    centers: np.ndarray,
+    contexts: np.ndarray,
+    noise_cdf: np.ndarray,
+    alpha: float,
+    rng: np.random.Generator,
+    neg: int,
+    batch_size: int,
+) -> None:
+    """One SGNS epoch, updating (w_in, w_out) in place — the shared kernel
+    of the driver-side and sharded trainers (identical rng call sequence to
+    the pre-refactor loop, so :func:`train_skipgram` outputs are unchanged)."""
+    vocab_size, dim = w_in.shape
+    n = len(centers)
+    order = rng.permutation(n)
+    for lo in range(0, n, batch_size):
+        idx = order[lo : lo + batch_size]
+        c, o = centers[idx], contexts[idx]
+        b = len(c)
+        negs = np.searchsorted(noise_cdf, rng.random((b, neg))).clip(0, vocab_size - 1)
+        vc = w_in[c]                              # [b, d]
+        targets = np.concatenate([o[:, None], negs], axis=1)   # [b, 1+neg]
+        vt = w_out[targets]                       # [b, 1+neg, d]
+        logits = np.clip(np.einsum("bd,bkd->bk", vc, vt), -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-logits))
+        lab = np.zeros_like(p)
+        lab[:, 0] = 1.0
+        dlogit = (p - lab) * alpha                # [b, 1+neg]
+        grad_c = np.einsum("bk,bkd->bd", dlogit, vt)
+        grad_t = dlogit[:, :, None] * vc[:, None, :]
+        np.add.at(w_in, c, -grad_c)
+        np.add.at(w_out, targets.ravel(), -grad_t.reshape(-1, dim))
+
+
+def _extract_sgns_shard(shard: int, n_shards: int, *blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """One shard's (centers, contexts), key-sorted — shard membership is
+    ``key % n_shards`` so content is deterministic under any block layout.
+    Blocks arrive as varargs so Ray dereferences the object-store refs
+    zero-copy (a list of refs would NOT be dereferenced)."""
+    tbl = pa.concat_tables([b for b in blocks if b.num_rows])
+    keys = tbl.column("key").to_numpy(zero_copy_only=False)
+    mask = (keys % n_shards) == shard
+    order = np.argsort(keys[mask], kind="stable")
+    centers = tbl.column("center").to_numpy(zero_copy_only=False)[mask][order]
+    contexts = tbl.column("context").to_numpy(zero_copy_only=False)[mask][order]
+    return centers.astype(np.int64), contexts.astype(np.int64)
+
+
+def _sgns_shard_epoch(
+    arrays: tuple[np.ndarray, np.ndarray],
+    w_in: np.ndarray,
+    w_out: np.ndarray,
+    noise_cdf: np.ndarray,
+    alpha: float,
+    entropy: list[int],
+    neg: int,
+    batch_size: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    centers, contexts = arrays
+    w_in = w_in.copy()
+    w_out = w_out.copy()
+    rng = np.random.default_rng(np.random.SeedSequence(entropy))
+    _sgns_epoch(w_in, w_out, centers, contexts, noise_cdf, alpha, rng, neg, batch_size)
+    return w_in, w_out, len(centers)
+
+
+def train_skipgram_sharded(
+    pairs: ray.data.Dataset,
+    vocab_size: int,
+    dim: int = 32,
+    epochs: int = 3,
+    neg: int = 5,
+    lr: float = 0.05,
+    seed: int = 7,
+    n_shards: int = 8,
+    batch_size: int = 1024,
+) -> np.ndarray:
+    """Distributed SGNS by per-epoch parameter averaging (the classic
+    data-parallel word2vec recipe: each worker runs one local epoch from
+    the broadcast weights over its fixed pair shard, the driver averages
+    shard weights by pair count).  The corpus-sized pair set NEVER touches
+    the driver — shards are extracted into the object store once (one
+    filtered pass per shard over the materialized pair blocks) and epochs
+    ship only O(V×dim) weights.  Deterministic: shard membership is
+    ``key % n_shards``, each shard's rng seeds on (seed, shard, epoch).
+    Scale bound is the MODEL, not the corpus: a reference-scale 3M×300
+    table (7 GB of f64 weights) would need a parameter-server sharding of
+    the vocab axis — documented, not implemented.  ``n_shards=1``
+    degenerates to a single worker training on all pairs."""
+    pairs = pairs.materialize()
+    blocks = pairs.to_arrow_refs()
+
+    # global noise distribution: per-batch context value_counts partials →
+    # one vocab-bounded driver fold (bit-identical to the driver-side
+    # bincount in train_skipgram)
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column("context"))
+        return pa.Table.from_pydict(
+            {"id": vc.field("values").cast(pa.int64()), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = np.zeros(vocab_size, dtype=np.float64)
+    for row in pairs.map_batches(partial, batch_format="pyarrow").groupby("id").sum("n").take_all():
+        counts[int(row["id"])] = float(row["sum(n)"])
+    noise = distribution_to_power(np.maximum(counts, 1e-9) / max(1.0, counts.sum()), 0.75)
+    noise_cdf = np.cumsum(noise)
+
+    extract = ray.remote(_extract_sgns_shard)
+    shard_refs = [extract.remote(s, n_shards, *blocks) for s in range(n_shards)]
+    size_of = ray.remote(lambda arrays: int(arrays[0].shape[0]))
+    sizes = np.array(ray.get([size_of.remote(r) for r in shard_refs]), dtype=np.float64)
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed, vocab_size, dim, 15485863]))
+    w_in = ((rng.random((vocab_size, dim)) - 0.5) / dim).astype(np.float64)
+    w_out = np.zeros((vocab_size, dim), dtype=np.float64)
+    step = ray.remote(_sgns_shard_epoch)
+    cdf_ref = ray.put(noise_cdf)
+    for epoch in range(epochs):
+        alpha = lr * (1.0 - epoch / max(1, epochs))
+        in_ref, out_ref = ray.put(w_in), ray.put(w_out)
+        results = ray.get(
+            [
+                step.remote(
+                    shard_refs[s], in_ref, out_ref, cdf_ref, alpha,
+                    [seed, vocab_size, dim, 15485863, s, epoch], neg, batch_size,
+                )
+                for s in range(n_shards)
+            ]
+        )
+        weights = sizes / max(1.0, sizes.sum())
+        w_in = sum(w * r[0] for w, r in zip(weights, results))
+        w_out = sum(w * r[1] for w, r in zip(weights, results))
     return w_in.astype(np.float32)
 
 
@@ -475,12 +596,21 @@ def pretrain_word_vectors(
     neg: int = 5,
     lr: float = 0.05,
     seed: int = 7,
+    n_shards: int | None = None,
 ) -> np.ndarray:
     """End-to-end self-trained word vectors for :func:`embedding_init` /
     the fit ``init_word_emb`` hooks: distributed pair generation over the
-    corpus sentences, deterministic collect (sorted by pair key), SGNS
-    fit.  The [V, dim] result rows are already in vocab-id order."""
+    corpus sentences, then either the driver-side SGNS fit (default —
+    pairs collected key-sorted) or, with ``n_shards``, the
+    parameter-averaged :func:`train_skipgram_sharded` scale path where the
+    pair set stays in the object store.  The [V, dim] result rows are
+    already in vocab-id order."""
     pairs = skipgram_pairs(parsed, w2i, window=window)
+    if n_shards is not None:
+        return train_skipgram_sharded(
+            pairs, len(w2i), dim=dim, epochs=epochs, neg=neg, lr=lr, seed=seed,
+            n_shards=n_shards,
+        )
     rows = pairs.sort("key").take_all()
     centers = np.array([r["center"] for r in rows], dtype=np.int64)
     contexts = np.array([r["context"] for r in rows], dtype=np.int64)
