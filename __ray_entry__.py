@@ -395,16 +395,15 @@ def _q_semeval_official(sf_dir: str):
     from relation_extraction_ray.config import KGConfig
     from relation_extraction_ray.eval_semeval import official_scores_from_pairs, read_key_file
     from relation_extraction_ray.oracle import SEMEVAL_DATA
-    from relation_extraction_ray.pipelines.fit import model_classify
+    from relation_extraction_ray.pipelines.fit import model_classify_any
     from relation_extraction_ray.sources.semeval import parsed_records, read_semeval_records
-    from relation_extraction_ray.state.scorer import fixture_path, load_weights
+    from relation_extraction_ray.state.scorer import fixture_path
 
     cfg = KGConfig(min_count=2)
     parsed = parsed_records(
         read_semeval_records(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT")
     )
-    wts, vocab_lists = load_weights(fixture_path("semeval_real"))
-    preds = model_classify(parsed, wts, vocab_lists, cfg).take_all()
+    preds = model_classify_any(parsed, fixture_path("semeval_real"), cfg).take_all()
     key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
     pairs: dict[tuple[str, str], int] = {}
     for r in preds:

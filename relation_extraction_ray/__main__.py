@@ -190,19 +190,17 @@ def cmd_semeval_train(args: argparse.Namespace) -> int:
 def cmd_semeval_classify(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .config import KGConfig
-    from .pipelines.fit import model_classify
+    from .pipelines.fit import model_classify_any
     from .sources.semeval import parsed_records, read_semeval_records
-    from .state.scorer import load_weights
 
     fixture = args.fixture
     if not os.path.exists(fixture):
         fixture = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "state", "fixtures", f"{args.fixture}.npz"
         )
-    wts, vocab_lists = load_weights(fixture)
     cfg = KGConfig(min_count=2)
     parsed = parsed_records(read_semeval_records(args.input))
-    preds = model_classify(parsed, wts, vocab_lists, cfg)
+    preds = model_classify_any(parsed, fixture, cfg)
     preds.write_parquet(args.out)
     n = preds.count()
     summary = {"out": args.out, "rows": n}

@@ -355,9 +355,9 @@ def semeval_official_row(cfg: KGConfig | None = None) -> dict:
     from collections import Counter as _Counter
 
     from .eval_semeval import official_scores_from_pairs, read_key_file
-    from .pipelines.fit import ModelClassifyStage
+    from .pipelines.fit import BiModelClassifyStage, ModelClassifyStage
     from .sources.semeval import parse_record_text, parse_records_batch
-    from .state.scorer import fixture_path, load_weights
+    from .state.scorer import fixture_path, is_bi_fixture, load_bi, load_weights
 
     cfg = cfg or KGConfig(min_count=2)
     records = pa.Table.from_pylist(
@@ -366,8 +366,13 @@ def semeval_official_row(cfg: KGConfig | None = None) -> dict:
         )
     )
     parsed = parse_records_batch(records)
-    model = load_weights(fixture_path("semeval_real"))
-    preds = ModelClassifyStage(cfg=cfg, model=model)(parsed)
+    # dispatch on the fixture's architecture, exactly as model_classify_any
+    # does on the distributed side — the oracle replays whichever model won
+    fx = fixture_path("semeval_real")
+    if is_bi_fixture(fx):
+        preds = BiModelClassifyStage(cfg=cfg, model=load_bi(fx))(parsed)
+    else:
+        preds = ModelClassifyStage(cfg=cfg, model=load_weights(fx))(parsed)
     key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
     pairs = _Counter(
         (p, key[sid])

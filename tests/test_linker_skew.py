@@ -55,6 +55,67 @@ def test_linker_nil_fallback(ray_session):
     assert rows[0]["obj_kb"] == nil_id(surface_norm("mystery")) and not rows[0]["obj_linked"]
 
 
+def test_partitioned_linker_matches_broadcast(ray_session):
+    """The KB-sharded reduce-side path (forced via broadcast_bytes=0) must
+    be bit-identical to the broadcast path on a corpus mixing linked,
+    ambiguous, and NIL mentions — round-4 verdict task #5."""
+    pipe = KGPipeline(batch_size=64)
+    triples = pipe.run(documents_dataset(40, override_num_blocks=4))["triples"]
+    # add NIL + ambiguous rows on top of the pipeline's fully-linkable set
+    extra = pa.Table.from_pylist(
+        [
+            {"doc_id": "x", "sent_id": 0, "subj": "known", "pred": "Cause-Effect(e1,e2)",
+             "obj": "mystery", "score": 0.5, "span_hash": 0},
+            {"doc_id": "x", "sent_id": 1, "subj": "bank", "pred": "Entity-Destination(e1,e2)",
+             "obj": "unknowable", "score": 0.5, "span_hash": 1},
+            {"doc_id": "x", "sent_id": 2, "subj": "bank", "pred": "Product-Producer(e2,e1)",
+             "obj": "unknowable", "score": 0.5, "span_hash": 2},
+        ]
+    )
+    extra = extra.cast(triples.schema().base_schema)
+    ds = triples.union(ray.data.from_arrow(extra))
+    kb = build_kb(
+        synth_kb()
+        + [
+            {"kb_id": "kb_x", "name": "known", "aliases": [], "type_hints": []},
+            {"kb_id": "kb_place_bank", "name": "bank", "aliases": [],
+             "type_hints": ["place", "entity-destination"]},
+            {"kb_id": "kb_agent_bank", "name": "bank", "aliases": [],
+             "type_hints": ["agent", "product-producer"]},
+        ]
+    )
+    key = lambda r: (r["doc_id"], r["sent_id"], r["span_hash"], r["subj"], r["obj"])
+    broadcast = sorted(link_triples(ds, kb).take_all(), key=key)
+    parted = sorted(link_triples(ds, kb, broadcast_bytes=0).take_all(), key=key)
+    assert len(broadcast) == len(parted) > 0
+    assert broadcast == parted
+    # the ambiguous + NIL cases actually exercised both branches
+    by_sh = {r["span_hash"]: r for r in parted if r["doc_id"] == "x"}
+    assert by_sh[0]["subj_kb"] == "kb_x" and not by_sh[0]["obj_linked"]
+    assert by_sh[1]["subj_kb"] == "kb_place_bank"
+    assert by_sh[2]["subj_kb"] == "kb_agent_bank"
+
+
+def test_kb_planner_bound(ray_session):
+    """link_triples picks broadcast below the byte bound and the sharded
+    join above it; kb_nbytes sees through alias-shared entries."""
+    from relation_extraction_ray.state.linker import _KB_BROADCAST_BYTES, kb_nbytes
+
+    small = build_kb(synth_kb())
+    assert 0 < kb_nbytes(small) < _KB_BROADCAST_BYTES
+    # one entry reachable via many aliases is counted once + pointers
+    shared = build_kb(
+        [{"kb_id": "kb_s", "name": "n0", "aliases": [f"a{i}" for i in range(100)],
+          "type_hints": []}]
+    )
+    assert kb_nbytes(shared) < 100 * 96
+    big = build_kb(
+        [{"kb_id": f"kb_{i}", "name": "m" * (1 << 20), "aliases": [], "type_hints": []}
+         for i in range(40)]
+    )
+    assert kb_nbytes(big) > _KB_BROADCAST_BYTES
+
+
 def test_linker_disambiguates_by_context(ray_session):
     kb = build_kb(
         [

@@ -139,15 +139,22 @@ def main() -> None:
         record("bi_alt_h48", f1, time.time() - t0, "d_hidden=48 per direction")
 
     # generic dims/schedule probes around the best arm: name pattern
-    # biX_h<H>[_w<DW>][_c<CY>u<UE>s<SE>][_s<SEED>]
+    # biX[_h<H>][_w<DW>][_c<CY>u<UE>s<SE>][_s<SEED>][_pw<WIN>][_pe<EP>]
+    # (pw/pe vary the skip-gram INIT window/epochs; w<DW> re-pretrains the
+    # init at the matching word dim)
+    init_cache: dict[tuple, object] = {(D_WORD, 4, 10): init_w}
     for name in sorted(want):
-        if not name.startswith("biX_"):
+        if not name.startswith("biX"):
             continue
         t0 = time.time()
         dims: dict = {}
-        cy, ue, se, seed = 3, 1, 10, 7
+        cy, ue, se, seed, pw, pe = 3, 1, 10, 7, 4, 10
         for tokn in name.split("_")[1:]:
-            if tokn.startswith("h"):
+            if tokn.startswith("pw"):
+                pw = int(tokn[2:])
+            elif tokn.startswith("pe"):
+                pe = int(tokn[2:])
+            elif tokn.startswith("h"):
                 dims["d_hidden"] = int(tokn[1:])
             elif tokn.startswith("w"):
                 dims["d_word"] = int(tokn[1:])
@@ -158,12 +165,22 @@ def main() -> None:
                 cy, ue, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
             elif tokn.startswith("s") and tokn[1:].isdigit():
                 seed = int(tokn[1:])
+        dw = dims.get("d_word", D_WORD)
+        ikey = (dw, pw, pe)
+        if ikey not in init_cache:
+            init_cache[ikey] = pretrain_word_vectors(
+                train_parsed, w2i, dim=dw, window=pw, epochs=pe, lr=0.05
+            )
         params, _ = fit_bi_alternating(
             examples, sizes, cycles=cy, unsup_epochs=ue, sup_epochs=se,
-            batch_size=256, lr=args.lr, seed=seed, init_word_emb=init_w, dims=dims,
+            batch_size=256, lr=args.lr, seed=seed, init_word_emb=init_cache[ikey],
+            dims=dims,
         )
         f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
-        record(name, f1, time.time() - t0, f"dims={dims} cy={cy} ue={ue} se={se} seed={seed}")
+        record(
+            name, f1, time.time() - t0,
+            f"dims={dims} cy={cy} ue={ue} se={se} seed={seed} pw={pw} pe={pe}",
+        )
 
     print(json.dumps(results, indent=1))
     ray.shutdown()

@@ -34,6 +34,28 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--skip-real", action="store_true")
+    ap.add_argument(
+        "--only", default="all", choices=["all", "synth", "real", "dual"],
+        help="train a single fixture section (default: all)",
+    )
+    ap.add_argument(
+        "--real-arch", default="bi", choices=["uni", "bi"],
+        help="architecture for the real SemEval fixture (bi = round-4 sweep "
+        "winner fit_bi_alternating d_hidden=48; uni = round-3 recipe)",
+    )
+    ap.add_argument(
+        "--real-out", default="semeval_real",
+        help="fixture name to write the real model under (train to a scratch "
+        "name first when running an accept/reject comparison)",
+    )
+    ap.add_argument(
+        "--pretrain-window", type=int, default=4,
+        help="skip-gram init window (round-3 measured best = 4)",
+    )
+    ap.add_argument(
+        "--pretrain-epochs", type=int, default=10,
+        help="skip-gram init epochs (round-3 measured best = 10)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -111,32 +133,33 @@ def main() -> None:
 
     # --- synthetic fixture -------------------------------------------------
     cfg = KGConfig()
-    synth_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(500)))
-    train_one(synth_parsed, cfg, "synth", args.epochs)
+    if args.only in ("all", "synth"):
+        synth_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(500)))
+        train_one(synth_parsed, cfg, "synth", args.epochs)
 
-    # --- synthetic LARGE fixture (distributed alternating path) ------------
-    # 10× the synth corpus, trained end-to-end with
-    # fit_alternating_distributed: NEG pairs generated in map_batches and
-    # materialized in the object store, per-step distributed gradients —
-    # the scale recipe the reference runs on 31.6M wiki sentences
-    # (wiki2sdp.py:285), exercised here as a committed artifact.
-    from relation_extraction_ray.pipelines.fit import fit_alternating_distributed
+        # --- synthetic LARGE fixture (distributed alternating path) --------
+        # 10× the synth corpus, trained end-to-end with
+        # fit_alternating_distributed: NEG pairs generated in map_batches and
+        # materialized in the object store, per-step distributed gradients —
+        # the scale recipe the reference runs on 31.6M wiki sentences
+        # (wiki2sdp.py:285), exercised here as a committed artifact.
+        from relation_extraction_ray.pipelines.fit import fit_alternating_distributed
 
-    t0 = time.time()
-    large_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(5000))).materialize()
-    vocabs_l = build_record_vocabs(large_parsed, cfg)
-    (wvl, _, _), (dvl, _, _), (pvl, _, _) = vocabs_l
-    examples_l = encode_examples(large_parsed, vocabs_l, cfg).materialize()
-    wts_l, losses_l = fit_alternating_distributed(
-        examples_l, (len(wvl), len(dvl), len(pvl)),
-        cycles=3, unsup_epochs=1, sup_epochs=10, steps_per_epoch=8, lr=args.lr,
-    )
-    save_weights(wts_l, os.path.join(FIXTURE_DIR, "synth_large.npz"), (wvl, dvl, pvl))
-    print(
-        f"[synth_large] {examples_l.count()} examples (10x corpus, distributed alternating), "
-        f"sup loss {losses_l['sup'][0]:.3f} -> {losses_l['sup'][-1]:.3f}, "
-        f"unsup {losses_l['unsup'][0]:.3f} -> {losses_l['unsup'][-1]:.3f}, {time.time()-t0:.0f}s"
-    )
+        t0 = time.time()
+        large_parsed = parsed_records(rd.from_arrow(labeled_sentences_table(5000))).materialize()
+        vocabs_l = build_record_vocabs(large_parsed, cfg)
+        (wvl, _, _), (dvl, _, _), (pvl, _, _) = vocabs_l
+        examples_l = encode_examples(large_parsed, vocabs_l, cfg).materialize()
+        wts_l, losses_l = fit_alternating_distributed(
+            examples_l, (len(wvl), len(dvl), len(pvl)),
+            cycles=3, unsup_epochs=1, sup_epochs=10, steps_per_epoch=8, lr=args.lr,
+        )
+        save_weights(wts_l, os.path.join(FIXTURE_DIR, "synth_large.npz"), (wvl, dvl, pvl))
+        print(
+            f"[synth_large] {examples_l.count()} examples (10x corpus, distributed alternating), "
+            f"sup loss {losses_l['sup'][0]:.3f} -> {losses_l['sup'][-1]:.3f}, "
+            f"unsup {losses_l['unsup'][0]:.3f} -> {losses_l['unsup'][-1]:.3f}, {time.time()-t0:.0f}s"
+        )
 
     # --- real SemEval fixture ---------------------------------------------
     if args.skip_real or not os.path.isdir(SEMEVAL):
@@ -145,27 +168,70 @@ def main() -> None:
     train_parsed = parsed_records(
         read_semeval_records(f"{SEMEVAL}/SemEval2010_task8_training/TRAIN_FILE.TXT")
     )
-    wts, vocab_lists, _ = train_one(
-        train_parsed, cfg_real, "semeval_real", args.epochs, batch_size=256, alternating=True,
-        pretrain_init=True,
-    )
-
-    # official directional score on the real test split
     test_parsed = parsed_records(
         read_semeval_records(f"{SEMEVAL}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT")
     )
     key = read_key_file(f"{SEMEVAL}/test_keys.txt")
-    preds = model_classify(test_parsed, wts, vocab_lists, cfg_real).take_all()
-    pairs: dict[tuple[str, str], int] = {}
-    for r in preds:
-        k = (r["pred"], key[r["sent_id"]])
-        pairs[k] = pairs.get(k, 0) + 1
-    scores = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
-    print(
-        f"[semeval_real] OFFICIAL test scores: macro-F1 {scores['official_f1']:.2f}% "
-        f"(P {scores['macro_p']:.2f}% R {scores['macro_r']:.2f}%), "
-        f"micro-F1 {scores['micro_f1']:.2f}%, acc {scores['accuracy']:.2f}%, n={len(preds)}"
-    )
+
+    def official_on_test(classified) -> dict:
+        preds = classified.take_all()
+        pairs: dict[tuple[str, str], int] = {}
+        for r in preds:
+            k = (r["pred"], key[r["sent_id"]])
+            pairs[k] = pairs.get(k, 0) + 1
+        s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+        s["n_test"] = len(preds)
+        return s
+
+    if args.only in ("all", "real"):
+        if args.real_arch == "bi":
+            # Round-4 sweep winner (tools/sweep_bi.py, 90/10 validation on
+            # TRAIN): fit_bi_alternating with d_hidden=48 per direction —
+            # valid F1 68.90 vs 67.01 for the round-3 uni recipe.  The bi
+            # trunk is the reference's best model (relembed.py:87,230-235,
+            # RelEmbed_semeval-bi.ipynb → 80.38 test F1).
+            from relation_extraction_ray.functions.training import pretrain_word_vectors
+            from relation_extraction_ray.pipelines.fit import bi_model_classify, fit_bi_alternating
+            from relation_extraction_ray.state.scorer import D_WORD, save_bi
+
+            t0 = time.time()
+            train_parsed = train_parsed.materialize()
+            vocabs = build_record_vocabs(train_parsed, cfg_real)
+            (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
+            examples = encode_examples(train_parsed, vocabs, cfg_real).materialize()
+            init_w = pretrain_word_vectors(
+                train_parsed, w2i, dim=D_WORD,
+                window=args.pretrain_window, epochs=args.pretrain_epochs, lr=0.05,
+            )
+            params, alt_losses = fit_bi_alternating(
+                examples, (len(wv), len(dv), len(pv)),
+                cycles=3, unsup_epochs=1, sup_epochs=max(1, args.epochs // 3),
+                batch_size=256, lr=args.lr, init_word_emb=init_w,
+                dims={"d_hidden": 48},
+            )
+            path = os.path.join(FIXTURE_DIR, f"{args.real_out}.npz")
+            save_bi(params, path, (wv, dv, pv))
+            print(
+                f"[{args.real_out}] bi_alt_h48: {examples.count()} examples, "
+                f"sup loss {alt_losses['sup'][0]:.3f} -> {alt_losses['sup'][-1]:.3f}, "
+                f"unsup {alt_losses['unsup'][0]:.3f} -> {alt_losses['unsup'][-1]:.3f}, "
+                f"{time.time()-t0:.0f}s -> {path}"
+            )
+            scores = official_on_test(bi_model_classify(test_parsed, params, (wv, dv, pv), cfg_real))
+        else:
+            wts, vocab_lists, _ = train_one(
+                train_parsed, cfg_real, args.real_out, args.epochs, batch_size=256,
+                alternating=True, pretrain_init=True,
+            )
+            scores = official_on_test(model_classify(test_parsed, wts, vocab_lists, cfg_real))
+
+        print(
+            f"[{args.real_out}] OFFICIAL test scores: macro-F1 {scores['official_f1']:.2f}% "
+            f"(P {scores['macro_p']:.2f}% R {scores['macro_r']:.2f}%), "
+            f"micro-F1 {scores['micro_f1']:.2f}%, acc {scores['accuracy']:.2f}%, n={scores['n_test']}"
+        )
+    if args.only not in ("all", "dual"):
+        return
 
     # --- real SemEval DUAL (single-mode) fixture ---------------------------
     # T3: two direction GRUs over shared embeddings, trained on the M15
