@@ -159,3 +159,44 @@ def test_config_change_invalidates_resume(out_dir, ray_session):
     changed = ShardedKGRunner(out_dir, 2, _mk_docs_for_shard(), cfg=KGConfig(max_len=5))
     changed.run()
     assert len(changed.recomputed) == 6  # different fingerprint -> full recompute (incl. derived tables)
+
+
+def test_worker_kill_mid_shard_is_retried_exactly(out_dir, ray_session, tmp_path):
+    """Round-4 verdict #6: a REAL worker-process death (``os._exit``, no
+    Python-level unwinding) mid-shard must leave the final
+    triples/entities/adjacency byte-identical to a clean run and every
+    folded lineage counter exact — proving the idempotent content-keyed
+    side-stream fragments under an actual kill, not a raised exception.
+    The kill fires after earlier batches on the same worker already wrote
+    their count partials, so the retry re-writes overlapping fragments."""
+    marker = str(tmp_path / "kill.marker")
+    base = _mk_docs_for_shard()
+
+    def faulty(shard: int):
+        ds = base(shard)
+        if shard != 1:
+            return ds
+
+        def kill_once(batch):
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return batch  # already killed once — let the retry through
+            os.write(fd, b"x")
+            os.close(fd)
+            os._exit(1)  # hard kill of this worker process
+
+        return ds.map_batches(kill_once, batch_format="pyarrow")
+
+    clean = ShardedKGRunner(out_dir + "_clean", N_SHARDS, base).run()
+    killed = ShardedKGRunner(out_dir, N_SHARDS, faulty).run()
+    assert os.path.exists(marker), "the injected worker kill never fired"
+
+    for name in ("triples", "entities", "adjacency"):
+        assert _sorted_rows(killed[name]) == _sorted_rows(clean[name]), name
+
+    # lineage: every manifest entry (rows, sentence/audit counters, span
+    # checksums, fingerprints) identical to the clean run's
+    clean_m = ShardedKGRunner(out_dir + "_clean", N_SHARDS, base).manifest.load()
+    killed_m = ShardedKGRunner(out_dir, N_SHARDS, base).manifest.load()
+    assert clean_m == killed_m
