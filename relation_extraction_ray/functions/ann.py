@@ -298,10 +298,41 @@ def knn_lsh(
             n_rows = embeddings.count()
         n_planes = derived_n_planes(n_rows, target_bucket_rows)
     qset = set(query_ids)
+    _OUT_SCHEMA = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+    )
+    if not qset:
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
     bucketed = embeddings.map_batches(
         cached_stage_fn(LshBucketStage, (dim, n_planes), {"dim": dim, "n_planes": n_planes}),
         batch_format="pyarrow",
+    ).materialize()
+
+    # semi-join prune: only buckets that CONTAIN a query vector can emit
+    # output (per_bucket returns empty for the rest), so discover the ≤
+    # |query_ids| query buckets first and scan just those — at 10⁷ rows /
+    # 2^16 derived buckets this cuts both the exchange and the per-group
+    # dispatch from ~n/256 groups to ~|query_ids|
+    qarr = np.array(sorted(qset), dtype=np.int64)
+
+    def q_buckets_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").combine_chunks().to_numpy()
+        return batch.filter(pa.array(np.isin(ids, qarr))).select(["bucket"])
+
+    q_buckets = np.unique(
+        np.array(
+            [r["bucket"] for r in bucketed.map_batches(q_buckets_of, batch_format="pyarrow").take_all()],
+            dtype=np.uint32,
+        )
     )
+    qb_ref = ray.put(q_buckets)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = ray.get(qb_ref)
+        mask = np.isin(batch.column("bucket").combine_chunks().to_numpy(), keep)
+        return batch.filter(pa.array(mask))
+
+    bucketed = bucketed.map_batches(prune, batch_format="pyarrow")
 
     def per_bucket(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
@@ -425,17 +456,43 @@ def embed_neardup_pairs(
         batch_format="pyarrow",
     )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("vec_id").combine_chunks().to_numpy())[:max_bucket]
-        ia, ib = np.triu_indices(len(ids), k=1)
+    def pairs_part(part: pa.Table) -> pa.Table:
+        """One hash partition of (band, bucket) rows → candidate pairs.
+        Grouping within the partition is one argsort over a composite
+        uint64 key (band<<32 | bucket) + a boundary scan — at 10⁷ vectors
+        the bucket space is ~10⁷ mostly-singleton groups and Ray's
+        per-group ``map_groups`` dispatch (~100 µs each) dwarfed the
+        useful compute (same fix as ``minhash_candidate_pairs``)."""
+        from .joins import group_runs
+
+        band = part.column("band").combine_chunks().to_numpy().astype(np.uint64)
+        bucket = part.column("bucket").combine_chunks().to_numpy().astype(np.uint64)
+        doc = part.column("vec_id").combine_chunks().to_numpy()
+        key = (band << np.uint64(32)) | bucket
+        order = np.argsort(key, kind="stable")
+        starts, ends = group_runs(key[order])
+        a_col, b_col = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = np.unique(doc[order[s:e]])[:max_bucket]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a_col.append(ids[ia])
+            b_col.append(ids[ib])
+        if not a_col:
+            return pa.Table.from_pydict(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
         return pa.Table.from_pydict(
             {
-                "vec_a": pa.array(ids[ia].astype(np.int64), pa.int64()),
-                "vec_b": pa.array(ids[ib].astype(np.int64), pa.int64()),
+                "vec_a": pa.array(np.concatenate(a_col).astype(np.int64), pa.int64()),
+                "vec_b": pa.array(np.concatenate(b_col).astype(np.int64), pa.int64()),
             }
         )
 
-    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pyarrow")
+    from .joins import derived_num_parts, hash_partitioned_groups
+
+    cand = hash_partitioned_groups(bucketed, ["band", "bucket"], pairs_part, derived_num_parts())
     distinct = (
         cand.groupby(["vec_a", "vec_b"])
         .aggregate(ray.data.aggregate.Count(alias_name="n_bands"))
