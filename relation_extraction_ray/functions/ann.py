@@ -418,14 +418,33 @@ class BandedLshStage:
         )
 
 
+def derived_planes_per_band(n_rows: int, floor: int = 8, cap: int = 30) -> int:
+    """Banded-LSH precision sized to the table: expected FALSE-candidate
+    pairs per band ≈ C(n,2)/2^p for near-orthogonal vectors, so keeping
+    the candidate set O(n) needs ``2^p ≈ n`` → ``p = ceil(log2 n)``
+    (round-4 sizing probe: the previous fixed 8 planes/band generated
+    n²/256 candidates — ~10⁸ pairs at just 10⁵ uniform vectors).  The
+    precision-first sizing trades recall at LOW thresholds: per-band hit
+    probability for cosine c is ``(1 - acos(c)/π)^p``, which at p=24
+    still catches true near-dups (c ≥ 0.99 → 0.33/band → 96 % over 8
+    bands) but not moderate similarity — callers probing a low threshold
+    pass explicit banding (as the sf-bench query does: 16×4 at t=0.4)."""
+    import math
+
+    if n_rows <= 2:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_rows))))
+
+
 def embed_neardup_pairs(
     embeddings: ray.data.Dataset,
     threshold: float = 0.9,
     dim: int = 64,
     bands: int = 8,
-    planes_per_band: int = 8,
+    planes_per_band: int | None = None,
     max_bucket: int = 1024,
     broadcast_bytes: int = _BROADCAST_BYTES_BUDGET,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_micro)
     for cosine ≥ threshold — the embedding analogue of MinHash dedup.
@@ -445,6 +464,11 @@ def embed_neardup_pairs(
     comparability; the oracle recomputes planes, buckets AND cosines from
     scratch in DuckDB."""
 
+    if planes_per_band is None:
+        if n_rows is None:
+            embeddings = embeddings.materialize()
+            n_rows = embeddings.count()
+        planes_per_band = derived_planes_per_band(n_rows)
     # task-based map with a per-worker stage cache (the deterministic
     # plane matrix is microseconds to build — actor spin-up costs more)
     bucketed = embeddings.map_batches(

@@ -49,6 +49,10 @@ def main() -> None:
         "name first when running an accept/reject comparison)",
     )
     ap.add_argument(
+        "--bi-dims", default='{"d_hidden": 48}',
+        help="JSON dims override for the bi real fixture (sweep winner)",
+    )
+    ap.add_argument(
         "--pretrain-window", type=int, default=4,
         help="skip-gram init window (round-3 measured best = 4)",
     )
@@ -190,24 +194,27 @@ def main() -> None:
             # valid F1 68.90 vs 67.01 for the round-3 uni recipe.  The bi
             # trunk is the reference's best model (relembed.py:87,230-235,
             # RelEmbed_semeval-bi.ipynb → 80.38 test F1).
+            import json as _json
+
             from relation_extraction_ray.functions.training import pretrain_word_vectors
             from relation_extraction_ray.pipelines.fit import bi_model_classify, fit_bi_alternating
             from relation_extraction_ray.state.scorer import D_WORD, save_bi
 
             t0 = time.time()
+            dims = _json.loads(args.bi_dims)
             train_parsed = train_parsed.materialize()
             vocabs = build_record_vocabs(train_parsed, cfg_real)
             (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
             examples = encode_examples(train_parsed, vocabs, cfg_real).materialize()
             init_w = pretrain_word_vectors(
-                train_parsed, w2i, dim=D_WORD,
+                train_parsed, w2i, dim=dims.get("d_word", D_WORD),
                 window=args.pretrain_window, epochs=args.pretrain_epochs, lr=0.05,
             )
             params, alt_losses = fit_bi_alternating(
                 examples, (len(wv), len(dv), len(pv)),
                 cycles=3, unsup_epochs=1, sup_epochs=max(1, args.epochs // 3),
                 batch_size=256, lr=args.lr, init_word_emb=init_w,
-                dims={"d_hidden": 48},
+                dims=dims,
             )
             path = os.path.join(FIXTURE_DIR, f"{args.real_out}.npz")
             save_bi(params, path, (wv, dv, pv))
