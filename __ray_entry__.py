@@ -425,6 +425,50 @@ def _q_semeval_official(sf_dir: str):
     )
 
 
+def _q_semeval_bi_official(sf_dir: str):
+    """The real SemEval test split classified with the trained
+    BIDIRECTIONAL-trunk model (reference ``relembed.py:87,230-235``:
+    forward+backward GRU final states concatenated into the softmax
+    input) and scored with the official scorer math.  The bi model is
+    shipped as its own fixture: on this sandbox's init/parses it scores
+    below the uni flagship on the real test split (BASELINE.md round-4
+    sweep), so the flagship fixture stays unidirectional."""
+    import pandas as pd
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval_semeval import official_scores_from_pairs, read_key_file
+    from relation_extraction_ray.oracle import SEMEVAL_DATA
+    from relation_extraction_ray.pipelines.fit import bi_model_classify
+    from relation_extraction_ray.sources.semeval import parsed_records, read_semeval_records
+    from relation_extraction_ray.state.scorer import fixture_path, load_bi
+
+    cfg = KGConfig(min_count=2)
+    parsed = parsed_records(
+        read_semeval_records(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT")
+    )
+    params, vocab_lists = load_bi(fixture_path("semeval_bi"))
+    preds = bi_model_classify(parsed, params, vocab_lists, cfg).take_all()
+    key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
+    pairs: dict[tuple[str, str], int] = {}
+    for r in preds:
+        k = (r["pred"], key[r["sent_id"]])
+        pairs[k] = pairs.get(k, 0) + 1
+    s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    return pd.DataFrame(
+        [
+            {
+                "official_macro_f1": round(s["official_f1"], 6),
+                "macro_p": round(s["macro_p"], 6),
+                "macro_r": round(s["macro_r"], 6),
+                "micro_f1": round(s["micro_f1"], 6),
+                "accuracy": round(s["accuracy"], 6),
+                "coverage": round(s["coverage"], 6),
+                "n_test": 2717,
+            }
+        ]
+    )
+
+
 def _q_semeval_single_official(sf_dir: str):
     """The real SemEval test split classified with the trained
     DUAL-direction model (T3 "single" mode — two direction GRUs, shared
@@ -499,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supervised_eval_large": _q_supervised_eval_large,
         "semeval_official": _q_semeval_official,
         "semeval_single_official": _q_semeval_single_official,
+        "semeval_bi_official": _q_semeval_bi_official,
     }
 
 
@@ -521,6 +566,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         media_digest_rows,
         run_oracle,
         semeval_official_row,
+        semeval_bi_official_row,
         semeval_single_official_row,
         supervised_metrics_row,
         supervised_metrics_row_large,
@@ -550,6 +596,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
     sup_large = pa.Table.from_pylist([supervised_metrics_row_large(500)])
     official = pa.Table.from_pylist([semeval_official_row()])
     official_single = pa.Table.from_pylist([semeval_single_official_row()])
+    official_bi = pa.Table.from_pylist([semeval_bi_official_row()])
 
     paths = {}
     for name, tab in (
@@ -561,6 +608,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ("supervised_eval_large", sup_large),
         ("semeval_official", official),
         ("semeval_single_official", official_single),
+        ("semeval_bi_official", official_bi),
     ):
         p = os.path.join(ORACLE_DIR, f"{name}.parquet")
         pq.write_table(tab, p)
@@ -972,5 +1020,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semeval_single_official": f"""
             SELECT * FROM read_parquet('{kg_paths["semeval_single_official"]}')
+        """,
+        "semeval_bi_official": f"""
+            SELECT * FROM read_parquet('{kg_paths["semeval_bi_official"]}')
         """,
     }

@@ -129,7 +129,36 @@ def main() -> None:
     ap.add_argument("--model-scale", type=int, default=1)
     ap.add_argument("--pool-frac", type=float, default=None)
     ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument(
+        "--sizing-probe",
+        action="store_true",
+        help="10^7-row dedup/ANN partition-sizing probe (tools/sizing_probe.py); "
+        "rows via GRAFT_PROBE_ROWS",
+    )
     args = ap.parse_args()
+
+    if args.sizing_probe:
+        # fresh process so the probe owns its Ray session at full width
+        rows = os.environ.get("GRAFT_PROBE_ROWS", "10000000")
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "sizing_probe.py"),
+                "--rows",
+                rows,
+                "--num-cpus",
+                str(args.cpus),
+                "--out",
+                "/tmp/sizing_probe.json",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            sys.exit(1)
+        print(open("/tmp/sizing_probe.json").read())
+        return
 
     if args.scaling:
         # identical job at two parallelism levels, fresh processes

@@ -429,6 +429,45 @@ def semeval_single_official_row(cfg: KGConfig | None = None) -> dict:
     }
 
 
+def semeval_bi_official_row(cfg: KGConfig | None = None) -> dict:
+    """Single-process oracle for the BIDIRECTIONAL-trunk official-score
+    query: same shipped test file + keys, classified with the trained
+    ``semeval_bi`` fixture (reference ``relembed.py:87,230-235`` — fw/bw
+    GRU final states concatenated into the softmax input), all in one
+    process (checks the distributed path byte for byte)."""
+    from collections import Counter as _Counter
+
+    from .eval_semeval import official_scores_from_pairs, read_key_file
+    from .pipelines.fit import BiModelClassifyStage
+    from .sources.semeval import parse_record_text, parse_records_batch
+    from .state.scorer import fixture_path, load_bi
+
+    cfg = cfg or KGConfig(min_count=2)
+    records = pa.Table.from_pylist(
+        parse_record_text(
+            open(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT").read()
+        )
+    )
+    parsed = parse_records_batch(records)
+    model = load_bi(fixture_path("semeval_bi"))
+    preds = BiModelClassifyStage(cfg=cfg, model=model)(parsed)
+    key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
+    pairs = _Counter(
+        (p, key[sid])
+        for sid, p in zip(preds.column("sent_id").to_pylist(), preds.column("pred").to_pylist())
+    )
+    s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    return {
+        "official_macro_f1": round(s["official_f1"], 6),
+        "macro_p": round(s["macro_p"], 6),
+        "macro_r": round(s["macro_r"], 6),
+        "micro_f1": round(s["micro_f1"], 6),
+        "accuracy": round(s["accuracy"], 6),
+        "coverage": round(s["coverage"], 6),
+        "n_test": 2717,
+    }
+
+
 def run_oracle(doc_rows: list[dict], cfg: KGConfig | None = None, ok_dep_structures=None) -> dict:
     """Full single-process pipeline → dict of pyarrow Tables keyed by stage."""
     cfg = cfg or KGConfig()

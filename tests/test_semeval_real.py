@@ -167,3 +167,31 @@ def test_real_test_dual_model_officially_scored(ray_session):
         pairs[k] = pairs.get(k, 0) + 1
     scores = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
     assert scores["official_f1"] > 50.0, scores
+
+
+def test_real_test_bi_model_officially_scored(ray_session):
+    """The trained BIDIRECTIONAL-trunk fixture (reference relembed.py:87,
+    230-235 — the reference's best architecture) classifies the real test
+    split distributed; recorded 69.18 official F1 (BASELINE.md round-4
+    sweep: below the uni flagship's 69.78 on this sandbox's init/parses,
+    so it ships as its own fixture, not the flagship)."""
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.eval_semeval import official_scores_from_pairs
+    from relation_extraction_ray.pipelines.fit import bi_model_classify
+    from relation_extraction_ray.sources.semeval import parsed_records, read_semeval_records
+    from relation_extraction_ray.state.scorer import fixture_path, is_bi_fixture, load_bi
+
+    assert is_bi_fixture(fixture_path("semeval_bi"))
+    assert not is_bi_fixture(fixture_path("semeval_real"))
+    cfg = KGConfig(min_count=2)
+    params, vocab_lists = load_bi(fixture_path("semeval_bi"))
+    parsed = parsed_records(read_semeval_records(TEST))
+    preds = bi_model_classify(parsed, params, vocab_lists, cfg).take_all()
+    assert len(preds) == 2717
+    key = read_key_file(f"{D}/test_keys.txt")
+    pairs: dict[tuple[str, str], int] = {}
+    for r in preds:
+        k = (r["pred"], key[r["sent_id"]])
+        pairs[k] = pairs.get(k, 0) + 1
+    scores = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    assert scores["official_f1"] > 60.0, scores
