@@ -236,12 +236,12 @@ def main() -> None:
         t0 = time.time()
         out_rows = embed_neardup_pairs(vecs, threshold=0.9, dim=DIM, n_rows=n).count()
         wall = time.time() - t0
-        ppb = derived_planes_per_band(n)
+        ppb = derived_planes_per_band(n, cap=min(30, DIM))
         bucketed = vecs.map_batches(
             cached_stage_fn(
                 BandedLshStage,
-                (DIM, 8, ppb),
-                {"dim": DIM, "bands": 8, "planes_per_band": ppb},
+                (DIM, 8, ppb, True),
+                {"dim": DIM, "bands": 8, "planes_per_band": ppb, "orthonormal": True},
             ),
             batch_format="pyarrow",
         )
