@@ -29,6 +29,7 @@ from collections.abc import Callable
 from typing import Any
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+IVF_QUERY_IDS = [5, 6, 7, 8, 9]
 KG_DOCS = 300  # synthetic interleaved docs for the kg_* queries
 ORACLE_DIR = "/tmp/graft_kg_oracle"
 
@@ -232,6 +233,24 @@ def _q_knn_lsh(sf_dir: str):
         KNN_QUERY_IDS,
         k=10,
         n_planes=8,
+    ).sort(["query_id", "rank"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    from relation_extraction_ray.functions.ann import knn_ivf
+
+    # n_probe = n_centroids degenerates IVF to EXACT top-k (every query
+    # probes every inverted list), so brute-force SQL is a true oracle for
+    # the full IVF machinery: the deterministic k-means quantizer, the one
+    # keyed list shuffle, the per-list scan and the final top-k reduce all
+    # participate in the checked result.  The approximate (n_probe <
+    # n_centroids) recall path is covered by tests/test_dedup_ann.py.
+    return knn_ivf(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        IVF_QUERY_IDS,
+        k=10,
+        n_centroids=8,
+        n_probe=8,
     ).sort(["query_id", "rank"])
 
 
@@ -535,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
@@ -762,6 +782,24 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS rank
               FROM q, e WHERE e.vec_id <> q.vec_id)
             WHERE rank <= 10
+        """,
+        "knn_ivf": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings WHERE vec_id IN (5, 6, 7, 8, 9)
+            ), e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id ASC
+                     ) AS BIGINT) AS rank
+              FROM q, e WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

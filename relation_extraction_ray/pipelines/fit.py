@@ -1029,12 +1029,19 @@ def fit_alternating(
     init_word_emb: np.ndarray | None = None,
     init_t_emb: np.ndarray | None = None,
     dims: dict | None = None,
+    unsup_examples: ray.data.Dataset | None = None,
 ) -> tuple[ScorerWeights, dict[str, list[float]]]:
     """Alternating unsup+sup training over ONE shared trunk: each cycle
     runs ``unsup_epochs`` of the NEG objective (updating embeddings + GRU +
     left/right target tables) then ``sup_epochs`` of the classifier
     (updating trunk + softmax head + t_emb).  One Adam moment store per
-    field across both phases.  Deterministic."""
+    field across both phases.  Deterministic.
+
+    ``unsup_examples`` (optional) is a separate — typically larger,
+    label-free — corpus for the NEG phase, the reference's wikipretrain
+    alternation (RelEmbed Supervised with wikipretrain.ipynb: unsup epochs
+    run on unlabeled wiki SDPs, supervised epochs on SemEval); the NEG
+    objective reads only path/entity ids, never labels."""
     from ..state.scorer import UNSUP_FIELDS, unsup_fixture, unsup_grad_batch
 
     vw, vd, vp = vocab_sizes
@@ -1043,7 +1050,9 @@ def fit_alternating(
     unsup = unsup_fixture(vw, seed=seed, d_hidden=wts.d_hidden)
     sup_fields = fields_of(wts)
     w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
-    uw, ud, up, ux, uy, ulab = unsup_pairs(examples, neg_per=neg_per, seed=seed)
+    uw, ud, up, ux, uy, ulab = unsup_pairs(
+        examples if unsup_examples is None else unsup_examples, neg_per=neg_per, seed=seed
+    )
     n_sup, n_unsup = len(labels), len(ulab)
     rng = np.random.default_rng(seed)
     m: dict[str, np.ndarray] = {}
@@ -1799,6 +1808,7 @@ def fit_bi_alternating(
     init_word_emb: np.ndarray | None = None,
     init_t_emb: np.ndarray | None = None,
     dims: dict | None = None,
+    unsup_examples: ray.data.Dataset | None = None,
 ) -> tuple[dict[str, np.ndarray], dict[str, list[float]]]:
     """Alternating NEG+supervised fit of the bi trunk (the flagship recipe
     with the bidirectional encoder): the NEG bilinear form contracts over
@@ -1824,7 +1834,9 @@ def fit_bi_alternating(
     sup_fields = bi_fields_of(params)
     trunk = EMB_FIELDS + [f"fw_{f}" for f in GATE_FIELDS] + [f"bw_{f}" for f in GATE_FIELDS]
     w_all, d_all, p_all, labels, targets_all = _examples_to_arrays(examples)
-    uw, ud, up, ux, uy, ulab = unsup_pairs(examples, neg_per=neg_per, seed=seed)
+    uw, ud, up, ux, uy, ulab = unsup_pairs(
+        examples if unsup_examples is None else unsup_examples, neg_per=neg_per, seed=seed
+    )
     n_sup, n_unsup = len(labels), len(ulab)
     rng = np.random.default_rng(seed)
     templates = {f: params[f] for f in sup_fields}

@@ -77,11 +77,42 @@ def main() -> None:
     ).materialize()
     print(f"train={train_parsed.count()} valid={valid_parsed.count()}", flush=True)
 
-    vocabs = build_record_vocabs(train_parsed, cfg)
-    (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
-    sizes = (len(wv), len(dv), len(pv))
-    examples = encode_examples(train_parsed, vocabs, cfg).materialize()
-    init_w = pretrain_word_vectors(train_parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
+    # Vocab/init scopes.  "train": 90%-split text only (round-3/4 baseline
+    # arms).  "full": vocab + skip-gram init built over ALL available text —
+    # train90 + valid10 + the unlabeled TEST sentences — which is the
+    # reference's own preprocessing (semeval2sdp.py:305-308 feeds
+    # train+valid+test sents to create_vocab_from_data; its GoogleNews init
+    # likewise covers test-split words).  Labels are never read from valid/
+    # test: only token text enters the vocab count and the SGNS pairs, and
+    # supervised examples stay train90-encoded.
+    test_parsed = parsed_records(
+        read_semeval_records(
+            f"{SEMEVAL}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT"
+        )
+    ).materialize()
+
+    scope_cache: dict[str, tuple] = {}
+
+    def get_scope(scope: str):
+        if scope not in scope_cache:
+            text_parsed = (
+                train_parsed
+                if scope == "train"
+                else train_parsed.union(valid_parsed, test_parsed).materialize()
+            )
+            vocabs = build_record_vocabs(text_parsed, cfg)
+            (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
+            sizes = (len(wv), len(dv), len(pv))
+            examples = encode_examples(train_parsed, vocabs, cfg).materialize()
+            init_w = pretrain_word_vectors(
+                text_parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05
+            )
+            print(f"scope={scope}: vocab {len(wv)} words", flush=True)
+            scope_cache[scope] = (vocabs, sizes, examples, init_w, text_parsed, w2i)
+        return scope_cache[scope]
+
+    vocabs, sizes, examples, init_w, _, w2i = get_scope("train")
+    (wv, _, _), (dv, _, _), (pv, _, _) = vocabs
 
     def valid_f1(classified) -> float:
         pairs: dict[tuple[str, str], int] = {}
@@ -138,19 +169,89 @@ def main() -> None:
         f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
         record("bi_alt_h48", f1, time.time() - t0, "d_hidden=48 per direction")
 
+    if "uni_alt_vfull" in want:  # round-3 recipe, vocab/init over ALL text
+        vocabs_f, sizes_f, examples_f, init_f, _, _ = get_scope("full")
+        (wvf, _, _), (dvf, _, _), (pvf, _, _) = vocabs_f
+        t0 = time.time()
+        wts, _ = fit_alternating(
+            examples_f, sizes_f, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_f,
+        )
+        f1 = valid_f1(model_classify(valid_parsed, wts, (wvf, dvf, pvf), cfg))
+        record(
+            "uni_alt_vfull", f1, time.time() - t0,
+            "vocab+SGNS init over train+valid+test text (ref semeval2sdp.py:305-308)",
+        )
+
+    unsup_cache: dict[str, object] = {}
+
+    def get_unsup_examples(scope: str):
+        # Label-free NEG corpus over ALL text (train90+valid10+test SDPs) —
+        # the reference's wikipretrain alternation runs its unsup epochs on
+        # unlabeled wiki SDPs (RelEmbed Supervised with wikipretrain.ipynb);
+        # here the extra unlabeled SDPs are the valid/test sentences.
+        if scope not in unsup_cache:
+            s_vocabs, _, _, _, s_text, _ = get_scope(scope)
+            unsup_cache[scope] = encode_examples(s_text, s_vocabs, cfg).materialize()
+        return unsup_cache[scope]
+
+    if "uni_alt_vfull_utest" in want:
+        vocabs_f, sizes_f, examples_f, init_f, _, _ = get_scope("full")
+        (wvf, _, _), (dvf, _, _), (pvf, _, _) = vocabs_f
+        t0 = time.time()
+        wts, _ = fit_alternating(
+            examples_f, sizes_f, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_f,
+            unsup_examples=get_unsup_examples("full"),
+        )
+        f1 = valid_f1(model_classify(valid_parsed, wts, (wvf, dvf, pvf), cfg))
+        record(
+            "uni_alt_vfull_utest", f1, time.time() - t0,
+            "full-text vocab/init + NEG phase over all unlabeled SDPs",
+        )
+
+    if "bi_alt_h48_vfull_utest" in want:
+        vocabs_f, sizes_f, examples_f, init_f, _, _ = get_scope("full")
+        (wvf, _, _), (dvf, _, _), (pvf, _, _) = vocabs_f
+        t0 = time.time()
+        params, _ = fit_bi_alternating(
+            examples_f, sizes_f, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_f,
+            dims={"d_hidden": 48}, unsup_examples=get_unsup_examples("full"),
+        )
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wvf, dvf, pvf), cfg))
+        record(
+            "bi_alt_h48_vfull_utest", f1, time.time() - t0,
+            "full-text vocab/init + NEG over all unlabeled SDPs, h48",
+        )
+
+    if "bi_alt_h48_vfull" in want:
+        vocabs_f, sizes_f, examples_f, init_f, _, _ = get_scope("full")
+        (wvf, _, _), (dvf, _, _), (pvf, _, _) = vocabs_f
+        t0 = time.time()
+        params, _ = fit_bi_alternating(
+            examples_f, sizes_f, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_f,
+            dims={"d_hidden": 48},
+        )
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wvf, dvf, pvf), cfg))
+        record("bi_alt_h48_vfull", f1, time.time() - t0, "full-text vocab/init, h48")
+
     # generic dims/schedule probes around the best arm: name pattern
-    # biX[_h<H>][_w<DW>][_c<CY>u<UE>s<SE>][_s<SEED>][_pw<WIN>][_pe<EP>]
+    # biX[_h<H>][_w<DW>][_c<CY>u<UE>s<SE>][_s<SEED>][_pw<WIN>][_pe<EP>][_vf]
     # (pw/pe vary the skip-gram INIT window/epochs; w<DW> re-pretrains the
-    # init at the matching word dim)
-    init_cache: dict[tuple, object] = {(D_WORD, 4, 10): init_w}
+    # init at the matching word dim; vf = full-text vocab/init scope)
+    init_cache: dict[tuple, object] = {("train", D_WORD, 4, 10): init_w}
     for name in sorted(want):
         if not name.startswith("biX"):
             continue
         t0 = time.time()
         dims: dict = {}
-        cy, ue, se, seed, pw, pe = 3, 1, 10, 7, 4, 10
+        cy, ue, se, seed, pw, pe, scope = 3, 1, 10, 7, 4, 10, "train"
         for tokn in name.split("_")[1:]:
-            if tokn.startswith("pw"):
+            if tokn == "vf":
+                scope = "full"
+            elif tokn.startswith("pw"):
                 pw = int(tokn[2:])
             elif tokn.startswith("pe"):
                 pe = int(tokn[2:])
@@ -165,21 +266,23 @@ def main() -> None:
                 cy, ue, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
             elif tokn.startswith("s") and tokn[1:].isdigit():
                 seed = int(tokn[1:])
+        s_vocabs, s_sizes, s_examples, _, s_text, s_w2i = get_scope(scope)
+        (swv, _, _), (sdv, _, _), (spv, _, _) = s_vocabs
         dw = dims.get("d_word", D_WORD)
-        ikey = (dw, pw, pe)
+        ikey = (scope, dw, pw, pe)
         if ikey not in init_cache:
             init_cache[ikey] = pretrain_word_vectors(
-                train_parsed, w2i, dim=dw, window=pw, epochs=pe, lr=0.05
+                s_text, s_w2i, dim=dw, window=pw, epochs=pe, lr=0.05
             )
         params, _ = fit_bi_alternating(
-            examples, sizes, cycles=cy, unsup_epochs=ue, sup_epochs=se,
+            s_examples, s_sizes, cycles=cy, unsup_epochs=ue, sup_epochs=se,
             batch_size=256, lr=args.lr, seed=seed, init_word_emb=init_cache[ikey],
             dims=dims,
         )
-        f1 = valid_f1(bi_model_classify(valid_parsed, params, (wv, dv, pv), cfg))
+        f1 = valid_f1(bi_model_classify(valid_parsed, params, (swv, sdv, spv), cfg))
         record(
             name, f1, time.time() - t0,
-            f"dims={dims} cy={cy} ue={ue} se={se} seed={seed} pw={pw} pe={pe}",
+            f"dims={dims} cy={cy} ue={ue} se={se} seed={seed} pw={pw} pe={pe} scope={scope}",
         )
 
     print(json.dumps(results, indent=1))

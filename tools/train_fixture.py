@@ -60,6 +60,18 @@ def main() -> None:
         "--pretrain-epochs", type=int, default=10,
         help="skip-gram init epochs (round-3 measured best = 10)",
     )
+    ap.add_argument(
+        "--vocab-scope", default="train", choices=["train", "full"],
+        help="full = build the real fixture's vocab + skip-gram init over "
+        "TRAIN+TEST text (the reference's own preprocessing: "
+        "semeval2sdp.py:305-308 feeds train+valid+test sentences to "
+        "create_vocab_from_data; labels are never read)",
+    )
+    ap.add_argument(
+        "--unsup-scope", default="train", choices=["train", "full"],
+        help="full = run the NEG alternation phase over ALL unlabeled SDPs "
+        "(train+test), the reference's wikipretrain alternation shape",
+    )
     args = ap.parse_args()
 
     import ray
@@ -89,10 +101,15 @@ def main() -> None:
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
 
-    def train_one(parsed, cfg, name, epochs, batch_size=128, alternating=False, pretrain_init=False):
+    def train_one(parsed, cfg, name, epochs, batch_size=128, alternating=False,
+                  pretrain_init=False, vocab_parsed=None, unsup_parsed=None):
         t0 = time.time()
         parsed = parsed.materialize()
-        vocabs = build_record_vocabs(parsed, cfg)
+        # vocab_parsed: optional larger unlabeled-text corpus for the vocab
+        # count + skip-gram init (reference parity: semeval2sdp.py:305-308
+        # builds the vocab over train+valid+test sentences).
+        text_parsed = vocab_parsed.materialize() if vocab_parsed is not None else parsed
+        vocabs = build_record_vocabs(text_parsed, cfg)
         (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
         examples = encode_examples(parsed, vocabs, cfg).materialize()
         n = examples.count()
@@ -106,17 +123,24 @@ def main() -> None:
             from relation_extraction_ray.functions.training import pretrain_word_vectors
             from relation_extraction_ray.state.scorer import D_WORD
 
-            init_w = pretrain_word_vectors(parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05)
+            init_w = pretrain_word_vectors(
+                text_parsed, w2i, dim=D_WORD, window=4, epochs=10, lr=0.05
+            )
         if alternating:
             # NEG-pretrain interleaved with supervised epochs (reference's
             # wikipretrain alternation): measured +1.6 official macro-F1 on
             # the real test split over supervised-only at equal sup epochs.
             from relation_extraction_ray.pipelines.fit import fit_alternating
 
+            unsup_ex = (
+                encode_examples(unsup_parsed, vocabs, cfg).materialize()
+                if unsup_parsed is not None
+                else None
+            )
             wts, alt_losses = fit_alternating(
                 examples, (len(wv), len(dv), len(pv)), cycles=3, unsup_epochs=1,
                 sup_epochs=max(1, epochs // 3), batch_size=batch_size, lr=args.lr,
-                init_word_emb=init_w,
+                init_word_emb=init_w, unsup_examples=unsup_ex,
             )
             losses = alt_losses["sup"]
             extra = f", unsup {alt_losses['unsup'][0]:.3f} -> {alt_losses['unsup'][-1]:.3f}"
@@ -187,6 +211,14 @@ def main() -> None:
         s["n_test"] = len(preds)
         return s
 
+    # full scope = TRAIN+TEST text for vocab/init (and optionally the NEG
+    # phase); the deployment analog of the sweep's train90+valid10+test.
+    full_parsed = None
+    if "full" in (args.vocab_scope, args.unsup_scope):
+        full_parsed = train_parsed.union(test_parsed).materialize()
+    vocab_parsed = full_parsed if args.vocab_scope == "full" else None
+    unsup_parsed = full_parsed if args.unsup_scope == "full" else None
+
     if args.only in ("all", "real"):
         if args.real_arch == "bi":
             # Round-4 sweep winner (tools/sweep_bi.py, 90/10 validation on
@@ -203,18 +235,24 @@ def main() -> None:
             t0 = time.time()
             dims = _json.loads(args.bi_dims)
             train_parsed = train_parsed.materialize()
-            vocabs = build_record_vocabs(train_parsed, cfg_real)
+            text_parsed = vocab_parsed if vocab_parsed is not None else train_parsed
+            vocabs = build_record_vocabs(text_parsed, cfg_real)
             (wv, w2i, _), (dv, _, _), (pv, _, _) = vocabs
             examples = encode_examples(train_parsed, vocabs, cfg_real).materialize()
             init_w = pretrain_word_vectors(
-                train_parsed, w2i, dim=dims.get("d_word", D_WORD),
+                text_parsed, w2i, dim=dims.get("d_word", D_WORD),
                 window=args.pretrain_window, epochs=args.pretrain_epochs, lr=0.05,
+            )
+            unsup_ex = (
+                encode_examples(unsup_parsed, vocabs, cfg_real).materialize()
+                if unsup_parsed is not None
+                else None
             )
             params, alt_losses = fit_bi_alternating(
                 examples, (len(wv), len(dv), len(pv)),
                 cycles=3, unsup_epochs=1, sup_epochs=max(1, args.epochs // 3),
                 batch_size=256, lr=args.lr, init_word_emb=init_w,
-                dims=dims,
+                dims=dims, unsup_examples=unsup_ex,
             )
             path = os.path.join(FIXTURE_DIR, f"{args.real_out}.npz")
             save_bi(params, path, (wv, dv, pv))
@@ -229,6 +267,7 @@ def main() -> None:
             wts, vocab_lists, _ = train_one(
                 train_parsed, cfg_real, args.real_out, args.epochs, batch_size=256,
                 alternating=True, pretrain_init=True,
+                vocab_parsed=vocab_parsed, unsup_parsed=unsup_parsed,
             )
             scores = official_on_test(model_classify(test_parsed, wts, vocab_lists, cfg_real))
 
