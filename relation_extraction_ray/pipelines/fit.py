@@ -188,7 +188,11 @@ class EncodeExamplesStage:
             out["pos_ids"].append([vocab2idx(t[2], self.pos_v) for t in path])
             out["x_id"].append(vocab2idx(x_tok, self.word_v))
             out["y_id"].append(vocab2idx(y_tok, self.word_v))
-            out["label_id"].append(LABEL2INT[label])
+            # Label-less records (the test reader's S3 sentinel rows carry
+            # "") encode as Other: only the NEG/unsup path consumes them
+            # and it never reads label_id (reference data_handler.py reads
+            # unlabeled wiki SDPs through the same record shape).
+            out["label_id"].append(LABEL2INT.get(label, LABEL2INT[OTHER]))
             out["label"].append(label)
         return pa.Table.from_pydict(out, schema=EXAMPLE_SCHEMA)
 
