@@ -222,6 +222,23 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"])).sort("doc_id")
 
 
+def _q_legacy_tokens(sf_dir: str):
+    from relation_extraction_ray.functions.text import legacy_tokens
+
+    return legacy_tokens(_read(sf_dir, "documents", columns=["doc_id", "text"])).sort(
+        "doc_id"
+    )
+
+
+def _q_oov_filter(sf_dir: str):
+    from relation_extraction_ray.functions.text import oov_filter
+
+    kept = oov_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), min_count=50
+    )
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def _q_knn_lsh(sf_dir: str):
     from relation_extraction_ray.functions.ann import knn_lsh
 
@@ -553,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
+        "legacy_tokens": _q_legacy_tokens,
+        "oov_filter": _q_oov_filter,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -868,6 +887,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_es >= n_fr THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM n ORDER BY doc_id
+        """,
+        # M19: delimiter runs collapsed to one space == split-on-class,
+        # drop empties, join with ' ' (space is itself a delimiter, so
+        # tokens never contain it)
+        "legacy_tokens": """
+            WITH s AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '[ .;:%"$^,]+', ' ', 'g'), ' ') AS j
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN j = '' THEN 0
+                        ELSE length(j) - length(replace(j, ' ', '')) + 1 END AS BIGINT)
+                     AS n_tokens,
+                   j AS tokens_joined
+            FROM s ORDER BY doc_id
+        """,
+        # M20: vocab = legacy tokens with corpus frequency >= 50; drop any
+        # doc containing a token outside it
+        "oov_filter": """
+            WITH nz AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '[ .;:%"$^,]')) AS token
+              FROM documents
+            ), nz2 AS (
+              SELECT doc_id, token FROM nz WHERE token <> ''
+            ), vocab AS (
+              SELECT token FROM nz2 GROUP BY token HAVING count(*) >= 50
+            ), bad AS (
+              SELECT DISTINCT doc_id FROM nz2
+              WHERE token NOT IN (SELECT token FROM vocab)
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY d.doc_id
         """,
         "simhash": f"""
             WITH {_SIMHASH_CTE}

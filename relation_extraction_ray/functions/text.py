@@ -280,3 +280,105 @@ def rolling_fingerprints(docs: ray.data.Dataset, text_col: str = "text") -> ray.
         )
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+# --- legacy multi-delimiter tokenizer + OOV sentence filter (M19/M20) -------
+
+#: The reference's legacy delimiter set (``data_helper.py:11``): its
+#: ``split()`` (``data_helper.py:22-24``) regex-splits on any one of these
+#: single characters and callers drop the empty strings that consecutive
+#: delimiters produce (``data_helper.py:37`` — ``w for w in split(s) if w
+#: is not ''``).
+LEGACY_DELIMS = " .;:%\"$^,"
+_LEGACY_CLASS = '[ .;:%"$^,]'
+
+
+def legacy_tokens(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """M19 — the reference's legacy multi-delimiter tokenizer
+    (``data_helper.py:22-24``), fully vectorized.
+
+    Because ``' '`` is itself one of the delimiters, "split on the class,
+    drop empties, re-join with a single space" is EXACTLY "collapse every
+    delimiter run to one space, then trim" — one Arrow regex-replace per
+    batch, no per-row Python.  Emits the space-joined token stream plus the
+    non-empty token count; one scan, no shuffle."""
+
+    def tok(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        joined = pc.utf8_trim(
+            pc.replace_substring_regex(col, _LEGACY_CLASS + "+", " "), " "
+        )
+        n = pc.if_else(
+            pc.equal(joined, ""),
+            pa.scalar(0, pa.int64()),
+            pc.add(pc.count_substring(joined, " "), 1).cast(pa.int64()),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n,
+                "tokens_joined": joined,
+            }
+        )
+
+    return docs.map_batches(tok, batch_format="pyarrow")
+
+
+def oov_filter(
+    docs: ray.data.Dataset, min_count: int = 10, text_col: str = "text"
+) -> ray.data.Dataset:
+    """M20 — the reference's ``is_oov`` sentence filter
+    (``data_helper.py:16-20``): drop any document containing a token
+    outside the vocabulary.
+
+    The reference takes an in-memory ``vocab_set``; here the vocabulary is
+    built FROM the corpus (legacy tokens with corpus frequency
+    ``>= min_count`` — the wiki2sdp-style truncation) in a first streaming
+    pass (per-batch ``value_counts`` partials → one small groupby over
+    distinct tokens), shipped once via ``ray.put``, and the filter pass is
+    vectorized: flatten the per-doc token lists, ONE ``is_in`` against the
+    vocab array, and per-row OOV counts by cumulative-sum differencing on
+    the list offsets.  Shuffled volume is bounded by distinct tokens per
+    batch; the broadcast is O(vocab) — the same bound the reference's
+    in-memory ``vocab_set`` already imposes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(batch.column(text_col), _LEGACY_CLASS)
+        vc = pc.list_flatten(lists).value_counts()
+        tokens = vc.field("values")
+        counts = vc.field("counts")
+        mask = pc.not_equal(tokens, "")
+        return pa.Table.from_pydict(
+            {"token": tokens.filter(mask), "cnt": counts.filter(mask).cast(pa.int64())}
+        )
+
+    def above_min(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("sum(cnt)"), min_count)).select(
+            ["token"]
+        )
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .map_batches(above_min, batch_format="pyarrow")
+    )
+    vocab_tbl = pa.concat_tables(list(counted.iter_batches(batch_format="pyarrow")))
+    vocab_ref = ray.put(vocab_tbl.column("token").combine_chunks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        lists = pc.split_pattern_regex(batch.column(text_col), _LEGACY_CLASS)
+        la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        values = la.values
+        offsets = np.asarray(la.offsets)
+        bad = pc.and_(
+            pc.not_equal(values, ""),
+            pc.invert(pc.is_in(values, value_set=vocab)),
+        )
+        badnp = bad.to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(badnp)])
+        ok = (cum[offsets[1:]] - cum[offsets[:-1]]) == 0
+        return batch.filter(pa.array(ok))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

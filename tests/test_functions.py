@@ -500,3 +500,60 @@ def test_embed_neardup_broadcast_handles_unordered_blocks(ray_session):
     assert len(pairs & tight) >= 40, f"only {len(pairs & tight)} tight pairs found"
     for a, b in pairs:
         assert a < b
+
+
+def test_legacy_tokens_matches_python_reference(ray_session):
+    """M19: the vectorized collapse-and-trim equals the reference's
+    split-on-delims + drop-empties (data_helper.py:22-24,37) row by row."""
+    import re
+
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.text import LEGACY_DELIMS, legacy_tokens
+
+    texts = [
+        'The <e1>child</e1> was carefully, wrapped.',
+        'costs 100% of $5.00; really: "yes"^2,,,',
+        "",
+        " .;:%\"$^,",          # delimiters only -> zero tokens
+        "no-delims-here",
+        "a  b..c,,d",
+    ]
+    docs = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = {r["doc_id"]: r for r in legacy_tokens(docs).take_all()}
+    pattern = "|".join(map(re.escape, LEGACY_DELIMS))
+    for i, t in enumerate(texts):
+        ref = [w for w in re.split(pattern, t) if w != ""]
+        assert got[i]["n_tokens"] == len(ref)
+        assert got[i]["tokens_joined"] == " ".join(ref)
+
+
+def test_oov_filter_matches_python_reference(ray_session):
+    """M20: docs kept == docs whose every legacy token is in the
+    min_count vocab (data_helper.py:16-20 is_oov, inverted to keep)."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.text import LEGACY_DELIMS, oov_filter
+
+    texts = (
+        ["the cat sat on the mat"] * 5
+        + ["the dog sat on the mat"] * 5
+        + ["the cat saw a zyzzyva on the mat"]     # rare token -> dropped
+        + ["", " , . "]                            # token-free -> kept
+    )
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    docs = rd.from_items(rows)
+    kept = sorted(r["doc_id"] for r in oov_filter(docs, min_count=3).take_all())
+
+    pattern = "|".join(map(re.escape, LEGACY_DELIMS))
+    tok = lambda t: [w for w in re.split(pattern, t) if w != ""]
+    counts = Counter(w for r in rows for w in tok(r["text"]))
+    vocab = {w for w, c in counts.items() if c >= 3}
+    want = sorted(
+        r["doc_id"] for r in rows if all(w in vocab for w in tok(r["text"]))
+    )
+    assert kept == want
+    assert len(kept) < len(rows)  # the filter actually dropped something
