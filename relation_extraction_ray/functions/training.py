@@ -429,23 +429,51 @@ def train_skipgram(
     lr: float = 0.05,
     seed: int = 7,
     batch_size: int = 1024,
-) -> np.ndarray:
+    return_context: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Skip-gram with negative sampling (word2vec SGNS, Mikolov et al.
     2013) — vectorized numpy minibatch SGD, deterministic (seeded RNG,
     fixed pair order).  Driver-side by design: the PAIR GENERATION is
     distributed (:func:`skipgram_pairs`); at wiki scale embedding
     pretraining goes through ``fit_alternating_distributed``'s NEG
-    objective instead.  Returns the input-side vectors [V, dim]."""
+    objective instead.  Returns the input-side vectors [V, dim], or
+    ``(w_in, w_out)`` with ``return_context=True`` (the ``w_in·w_out``
+    score is the model's actual pair objective — input·input cosine of
+    co-occurring words is syntagmatic and can be legitimately negative,
+    so intrinsic-quality probes need both matrices)."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, vocab_size, dim, 15485863]))
     w_in = ((rng.random((vocab_size, dim)) - 0.5) / dim).astype(np.float64)
     w_out = np.zeros((vocab_size, dim), dtype=np.float64)
     counts = np.bincount(contexts, minlength=vocab_size).astype(np.float64)
     noise = distribution_to_power(np.maximum(counts, 1e-9) / max(1.0, counts.sum()), 0.75)
     noise_cdf = np.cumsum(noise)
+    bs = _stable_batch_size(batch_size, vocab_size)
     for epoch in range(epochs):
         alpha = lr * (1.0 - epoch / max(1, epochs))  # linear decay per epoch
-        _sgns_epoch(w_in, w_out, centers, contexts, noise_cdf, alpha, rng, neg, batch_size)
+        _sgns_epoch(w_in, w_out, centers, contexts, noise_cdf, alpha, rng, neg, bs)
+    if return_context:
+        return w_in.astype(np.float32), w_out.astype(np.float32)
     return w_in.astype(np.float32)
+
+
+def _stable_batch_size(batch_size: int, vocab_size: int) -> int:
+    """Cap the SGNS minibatch so hot-row gradient collisions stay O(1).
+
+    The batched kernel applies every same-row gradient in a minibatch at
+    the SAME stale weights (``np.add.at`` sum); with a small vocabulary the
+    hottest rows collect ``batch×(neg+1)×p_hot`` collisions per batch and
+    the summed update overshoots the logistic optimum — oscillation
+    divergence.  Measured on a 461-word / 2.25M-pair synthetic corpus:
+    batch 1024 and 256 overflow to NaN within one epoch, batch 64 is
+    stable.  ``vocab // 8`` keeps the measured-stable ratio with margin; a
+    no-op for ``vocab ≥ 8×batch`` — the SemEval fixture path (vocab 9192,
+    default batch 1024) keeps its exact historical outputs.
+
+    Note the cap changes only where minibatch BOUNDARIES fall: the rng
+    stream (one ``permutation`` + sequential ``random((b, neg))`` draws)
+    consumes identical values in identical order, so results stay
+    deterministic under any cap."""
+    return min(batch_size, max(16, vocab_size // 8))
 
 
 def _sgns_epoch(
@@ -478,10 +506,23 @@ def _sgns_epoch(
         lab = np.zeros_like(p)
         lab[:, 0] = 1.0
         dlogit = (p - lab) * alpha                # [b, 1+neg]
-        grad_c = np.einsum("bk,bkd->bd", dlogit, vt)
-        grad_t = dlogit[:, :, None] * vc[:, None, :]
+        grad_c = _clip_rows(np.einsum("bk,bkd->bd", dlogit, vt))
+        grad_t = _clip_rows(dlogit[:, :, None] * vc[:, None, :])
         np.add.at(w_in, c, -grad_c)
         np.add.at(w_out, targets.ravel(), -grad_t.reshape(-1, dim))
+
+
+def _clip_rows(g: np.ndarray, cap: float = 25.0) -> np.ndarray:
+    """Runaway-update backstop: rescale any gradient row whose norm exceeds
+    ``cap`` (healthy SGNS steps are ~1e-2; 25.0 is only reachable mid
+    blow-up).  Returns ``g`` UNTOUCHED when no row exceeds — the stable
+    path stays bit-identical to the historical kernel."""
+    n2 = (g * g).sum(axis=-1, keepdims=True)
+    over = n2 > cap * cap
+    if not over.any():
+        return g
+    f = np.where(over, cap / np.sqrt(np.maximum(n2, 1e-300)), 1.0)
+    return g * f
 
 
 def _extract_sgns_shard(shard: int, n_shards: int, *blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -526,7 +567,8 @@ def train_skipgram_sharded(
     seed: int = 7,
     n_shards: int = 8,
     batch_size: int = 1024,
-) -> np.ndarray:
+    return_context: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Distributed SGNS by per-epoch parameter averaging (the classic
     data-parallel word2vec recipe: each worker runs one local epoch from
     the broadcast weights over its fixed pair shard, the driver averages
@@ -569,6 +611,7 @@ def train_skipgram_sharded(
     w_out = np.zeros((vocab_size, dim), dtype=np.float64)
     step = ray.remote(_sgns_shard_epoch)
     cdf_ref = ray.put(noise_cdf)
+    bs = _stable_batch_size(batch_size, vocab_size)
     for epoch in range(epochs):
         alpha = lr * (1.0 - epoch / max(1, epochs))
         in_ref, out_ref = ray.put(w_in), ray.put(w_out)
@@ -576,7 +619,7 @@ def train_skipgram_sharded(
             [
                 step.remote(
                     shard_refs[s], in_ref, out_ref, cdf_ref, alpha,
-                    [seed, vocab_size, dim, 15485863, s, epoch], neg, batch_size,
+                    [seed, vocab_size, dim, 15485863, s, epoch], neg, bs,
                 )
                 for s in range(n_shards)
             ]
@@ -584,6 +627,8 @@ def train_skipgram_sharded(
         weights = sizes / max(1.0, sizes.sum())
         w_in = sum(w * r[0] for w, r in zip(weights, results))
         w_out = sum(w * r[1] for w, r in zip(weights, results))
+    if return_context:
+        return w_in.astype(np.float32), w_out.astype(np.float32)
     return w_in.astype(np.float32)
 
 

@@ -277,3 +277,50 @@ def test_train_skipgram_sharded_deterministic_and_single_shard_quality(ray_sessi
 
     one = train_skipgram_sharded(pairs, len(w2i), dim=16, epochs=2, n_shards=1)
     assert float(np.abs(one).max()) > (0.5 / 16) + 1e-6
+
+
+def test_sgns_stability_cap_and_clip():
+    """Round-4 divergence fix: on a small-vocab/many-pairs corpus the
+    batched SGNS kernel used to overflow to NaN within one epoch (hot-row
+    gradient collisions applied at stale weights — measured at vocab 461 /
+    2.25M pairs, batch 1024 and 256 both NaN).  The vocab-derived batch cap
+    keeps it finite with a positive pair-score contrast, while the fixture
+    path (vocab >= 8*batch) is untouched and the clip backstop returns the
+    SAME object when no row exceeds the cap (bit-identity of the stable
+    path)."""
+    import numpy as np
+
+    from relation_extraction_ray.functions.training import (
+        _clip_rows,
+        _stable_batch_size,
+        train_skipgram,
+    )
+
+    # cap rule: engages only below 8x batch
+    assert _stable_batch_size(1024, 9192) == 1024   # SemEval fixture vocab
+    assert _stable_batch_size(1024, 461) == 57
+    assert _stable_batch_size(1024, 10) == 16
+
+    # clip backstop: no-op (same object) below cap, rescales above
+    g = np.full((4, 8), 0.1)
+    assert _clip_rows(g) is g
+    big = np.full((2, 8), 100.0)
+    clipped = _clip_rows(big)
+    assert np.allclose(np.linalg.norm(clipped, axis=1), 25.0)
+
+    # Zipf-ish tiny vocab, many pairs: finite weights, positive contrast
+    rng = np.random.default_rng(3)
+    V, n = 50, 300_000
+    probs = 1.0 / np.arange(1, V + 1) ** 0.9
+    probs /= probs.sum()
+    centers = rng.choice(V, size=n, p=probs).astype(np.int64)
+    # contexts co-occur deterministically with their center (+1 ring)
+    contexts = ((centers + 1) % V).astype(np.int64)
+    w_in, w_out = train_skipgram(centers, contexts, V, dim=8, epochs=1, return_context=True)
+    assert np.isfinite(w_in).all() and np.isfinite(w_out).all()
+    s = slice(0, 50_000)
+    obs = float((w_in[centers[s]] * w_out[contexts[s]]).sum(axis=1).mean())
+    rnd = float(
+        (w_in[centers[s]] * w_out[rng.permutation(contexts[s])]).sum(axis=1).mean()
+    )
+    assert obs - rnd > 0.1

@@ -6,10 +6,12 @@ vocab, measure DISTRIBUTED pair-generation throughput, then train
 parameter-averaged SGNS (``train_skipgram_sharded`` — pair shards live in
 the object store, epochs ship O(V×dim) weights) over a window × dim grid.
 
-Quality signal per arm: the intrinsic CONTRAST score — mean cosine of
-observed (center, context) pairs minus mean cosine of randomly re-paired
-ids over the same sample (positive and growing ⇒ the vectors encode the
-corpus co-occurrence structure; 0 ⇒ untrained noise).
+Quality signal per arm: the intrinsic CONTRAST score — mean SGNS score
+``w_in[center]·w_out[context]`` of observed pairs minus the same over
+randomly re-paired ids on one 50k sample (positive and growing ⇒ the
+vectors encode the corpus co-occurrence structure; 0 ⇒ untrained noise).
+Input·input cosine is NOT used: co-occurrence similarity is syntagmatic
+and measured negative (-0.09) on a corpus where training succeeds.
 
 The reference pretrains on 31.6M wiki sentences (wiki2sdp.py:285) and
 initializes RelEmbed from 3M×300 GoogleNews vectors
@@ -91,13 +93,16 @@ def main() -> None:
     results["vocab_sec"] = round(time.time() - t0, 1)
     print(f"corpus {n} sentences, vocab {len(wv)}", flush=True)
 
-    def contrast(emb: np.ndarray, sample: pa.Table) -> float:
+    def contrast(w_in: np.ndarray, w_out: np.ndarray, sample: pa.Table) -> float:
+        """Mean w_in[center]·w_out[context] of observed pairs minus the
+        same over randomly re-paired ids — the model's actual SGNS score
+        (input·input cosine of co-occurring words is syntagmatic and can
+        be legitimately negative even when training succeeds)."""
         c = sample.column("center").to_numpy()
         x = sample.column("context").to_numpy()
-        e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
-        obs = float((e[c] * e[x]).sum(axis=1).mean())
+        obs = float((w_in[c] * w_out[x]).sum(axis=1).mean())
         rng = np.random.default_rng(13)
-        rnd = float((e[c] * e[rng.permutation(x)]).sum(axis=1).mean())
+        rnd = float((w_in[c] * w_out[rng.permutation(x)]).sum(axis=1).mean())
         return round(obs - rnd, 4)
 
     pair_cache: dict[int, tuple] = {}
@@ -112,8 +117,9 @@ def main() -> None:
             pair_cache[w] = (pairs, n_pairs, gen_sec, sample)
         pairs, n_pairs, gen_sec, sample = pair_cache[w]
         t0 = time.time()
-        emb = train_skipgram_sharded(
-            pairs, len(wv), dim=dim, epochs=args.epochs, n_shards=args.n_shards
+        w_in, w_out = train_skipgram_sharded(
+            pairs, len(wv), dim=dim, epochs=args.epochs, n_shards=args.n_shards,
+            return_context=True,
         )
         train_sec = round(time.time() - t0, 1)
         rec = {
@@ -124,7 +130,8 @@ def main() -> None:
             "pairs_per_sec": int(n_pairs / max(gen_sec, 0.001)),
             "train_sec": train_sec,
             "pairs_per_sec_train": int(n_pairs * args.epochs / max(train_sec, 0.001)),
-            "contrast": contrast(emb, sample),
+            "contrast": contrast(w_in, w_out, sample),
+            "max_abs_w": round(float(np.abs(w_in).max()), 4),
         }
         results["arms"][f"w{w}_d{dim}"] = rec
         print(f"[w{w}_d{dim}] {json.dumps(rec)}", flush=True)
