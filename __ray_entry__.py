@@ -165,6 +165,22 @@ def _q_events(sf_dir: str):
     return events_by_day(_read(sf_dir, "events", columns=["event_id", "ts", "event_type"]))
 
 
+def _q_redact_props(sf_dir: str):
+    from relation_extraction_ray.functions.text import redact
+
+    return redact(
+        _read(sf_dir, "events", columns=["event_id", "props"]), column="props"
+    ).sort("event_id")
+
+
+def _q_props_stats(sf_dir: str):
+    from relation_extraction_ray.functions.semistructured import json_field_stats
+
+    return json_field_stats(
+        _read(sf_dir, "events", columns=["event_type", "props"])
+    ).sort("event_type")
+
+
 def _q_running_totals(sf_dir: str):
     from relation_extraction_ray.functions.relational import user_running_totals
 
@@ -561,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
+        "redact_props": _q_redact_props,
+        "props_stats": _q_props_stats,
         "asof_join": _q_asof_join,
         "sample_docs": _q_sample,
         "distinct_texts": _q_distinct_texts,
@@ -699,6 +717,27 @@ _SIMHASH_CTE = f"""
 """
 
 
+
+
+def _redact_sql() -> str:
+    """SQL replay of ``functions.text.redact`` over events.props, composed
+    FROM the library's REDACT_RULES so the two engines can never drift:
+    each rule counts matches in the current text, then masks them."""
+    from relation_extraction_ray.functions.text import REDACT_RULES
+
+    sql = "WITH s0 AS (SELECT event_id, props AS t FROM events)"
+    cols: list[str] = []
+    for i, (name, pat, tok) in enumerate(REDACT_RULES):
+        pat_sql = pat.replace("'", "''")
+        keep = ", ".join(["event_id"] + cols)
+        sql += (
+            f", s{i + 1} AS (SELECT {keep},"
+            f" CAST(length(regexp_extract_all(t, '{pat_sql}')) AS BIGINT) AS n_{name},"
+            f" regexp_replace(t, '{pat_sql}', '{tok}', 'g') AS t FROM s{i})"
+        )
+        cols.append(f"n_{name}")
+    keep = ", ".join(["event_id"] + cols)
+    return f"{sql} SELECT {keep}, t AS props FROM s{len(REDACT_RULES)} ORDER BY event_id"
 
 
 def _rolling_fps_sql() -> str:
@@ -855,6 +894,21 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                    ) AS BIGINT) AS cum_value_cents
             FROM events
+        """,
+        "redact_props": _redact_sql(),
+        "props_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1), '')
+                              AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(v) AS BIGINT) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS sum_k,
+                   CAST(min(v) AS BIGINT) AS min_k,
+                   CAST(max(v) AS BIGINT) AS max_k
+            FROM x GROUP BY event_type ORDER BY event_type
         """,
         "asof_join": """
             WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

@@ -382,3 +382,46 @@ def oov_filter(
         return batch.filter(pa.array(ok))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# --- regex redaction / masking (PII-style scrubbing) ------------------------
+
+#: Default masking rules, applied IN ORDER (earlier rules consume their
+#: matches before later ones run — emails before numbers, so the digits
+#: inside an address are never double-masked).  Patterns are RE2-safe
+#: (no backreferences/lookarounds, non-capturing groups only) so DuckDB
+#: `regexp_replace/extract_all` replays them byte-identically.
+REDACT_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("number", r"[0-9]+(?:\.[0-9]+)?", "<NUM>"),
+]
+
+
+def redact(
+    docs: ray.data.Dataset,
+    column: str = "text",
+    rules: list[tuple[str, str, str]] | None = None,
+) -> ray.data.Dataset:
+    """Sequential regex masking of a string column — the scrubbing pass a
+    training-data pipeline runs before publishing a corpus (PII, secrets,
+    numeric noise).  For each ``(name, pattern, token)`` rule in order:
+    count the matches remaining in the CURRENT text (so overlapping rules
+    never double-count), then replace them with ``token``.  Fully
+    vectorized (`count_substring_regex` + `replace_substring_regex` per
+    batch, both RE2); one scan, no shuffle; output adds one ``n_<name>``
+    count column per rule plus the redacted column."""
+    rules = REDACT_RULES if rules is None else rules
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        out: dict = {
+            name: batch.column(name) for name in batch.column_names if name != column
+        }
+        for name, pattern, token in rules:
+            out[f"n_{name}"] = pc.count_substring_regex(col, pattern).cast(pa.int64())
+            col = pc.replace_substring_regex(col, pattern, token)
+        out[column] = col
+        return pa.Table.from_pydict(out)
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

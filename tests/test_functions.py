@@ -557,3 +557,47 @@ def test_oov_filter_matches_python_reference(ray_session):
     )
     assert kept == want
     assert len(kept) < len(rows)  # the filter actually dropped something
+
+
+def test_redact_sequential_rules_and_counts(ray_session):
+    """redact: rules apply IN ORDER on the current text (emails masked
+    before the number rule, so their digits are never double-counted) and
+    per-rule counts match a Python re replay of the same sequence."""
+    import re
+
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.text import REDACT_RULES, redact
+
+    texts = [
+        "mail bob.smith+x@example.co.uk or 10.0.0.1 port 8080",
+        "no pii here",
+        "3.14 and 42 and 192.168.1.100",
+        "a@b.io a@b.io 7",
+    ]
+    docs = rd.from_items([{"event_id": i, "props": t} for i, t in enumerate(texts)])
+    got = {r["event_id"]: r for r in redact(docs, column="props").take_all()}
+    for i, t in enumerate(texts):
+        cur = t
+        for name, pattern, token in REDACT_RULES:
+            assert got[i][f"n_{name}"] == len(re.findall(pattern, cur)), (i, name)
+            cur = re.sub(pattern, token, cur)
+        assert got[i]["props"] == cur
+
+
+def test_json_field_stats_matches_python(ray_session):
+    """json_field_stats: per-type count/sum/min/max of the regex-extracted
+    int field equal a direct Python computation (absent field -> excluded)."""
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.semistructured import json_field_stats
+
+    rows = (
+        [{"event_type": "a", "props": f'{{"k": {v}}}'} for v in (3, -7, 10)]
+        + [{"event_type": "b", "props": '{"k": 5}'}]
+        + [{"event_type": "b", "props": '{"other": 1}'}]   # no k -> excluded
+    )
+    got = {r["event_type"]: r for r in json_field_stats(rd.from_items(rows)).take_all()}
+    assert got["a"]["n_events"] == 3 and got["a"]["sum_k"] == 6
+    assert got["a"]["min_k"] == -7 and got["a"]["max_k"] == 10
+    assert got["b"]["n_events"] == 1 and got["b"]["sum_k"] == 5
