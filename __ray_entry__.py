@@ -165,6 +165,14 @@ def _q_events(sf_dir: str):
     return events_by_day(_read(sf_dir, "events", columns=["event_id", "ts", "event_type"]))
 
 
+def _q_seq_packing(sf_dir: str):
+    from relation_extraction_ray.functions.relational import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), capacity=512, n_buckets=64
+    ).sort("doc_id")
+
+
 def _q_redact_props(sf_dir: str):
     from relation_extraction_ray.functions.text import redact
 
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
+        "seq_packing": _q_seq_packing,
         "redact_props": _q_redact_props,
         "props_stats": _q_props_stats,
         "asof_join": _q_asof_join,
@@ -894,6 +903,22 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                    ) AS BIGINT) AS cum_value_cents
             FROM events
+        """,
+        "seq_packing": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 64 AS bucket,
+                     CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), w AS (
+              SELECT doc_id, bucket, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM t
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+                   CAST(prefix // 512 AS BIGINT) AS bin_id
+            FROM w ORDER BY doc_id
         """,
         "redact_props": _redact_sql(),
         "props_stats": r"""

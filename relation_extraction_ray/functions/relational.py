@@ -360,3 +360,56 @@ def events_by_day(events: ray.data.Dataset) -> ray.data.Dataset:
         ray.data.aggregate.Max("max_event_id", alias_name="max_event_id"),
     )
     return out.sort(["event_type", "day"])
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    capacity: int = 512,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Sequence packing: assign documents to fixed-token-budget bins — the
+    batching primitive an LLM training pipeline runs between tokenize and
+    shard-write.  Documents are hash-bucketed (``doc_id % n_buckets`` —
+    packing is per-shard in a real pipeline, so bins never span shards),
+    ordered by doc_id within the bucket, and greedily packed: a doc opens
+    bin ``floor(prefix_tokens / capacity)`` where ``prefix_tokens`` is the
+    cumulative whitespace-token count of all PRIOR docs in the bucket
+    (budget-proportional assignment; an oversized doc spills past one bin
+    boundary rather than stalling the stream — deterministic and exactly
+    replayable as a SQL window cumsum).  One keyed shuffle; per-bucket
+    state is a numpy cumsum.  At 100 TB ``n_buckets`` scales with the
+    cluster so each bucket's doc list stays worker-sized."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " ")
+        ).cast(pa.int64())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "n_tokens": n_tokens,
+            }
+        )
+
+    def pack(group) -> "pa.Table":
+        import pandas as pd
+
+        g = group.sort_values("doc_id", kind="mergesort")
+        toks = g["n_tokens"].to_numpy(dtype=np.int64)
+        prefix = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(toks)[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "bucket": g["bucket"].to_numpy(),
+                "n_tokens": toks,
+                "bin_id": prefix // capacity,
+            }
+        )
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )

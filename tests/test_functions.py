@@ -601,3 +601,32 @@ def test_json_field_stats_matches_python(ray_session):
     assert got["a"]["n_events"] == 3 and got["a"]["sum_k"] == 6
     assert got["a"]["min_k"] == -7 and got["a"]["max_k"] == 10
     assert got["b"]["n_events"] == 1 and got["b"]["sum_k"] == 5
+
+
+def test_pack_sequences_bins_respect_budget_prefix(ray_session):
+    """pack_sequences: within each bucket (doc_id order) a doc's bin is
+    floor(prefix_tokens/capacity); bins are contiguous and non-decreasing,
+    and no bin's PREFIX-assigned docs start past its budget boundary."""
+    import ray.data as rd
+
+    from relation_extraction_ray.functions.relational import pack_sequences
+
+    rows = [
+        {"doc_id": i, "text": " ".join(["w"] * n)}
+        for i, n in enumerate([10, 300, 250, 5, 600, 40, 40, 40, 512, 1])
+    ]
+    out = pack_sequences(
+        rd.from_items(rows), capacity=512, n_buckets=2
+    ).take_all()
+    by_bucket: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1}
+    for bucket, docs in by_bucket.items():
+        prefix = 0
+        last_bin = 0
+        for r in docs:
+            assert r["bin_id"] == prefix // 512
+            assert r["bin_id"] >= last_bin          # non-decreasing
+            last_bin = r["bin_id"]
+            prefix += r["n_tokens"]
