@@ -306,6 +306,30 @@ def _q_ngram_jaccard(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """Bigram-LM negative-log-prob quality scores (CCNet-style filter):
+    self-trained add-one-smoothed bigram model, per-doc mean NLL in
+    integer milli-units plus drift-free token/unk/bigram counts."""
+    from relation_extraction_ray.functions.lm import bigram_lm_score
+
+    return bigram_lm_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), min_count=5
+    ).sort("doc_id")
+
+
+def _q_dup_clusters(sf_dir: str):
+    """Keep-one dedup clustering: exact ngram-Jaccard pairs (threshold
+    0.8) folded into connected components — (doc_id, canonical_id,
+    cluster_size) per clustered doc, canonical = component-min id."""
+    from relation_extraction_ray.functions.components import connected_components
+    from relation_extraction_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8
+    )
+    return connected_components(pairs).sort("doc_id")
+
+
 def _q_dedup_embed(sf_dir: str):
     """Embedding-cosine near-dup pairs.  The synthetic embeddings have no
     true near-dups (max cos ≈ 0.51), so the query runs at threshold 0.4 to
@@ -602,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "lm_perplexity": _q_lm_perplexity,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
@@ -726,6 +752,34 @@ _SIMHASH_CTE = f"""
 """
 
 
+
+
+# exact all-pairs n-gram Jaccard as a reusable CTE chain: `jac` ends with
+# (doc_a, doc_b, sim) for every doc pair — shared by the ngram_jaccard
+# entry and the dup_clusters recursive-CTE oracle so the two can never
+# drift on pair semantics
+_NGRAM_CTES = """
+  tok AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+  ), shl AS (
+    SELECT doc_id,
+      CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+           WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      END AS shingles
+    FROM tok
+  ), sset AS (
+    SELECT doc_id, list_distinct(shingles) AS sh FROM shl
+  ), jac AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS sim
+    FROM sset a JOIN sset b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(a.sh || b.sh)) > 0
+  )
+"""
 
 
 def _redact_sql() -> str:
@@ -1103,31 +1157,86 @@ def oracle_sql() -> dict[str, str]:
         # ngram_jaccard's oracle is PURE SEMANTICS — brute-force all-pairs
         # Jaccard with no candidate scheme — so it also proves the engine's
         # prefix-filter candidate set is complete, not just verified.
-        "ngram_jaccard": """
-            WITH tok AS (
-              SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
-              FROM documents
-            ), shl AS (
-              SELECT doc_id,
-                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                     ELSE list_transform(range(1, len(toks) - 1),
-                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                END AS shingles
-              FROM tok
-            ), sset AS (
-              SELECT doc_id, list_distinct(shingles) AS sh FROM shl
-            ), jac AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS sim
-              FROM sset a JOIN sset b ON a.doc_id < b.doc_id
-              WHERE len(list_distinct(a.sh || b.sh)) > 0
-            )
+        "ngram_jaccard": f"""
+            WITH {_NGRAM_CTES}
             SELECT doc_a, doc_b,
                    CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
             FROM jac WHERE sim >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # lm_perplexity: full SQL replay of the self-trained bigram LM —
+        # vocab truncation (count >= 5 else <unk>), mapped unigram/bigram
+        # counts, add-one NLL = ln(cu(w1)+V) - ln(cb+1), per-doc mean in
+        # milli-units (integer columns are drift-free; the milli rounding
+        # sits ~9 orders above float64 sum-order error)
+        "lm_perplexity": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+              FROM documents
+            ), raw AS (
+              SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM tok
+            ), uni_raw AS (
+              SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt FROM raw GROUP BY t
+            ), vocab AS (
+              SELECT tok FROM uni_raw WHERE cnt >= 5
+            ), vsz AS (
+              SELECT count(*) + 1 AS v FROM vocab
+            ), seq AS (
+              SELECT r.doc_id, r.ord,
+                     CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.t END AS t,
+                     CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS unk
+              FROM raw r LEFT JOIN vocab v ON r.t = v.tok
+            ), uni_m AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM seq GROUP BY t
+            ), big AS (
+              SELECT s1.doc_id, s1.t AS w1, s2.t AS w2
+              FROM seq s1 JOIN seq s2 ON s1.doc_id = s2.doc_id AND s2.ord = s1.ord + 1
+            ), big_cnt AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY w1, w2
+            ), scored AS (
+              SELECT b.doc_id, ln(u.cnt + (SELECT v FROM vsz)) - ln(bc.cnt + 1) AS nll
+              FROM big b
+              JOIN uni_m u ON b.w1 = u.t
+              JOIN big_cnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            ), perdoc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(nll) AS tot
+              FROM scored GROUP BY doc_id
+            ), base AS (
+              SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(s.unks, 0) AS BIGINT) AS n_unk
+              FROM tok t LEFT JOIN (SELECT doc_id, sum(unk) AS unks FROM seq GROUP BY doc_id) s
+                ON t.doc_id = s.doc_id
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_unk,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(CASE WHEN p.n_bigrams > 0
+                             THEN floor(1000.0 * p.tot / p.n_bigrams + 0.5)
+                             ELSE 0 END AS BIGINT) AS nll_milli
+            FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+            ORDER BY b.doc_id
+        """,
+        # dup_clusters: connected components over the >= 0.8 ngram-Jaccard
+        # pair graph — canonical_id = component-min doc_id, exact semantics
+        # via a recursive CTE (min-root reachability), sharing _NGRAM_CTES
+        # with the ngram_jaccard entry
+        "dup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            prs AS (
+              SELECT doc_a, doc_b FROM jac WHERE sim >= 0.8
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM prs
+            ), reach(node, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ), comp AS (
+              SELECT node AS doc_id, MIN(root) AS canonical_id FROM reach GROUP BY node
+            )
+            SELECT doc_id, canonical_id,
+                   CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+            FROM comp ORDER BY doc_id
         """,
         "dedup_embed": f"""
             WITH planes AS (

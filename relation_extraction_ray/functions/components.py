@@ -1,0 +1,236 @@
+"""Connected components over a pair table — duplicate-cluster folding.
+
+The dedup family (``functions/dedup.py``, ``functions/ann.py``) emits
+*pairs* ``(doc_a, doc_b)``; the operation a real training-data pipeline
+runs next is folding those pairs into **clusters** and electing one
+canonical document per cluster (keep-one dedup).  That is connected
+components on the pair graph.
+
+Algorithm: iterative **min-label propagation** ("hash-to-min" family,
+Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds", ICDE 2013 — the simple variant here).  Each round
+every edge forwards ``min(label_a, label_b)`` to both endpoints and each
+node keeps the min of what it heard and what it had:
+
+    labels ← (messages ∪ labels).groupby(node).min(label)
+
+Rounds needed = graph diameter.  For near-dup clusters that is the
+right trade: clusters of mutually-similar documents are near-cliques
+(every member pairs with most others — banding makes the candidate
+graph dense inside a cluster), so diameter is 1-2 and the loop
+converges in 2-3 rounds; a chain-shaped corpus (adversarial) degrades
+to O(diameter) keyed exchanges, each moving O(|edges|) rows.  Labels
+only ever *decrease*, so ``sum(label)`` is monotone non-increasing and
+a round that leaves it unchanged is the fixpoint — convergence is one
+tiny driver-side aggregate per round, no old↔new join.
+
+Scale shape (100 TB): the label table holds only nodes that appear in
+at least one pair — O(|dup pairs|), ≪ corpus.  Below a byte bound the
+round joins labels onto edges via one broadcast dict (``ray.put`` once,
+read per batch); above it the round is two hash-partitioned exchanges
+(:func:`..functions.joins.pair_payload_join`) keyed on
+``blake2b(id) % n_parts``, same planner split as ``verify_jaccard`` /
+``state/linker.py``.  Per-round label tables are ``materialize()``-d —
+deliberately: they are the SMALL side, and re-deriving round k's labels
+lazily would re-run all k-1 prior shuffles.
+
+Reference: no counterpart (the reference never clusters its near-dups);
+engine addition per the LLM-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .joins import derive_n_parts, pair_payload_join
+
+# broadcast-vs-partitioned planner bound for the per-round label join
+# (labels are (int64 id → int64 label) dict entries, ~64 B each in a
+# Python dict); same 32 MiB budget as the linker's KB planner
+_BROADCAST_LABEL_BYTES = 32 << 20
+_EST_LABEL_BYTES = 64
+
+
+def _empty_result(id_type: pa.DataType) -> ray.data.Dataset:
+    empty = pa.Table.from_arrays(
+        [pa.array([], id_type), pa.array([], id_type), pa.array([], pa.int64())],
+        names=["doc_id", "canonical_id", "cluster_size"],
+    )
+    return ray.data.from_arrow(empty)
+
+
+def _min_by_node(tab: pa.Table) -> pa.Table:
+    """Arrow hash-aggregation min(lab) per node (per-batch partial)."""
+    return tab.group_by("node").aggregate([("lab", "min")]).rename_columns(["node", "lab"])
+
+
+class _RelabelBroadcastStage:
+    """Per-batch edge relabel against a broadcast {node: label} dict
+    (``ray.get`` once per worker process via ``cached_stage_fn``)."""
+
+    def __init__(self, lab_ref, id_type) -> None:
+        self.lab = ray.get(lab_ref)
+        self.id_type = id_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lab = self.lab
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        la = np.array([lab[x] for x in a], dtype=np.int64)
+        lb = np.array([lab[x] for x in b], dtype=np.int64)
+        m = np.minimum(la, lb)
+        out = pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+                ).cast(self.id_type),
+                pa.array(np.concatenate([m, m]), pa.int64()),
+            ],
+            names=["node", "lab"],
+        )
+        return _min_by_node(out)
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 64,
+    broadcast_bytes: int = _BROADCAST_LABEL_BYTES,
+) -> ray.data.Dataset:
+    """Fold a pair table into duplicate clusters.
+
+    Returns ``(doc_id, canonical_id, cluster_size)`` for every node that
+    appears in at least one pair; ``canonical_id`` is the component-min
+    id (the member a keep-one dedup would keep), ``cluster_size`` the
+    component's node count.  Nodes in no pair are singletons by
+    definition and are deliberately NOT emitted (output stays
+    O(|dup pairs|), not O(corpus)).
+    """
+    pairs = pairs.materialize()
+    sch = pairs.schema()
+    if sch is None or id_a not in sch.names or pa.types.is_null(sch.types[sch.names.index(id_a)]):
+        return _empty_result(pa.int64())
+    id_type = sch.types[sch.names.index(id_a)]
+
+    edges = pairs.map_batches(
+        lambda t: t.select([id_a, id_b]).rename_columns(["a", "b"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        return _empty_result(id_type)
+
+    # init: label(node) = node, nodes = distinct endpoints (keyed distinct
+    # via the same per-batch-partial → groupby-min reduction as a round)
+    def init_labels(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        ).cast(id_type)
+        return _min_by_node(
+            pa.Table.from_arrays([both, both.cast(pa.int64())], names=["node", "lab"])
+        )
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    n_parts = derive_n_parts(edges.count())
+    labels = _global_min(labels, n_parts).materialize()
+    prev_sum = _label_sum(labels)
+
+    n_nodes = labels.count()
+    use_broadcast = n_nodes * _EST_LABEL_BYTES <= broadcast_bytes
+
+    for _ in range(max_rounds):
+        if use_broadcast:
+            from ..taskexec import cached_stage_fn
+
+            lab_map: dict = {}
+            for bt in labels.iter_batches(batch_format="pyarrow"):
+                lab_map.update(
+                    zip(
+                        bt.column("node").to_pylist(),
+                        bt.column("lab").to_pylist(),
+                    )
+                )
+            lab_ref = ray.put(lab_map)
+            messages = edges.map_batches(
+                cached_stage_fn(
+                    _RelabelBroadcastStage,
+                    lab_ref.hex(),
+                    {"lab_ref": lab_ref, "id_type": id_type},
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            joined = pair_payload_join(
+                edges,
+                labels.map_batches(
+                    lambda t: t.rename_columns(["id", "payload"]), batch_format="pyarrow"
+                ),
+                id_type,
+                pa.int64(),
+                n_parts,
+            )
+
+            def relabel(batch: pa.Table) -> pa.Table:
+                la = batch.column("payload_a").to_numpy(zero_copy_only=False)
+                lb = batch.column("payload_b").to_numpy(zero_copy_only=False)
+                m = np.minimum(la, lb).astype(np.int64)
+                return _min_by_node(
+                    pa.Table.from_arrays(
+                        [
+                            pa.concat_arrays(
+                                [
+                                    batch.column("a").combine_chunks(),
+                                    batch.column("b").combine_chunks(),
+                                ]
+                            ).cast(id_type),
+                            pa.array(np.concatenate([m, m]), pa.int64()),
+                        ],
+                        names=["node", "lab"],
+                    )
+                )
+
+            messages = joined.map_batches(relabel, batch_format="pyarrow")
+
+        labels = _global_min(messages.union(labels), n_parts).materialize()
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # stamp cluster sizes: one keyed exchange on canonical_id
+    def stamp_size(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        return pa.Table.from_arrays(
+            [
+                group.column("node").combine_chunks(),
+                group.column("lab").combine_chunks().cast(id_type),
+                pa.array(np.full(n, n, dtype=np.int64), pa.int64()),
+            ],
+            names=["doc_id", "canonical_id", "cluster_size"],
+        )
+
+    return labels.groupby("lab").map_groups(stamp_size, batch_format="pyarrow")
+
+
+def _global_min(node_lab: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
+    """groupby(node).min(lab) renamed back to (node, lab).
+
+    ``num_partitions`` is pinned to the node-derived partition count:
+    without it the aggregate emits one block per input block, and the
+    round loop COMPOUNDS block count (round k's labels ∪ messages feed
+    round k+1's aggregate) — measured 1.3 s → 4.3 s → 15.2 s per round
+    on an 8-edge toy graph before the pin, pure scheduling."""
+    agg = node_lab.groupby("node", num_partitions=n_parts).min("lab")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["node", "lab"]), batch_format="pyarrow"
+    )
+
+
+def _label_sum(labels: ray.data.Dataset) -> int:
+    """Convergence scalar: labels only decrease, so an unchanged sum is
+    the fixpoint.  int64-safe for ids < 2^40 over < 2^23 nodes; the
+    driver holds one number."""
+    s = labels.sum("lab")
+    return int(s["sum(lab)"] if isinstance(s, dict) else s)

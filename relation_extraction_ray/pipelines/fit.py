@@ -1972,3 +1972,123 @@ def model_classify_any(parsed: ray.data.Dataset, fixture: str, cfg: KGConfig | N
         return bi_model_classify(parsed, params, vocab_lists, cfg)
     wts, vocab_lists = load_weights(fixture)
     return model_classify(parsed, wts, vocab_lists, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Probability-averaging ensemble of trained models (mixed architectures).
+#
+# The reference ships an ensemble notebook family (RelEmbed Average
+# Single.ipynb averages two direction models' predictions; the engine's
+# DualModelClassifyStage already reproduces that *within* the single
+# model).  This generalizes the same idea ACROSS trained checkpoints: each
+# member computes its softmax probabilities over the 19 labels and the
+# stage averages them before the argmax.  One streaming pass, all members
+# pinned per worker from one broadcast ref — no per-model passes, no join.
+# ---------------------------------------------------------------------------
+
+
+class EnsembleClassifyStage:
+    """Average-probability ensemble over N trained models (uni and/or bi
+    trunks, each with its OWN vocabulary).  Features (the vocab-independent
+    SDP walk) are computed once per record; each member encodes them
+    against its own vocab and scores; probabilities are averaged with
+    equal weight.  Unfeaturizable records predict Other."""
+
+    def __init__(self, models_ref=None, cfg: KGConfig | None = None, models=None) -> None:
+        cfg = cfg or KGConfig()
+        loaded = models if models is not None else ray.get(models_ref)
+        self.members = []
+        for kind, params, (word_v, dep_v, pos_v) in loaded:
+            self.members.append(
+                (
+                    kind,
+                    params,
+                    {t: i for i, t in enumerate(word_v)},
+                    {t: i for i, t in enumerate(dep_v)},
+                    {t: i for i, t in enumerate(pos_v)},
+                )
+            )
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.scorer import score_batch_bi
+
+        sids = batch.column("sent_id").to_pylist()
+        labels = batch.column("label").to_pylist()
+        feats = [
+            record_features(text, e1, e2, self.cfg)
+            for text, e1, e2 in zip(
+                batch.column("text").to_pylist(),
+                batch.column("e1_idx").to_pylist(),
+                batch.column("e2_idx").to_pylist(),
+            )
+        ]
+        preds = [OTHER] * len(sids)
+        feat_idx = [i for i, f in enumerate(feats) if f]
+        if feat_idx:
+            acc = None
+            for kind, params, word_v, dep_v, pos_v in self.members:
+                paths = {i: feats[i][0] for i in feat_idx}
+                w, d, p, lengths = pad_paths(
+                    [[vocab2idx(t[0], word_v) for t in paths[i]] for i in feat_idx],
+                    [[vocab2idx(t[1], dep_v) for t in paths[i]] for i in feat_idx],
+                    [[vocab2idx(t[2], pos_v) for t in paths[i]] for i in feat_idx],
+                )
+                has_temb = (
+                    params.get("t_emb") is not None
+                    if kind == "bi"
+                    else params.t_emb is not None
+                )
+                targets = None
+                if has_temb:
+                    targets = np.asarray(
+                        [
+                            [vocab2idx(feats[i][1], word_v), vocab2idx(feats[i][2], word_v)]
+                            for i in feat_idx
+                        ],
+                        dtype=np.int32,
+                    )
+                if kind == "bi":
+                    _, probs = score_batch_bi(params, w, d, p, lengths, targets=targets)
+                else:
+                    _, probs = score_batch(params, w, d, p, lengths, targets=targets)
+                acc = probs.astype(np.float64) if acc is None else acc + probs
+            pred_ids = acc.argmax(axis=1)
+            for row, pid in zip(feat_idx, pred_ids):
+                preds[row] = LABELS[int(pid)]
+        return pa.Table.from_pydict(
+            {
+                "sent_id": pa.array(sids, pa.int64()),
+                "pred": pa.array(preds, pa.string()),
+                "label": pa.array(labels, pa.string()),
+            }
+        )
+
+
+def load_member(fixture: str):
+    """(kind, params, vocab_lists) for EnsembleClassifyStage from a fixture
+    of either architecture."""
+    from ..state.scorer import is_bi_fixture, load_bi, load_weights
+
+    if is_bi_fixture(fixture):
+        params, vocab_lists = load_bi(fixture)
+        return ("bi", params, vocab_lists)
+    wts, vocab_lists = load_weights(fixture)
+    return ("uni", wts, vocab_lists)
+
+
+def ensemble_classify(
+    parsed: ray.data.Dataset, fixtures: list[str], cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    """Classify with an equal-weight probability-averaging ensemble of the
+    given fixture files (uni/bi mixed)."""
+    members = [load_member(f) for f in fixtures]
+    models_ref = ray.put(members)
+    return parsed.map_batches(
+        cached_stage_fn(
+            EnsembleClassifyStage,
+            models_ref.hex(),
+            {"models_ref": models_ref, "cfg": cfg or KGConfig()},
+        ),
+        batch_format="pyarrow",
+    )

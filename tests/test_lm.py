@@ -1,0 +1,83 @@
+"""Bigram-LM quality scoring — functions/lm.py."""
+
+import math
+
+import pyarrow as pa
+import ray.data
+
+from relation_extraction_ray.functions.lm import UNK, bigram_lm_score
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat"),
+    (2, "zzyzx"),            # single token → no bigrams
+    (3, ""),                  # empty → no tokens
+    (4, "the the the the"),
+    (5, "qwrk bleb the cat"),  # two OOV tokens at min_count=2
+    (6, "THE CAT  sat"),      # case-folds; double space makes an empty token (dropped)
+]
+
+
+def _py_oracle(rows, min_count):
+    toks = {d: [t for t in text.lower().split(" ") if t] for d, text in rows}
+    uni_raw: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni_raw[t] = uni_raw.get(t, 0) + 1
+    vocab = {t for t, c in uni_raw.items() if c >= min_count}
+    v = len(vocab) + 1
+    mapped = {d: [t if t in vocab else UNK for t in ts] for d, ts in toks.items()}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for ts in mapped.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    out = {}
+    for d, ts in mapped.items():
+        nll = [math.log(uni[a] + v) - math.log(big[(a, b)] + 1) for a, b in zip(ts, ts[1:])]
+        nb = len(nll)
+        milli = int(math.floor(1000.0 * (sum(nll) / nb) + 0.5)) if nb else 0
+        out[d] = (
+            len(ts),
+            sum(1 for t in ts if t == UNK),
+            nb,
+            milli,
+        )
+    return out
+
+
+def test_bigram_lm_matches_python_oracle(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": [d for d, _ in DOCS], "text": [t for _, t in DOCS]}
+        )
+    )
+    got = bigram_lm_score(ds, min_count=2).sort("doc_id").to_pandas()
+    want = _py_oracle(DOCS, min_count=2)
+    assert len(got) == len(DOCS)
+    for _, r in got.iterrows():
+        nt, nu, nb, milli = want[int(r["doc_id"])]
+        assert (int(r["n_tokens"]), int(r["n_unk"]), int(r["n_bigrams"]), int(r["nll_milli"])) == (
+            nt,
+            nu,
+            nb,
+            milli,
+        ), r["doc_id"]
+
+
+def test_unk_and_edge_rows(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [d for d, _ in DOCS], "text": [t for _, t in DOCS]})
+    )
+    got = (
+        bigram_lm_score(ds, min_count=2)
+        .sort("doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "nll_milli"] == 0
+    assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "nll_milli"] == 0
+    assert got.loc[5, "n_unk"] == 2  # qwrk + bleb below min_count
+    assert got.loc[6, "n_tokens"] == 3  # empty token from double space dropped

@@ -285,6 +285,40 @@ def main() -> None:
             f"dims={dims} cy={cy} ue={ue} se={se} seed={seed} pw={pw} pe={pe} scope={scope}",
         )
 
+    if "ens_uni_bi48" in want:
+        # probability-averaging ensemble of the two committed recipes,
+        # trained on the SAME 90 % split (uni_alt + bi_alt_h48); accept for
+        # a single full-train test measurement only if valid beats both
+        # member arms
+        import ray as _ray
+
+        from relation_extraction_ray.pipelines.fit import EnsembleClassifyStage
+        from relation_extraction_ray.taskexec import cached_stage_fn
+
+        t0 = time.time()
+        wts_u, _ = fit_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+        )
+        params_b, _ = fit_bi_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+            dims={"d_hidden": 48},
+        )
+        members = [("uni", wts_u, (wv, dv, pv)), ("bi", params_b, (wv, dv, pv))]
+        mref = _ray.put(members)
+        classified = valid_parsed.map_batches(
+            cached_stage_fn(
+                EnsembleClassifyStage, mref.hex(), {"models_ref": mref, "cfg": cfg}
+            ),
+            batch_format="pyarrow",
+        )
+        f1 = valid_f1(classified)
+        record(
+            "ens_uni_bi48", f1, time.time() - t0,
+            "equal-weight prob average of uni_alt + bi_alt_h48 (same split)",
+        )
+
     print(json.dumps(results, indent=1))
     ray.shutdown()
 
