@@ -468,6 +468,46 @@ def semeval_bi_official_row(cfg: KGConfig | None = None) -> dict:
     }
 
 
+def semeval_ensemble_official_row(cfg: KGConfig | None = None) -> dict:
+    """Single-process oracle for the probability-averaging ENSEMBLE of the
+    two committed fixtures (uni ``semeval_real`` + bi ``semeval_bi`` —
+    the reference's average-ensemble idea, RelEmbed Average Single.ipynb,
+    generalized across checkpoints): same shipped test file + keys,
+    classified in one process (checks the distributed stage byte for
+    byte)."""
+    from collections import Counter as _Counter
+
+    from .eval_semeval import official_scores_from_pairs, read_key_file
+    from .pipelines.fit import EnsembleClassifyStage, load_member
+    from .sources.semeval import parse_record_text, parse_records_batch
+    from .state.scorer import fixture_path
+
+    cfg = cfg or KGConfig(min_count=2)
+    records = pa.Table.from_pylist(
+        parse_record_text(
+            open(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT").read()
+        )
+    )
+    parsed = parse_records_batch(records)
+    members = [load_member(fixture_path("semeval_real")), load_member(fixture_path("semeval_bi"))]
+    preds = EnsembleClassifyStage(cfg=cfg, models=members)(parsed)
+    key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
+    pairs = _Counter(
+        (p, key[sid])
+        for sid, p in zip(preds.column("sent_id").to_pylist(), preds.column("pred").to_pylist())
+    )
+    s = official_scores_from_pairs([(p, a, n) for (p, a), n in pairs.items()])
+    return {
+        "official_macro_f1": round(s["official_f1"], 6),
+        "macro_p": round(s["macro_p"], 6),
+        "macro_r": round(s["macro_r"], 6),
+        "micro_f1": round(s["micro_f1"], 6),
+        "accuracy": round(s["accuracy"], 6),
+        "coverage": round(s["coverage"], 6),
+        "n_test": 2717,
+    }
+
+
 def run_oracle(doc_rows: list[dict], cfg: KGConfig | None = None, ok_dep_structures=None) -> dict:
     """Full single-process pipeline → dict of pyarrow Tables keyed by stage."""
     cfg = cfg or KGConfig()

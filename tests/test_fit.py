@@ -686,3 +686,72 @@ def test_bi_score_matches_grad_forward():
     # loss from grad path at the predicted labels must match -log prob
     loss, _ = grad_batch_bi(params, w, d, p, lengths, preds.astype(np.int64), targets=targets)
     assert loss == pytest.approx(float(-np.log(probs[np.arange(4), preds]).mean()), abs=1e-4)
+
+
+def test_ensemble_of_model_with_itself_equals_single(ray_session):
+    """Averaging identical probability vectors changes nothing: the
+    ensemble stage over [fixture, fixture] must predict exactly what the
+    single-model stage predicts — catches any divergence in the shared
+    featurize/encode path."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.oracle import SEMEVAL_DATA
+    from relation_extraction_ray.pipelines.fit import (
+        EnsembleClassifyStage,
+        ModelClassifyStage,
+        load_member,
+    )
+    from relation_extraction_ray.sources.semeval import parse_record_text, parse_records_batch
+    from relation_extraction_ray.state.scorer import fixture_path, load_weights
+
+    cfg = KGConfig(min_count=2)
+    records = pa.Table.from_pylist(
+        parse_record_text(
+            open(f"{SEMEVAL_DATA}/SemEval2010_task8_training/TRAIN_FILE.TXT").read()
+        )[:200]
+    )
+    parsed = parse_records_batch(records)
+    fx = fixture_path("semeval_real")
+    single = ModelClassifyStage(cfg=cfg, model=load_weights(fx))(parsed)
+    ens = EnsembleClassifyStage(cfg=cfg, models=[load_member(fx), load_member(fx)])(parsed)
+    assert single.column("pred").to_pylist() == ens.column("pred").to_pylist()
+    assert single.column("sent_id").to_pylist() == ens.column("sent_id").to_pylist()
+
+
+def test_ensemble_distributed_equals_inprocess(ray_session):
+    """The actor/task ensemble stage must match the in-process stage
+    byte for byte on the mixed uni+bi member list (the committed pair)."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.oracle import SEMEVAL_DATA
+    from relation_extraction_ray.pipelines.fit import (
+        EnsembleClassifyStage,
+        ensemble_classify,
+        load_member,
+    )
+    from relation_extraction_ray.sources.semeval import (
+        parse_record_text,
+        parse_records_batch,
+        parsed_records,
+        read_semeval_records,
+    )
+    from relation_extraction_ray.state.scorer import fixture_path
+
+    cfg = KGConfig(min_count=2)
+    test_file = f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT"
+    fixtures = [fixture_path("semeval_real"), fixture_path("semeval_bi")]
+
+    dist = ensemble_classify(parsed_records(read_semeval_records(test_file)), fixtures, cfg)
+    dist_preds = {r["sent_id"]: r["pred"] for r in dist.take_all()}
+
+    records = pa.Table.from_pylist(parse_record_text(open(test_file).read()))
+    local = EnsembleClassifyStage(cfg=cfg, models=[load_member(f) for f in fixtures])(
+        parse_records_batch(records)
+    )
+    local_preds = dict(
+        zip(local.column("sent_id").to_pylist(), local.column("pred").to_pylist())
+    )
+    assert dist_preds == local_preds
+    assert len(dist_preds) == 2717
