@@ -122,14 +122,24 @@ def connected_components(
     if edges.count() == 0:
         return _empty_result(id_type)
 
-    # init: label(node) = node, nodes = distinct endpoints (keyed distinct
-    # via the same per-batch-partial → groupby-min reduction as a round)
+    # init: label(node) = min(node, min over incident edges' other end) —
+    # the first propagation round folded into the init scan (free: the
+    # same per-batch-partial → groupby-min reduction either way).  For
+    # near-clique dup clusters this IS already the fixpoint, so the loop
+    # below runs exactly one confirmation round.
     def init_labels(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-        ).cast(id_type)
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        both = pa.concat_arrays([a, b]).cast(id_type)
+        m = np.minimum(
+            a.cast(pa.int64()).to_numpy(zero_copy_only=False),
+            b.cast(pa.int64()).to_numpy(zero_copy_only=False),
+        )
         return _min_by_node(
-            pa.Table.from_arrays([both, both.cast(pa.int64())], names=["node", "lab"])
+            pa.Table.from_arrays(
+                [both, pa.array(np.concatenate([m, m]), pa.int64())],
+                names=["node", "lab"],
+            )
         )
 
     labels = edges.map_batches(init_labels, batch_format="pyarrow")
