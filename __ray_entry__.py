@@ -209,6 +209,23 @@ def _q_sample(sf_dir: str):
     return deterministic_sample(_read(sf_dir, "documents", columns=["doc_id"]), "doc_id", pct=20)
 
 
+STRATA_PCT = {"en": 30, "de": 10, "fr": 50, "es": 20}  # zh falls to default 5
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language quota sampling (domain mixing): keep a different
+    deterministic hash fraction of each lang stratum in one pass."""
+    from relation_extraction_ray.functions.relational import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        key_col="doc_id",
+        strata_col="lang",
+        pct_by_stratum=STRATA_PCT,
+        default_pct=5,
+    ).sort("doc_id")
+
+
 def _q_distinct_texts(sf_dir: str):
     from relation_extraction_ray.functions.relational import distinct_texts
 
@@ -659,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": _q_props_stats,
         "asof_join": _q_asof_join,
         "sample_docs": _q_sample,
+        "stratified_sample": _q_stratified_sample,
         "distinct_texts": _q_distinct_texts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -1048,6 +1066,14 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
+        """,
+        # stratified_sample: the same md5 bucket, thresholded per-stratum
+        # (quota table mirrored from STRATA_PCT)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+                  < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 WHEN 'fr' THEN 50 WHEN 'es' THEN 20 ELSE 5 END
+            ORDER BY doc_id
         """,
         "distinct_texts": """
             SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_distinct FROM documents

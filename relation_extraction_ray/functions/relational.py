@@ -307,6 +307,36 @@ def deterministic_sample(
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    strata_col: str,
+    pct_by_stratum: dict[str, int],
+    default_pct: int = 0,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic hash sampling — the domain-mixing
+    primitive of a training-data pipeline (keep x% of lang A, y% of
+    lang B, …): a row survives iff its md5(key) bucket falls under ITS
+    stratum's percentage.  Strata absent from ``pct_by_stratum`` get
+    ``default_pct``.  Shuffle-free one-pass map (the quota table is a tiny
+    broadcast-by-closure dict), stable at any parallelism, exactly
+    SQL-replayable (same md5 bucket as :func:`deterministic_sample` —
+    all-integer comparisons, zero float drift)."""
+    import hashlib
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        strata = batch.column(strata_col).to_pylist()
+        mask = [
+            int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+            < pct_by_stratum.get(s, default_pct)
+            for k, s in zip(keys, strata)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def distinct_texts(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Global COUNT(DISTINCT): per-batch distinct partials → groupby →
     count, returned as a one-row table.

@@ -630,3 +630,34 @@ def test_pack_sequences_bins_respect_budget_prefix(ray_session):
             assert r["bin_id"] >= last_bin          # non-decreasing
             last_bin = r["bin_id"]
             prefix += r["n_tokens"]
+
+
+def test_stratified_sample_quotas_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from relation_extraction_ray.functions.relational import stratified_sample
+
+    n = 2000
+    tab = pa.table(
+        {"k": list(range(n)), "s": ["a" if i % 2 == 0 else "b" for i in range(n)]}
+    )
+    quotas = {"a": 100, "b": 0}
+    out = stratified_sample(
+        ray.data.from_arrow(tab), "k", "s", quotas, default_pct=0
+    ).to_pandas()
+    # pct=100 keeps every 'a' row; pct=0 drops every 'b' row
+    assert sorted(out["k"]) == list(range(0, n, 2))
+
+    # unknown stratum falls to default_pct; same keys under the same pct
+    # survive identically to deterministic_sample (shared hash)
+    from relation_extraction_ray.functions.relational import deterministic_sample
+
+    tab2 = pa.table({"k": list(range(n)), "s": ["zz"] * n})
+    got = stratified_sample(
+        ray.data.from_arrow(tab2), "k", "s", {}, default_pct=20
+    ).to_pandas()
+    want = deterministic_sample(
+        ray.data.from_arrow(pa.table({"k": list(range(n))})), "k", pct=20
+    ).to_pandas()
+    assert sorted(got["k"]) == sorted(want["k"])
