@@ -572,12 +572,13 @@ def _q_semeval_bi_official(sf_dir: str):
 
 def _q_semeval_ensemble_official(sf_dir: str):
     """The real SemEval test split classified with the probability-
-    averaging ENSEMBLE of the two committed fixtures (uni flagship +
-    bi trunk — the reference's average-ensemble idea generalized across
-    checkpoints) and scored with the official scorer math.  This is the
-    engine's best published test number (BASELINE.md round 4: 70.44
-    official macro-F1, +0.66 over the single-model flagship; accepted on
-    the 90/10 valid discipline — ensemble 68.94 beat both member arms)."""
+    averaging ENSEMBLE of the three committed fixtures (uni flagship +
+    bi trunk + dual "single" model — the reference's average-ensemble
+    idea generalized across checkpoints/architectures) and scored with
+    the official scorer math.  This is the engine's best published test
+    number (BASELINE.md round 4: **70.76** official macro-F1, +0.98 over
+    the single-model flagship; accepted on the 90/10 valid discipline —
+    3-member 69.98 valid beat the 2-member 68.94 and every single arm)."""
     import pandas as pd
 
     from relation_extraction_ray.config import KGConfig
@@ -592,7 +593,13 @@ def _q_semeval_ensemble_official(sf_dir: str):
         read_semeval_records(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT")
     )
     preds = ensemble_classify(
-        parsed, [fixture_path("semeval_real"), fixture_path("semeval_bi")], cfg
+        parsed,
+        [
+            fixture_path("semeval_real"),
+            fixture_path("semeval_bi"),
+            fixture_path("semeval_single"),
+        ],
+        cfg,
     ).take_all()
     key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
     pairs: dict[tuple[str, str], int] = {}

@@ -470,11 +470,11 @@ def semeval_bi_official_row(cfg: KGConfig | None = None) -> dict:
 
 def semeval_ensemble_official_row(cfg: KGConfig | None = None) -> dict:
     """Single-process oracle for the probability-averaging ENSEMBLE of the
-    two committed fixtures (uni ``semeval_real`` + bi ``semeval_bi`` —
-    the reference's average-ensemble idea, RelEmbed Average Single.ipynb,
-    generalized across checkpoints): same shipped test file + keys,
-    classified in one process (checks the distributed stage byte for
-    byte)."""
+    three committed fixtures (uni ``semeval_real`` + bi ``semeval_bi`` +
+    dual ``semeval_single`` — the reference's average-ensemble idea,
+    RelEmbed Average Single.ipynb, generalized across checkpoints and
+    architectures): same shipped test file + keys, classified in one
+    process (checks the distributed stage byte for byte)."""
     from collections import Counter as _Counter
 
     from .eval_semeval import official_scores_from_pairs, read_key_file
@@ -489,7 +489,11 @@ def semeval_ensemble_official_row(cfg: KGConfig | None = None) -> dict:
         )
     )
     parsed = parse_records_batch(records)
-    members = [load_member(fixture_path("semeval_real")), load_member(fixture_path("semeval_bi"))]
+    members = [
+        load_member(fixture_path("semeval_real")),
+        load_member(fixture_path("semeval_bi")),
+        load_member(fixture_path("semeval_single")),
+    ]
     preds = EnsembleClassifyStage(cfg=cfg, models=members)(parsed)
     key = read_key_file(f"{SEMEVAL_DATA}/test_keys.txt")
     pairs = _Counter(

@@ -2029,29 +2029,50 @@ class EnsembleClassifyStage:
             acc = None
             for kind, params, word_v, dep_v, pos_v in self.members:
                 paths = {i: feats[i][0] for i in feat_idx}
-                w, d, p, lengths = pad_paths(
-                    [[vocab2idx(t[0], word_v) for t in paths[i]] for i in feat_idx],
-                    [[vocab2idx(t[1], dep_v) for t in paths[i]] for i in feat_idx],
-                    [[vocab2idx(t[2], pos_v) for t in paths[i]] for i in feat_idx],
-                )
-                has_temb = (
-                    params.get("t_emb") is not None
-                    if kind == "bi"
-                    else params.t_emb is not None
-                )
-                targets = None
-                if has_temb:
-                    targets = np.asarray(
-                        [
-                            [vocab2idx(feats[i][1], word_v), vocab2idx(feats[i][2], word_v)]
-                            for i in feat_idx
-                        ],
-                        dtype=np.int32,
-                    )
-                if kind == "bi":
-                    _, probs = score_batch_bi(params, w, d, p, lengths, targets=targets)
+                wf = [[vocab2idx(t[0], word_v) for t in paths[i]] for i in feat_idx]
+                df = [[vocab2idx(t[1], dep_v) for t in paths[i]] for i in feat_idx]
+                pf = [[vocab2idx(t[2], pos_v) for t in paths[i]] for i in feat_idx]
+                if kind == "dual":
+                    # DualModelClassifyStage's average-single semantics:
+                    # interleaved forward + reversed rows, bwd re-indexed
+                    # through the inverse-relation permutation
+                    from ..state.scorer import score_batch_dual
+
+                    w2 = [x for row in zip(wf, [r[::-1] for r in wf]) for x in row]
+                    d2 = [x for row in zip(df, [r[::-1] for r in df]) for x in row]
+                    p2 = [x for row in zip(pf, [r[::-1] for r in pf]) for x in row]
+                    flags = np.tile(np.array([True, False]), len(feat_idx))
+                    w, d, p, lengths = pad_paths(w2, d2, p2)
+                    targets = None
+                    if params.get("t_emb") is not None:
+                        tg = []
+                        for i in feat_idx:
+                            x_id = vocab2idx(feats[i][1], word_v)
+                            y_id = vocab2idx(feats[i][2], word_v)
+                            tg.extend([[y_id], [x_id]])
+                        targets = np.asarray(tg, dtype=np.int32)
+                    _, pr = score_batch_dual(params, w, d, p, lengths, flags, targets=targets)
+                    probs = (pr[0::2] + pr[1::2][:, INVERSE_PERM]) / 2.0
                 else:
-                    _, probs = score_batch(params, w, d, p, lengths, targets=targets)
+                    w, d, p, lengths = pad_paths(wf, df, pf)
+                    has_temb = (
+                        params.get("t_emb") is not None
+                        if kind == "bi"
+                        else params.t_emb is not None
+                    )
+                    targets = None
+                    if has_temb:
+                        targets = np.asarray(
+                            [
+                                [vocab2idx(feats[i][1], word_v), vocab2idx(feats[i][2], word_v)]
+                                for i in feat_idx
+                            ],
+                            dtype=np.int32,
+                        )
+                    if kind == "bi":
+                        _, probs = score_batch_bi(params, w, d, p, lengths, targets=targets)
+                    else:
+                        _, probs = score_batch(params, w, d, p, lengths, targets=targets)
                 acc = probs.astype(np.float64) if acc is None else acc + probs
             pred_ids = acc.argmax(axis=1)
             for row, pid in zip(feat_idx, pred_ids):
@@ -2067,12 +2088,17 @@ class EnsembleClassifyStage:
 
 def load_member(fixture: str):
     """(kind, params, vocab_lists) for EnsembleClassifyStage from a fixture
-    of either architecture."""
-    from ..state.scorer import is_bi_fixture, load_bi, load_weights
+    of ANY architecture (uni / bi trunk / dual "single" model)."""
+    from ..state.scorer import load_bi, load_dual, load_weights
 
-    if is_bi_fixture(fixture):
+    with np.load(fixture, allow_pickle=True) as z:
+        files = set(z.files)
+    if "fw_w_z" in files:
         params, vocab_lists = load_bi(fixture)
         return ("bi", params, vocab_lists)
+    if "fwd_w_z" in files:
+        params, vocab_lists = load_dual(fixture)
+        return ("dual", params, vocab_lists)
     wts, vocab_lists = load_weights(fixture)
     return ("uni", wts, vocab_lists)
 

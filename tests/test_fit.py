@@ -755,3 +755,33 @@ def test_ensemble_distributed_equals_inprocess(ray_session):
     )
     assert dist_preds == local_preds
     assert len(dist_preds) == 2717
+
+
+def test_ensemble_dual_member_equals_dual_stage(ray_session):
+    """A single dual-architecture member must reproduce
+    DualModelClassifyStage's average-single semantics exactly."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.config import KGConfig
+    from relation_extraction_ray.oracle import SEMEVAL_DATA
+    from relation_extraction_ray.pipelines.fit import (
+        DualModelClassifyStage,
+        EnsembleClassifyStage,
+        load_member,
+    )
+    from relation_extraction_ray.sources.semeval import parse_record_text, parse_records_batch
+    from relation_extraction_ray.state.scorer import fixture_path, load_dual
+
+    cfg = KGConfig(min_count=2)
+    records = pa.Table.from_pylist(
+        parse_record_text(
+            open(f"{SEMEVAL_DATA}/SemEval2010_task8_testing_keys/TEST_FILE_CLEAN.TXT").read()
+        )[:300]
+    )
+    parsed = parse_records_batch(records)
+    fx = fixture_path("semeval_single")
+    member = load_member(fx)
+    assert member[0] == "dual"
+    dual = DualModelClassifyStage(cfg=cfg, model=load_dual(fx))(parsed)
+    ens = EnsembleClassifyStage(cfg=cfg, models=[member])(parsed)
+    assert dual.column("pred").to_pylist() == ens.column("pred").to_pylist()

@@ -319,6 +319,51 @@ def main() -> None:
             "equal-weight prob average of uni_alt + bi_alt_h48 (same split)",
         )
 
+    if "ens3_uni_bi48_dual" in want:
+        # 3-member ensemble: uni_alt + bi_alt_h48 + dual single model, all
+        # trained on the SAME 90 % split; also records the 2-member valid
+        # F1 from the same trained members for a like-for-like comparison
+        import ray as _ray
+
+        from relation_extraction_ray.pipelines.fit import (
+            EnsembleClassifyStage,
+            encode_single_examples,
+            fit_dual_classifier,
+        )
+        from relation_extraction_ray.taskexec import cached_stage_fn
+
+        t0 = time.time()
+        wts_u, _ = fit_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+        )
+        params_b, _ = fit_bi_alternating(
+            examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+            batch_size=256, lr=args.lr, init_word_emb=init_w,
+            dims={"d_hidden": 48},
+        )
+        singles = encode_single_examples(train_parsed, vocabs, cfg).materialize()
+        params_d, _ = fit_dual_classifier(
+            singles, sizes, epochs=30, batch_size=256, lr=args.lr,
+            init_word_emb=init_w,
+        )
+
+        def ens_f1(members):
+            mref = _ray.put(members)
+            classified = valid_parsed.map_batches(
+                cached_stage_fn(
+                    EnsembleClassifyStage, mref.hex(), {"models_ref": mref, "cfg": cfg}
+                ),
+                batch_format="pyarrow",
+            )
+            return valid_f1(classified)
+
+        vv = (wv, dv, pv)
+        f2 = ens_f1([("uni", wts_u, vv), ("bi", params_b, vv)])
+        f3 = ens_f1([("uni", wts_u, vv), ("bi", params_b, vv), ("dual", params_d, vv)])
+        record("ens2_same_run", f2, time.time() - t0, "uni+bi48 (same members as ens3)")
+        record("ens3_uni_bi48_dual", f3, 0.0, "uni+bi48+dual equal-weight")
+
     print(json.dumps(results, indent=1))
     ray.shutdown()
 
