@@ -364,6 +364,50 @@ def main() -> None:
         record("ens2_same_run", f2, time.time() - t0, "uni+bi48 (same members as ens3)")
         record("ens3_uni_bi48_dual", f3, 0.0, "uni+bi48+dual equal-weight")
 
+    if "ens5_2seed" in want:
+        # pre-registered single candidate: seed-diverse 5-member ensemble
+        # [uni s7, uni s11, bi_h48 s7, bi_h48 s11, dual]; compared on valid
+        # against the accepted ens3 (69.98) — one test run only if it wins
+        import ray as _ray
+
+        from relation_extraction_ray.pipelines.fit import (
+            EnsembleClassifyStage,
+            encode_single_examples,
+            fit_dual_classifier,
+        )
+        from relation_extraction_ray.taskexec import cached_stage_fn
+
+        t0 = time.time()
+        members = []
+        for seed in (7, 11):
+            wts_u, _ = fit_alternating(
+                examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+                batch_size=256, lr=args.lr, seed=seed, init_word_emb=init_w,
+            )
+            members.append(("uni", wts_u, (wv, dv, pv)))
+        for seed in (7, 11):
+            params_b, _ = fit_bi_alternating(
+                examples, sizes, cycles=3, unsup_epochs=1, sup_epochs=10,
+                batch_size=256, lr=args.lr, seed=seed, init_word_emb=init_w,
+                dims={"d_hidden": 48},
+            )
+            members.append(("bi", params_b, (wv, dv, pv)))
+        singles = encode_single_examples(train_parsed, vocabs, cfg).materialize()
+        params_d, _ = fit_dual_classifier(
+            singles, sizes, epochs=30, batch_size=256, lr=args.lr,
+            init_word_emb=init_w,
+        )
+        members.append(("dual", params_d, (wv, dv, pv)))
+        mref = _ray.put(members)
+        classified = valid_parsed.map_batches(
+            cached_stage_fn(
+                EnsembleClassifyStage, mref.hex(), {"models_ref": mref, "cfg": cfg}
+            ),
+            batch_format="pyarrow",
+        )
+        f1 = valid_f1(classified)
+        record("ens5_2seed", f1, time.time() - t0, "uni s7+s11, bi48 s7+s11, dual")
+
     print(json.dumps(results, indent=1))
     ray.shutdown()
 
