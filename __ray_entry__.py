@@ -323,6 +323,21 @@ def _q_ngram_jaccard(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_dedup_keep_one(sf_dir: str):
+    """Keep-one near-dup dedup: corpus minus the non-canonical members of
+    every ngram-Jaccard duplicate cluster (threshold 0.8)."""
+    from relation_extraction_ray.functions.components import dedup_keep_one
+    from relation_extraction_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return (
+        dedup_keep_one(docs, pairs)
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Bigram-LM negative-log-prob quality scores (CCNet-style filter):
     self-trained add-one-smoothed bigram model, per-doc mean NLL in
@@ -698,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
+        "dedup_keep_one": _q_dedup_keep_one,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
@@ -1245,6 +1261,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
             FROM jac WHERE sim >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # dedup_keep_one: anti-join of the corpus against the non-canonical
+        # members of each recursive-CTE duplicate cluster (shares
+        # _NGRAM_CTES with ngram_jaccard / dup_clusters)
+        "dedup_keep_one": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            prs AS (
+              SELECT doc_a, doc_b FROM jac WHERE sim >= 0.8
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM prs
+            ), reach(node, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ), comp AS (
+              SELECT node AS doc_id, MIN(root) AS canonical_id FROM reach GROUP BY node
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+            ORDER BY d.doc_id
         """,
         # lm_perplexity: full SQL replay of the self-trained bigram LM —
         # vocab truncation (count >= 5 else <unk>), mapped unigram/bigram

@@ -244,3 +244,47 @@ def _label_sum(labels: ray.data.Dataset) -> int:
     driver holds one number."""
     s = labels.sum("lab")
     return int(s["sum(lab)"] if isinstance(s, dict) else s)
+
+
+def dedup_keep_one(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> ray.data.Dataset:
+    """Keep-one near-dup dedup: drop every clustered document except its
+    cluster's canonical (component-min id) member — the operation the
+    pair-emitting dedup family exists to feed.
+
+    ``pairs`` is any near-dup pair table (minhash / ngram-Jaccard /
+    simhash / embedding); clusters come from
+    :func:`connected_components`.  The drop set (non-canonical members)
+    is O(|dup docs|) ≪ corpus and ships once via ``ray.put`` — the
+    filter pass is one streaming ``is_in`` over the corpus, no shuffle
+    of document rows (above a broadcast bound the same filter becomes a
+    hash-partitioned anti-join on id, the standard planner split; dup
+    sets that large mean the corpus is mostly duplicates).
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drops: list = []
+    for bt in cc.iter_batches(batch_format="pyarrow"):
+        neq = pa.compute.invert(
+            pa.compute.equal(bt.column("doc_id"), bt.column("canonical_id"))
+        )
+        drops.append(bt.column("doc_id").filter(neq).combine_chunks())
+    drop_arr = (
+        pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in drops])
+        if drops
+        else pa.array([], pa.int64())
+    )
+    drop_ref = ray.put(drop_arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        if len(drop) == 0:
+            return batch
+        mask = pa.compute.invert(pa.compute.is_in(batch.column(id_col), value_set=drop))
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -89,3 +89,24 @@ def test_random_graph_matches_union_find(ray_session, n):
     rows = [(a, b) for a, b in rows if a != b]
     got = _result_tuples(connected_components(_pairs(rows)))
     assert got == _union_find(rows)
+
+
+def test_dedup_keep_one(ray_session):
+    from relation_extraction_ray.functions.components import dedup_keep_one
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": [f"doc {i}" for i in range(10)],
+            }
+        )
+    )
+    # clusters {1,2,3} and {7,9}; canonical = min → drop 2,3,9
+    pairs = _pairs([(1, 2), (2, 3), (7, 9)])
+    kept = sorted(dedup_keep_one(docs, pairs).to_pandas()["doc_id"])
+    assert kept == [0, 1, 4, 5, 6, 7, 8]
+
+    # no pairs → corpus unchanged
+    kept2 = sorted(dedup_keep_one(docs, _pairs([])).to_pandas()["doc_id"])
+    assert kept2 == list(range(10))
