@@ -14,15 +14,19 @@ node keeps the min of what it heard and what it had:
 
     labels ← (messages ∪ labels).groupby(node).min(label)
 
-Rounds needed = graph diameter.  For near-dup clusters that is the
-right trade: clusters of mutually-similar documents are near-cliques
-(every member pairs with most others — banding makes the candidate
-graph dense inside a cluster), so diameter is 1-2 and the loop
-converges in 2-3 rounds; a chain-shaped corpus (adversarial) degrades
-to O(diameter) keyed exchanges, each moving O(|edges|) rows.  Labels
-only ever *decrease*, so ``sum(label)`` is monotone non-increasing and
-a round that leaves it unchanged is the fixpoint — convergence is one
-tiny driver-side aggregate per round, no old↔new join.
+Each round is augmented with **pointer jumping** (label ← label[label]:
+driver-side path compression in broadcast mode, where the map is
+already resident; in partitioned mode one extra self-join of the label
+table, engaged adaptively from round 3 so the common ≤2-round clique
+workload never pays it), so total rounds are O(log diameter) —
+near-dup clusters are
+near-cliques (diameter 1-2, the init scan already reaches the fixpoint
+and the loop runs one confirmation round) and even an adversarial
+chain-shaped graph needs only logarithmically many keyed exchanges,
+each moving O(|edges|) rows.  Labels only ever *decrease*, so
+``sum(label)`` is monotone non-increasing and a round that leaves it
+unchanged is the fixpoint — convergence is one tiny driver-side
+aggregate per round, no old↔new join.
 
 Scale shape (100 TB): the label table holds only nodes that appear in
 at least one pair — O(|dup pairs|), ≪ corpus.  Below a byte bound the
@@ -40,16 +44,23 @@ engine addition per the LLM-data-pipeline mandate.
 
 from __future__ import annotations
 
+import time as _time
+
 import numpy as np
 import pyarrow as pa
 import ray.data
 
-from .joins import derive_n_parts, pair_payload_join
+from .joins import derive_n_parts, pair_payload_join, part_array
 
 # broadcast-vs-partitioned planner bound for the per-round label join
 # (labels are (int64 id → int64 label) dict entries, ~64 B each in a
-# Python dict); same 32 MiB budget as the linker's KB planner
-_BROADCAST_LABEL_BYTES = 32 << 20
+# Python dict).  256 MiB ≈ 4M clustered nodes: the 1M-pair probe
+# (BASELINE.md round 4) measured a 1.23M-node label dict at ~100 MB
+# driver RSS finishing in 2 rounds / ~60 s with exact ground truth, so
+# the broadcast path is preferred well past the linker's 32 MiB KB
+# budget; above it the pair_payload_join rounds keep driver memory flat
+# at the cost of 4 keyed exchanges per round.
+_BROADCAST_LABEL_BYTES = 256 << 20
 _EST_LABEL_BYTES = 64
 
 
@@ -99,6 +110,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_rounds: int = 64,
     broadcast_bytes: int = _BROADCAST_LABEL_BYTES,
+    round_stats: list | None = None,
 ) -> ray.data.Dataset:
     """Fold a pair table into duplicate clusters.
 
@@ -143,14 +155,23 @@ def connected_components(
         )
 
     labels = edges.map_batches(init_labels, batch_format="pyarrow")
-    n_parts = derive_n_parts(edges.count())
+    # Partition sizing: CC rows are 16-byte (node, lab) pairs, so the
+    # default derive_n_parts (4096 rows/part, tuned for heavy per-group
+    # dedup verification) over-partitions catastrophically — at 1M edges
+    # it yields 244 parts × ~500 input blocks ≈ 122k shuffle objects PER
+    # SORT, and the pull-based shuffle coordinator pegged the driver at
+    # 94 % CPU / 16 GB RSS with every worker idle (measured).  64k rows
+    # (~1 MB) per partition keeps each exchange to a few hundred objects
+    # while staying multi-core; the 256 cap bounds per-partition rows at
+    # ~4M (~64 MB) at cluster scale.
+    n_parts = derive_n_parts(edges.count(), rows_per_part=1 << 16)
     labels = _global_min(labels, n_parts).materialize()
     prev_sum = _label_sum(labels)
 
     n_nodes = labels.count()
     use_broadcast = n_nodes * _EST_LABEL_BYTES <= broadcast_bytes
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if use_broadcast:
             from ..taskexec import cached_stage_fn
 
@@ -162,6 +183,17 @@ def connected_components(
                         bt.column("lab").to_pylist(),
                     )
                 )
+            # path compression (pointer jumping, driver-side — the map is
+            # already resident here): collapse label chains so a round
+            # propagates ROOTS, not one-hop labels.  Turns O(diameter)
+            # rounds into O(log d) on chain-shaped graphs; no-op on the
+            # near-clique dup-cluster workload.  Labels are node ids, so
+            # label-of-label is always defined.
+            for k in lab_map:
+                r = lab_map[k]
+                while lab_map.get(r, r) != r:
+                    r = lab_map[r]
+                lab_map[k] = r
             lab_ref = ray.put(lab_map)
             messages = edges.map_batches(
                 cached_stage_fn(
@@ -203,8 +235,26 @@ def connected_components(
 
             messages = joined.map_batches(relabel, batch_format="pyarrow")
 
+        t_round = _time.monotonic()
         labels = _global_min(messages.union(labels), n_parts).materialize()
+        if not use_broadcast and rnd >= 2:
+            # distributed pointer jump: one extra keyed join per round
+            # replaces each label with its label's label (monotone:
+            # label[x] <= x always, so label[lab] <= lab) — O(log d)
+            # total rounds on chain-shaped graphs instead of O(d).
+            # Engaged ADAPTIVELY from round 3: the near-clique dup-cluster
+            # workload converges in ≤2 rounds (init fixpoint +
+            # confirmation) and must not pay the extra keyed join
+            # (measured 3.3× on the partitioned bit-equality test when
+            # unconditional); a graph still unconverged after 2 rounds is
+            # chain/tree-shaped, exactly where jumping wins.
+            labels = _pointer_jump(labels, id_type, n_parts).materialize()
         cur_sum = _label_sum(labels)
+        if round_stats is not None:
+            round_stats.append(
+                {"mode": "broadcast" if use_broadcast else "partitioned",
+                 "wall_s": round(_time.monotonic() - t_round, 2), "label_sum": cur_sum}
+            )
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -222,6 +272,64 @@ def connected_components(
         )
 
     return labels.groupby("lab").map_groups(stamp_size, batch_format="pyarrow")
+
+
+def _pointer_jump(labels: ray.data.Dataset, id_type: pa.DataType, n_parts: int) -> ray.data.Dataset:
+    """label ← label[label] for every node, as ONE keyed exchange of the
+    label table against itself (cheaper than the generic
+    :func:`pair_payload_join`, which would spend a second exchange
+    resolving the ``node`` leg we don't need).  Every label row ships
+    twice — once keyed on ``part(node)`` as the lookup side (role S),
+    once keyed on ``part(lab)`` as the probe side (role P); per
+    partition a vectorized ``index_in`` probe replaces each probe row's
+    lab with the lab of the node it points at.  Labels are node ids of
+    nodes present in the table, so the probe always hits (a miss keeps
+    the old lab — still correct, jumping is an accelerator not a
+    correctness step); node rows are unique so no re-aggregation is
+    needed."""
+    import pyarrow.compute as pc
+
+    def two_legs(t: pa.Table) -> pa.Table:
+        node = t.column("node").combine_chunks().cast(id_type)
+        lab64 = t.column("lab").combine_chunks().cast(pa.int64())
+        lab_id = lab64.cast(id_type)
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [
+                        part_array(pa.table({"k": node}), ["k"], n_parts),
+                        part_array(pa.table({"k": lab_id}), ["k"], n_parts),
+                    ]
+                ),
+                pa.array(["S"] * n + ["P"] * n),
+                pa.concat_arrays([node, node]),
+                pa.concat_arrays([lab64, lab64]),
+            ],
+            names=["part", "role", "node", "lab"],
+        )
+
+    def jump(group: pa.Table) -> pa.Table:
+        roles = group.column("role").combine_chunks().to_numpy(zero_copy_only=False)
+        smask = roles == "S"
+        s_rows = group.filter(pa.array(smask))
+        p_rows = group.filter(pa.array(~smask))
+        idx = pc.index_in(
+            p_rows.column("lab").combine_chunks().cast(id_type),
+            value_set=s_rows.column("node").combine_chunks(),
+        )
+        jumped = pc.take(s_rows.column("lab").combine_chunks(), idx)
+        new_lab = pc.if_else(pc.is_valid(jumped), jumped, p_rows.column("lab").combine_chunks())
+        return pa.Table.from_arrays(
+            [p_rows.column("node").combine_chunks(), new_lab.cast(pa.int64())],
+            names=["node", "lab"],
+        )
+
+    return (
+        labels.map_batches(two_legs, batch_format="pyarrow")
+        .groupby("part", num_partitions=n_parts)
+        .map_groups(jump, batch_format="pyarrow")
+    )
 
 
 def _global_min(node_lab: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
