@@ -338,6 +338,20 @@ def _q_dedup_keep_one(sf_dir: str):
     )
 
 
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination (GPT-3 app. C / Gopher §A.2 shape):
+    contamination report of docs sharing an 8-gram with a deterministic
+    synthetic eval set (every 19th doc's tokens[2:18] window)."""
+    from relation_extraction_ray.functions.decontam import (
+        decontaminate,
+        synthetic_benchmark_grams,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = synthetic_benchmark_grams(docs, n=8, every=19, window=(2, 18))
+    return decontaminate(docs, bench, n=8).sort("doc_id")
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Bigram-LM negative-log-prob quality scores (CCNet-style filter):
     self-trained add-one-smoothed bigram model, per-doc mean NLL in
@@ -714,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
         "dedup_keep_one": _q_dedup_keep_one,
+        "decontam": _q_decontam,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
@@ -1261,6 +1276,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
             FROM jac WHERE sim >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # decontam: benchmark-decontamination replay — the synthetic eval
+        # set is the 8-grams of tokens[2:18] of every 19th doc (the same
+        # pure function of the input the engine derives), the report every
+        # doc sharing >= 1 such gram with n_hits = count(DISTINCT gram).
+        # Tokens split on single space WITHOUT dropping empties (matching
+        # decontam.ngram_strings); DuckDB list slices are 1-based inclusive
+        # so python [2:18] == toks[3:18].
+        "decontam": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), bench AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(0, len(w) - 7),
+                          i -> array_to_string(w[(i+1)::INT:(i+8)::INT], ' '))
+                END) AS g
+              FROM (SELECT toks[3:18] AS w FROM tok WHERE doc_id % 19 = 0)
+            ), grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(0, len(toks) - 7),
+                          i -> array_to_string(toks[(i+1)::INT:(i+8)::INT], ' '))
+                END) AS g
+              FROM tok
+            )
+            SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+            FROM grams g JOIN bench b ON g.g = b.g
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
         """,
         # dedup_keep_one: anti-join of the corpus against the non-canonical
         # members of each recursive-CTE duplicate cluster (shares

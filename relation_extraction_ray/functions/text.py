@@ -145,28 +145,40 @@ class LangIdStage:
 
     def __init__(self) -> None:
         self.langs = sorted(_LANG_MARKERS)
-        # token → indices of the languages whose marker set contains it
-        # (markers overlap across languages, e.g. "de"/"la"), built once
-        # per actor so __call__ only does dict lookups + one argmax per row
-        self.tok2langs: dict[str, np.ndarray] = {}
-        for i, lang in enumerate(self.langs):
+        # marker vocabulary + (n_marker_tokens × n_langs) 0/1 membership
+        # matrix, built once per actor; __call__ is then one index_in over
+        # the batch's flat token array + numpy scatter-adds — no per-row loop
+        vocab = sorted({t for s in _LANG_MARKERS.values() for t in s})
+        self.marker_vocab = pa.array(vocab, pa.string())
+        self.membership = np.zeros((len(vocab), len(self.langs)), dtype=np.int64)
+        pos = {t: i for i, t in enumerate(vocab)}
+        for j, lang in enumerate(self.langs):
             for tok in _LANG_MARKERS[lang]:
-                self.tok2langs.setdefault(tok, []).append(i)  # type: ignore[arg-type]
-        self.tok2langs = {t: np.array(v, dtype=np.int64) for t, v in self.tok2langs.items()}
+                self.membership[pos[tok], j] = 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = []
-        n_langs = len(self.langs)
-        for toks in _split_lower(batch.column("text")).to_pylist():
-            counts = np.zeros(n_langs, dtype=np.int64)
-            for tok in set(toks):
-                hit = self.tok2langs.get(tok)
-                if hit is not None:
-                    counts[hit] += 1
-            best = int(np.argmax(counts))
-            langs.append(self.langs[best] if counts[best] else "und")
+        toks = _split_lower(batch.column("text")).combine_chunks()
+        n_docs = batch.num_rows
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        hit = pc.index_in(toks.values, value_set=self.marker_vocab)
+        hit_np = hit.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = hit_np >= 0
+        counts = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        if valid.any():
+            # distinct (doc, marker-token) pairs — overlap counts DISTINCT
+            # marker tokens per doc, so dedupe before the scatter-add
+            tok_ids = hit_np[valid]
+            keys = doc_idx[valid] * len(self.marker_vocab) + tok_ids
+            uniq = np.unique(keys)
+            u_doc = uniq // len(self.marker_vocab)
+            u_tok = uniq % len(self.marker_vocab)
+            np.add.at(counts, u_doc, self.membership[u_tok])
+        best = counts.argmax(axis=1)
+        lang_arr = np.array(self.langs, dtype=object)[best]
+        lang_arr[counts.max(axis=1) == 0] = "und"
         return pa.Table.from_pydict(
-            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(langs, pa.string())}
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(lang_arr, pa.string())}
         )
 
 

@@ -661,3 +661,74 @@ def test_stratified_sample_quotas_and_determinism(ray_session):
         ray.data.from_arrow(pa.table({"k": list(range(n))})), "k", pct=20
     ).to_pandas()
     assert sorted(got["k"]) == sorted(want["k"])
+
+
+def test_lang_id_matches_bruteforce(ray_session):
+    from relation_extraction_ray.functions.text import _LANG_MARKERS, lang_id
+
+    rng = np.random.default_rng(7)
+    pools = {k: sorted(v) for k, v in _LANG_MARKERS.items()}
+    filler = ["zzz", "qqq", "foo", "bar", ""]
+    rows = []
+    for i in range(200):
+        lang = rng.choice(sorted(pools))
+        toks = list(rng.choice(pools[lang], size=rng.integers(0, 6))) + list(
+            rng.choice(filler, size=rng.integers(0, 5))
+        )
+        rng.shuffle(toks)
+        rows.append({"doc_id": i, "text": " ".join(toks).upper()})
+    out = lang_id(_docs_ds(rows)).to_pandas().set_index("doc_id")["lang_pred"]
+
+    for r in rows:
+        toks = set(r["text"].lower().split(" "))
+        counts = {l: len(toks & s) for l, s in _LANG_MARKERS.items()}
+        best = max(sorted(counts), key=lambda l: counts[l])
+        want = best if counts[best] else "und"
+        assert out[r["doc_id"]] == want, r
+
+
+def test_decontam_matches_bruteforce(ray_session):
+    from relation_extraction_ray.functions.decontam import (
+        decontaminate,
+        ngram_strings,
+        synthetic_benchmark_grams,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=rng.integers(0, 30)))}
+        for i in range(120)
+    ]
+    ds = _docs_ds(rows)
+    n = 4
+    bench = synthetic_benchmark_grams(ds, n=n, every=10, window=(1, 9))
+
+    # brute-force python replica of both halves
+    def grams_of(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want_bench = set()
+    for r in rows:
+        if r["doc_id"] % 10 == 0:
+            w = " ".join(r["text"].split(" ")[1:9])
+            want_bench |= grams_of(w)
+    assert set(bench) == want_bench
+
+    got = decontaminate(ds, bench, n=n).to_pandas().set_index("doc_id")["n_hits"]
+    bench_set = set(bench)
+    for r in rows:
+        hits = len(grams_of(r["text"]) & bench_set)
+        if hits:
+            assert got[r["doc_id"]] == hits, r
+        else:
+            assert r["doc_id"] not in got.index
+
+    # vectorized gram generator agrees with the python one per doc
+    doc_idx, grams = ngram_strings(pa.array([r["text"] for r in rows]), n)
+    for i, r in enumerate(rows):
+        mine = [g for d, g in zip(doc_idx, grams) if d == i]
+        toks = r["text"].split(" ")
+        want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        assert mine == want
