@@ -352,6 +352,27 @@ def _q_decontam(sf_dir: str):
     return decontaminate(docs, bench, n=8).sort("doc_id")
 
 
+def _q_repetition(sf_dir: str):
+    """Within-doc n-gram repetition stats (Gopher/MassiveText repetition
+    filters): dup/top 2- and 3-gram milli-fractions per document."""
+    from relation_extraction_ray.functions.text import repetition_stats
+
+    return repetition_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).sort("doc_id")
+
+
+def _q_boilerplate(sf_dir: str):
+    """Cross-corpus boilerplate ratio: fraction of each doc's distinct
+    3-shingles occurring in >= 3 documents corpus-wide (CCNet-adjacent
+    common-shingle detector, exact df via shingle-partitioned exchange)."""
+    from relation_extraction_ray.functions.text import boilerplate_score
+
+    return boilerplate_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=3, min_df=3
+    ).sort("doc_id")
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Bigram-LM negative-log-prob quality scores (CCNet-style filter):
     self-trained add-one-smoothed bigram model, per-doc mean NLL in
@@ -729,6 +750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "dedup_keep_one": _q_dedup_keep_one,
         "decontam": _q_decontam,
+        "repetition": _q_repetition,
+        "boilerplate": _q_boilerplate,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
@@ -1306,6 +1329,83 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bench b ON g.g = b.g
             GROUP BY g.doc_id
             ORDER BY g.doc_id
+        """,
+        # repetition: Gopher-style within-doc repetition replay — per doc,
+        # dup fraction = (total - distinct)/total and top fraction =
+        # max_count/total over token 2- and 3-grams, milli-integers, zeros
+        # for docs with < n tokens (raw split on ' ', empties kept,
+        # matching decontam.ngram_strings)
+        "repetition": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g2 AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(0, len(toks) - 1),
+                          i -> array_to_string(toks[(i+1)::INT:(i+2)::INT], ' '))
+                END) AS g
+              FROM tok
+            ), c2 AS (
+              SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+            ), a2 AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS dst, max(c) AS top
+              FROM c2 GROUP BY doc_id
+            ), g3 AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(0, len(toks) - 2),
+                          i -> array_to_string(toks[(i+1)::INT:(i+3)::INT], ' '))
+                END) AS g
+              FROM tok
+            ), c3 AS (
+              SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+            ), a3 AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS dst, max(c) AS top
+              FROM c3 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(a2.total, 0) AS BIGINT) AS n_2grams,
+              CAST(CASE WHEN coalesce(a2.total, 0) = 0 THEN 0
+                ELSE floor(1000.0 * (a2.total - a2.dst) / a2.total + 0.5) END AS BIGINT) AS dup2_milli,
+              CAST(CASE WHEN coalesce(a2.total, 0) = 0 THEN 0
+                ELSE floor(1000.0 * a2.top / a2.total + 0.5) END AS BIGINT) AS top2_milli,
+              CAST(coalesce(a3.total, 0) AS BIGINT) AS n_3grams,
+              CAST(CASE WHEN coalesce(a3.total, 0) = 0 THEN 0
+                ELSE floor(1000.0 * (a3.total - a3.dst) / a3.total + 0.5) END AS BIGINT) AS dup3_milli,
+              CAST(CASE WHEN coalesce(a3.total, 0) = 0 THEN 0
+                ELSE floor(1000.0 * a3.top / a3.total + 0.5) END AS BIGINT) AS top3_milli
+            FROM documents d
+            LEFT JOIN a2 ON d.doc_id = a2.doc_id
+            LEFT JOIN a3 ON d.doc_id = a3.doc_id
+            ORDER BY d.doc_id
+        """,
+        # boilerplate: exact corpus-wide document frequency of each doc's
+        # distinct 3-shingles, common = df >= 3; every doc present with
+        # zeros when it has no shingles
+        "boilerplate": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(0, len(toks) - 2),
+                          i -> array_to_string(toks[(i+1)::INT:(i+3)::INT], ' '))
+                END) AS g
+              FROM tok
+            ), df AS (
+              SELECT g, count(*) AS df FROM sh GROUP BY g
+            ), per AS (
+              SELECT s.doc_id, count(*) AS n_sh,
+                     sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS n_c
+              FROM sh s JOIN df f ON s.g = f.g GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(p.n_sh, 0) AS BIGINT) AS n_shingles,
+              CAST(coalesce(p.n_c, 0) AS BIGINT) AS n_common,
+              CAST(CASE WHEN coalesce(p.n_sh, 0) = 0 THEN 0
+                ELSE floor(1000.0 * p.n_c / p.n_sh + 0.5) END AS BIGINT) AS common_milli
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+            ORDER BY d.doc_id
         """,
         # dedup_keep_one: anti-join of the corpus against the non-canonical
         # members of each recursive-CTE duplicate cluster (shares

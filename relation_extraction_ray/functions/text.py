@@ -437,3 +437,143 @@ def redact(
         return pa.Table.from_pydict(out)
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# --- within-doc repetition stats (Gopher/MassiveText quality filters) -------
+
+
+def repetition_stats(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-document n-gram repetition signals — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021, table A1): for n in {2, 3}, the
+    fraction of n-gram occurrences that repeat an already-seen n-gram
+    (``dup{n}_milli``) and the share of the single most frequent n-gram
+    (``top{n}_milli``), both as drift-free milli-integers.
+
+    Purely per-row: one streaming scan, no shuffle.  Gram generation is
+    the shared vectorized :func:`..decontam.ngram_strings`; per-doc
+    distinct/top counts come from ONE Arrow ``group_by`` over the batch's
+    flat (doc, gram) pairs + numpy ``bincount``/``maximum.at`` — no
+    Python loop over rows.  Docs with fewer than ``n`` tokens report
+    zeros.  No reference counterpart (engine addition per the
+    LLM-data-pipeline mandate)."""
+    from .decontam import ngram_strings
+
+    def rep(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        cols: dict = {"doc_id": batch.column("doc_id")}
+        for n in (2, 3):
+            di, grams = ngram_strings(batch.column(text_col), n)
+            total = np.bincount(di, minlength=nr).astype(np.int64)
+            distinct = np.zeros(nr, dtype=np.int64)
+            top = np.zeros(nr, dtype=np.int64)
+            if len(di):
+                agg = (
+                    pa.table({"di": pa.array(di), "g": pa.array(grams, pa.string())})
+                    .group_by(["di", "g"])
+                    .aggregate([("g", "count")])
+                )
+                adx = agg.column("di").to_numpy()
+                cnt = agg.column("g_count").to_numpy().astype(np.int64)
+                distinct = np.bincount(adx, minlength=nr).astype(np.int64)
+                np.maximum.at(top, adx, cnt)
+            safe = np.maximum(total, 1)
+            cols[f"n_{n}grams"] = pa.array(total)
+            cols[f"dup{n}_milli"] = pa.array(
+                np.floor(1000.0 * (total - distinct) / safe + 0.5).astype(np.int64)
+            )
+            cols[f"top{n}_milli"] = pa.array(
+                np.floor(1000.0 * top / safe + 0.5).astype(np.int64)
+            )
+        return pa.Table.from_pydict(cols)
+
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
+# --- cross-corpus boilerplate score (CCNet-adjacent common-shingle ratio) ---
+
+
+def boilerplate_score(
+    docs: ray.data.Dataset,
+    n: int = 3,
+    min_df: int = 3,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document boilerplate ratio: the fraction of a doc's DISTINCT
+    token ``n``-shingles that occur in ≥ ``min_df`` documents corpus-wide
+    (the CCNet/paragraph-dedup idea recast for flat text: common shingles
+    are boilerplate; a doc made of them is template noise).
+
+    Scale shape (100 TB): never broadcasts the common-shingle set (which
+    grows with the corpus).  Two keyed exchanges: (1) distinct
+    (doc, shingle) pairs hash-partition by SHINGLE, so each partition
+    holds every occurrence of its shingles and computes exact
+    document frequency locally, emitting per-doc partials
+    (n_shingles, n_common); (2) a ``groupby(doc_id).sum`` over those
+    partials — one row per (doc × partition), ≪ the pair volume.  A
+    zero-partial per doc (unioned straight into the final aggregate, one
+    cheap scan, never through the shingle exchange) guarantees every
+    document appears in the output.  Output: ``doc_id, n_shingles,
+    n_common, common_milli`` (milli-integer ratio, 0 when the doc has no
+    shingles)."""
+    from .decontam import ngram_strings
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        di, grams = ngram_strings(batch.column(text_col), n)
+        ids = batch.column("doc_id")
+        if len(di) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], ids.type), "g": pa.array([], pa.string())}
+            )
+        dedup = (
+            pa.table({"di": pa.array(di), "g": pa.array(grams, pa.string())})
+            .group_by(["di", "g"])
+            .aggregate([])
+        )
+        return pa.table(
+            {"doc_id": ids.take(dedup.column("di")), "g": dedup.column("g")}
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        df = part.group_by("g").aggregate([("g", "count")])
+        common = df.filter(pc.greater_equal(df.column("g_count"), min_df)).column("g")
+        is_common = pc.is_in(part.column("g"), value_set=common.combine_chunks())
+        partial = pa.table(
+            {
+                "doc_id": part.column("doc_id"),
+                "n_sh": pa.array(np.ones(part.num_rows, dtype=np.int64)),
+                "n_common": is_common.cast(pa.int64()),
+            }
+        )
+        return partial.group_by("doc_id").aggregate([("n_sh", "sum"), ("n_common", "sum")])
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        return pa.table({"doc_id": batch.column("doc_id"), "n_sh_sum": z, "n_common_sum": z})
+
+    pair_ds = docs.map_batches(pairs, batch_format="pyarrow")
+    n_parts = derive_n_parts(docs.count() * 64, rows_per_part=65536)
+    partials = hash_partitioned_groups(pair_ds, ["g"], per_part, n_parts).union(
+        docs.map_batches(zeros, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_sh = batch.column("sum(n_sh_sum)").to_numpy().astype(np.int64)
+        n_common = batch.column("sum(n_common_sum)").to_numpy().astype(np.int64)
+        safe = np.maximum(n_sh, 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles": pa.array(n_sh),
+                "n_common": pa.array(n_common),
+                "common_milli": pa.array(
+                    np.floor(1000.0 * n_common / safe + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        partials.groupby("doc_id")
+        .sum(["n_sh_sum", "n_common_sum"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

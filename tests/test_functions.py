@@ -732,3 +732,68 @@ def test_decontam_matches_bruteforce(ray_session):
         toks = r["text"].split(" ")
         want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
         assert mine == want
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    from relation_extraction_ray.functions.text import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a b"},          # heavy 2-gram repeats
+        {"doc_id": 1, "text": "x y z w v u"},           # all distinct
+        {"doc_id": 2, "text": "q"},                      # too short for any gram
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "m m m m"},
+    ]
+    out = repetition_stats(_docs_ds(rows)).to_pandas().set_index("doc_id")
+
+    from collections import Counter
+
+    for r in rows:
+        toks = r["text"].split(" ")
+        for n in (2, 3):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            total = len(grams)
+            c = Counter(grams)
+            dup = int(1000 * (total - len(c)) / total + 0.5) if total else 0
+            top = int(1000 * max(c.values()) / total + 0.5) if total else 0
+            row = out.loc[r["doc_id"]]
+            assert row[f"n_{n}grams"] == total
+            assert row[f"dup{n}_milli"] == dup
+            assert row[f"top{n}_milli"] == top
+
+
+def test_boilerplate_score_exact_df(ray_session):
+    from relation_extraction_ray.functions.text import boilerplate_score
+
+    common = "the quick brown fox"          # 2 distinct 3-shingles, in 4 docs
+    rows = [
+        {"doc_id": 0, "text": common},
+        {"doc_id": 1, "text": common},
+        {"doc_id": 2, "text": common + " jumps"},
+        {"doc_id": 3, "text": "unique words only here today"},
+        {"doc_id": 4, "text": "tiny"},                   # no shingles
+        {"doc_id": 5, "text": common + " again entirely"},
+    ]
+    out = (
+        boilerplate_score(_docs_ds(rows), n=3, min_df=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == len(rows)
+    # brute force
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    from collections import Counter
+
+    df = Counter(g for r in rows for g in sh(r["text"]))
+    for r in rows:
+        s = sh(r["text"])
+        n_common = sum(1 for g in s if df[g] >= 3)
+        row = out.loc[r["doc_id"]]
+        assert row["n_shingles"] == len(s)
+        assert row["n_common"] == n_common
+        want = int(1000 * n_common / len(s) + 0.5) if s else 0
+        assert row["common_milli"] == want
