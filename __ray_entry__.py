@@ -352,6 +352,17 @@ def _q_decontam(sf_dir: str):
     return decontaminate(docs, bench, n=8).sort("doc_id")
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based session windows (30-min inactivity gap) per user over the
+    events stream: one row per session with count, first/last ts, cents."""
+    from relation_extraction_ray.functions.relational import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]),
+        gap_minutes=30,
+    ).sort(["user_id", "session_idx"])
+
+
 def _q_repetition(sf_dir: str):
     """Within-doc n-gram repetition stats (Gopher/MassiveText repetition
     filters): dup/top 2- and 3-gram milli-fractions per document."""
@@ -752,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": _q_decontam,
         "repetition": _q_repetition,
         "boilerplate": _q_boilerplate,
+        "sessions": _q_sessionize,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "media_features": _q_media_features,
@@ -1329,6 +1341,33 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bench b ON g.g = b.g
             GROUP BY g.doc_id
             ORDER BY g.doc_id
+        """,
+        # sessions: gap-based session windows — break when the inactivity
+        # gap strictly exceeds 30 minutes (engine: diff > gap_us), session
+        # index = running break count per user, cents rounded per event
+        # before the integer sum (drift-free)
+        "sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, cents,
+                sum(brk) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM e
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(ts) AS first_ts, max(ts) AS last_ts,
+              CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
         # repetition: Gopher-style within-doc repetition replay — per doc,
         # dup fraction = (total - distinct)/total and top fraction =

@@ -443,3 +443,89 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Gap-based sessionization — the streaming session-window aggregate:
+    per user, events ordered by (ts, event_id) split into sessions at any
+    gap > ``gap_minutes``; one output row per session with event count,
+    first/last ts and integer-cents value sum.
+
+    Scale shape: events hash-partition ONCE by ``user_id`` (every event of
+    a user lands in one partition, so session boundaries are computable
+    locally); within a partition the whole computation is vectorized —
+    one sort by (user, ts, event_id), numpy diff for break flags, a
+    segmented cumsum for session indices, and one Arrow ``group_by`` for
+    the per-session aggregate.  ASSUMES one user's history fits a
+    partition (the same bound :func:`user_running_totals` documents; a
+    user with more events than worker heap needs the bucketed-prefix
+    treatment of :func:`user_running_totals_bucketed`)."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_idx", pa.int64()),
+            ("n_events", pa.int64()),
+            ("first_ts", pa.timestamp("us")),
+            ("last_ts", pa.timestamp("us")),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            part,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        t = part.take(order)
+        users = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        brk = np.ones(len(users), dtype=np.int64)
+        if len(users) > 1:
+            same_user = users[1:] == users[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= gap_us
+            brk[1:] = (~(same_user & small_gap)).astype(np.int64)
+        # segmented cumsum: global running break count, re-based per user
+        run = np.cumsum(brk)
+        user_start = np.zeros(len(users), dtype=np.int64)
+        if len(users) > 1:
+            new_user = np.concatenate([[True], ~same_user])
+        else:
+            new_user = np.ones(len(users), dtype=bool)
+        start_vals = run[new_user] - 1  # break count before each user's first row
+        user_start = np.repeat(start_vals, np.diff(np.concatenate([np.flatnonzero(new_user), [len(users)]])))
+        session_idx = run - user_start
+        grouped = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "session_idx": pa.array(session_idx),
+                "ts": t.column("ts"),
+                "cents": pa.array(cents),
+            }
+        ).group_by(["user_id", "session_idx"]).aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": grouped.column("user_id"),
+                "session_idx": grouped.column("session_idx"),
+                "n_events": grouped.column("ts_count").cast(pa.int64()),
+                "first_ts": grouped.column("ts_min"),
+                "last_ts": grouped.column("ts_max"),
+                "total_cents": grouped.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    return hash_partitioned_groups(
+        events.select_columns(["user_id", "event_id", "ts", "value"]),
+        ["user_id"],
+        per_part,
+        n_parts,
+    )

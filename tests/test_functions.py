@@ -797,3 +797,47 @@ def test_boilerplate_score_exact_df(ray_session):
         assert row["n_common"] == n_common
         want = int(1000 * n_common / len(s) + 0.5) if s else 0
         assert row["common_milli"] == want
+
+
+def test_sessionize_vs_pandas(ray_session):
+    """Gap-based session windows: partitioned numpy/Arrow kernel must match
+    a straightforward pandas groupby replay (break when gap > 30 min,
+    ties broken by event_id, cents rounded per event before summing)."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import sessionize
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    got = sessionize(ds, gap_minutes=30).to_pandas()
+    got = got.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    gap = pd.Timedelta(minutes=30)
+    brk = (df["user_id"] != df["user_id"].shift()) | (df["ts"] - df["ts"].shift() > gap)
+    df["session_idx"] = brk.groupby(df["user_id"]).cumsum().astype("int64")
+    want = (
+        df.groupby(["user_id", "session_idx"])
+        .agg(
+            n_events=("ts", "size"),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            total_cents=("cents", "sum"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 50
+    for col in ["user_id", "session_idx", "n_events", "total_cents"]:
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["first_ts"].tolist() == want["first_ts"].tolist()
+    assert got["last_ts"].tolist() == want["last_ts"].tolist()
+    # multi-event sessions exist (the gap actually merges something)
+    assert (got["n_events"] > 1).any()
