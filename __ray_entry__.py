@@ -384,6 +384,31 @@ def _q_boilerplate(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_tfidf(sf_dir: str):
+    """Per-document top-5 terms by tf-idf (raw-ratio idf, milli-integer
+    score): one vocab-bounded df shuffle + broadcast, then a single
+    streaming score+top-k pass."""
+    from relation_extraction_ray.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=5
+    ).sort(["doc_id", "rank"])
+
+
+def _q_top_per_cust(sf_dir: str):
+    """Per-group top-k: each customer's 3 highest-price orders with a
+    1-based rank (window row_number pattern, one hash partition)."""
+    from relation_extraction_ray.functions.relational import top_k_per_group
+
+    return top_k_per_group(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        group_col="o_custkey",
+        order_col="o_totalprice",
+        k=3,
+        tie_col="o_orderkey",
+    ).sort(["o_custkey", "rank"])
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Bigram-LM negative-log-prob quality scores (CCNet-style filter):
     self-trained add-one-smoothed bigram model, per-doc mean NLL in
@@ -763,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": _q_decontam,
         "repetition": _q_repetition,
         "boilerplate": _q_boilerplate,
+        "tfidf_top5": _q_tfidf,
+        "top_per_cust": _q_top_per_cust,
         "sessions": _q_sessionize,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
@@ -1368,6 +1395,48 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(cents) AS BIGINT) AS total_cents
             FROM s GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # tfidf_top5: raw-ratio-idf tf-idf replay — same tokenization as
+        # every text oracle (string_split(lower(text), ' '), '' dropped),
+        # same double-precision expression floor(1000.0*tf*N/df + 0.5),
+        # row_number ties broken by token asc
+        "tfidf_top5": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                CAST(floor(1000.0 * tf.tf * n.n / df.df + 0.5) AS BIGINT)
+                  AS score_milli
+              FROM tf JOIN df USING (token), n
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_milli DESC, token ASC) AS rank
+              FROM sc
+            )
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_milli,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # top_per_cust: per-group top-k window replay
+        "top_per_cust": """
+            WITH rk AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 3 ORDER BY o_custkey, rank
         """,
         # repetition: Gopher-style within-doc repetition replay — per doc,
         # dup fraction = (total - distinct)/total and top fraction =

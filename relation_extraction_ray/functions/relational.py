@@ -529,3 +529,51 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         per_part,
         n_parts,
     )
+
+
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int = 3,
+    tie_col: str | None = None,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Per-group top-``k`` rows by ``order_col`` (the window
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC, tie ASC) <= k``
+    pattern) — rank emitted as a 1-based BIGINT column.
+
+    Scale shape: rows hash-partition ONCE by ``group_col`` (every row of
+    a group co-locates), then each partition is one vectorized Arrow
+    sort + numpy segmented rank — no per-group dispatch, no global sort.
+    Skew note: a single group's rows must fit a partition; pathological
+    hot groups would take the bounded-heap treatment (per-batch local
+    top-k combine before the exchange — any row below its batch's k-th
+    value can never reach the global top-k, so the exchange shrinks to
+    ≤ k rows per (batch, group))."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    sort_keys = [
+        (group_col, "ascending"),
+        (order_col, "descending" if descending else "ascending"),
+    ]
+    if tie_col is not None:
+        sort_keys.append((tie_col, "ascending"))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return part.append_column("rank", pa.array([], pa.int64()))
+        s = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        g = s.column(group_col).to_numpy()
+        new_g = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new_g)
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]]))
+        ) + 1
+        s = s.append_column("rank", pa.array(rank))
+        return s.filter(pa.array(rank <= k))
+
+    n_parts = derive_n_parts(ds.count(), rows_per_part=65536)
+    return hash_partitioned_groups(ds, [group_col], per_part, n_parts)

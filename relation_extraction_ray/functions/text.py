@@ -577,3 +577,103 @@ def boilerplate_score(
         .sum(["n_sh_sum", "n_common_sum"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def _doc_term_freqs(batch: pa.Table, text_col: str) -> pa.Table:
+    """Within-batch (doc_id, token, tf) table — exact because a document
+    never spans batches.  Fully vectorized: list-flatten with parent
+    indices, then one Arrow hash aggregation over (row, token)."""
+    lists = _split_lower(batch.column(text_col))
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    grouped = (
+        pa.table({"row": parent.filter(mask), "token": flat.filter(mask)})
+        .group_by(["row", "token"])
+        .aggregate([("token", "count")])
+    )
+    doc_ids = batch.column("doc_id").take(grouped.column("row"))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "token": grouped.column("token"),
+            "tf": grouped.column("token_count").cast(pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset, k: int = 5, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Per-document top-``k`` terms by tf-idf (raw-ratio idf variant:
+    ``score = tf * N / df``, reported as a drift-free milli-integer
+    ``floor(1000 * tf * N / df + 0.5)`` so engine and SQL replay agree
+    bit for bit), rank ties broken by token asc.
+
+    Scale shape: the document-frequency table is built with ONE
+    vocab-bounded shuffle (per-batch distinct (doc, token) partials →
+    ``groupby(token).sum``), then broadcast once via ``ray.put`` —
+    O(vocab) per node, the T5/T6 broadcast pattern (a corpus whose vocab
+    exceeds worker heap would join the df table reduce-side instead, the
+    same planner split :func:`~relation_extraction_ray.state.linker`
+    uses).  Scoring + per-doc top-k is a single streaming pass: a
+    document's term rows never leave the batch they were tokenized in,
+    so the select is a local Arrow sort + segmented rank — no per-doc
+    shuffle at any point."""
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_freqs(batch, text_col)
+        vc = tf.column("token").combine_chunks().value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "df": vc.field("counts").cast(pa.int64())}
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+        .to_pandas()
+    )
+    tokens = pa.array(df_tbl["token"].to_numpy(), pa.string())
+    dfs = df_tbl["sum(df)"].to_numpy().astype(np.float64)
+    n_docs = float(docs.count())
+    df_ref = ray.put((tokens, dfs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tok_arr, df_arr = ray.get(df_ref)
+        tf = _doc_term_freqs(batch, text_col)
+        if tf.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score_milli": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.index_in(tf.column("token"), tok_arr).to_numpy(zero_copy_only=False)
+        tf_np = tf.column("tf").to_numpy().astype(np.float64)
+        # identical double-precision expression to the SQL oracle:
+        # floor(((1000.0 * tf) * N) / df + 0.5)
+        milli = np.floor((1000.0 * tf_np) * n_docs / df_arr[idx] + 0.5).astype(np.int64)
+        scored = tf.append_column("score_milli", pa.array(milli))
+        order = pc.sort_indices(
+            scored,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score_milli", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        s = scored.take(order)
+        d = s.column("doc_id").to_numpy()
+        new_doc = np.concatenate([[True], d[1:] != d[:-1]])
+        starts = np.flatnonzero(new_doc)
+        rank = np.arange(len(d), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(d)]]))
+        ) + 1
+        s = s.append_column("rank", pa.array(rank))
+        return s.filter(pa.array(rank <= k))
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -841,3 +841,73 @@ def test_sessionize_vs_pandas(ray_session):
     assert got["last_ts"].tolist() == want["last_ts"].tolist()
     # multi-event sessions exist (the gap actually merges something)
     assert (got["n_events"] > 1).any()
+
+
+def test_tfidf_top_terms_vs_python(ray_session):
+    """tf-idf top-k must equal a brute-force python replay: raw-ratio idf,
+    milli-int score floor(1000*tf*N/df+0.5), ties by token asc."""
+    import math
+    from collections import Counter
+
+    from relation_extraction_ray.functions.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = ds.take_all()
+    n = float(len(rows))
+    tfs = {}
+    df = Counter()
+    for r in rows:
+        c = Counter(t for t in r["text"].lower().split(" ") if t)
+        tfs[r["doc_id"]] = c
+        df.update(c.keys())
+    want = {}
+    for doc_id, c in tfs.items():
+        scored = sorted(
+            ((math.floor((1000.0 * tf) * n / df[t] + 0.5), t, tf) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        for rank, (s, t, tf) in enumerate(scored, 1):
+            want[(doc_id, rank)] = (t, tf, s)
+
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score_milli"])
+        for r in tfidf_top_terms(ds, k=5).take_all()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_top_k_per_group_vs_pandas(ray_session):
+    """Per-group top-k must equal the pandas window replay (rank<=k, ties
+    by tie_col asc), with no internal columns leaking."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import top_k_per_group
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = top_k_per_group(
+        ds, group_col="o_custkey", order_col="o_totalprice", k=3, tie_col="o_orderkey"
+    ).to_pandas()
+    assert set(out.columns) == {"o_orderkey", "o_custkey", "o_totalprice", "rank"}
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("o_custkey").cumcount() + 1
+    want = df[df["rank"] <= 3]
+    got = out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want) > 50
+    for col in ["o_orderkey", "o_custkey", "rank"]:
+        assert got[col].tolist() == want[col].astype("int64").tolist(), col
+    assert (got["o_totalprice"].to_numpy() == want["o_totalprice"].to_numpy()).all()
+    # every group emits at most k rows, ranks are 1..m
+    sizes = got.groupby("o_custkey")["rank"].agg(["max", "size"])
+    assert (sizes["max"] == sizes["size"]).all() and sizes["size"].max() <= 3
