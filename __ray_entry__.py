@@ -409,6 +409,51 @@ def _q_top_per_cust(sf_dir: str):
     ).sort(["o_custkey", "rank"])
 
 
+def _q_distinct_by_day(sf_dir: str):
+    """Exact grouped count-distinct: distinct users per calendar day, the
+    pair-bounded two-phase shape (no raw rows cross the exchange)."""
+    from relation_extraction_ray.functions.relational import distinct_users_by_day
+
+    return distinct_users_by_day(
+        _read(sf_dir, "events", columns=["ts", "user_id"])
+    ).sort("day")
+
+
+def _q_cust_no_orders(sf_dir: str):
+    """Anti-join: customers with no order above 400k (distinct-key reduce
+    after predicate pushdown + broadcast is_in probe)."""
+    from relation_extraction_ray.functions.relational import customers_without_orders
+
+    return customers_without_orders(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        min_price=400000.0,
+    ).sort("c_custkey")
+
+
+def _q_moving_avg(sf_dir: str):
+    """Trailing 7-row moving average of per-user daily spend (window
+    frame aggregate): daily groupby then one user partition, vectorized
+    padded-cumsum windows."""
+    from relation_extraction_ray.functions.relational import user_daily_moving_avg
+
+    return user_daily_moving_avg(
+        _read(sf_dir, "events", columns=["ts", "user_id", "value"]), window=7
+    ).sort(["user_id", "day"])
+
+
+def _q_price_quantiles(sf_dir: str):
+    """Exact per-segment price percentiles (p50/p90, percentile_disc
+    semantics) via the distinct-value histogram — no global sort."""
+    from relation_extraction_ray.functions.relational import segment_price_quantiles
+
+    return segment_price_quantiles(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        qs=(50, 90),
+    ).sort("segment")
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Bigram-LM negative-log-prob quality scores (CCNet-style filter):
     self-trained add-one-smoothed bigram model, per-doc mean NLL in
@@ -790,6 +835,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": _q_boilerplate,
         "tfidf_top5": _q_tfidf,
         "top_per_cust": _q_top_per_cust,
+        "distinct_by_day": _q_distinct_by_day,
+        "cust_no_orders": _q_cust_no_orders,
+        "moving_avg": _q_moving_avg,
+        "price_quantiles": _q_price_quantiles,
         "sessions": _q_sessionize,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
@@ -1424,6 +1473,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_milli,
                    CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # distinct_by_day: exact grouped count-distinct replay
+        "distinct_by_day": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY day ORDER BY day
+        """,
+        # cust_no_orders: anti-join replay (o_custkey is non-null, so
+        # NOT IN is safe); > 400000 pushed inside the subquery
+        "cust_no_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+            ORDER BY c_custkey
+        """,
+        # moving_avg: trailing 7-ROW window over per-(user, day) cents
+        # totals; identical double expression floor(1000*s/c + 0.5)
+        "moving_avg": """
+            WITH d AS (
+              SELECT user_id,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM events GROUP BY user_id, day
+            ), w AS (
+              SELECT user_id, day, cents,
+                sum(cents) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s,
+                count(*) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c
+              FROM d
+            )
+            SELECT user_id, day, cents,
+                   CAST(floor(1000.0 * s / c + 0.5) AS BIGINT)
+                     AS avg_cents_milli
+            FROM w ORDER BY user_id, day
+        """,
+        # price_quantiles: percentile_disc via explicit cumulative-count
+        # window (rank target = exact integer ceil(q*n/100) on both sides)
+        "price_quantiles": """
+            WITH j AS (
+              SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            ), h AS (
+              SELECT segment, cents, count(*) AS c FROM j
+              GROUP BY segment, cents
+            ), t AS (
+              SELECT segment, sum(c) AS n FROM h GROUP BY segment
+            ), cum AS (
+              SELECT h.segment, h.cents,
+                sum(h.c) OVER (PARTITION BY h.segment ORDER BY h.cents)
+                  AS cum,
+                t.n
+              FROM h JOIN t USING (segment)
+            )
+            SELECT segment, CAST(max(n) AS BIGINT) AS n_orders,
+              CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+              CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p90_cents
+            FROM cum GROUP BY segment ORDER BY segment
         """,
         # top_per_cust: per-group top-k window replay
         "top_per_cust": """

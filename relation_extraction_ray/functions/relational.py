@@ -577,3 +577,219 @@ def top_k_per_group(
 
     n_parts = derive_n_parts(ds.count(), rows_per_part=65536)
     return hash_partitioned_groups(ds, [group_col], per_part, n_parts)
+
+
+def distinct_users_by_day(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact grouped count-distinct: distinct users per calendar day.
+    Two-phase shape that never ships raw rows: per-batch distinct
+    (day, user) partials → one global dedup groupby over the PAIR key
+    (shuffle bounded by distinct pairs, not events) → per-batch day
+    partials → a tiny day-keyed groupby."""
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d")
+        return (
+            pa.table({"day": days, "user_id": batch.column("user_id")})
+            .group_by(["day", "user_id"])
+            .aggregate([])
+        )
+
+    deduped = (
+        events.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .count()
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("day").combine_chunks().value_counts()
+        return pa.table(
+            {"day": vc.field("values"), "n_users": vc.field("counts").cast(pa.int64())}
+        )
+
+    return (
+        deduped.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n_users")
+        .map_batches(
+            lambda t: t.rename_columns(["day", "n_users"]), batch_format="pyarrow"
+        )
+    )
+
+
+def customers_without_orders(
+    customer: ray.data.Dataset, orders: ray.data.Dataset, min_price: float | None = None
+) -> ray.data.Dataset:
+    """Anti-join: customers with no order (above ``min_price``, when
+    given — the predicate pushes down BEFORE the key reduce, so the
+    exchange only carries qualifying keys).  The distinct order-custkey
+    set is reduced with one pair-bounded groupby, broadcast once via
+    ``ray.put`` (int64 keys: ~8 B/key, so even 10⁹ ordering customers is
+    an 8 GB table — above worker heap the same key set joins reduce-side,
+    the adaptive planner split `state/linker.py` implements), and probed
+    per customer batch with vectorized ``is_in``."""
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        if min_price is not None:
+            batch = batch.filter(pc.greater(batch.column("o_totalprice"), min_price))
+        return pa.table({"k": batch.column("o_custkey").unique()})
+
+    keys = (
+        orders.map_batches(key_partial, batch_format="pyarrow").groupby("k").count()
+    )
+    key_arr = pa.chunked_array([b.column("k") for b in keys.iter_batches(batch_format="pyarrow")] or [pa.array([], pa.int64())]).combine_chunks()
+    ref = ray.put(key_arr)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=have))
+        return batch.filter(mask)
+
+    return customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+def user_daily_moving_avg(events: ray.data.Dataset, window: int = 7) -> ray.data.Dataset:
+    """Trailing moving average (ROWS frame): per user, daily cents totals
+    with the mean over the last ``window`` observed days —
+    ``avg OVER (PARTITION BY user ORDER BY day ROWS window-1 PRECEDING)``,
+    reported as a drift-free milli-integer.
+
+    Scale shape: one (user, day)-keyed groupby collapses events to daily
+    totals (shuffle bounded by active user-days), then one hash partition
+    by user computes every window with a vectorized padded-cumsum diff —
+    no per-user dispatch, no global sort."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d")
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return (
+            pa.table({"user_id": batch.column("user_id"), "day": days, "cents": pa.array(cents)})
+            .group_by(["user_id", "day"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["user_id", "day", "cents"])
+        )
+
+    daily = (
+        events.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .sum("cents")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "day", "cents"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return part.append_column("avg_cents_milli", pa.array([], pa.int64()))
+        s = part.take(
+            pc.sort_indices(
+                part, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+            )
+        )
+        users = s.column("user_id").to_numpy()
+        cents = s.column("cents").to_numpy().astype(np.int64)
+        n = len(users)
+        new_u = np.concatenate([[True], users[1:] != users[:-1]])
+        starts = np.flatnonzero(new_u)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)  # 0-based in user
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(n) - (window - 1), np.repeat(starts, lens))
+        wsum = cum[np.arange(n) + 1] - cum[lo]
+        wcnt = np.minimum(pos + 1, window).astype(np.float64)
+        milli = np.floor(1000.0 * wsum / wcnt + 0.5).astype(np.int64)
+        return s.append_column("avg_cents_milli", pa.array(milli))
+
+    n_parts = derive_n_parts(daily.count(), rows_per_part=65536)
+    return hash_partitioned_groups(daily, ["user_id"], per_part, n_parts)
+
+
+def segment_price_quantiles(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    qs: tuple[int, ...] = (50, 90),
+) -> ray.data.Dataset:
+    """Exact distributed quantiles (percentile_disc semantics: smallest
+    value whose cumulative count ≥ ceil(q·n/100), ``q`` in integer
+    percent so the rank target is exact integer arithmetic on both the
+    engine and SQL sides — no float-ceil boundary drift) of order price
+    cents per
+    market segment — WITHOUT a global sort: per-batch (segment, cents)
+    value-count partials → one groupby bounded by distinct prices per
+    segment → per-segment vectorized cumsum selection.  The
+    distinct-value histogram is the classic exact-quantile scale shape:
+    the exchange carries one row per distinct (group, value), never one
+    per input row.  Segment comes from a broadcast customer probe (J1)."""
+    seg_map: dict[int, str] = {}
+    for b in customer.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        seg_map.update(
+            zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist())
+        )
+    ref = ray.put(seg_map)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        seg = ray.get(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        cents = _cents(batch.column("o_totalprice").to_pylist())
+        segs = [seg.get(k, "UNKNOWN") for k in keys]
+        return (
+            pa.table({"segment": pa.array(segs, pa.string()), "cents": pa.array(cents)})
+            .group_by(["segment", "cents"])
+            .aggregate([("cents", "count")])
+            .rename_columns(["segment", "cents", "c"])
+        )
+
+    hist = (
+        orders.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["segment", "cents"])
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["segment", "cents", "c"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finalize(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        segs_out, n_out, q_out = [], [], {q: [] for q in qs}
+        s = part.take(
+            pc.sort_indices(
+                part, sort_keys=[("segment", "ascending"), ("cents", "ascending")]
+            )
+        )
+        segs = s.column("segment").to_pylist()
+        cents = s.column("cents").to_numpy()
+        counts = s.column("c").to_numpy().astype(np.int64)
+        i = 0
+        while i < len(segs):
+            j = i
+            while j < len(segs) and segs[j] == segs[i]:
+                j += 1
+            c = counts[i:j]
+            v = cents[i:j]
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            segs_out.append(segs[i])
+            n_out.append(n)
+            for q in qs:
+                target = (q * n + 99) // 100  # exact ceil(q*n/100)
+                q_out[q].append(int(v[np.searchsorted(cum, target)]))
+            i = j
+        cols = {"segment": pa.array(segs_out, pa.string()), "n_orders": pa.array(n_out, pa.int64())}
+        for q in qs:
+            cols[f"p{q}_cents"] = pa.array(q_out[q], pa.int64())
+        return pa.table(cols)
+
+    from .joins import hash_partitioned_groups
+
+    return hash_partitioned_groups(hist, ["segment"], finalize, n_parts=1)

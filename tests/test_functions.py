@@ -911,3 +911,102 @@ def test_top_k_per_group_vs_pandas(ray_session):
     # every group emits at most k rows, ranks are 1..m
     sizes = got.groupby("o_custkey")["rank"].agg(["max", "size"])
     assert (sizes["max"] == sizes["size"]).all() and sizes["size"].max() <= 3
+
+
+def test_distinct_users_by_day_vs_pandas(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import distinct_users_by_day
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"]
+    )
+    got = {r["day"]: r["n_users"] for r in distinct_users_by_day(ds).take_all()}
+    df = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"])
+    want = df.groupby(df["ts"].dt.strftime("%Y-%m-%d"))["user_id"].nunique().to_dict()
+    assert got == want and len(got) > 5
+
+
+def test_customers_without_orders_vs_pandas(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import customers_without_orders
+
+    cust = ray.data.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    got = sorted(
+        r["c_custkey"]
+        for r in customers_without_orders(cust, orders, min_price=400000.0).take_all()
+    )
+    cdf = pd.read_parquet("/root/testdata/sf0.001/customer.parquet", columns=["c_custkey"])
+    odf = pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    want = sorted(
+        set(cdf["c_custkey"]) - set(odf.loc[odf["o_totalprice"] > 400000.0, "o_custkey"])
+    )
+    assert got == want and len(got) > 0
+
+
+def test_user_daily_moving_avg_vs_pandas(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import user_daily_moving_avg
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    got = user_daily_moving_avg(ds, window=7).to_pandas()
+    got = got.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    daily = df.groupby(["user_id", "day"], as_index=False)["cents"].sum()
+    daily = daily.sort_values(["user_id", "day"]).reset_index(drop=True)
+    roll = daily.groupby("user_id")["cents"].rolling(7, min_periods=1)
+    s = roll.sum().reset_index(drop=True)
+    c = roll.count().reset_index(drop=True)
+    daily["avg_cents_milli"] = np.floor(1000.0 * s / c + 0.5).astype("int64")
+    assert len(got) == len(daily) > 100
+    for col in ["user_id", "day", "cents", "avg_cents_milli"]:
+        assert got[col].tolist() == daily[col].tolist(), col
+
+
+def test_segment_price_quantiles_vs_numpy(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import segment_price_quantiles
+
+    orders = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    got = {
+        r["segment"]: (r["n_orders"], r["p50_cents"], r["p90_cents"])
+        for r in segment_price_quantiles(orders, cust, qs=(50, 90)).take_all()
+    }
+    odf = pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cdf = pd.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = dict(zip(cdf["c_custkey"], cdf["c_mktsegment"]))
+    odf["segment"] = odf["o_custkey"].map(lambda k: seg.get(k, "UNKNOWN"))
+    odf["cents"] = np.rint(odf["o_totalprice"].to_numpy() * 100).astype("int64")
+    want = {}
+    for s, g in odf.groupby("segment"):
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        # percentile_disc: ceil(q*n/100)-th element, 1-based
+        want[s] = (n, int(v[(50 * n + 99) // 100 - 1]), int(v[(90 * n + 99) // 100 - 1]))
+    assert got == want and len(got) >= 3
