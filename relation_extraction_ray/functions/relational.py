@@ -9,8 +9,6 @@ comparisons are exact (no float-sum hash drift).
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -27,31 +25,39 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     Per-batch partial sums (few groups) → tiny groupby → sort."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        qty = np.asarray(batch.column("l_quantity").to_pylist(), dtype=np.float64)
-        price = np.asarray(batch.column("l_extendedprice").to_pylist(), dtype=np.float64)
-        disc = np.asarray(batch.column("l_discount").to_pylist(), dtype=np.float64)
-        price_c = _cents(price)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False).astype(np.float64)
         # discount has 2 decimals -> price*(1-disc) has 4 -> exact in "ten-thousandths"
-        disc_c = np.rint(price * (1.0 - disc) * 10000).astype(np.int64)
-        flags = batch.column("l_returnflag").to_pylist()
-        stats = batch.column("l_linestatus").to_pylist()
-        agg: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0, 0, 0])
-        for f, s, q, p, d in zip(flags, stats, qty.astype(np.int64), price_c, disc_c):
-            e = agg[(f, s)]
-            e[0] += 1
-            e[1] += int(q)
-            e[2] += int(p)
-            e[3] += int(d)
-        keys = sorted(agg)
-        return pa.Table.from_pydict(
+        pre = pa.table(
             {
-                "l_returnflag": [k[0] for k in keys],
-                "l_linestatus": [k[1] for k in keys],
-                "count_order": pa.array([agg[k][0] for k in keys], pa.int64()),
-                "sum_qty": pa.array([agg[k][1] for k in keys], pa.int64()),
-                "sum_base_price_cents": pa.array([agg[k][2] for k in keys], pa.int64()),
-                "sum_disc_price_tenk": pa.array([agg[k][3] for k in keys], pa.int64()),
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "count_order": pa.array(np.ones(len(qty), np.int64)),
+                "sum_qty": pa.array(qty.astype(np.int64)),
+                "sum_base_price_cents": pa.array(_cents(price)),
+                "sum_disc_price_tenk": pa.array(
+                    np.rint(price * (1.0 - disc) * 10000).astype(np.int64)
+                ),
             }
+        )
+        out = pre.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("count_order", "sum"),
+                ("sum_qty", "sum"),
+                ("sum_base_price_cents", "sum"),
+                ("sum_disc_price_tenk", "sum"),
+            ]
+        )
+        return out.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "count_order",
+                "sum_qty",
+                "sum_base_price_cents",
+                "sum_disc_price_tenk",
+            ]
         )
 
     g = lineitem.map_batches(partial, batch_format="pyarrow").groupby(
@@ -66,32 +72,59 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
+def _broadcast_seg_lookup(customer: ray.data.Dataset) -> "ray.ObjectRef":
+    """Broadcast custkey→segment as (sorted int64 keys, segment-code uint16,
+    segment name list) — numpy arrays, zero-copy from the object store,
+    probed with vectorized ``searchsorted`` instead of a per-row dict."""
+    keys_l, segs_l = [], []
+    for b in customer.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        keys_l.append(b.column("c_custkey").to_numpy(zero_copy_only=False))
+        segs_l.append(b.column("c_mktsegment").to_numpy(zero_copy_only=False))
+    keys = np.concatenate(keys_l) if keys_l else np.array([], np.int64)
+    segs = np.concatenate(segs_l) if segs_l else np.array([], object)
+    order = np.argsort(keys, kind="mergesort")
+    keys = keys[order]
+    names, codes = np.unique(segs[order], return_inverse=True)
+    # reserve the last code for UNKNOWN (key not present)
+    names = list(names) + ["UNKNOWN"]
+    return ray.put((keys, codes.astype(np.int32), names))
+
+
+def _probe_segments(ref: "ray.ObjectRef", custkeys: np.ndarray) -> tuple[np.ndarray, list[str]]:
+    """Vectorized probe: segment CODE per custkey (UNKNOWN code for
+    missing keys) + the code→name list."""
+    keys, codes, names = ray.get(ref)
+    pos = np.searchsorted(keys, custkeys)
+    pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else np.zeros(len(custkeys), np.int64)
+    hit = (len(keys) > 0) & (keys[pos_c] == custkeys) if len(keys) else np.zeros(len(custkeys), bool)
+    out = np.where(hit, codes[pos_c] if len(keys) else 0, len(names) - 1)
+    return out.astype(np.int64), names
+
+
 def revenue_by_segment(orders: ray.data.Dataset, customer: ray.data.Dataset) -> ray.data.Dataset:
     """Broadcast join: customer (small side) shipped once via ``ray.put``,
     probed per batch of orders — no shuffle join (SURVEY.md J1 pattern);
-    then a tiny groupby over segment partials."""
-    seg_map: dict[int, str] = {}
-    for b in customer.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow"):
-        seg_map.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
-    ref = ray.put(seg_map)
+    then a tiny groupby over segment partials.  The probe is vectorized
+    (sorted-key ``searchsorted`` + ``bincount``), no per-row dict."""
+    ref = _broadcast_seg_lookup(customer)
 
-    # plain-task probe: the broadcast map's ray.get is zero-copy after the
-    # first fetch per worker — an actor pool would pay spin-up for nothing
+    # plain-task probe: the broadcast arrays' ray.get is zero-copy after
+    # the first fetch per worker — an actor pool would pay spin-up for nothing
     def probe(batch: pa.Table) -> pa.Table:
-        seg = ray.get(ref)
-        keys = batch.column("o_custkey").to_pylist()
-        price_c = _cents(batch.column("o_totalprice").to_pylist())
-        agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
-        for ck, p in zip(keys, price_c):
-            e = agg[seg.get(ck, "UNKNOWN")]
-            e[0] += 1
-            e[1] += int(p)
-        segs = sorted(agg)
+        custkeys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        seg_codes, names = _probe_segments(ref, custkeys)
+        n = np.bincount(seg_codes, minlength=len(names))
+        rev = np.zeros(len(names), np.int64)
+        np.add.at(rev, seg_codes, price_c)  # int64 scatter-add: exact at any batch sum
+        present = np.flatnonzero(n > 0)
         return pa.Table.from_pydict(
             {
-                "c_mktsegment": segs,
-                "n_orders": pa.array([agg[s][0] for s in segs], pa.int64()),
-                "revenue_cents": pa.array([agg[s][1] for s in segs], pa.int64()),
+                "c_mktsegment": pa.array([names[i] for i in present], pa.string()),
+                "n_orders": pa.array(n[present], pa.int64()),
+                "revenue_cents": pa.array(rev[present], pa.int64()),
             }
         )
 
@@ -727,22 +760,15 @@ def segment_price_quantiles(
     distinct-value histogram is the classic exact-quantile scale shape:
     the exchange carries one row per distinct (group, value), never one
     per input row.  Segment comes from a broadcast customer probe (J1)."""
-    seg_map: dict[int, str] = {}
-    for b in customer.select_columns(["c_custkey", "c_mktsegment"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        seg_map.update(
-            zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist())
-        )
-    ref = ray.put(seg_map)
+    ref = _broadcast_seg_lookup(customer)
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        seg = ray.get(ref)
-        keys = batch.column("o_custkey").to_pylist()
-        cents = _cents(batch.column("o_totalprice").to_pylist())
-        segs = [seg.get(k, "UNKNOWN") for k in keys]
+        custkeys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        seg_codes, names = _probe_segments(ref, custkeys)
+        segs = pa.array(np.asarray(names, dtype=object)[seg_codes], pa.string())
         return (
-            pa.table({"segment": pa.array(segs, pa.string()), "cents": pa.array(cents)})
+            pa.table({"segment": segs, "cents": pa.array(cents)})
             .group_by(["segment", "cents"])
             .aggregate([("cents", "count")])
             .rename_columns(["segment", "cents", "c"])
