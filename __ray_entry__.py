@@ -395,6 +395,15 @@ def _q_tfidf(sf_dir: str):
     ).sort(["doc_id", "rank"])
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact frequent terms (count > n_tokens/2000): two-scan
+    sketch-then-verify — per-batch frequent filter bounds the candidate
+    exchange at 2*denom rows/batch, broadcast recount is exact."""
+    from relation_extraction_ray.functions.text import heavy_hitters
+
+    return heavy_hitters(_read(sf_dir, "documents", columns=["doc_id", "text"]), denom=2000)
+
+
 def _q_top_per_cust(sf_dir: str):
     """Per-group top-k: each customer's 3 highest-price orders with a
     1-based rank (window row_number pattern, one hash partition)."""
@@ -834,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "boilerplate": _q_boilerplate,
         "tfidf_top5": _q_tfidf,
+        "heavy_hitters": _q_heavy_hitters,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
         "cust_no_orders": _q_cust_no_orders,
@@ -1473,6 +1483,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_milli,
                    CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # heavy_hitters: exact phi=1/2000 frequent terms — same
+        # tokenization as every text oracle; strict integer threshold
+        # count*2000 > n replays the engine's two-scan exact result
+        "heavy_hitters": """
+            WITH tok AS (
+              SELECT t AS token FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS t
+                FROM documents)
+              WHERE t <> ''
+            ), tot AS (SELECT count(*) AS n FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY token
+            HAVING count(*) * 2000 > (SELECT n FROM tot)
+            ORDER BY cnt DESC, token ASC
         """,
         # distinct_by_day: exact grouped count-distinct replay
         "distinct_by_day": """

@@ -677,3 +677,111 @@ def tfidf_top_terms(
         return s.filter(pa.array(rank <= k))
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def heavy_hitters(
+    docs: ray.data.Dataset, denom: int = 2000, text_col: str = "text"
+) -> ray.data.Dataset:
+    """EXACT frequent terms: every token whose corpus count exceeds
+    ``n_tokens / denom`` (the phi = 1/denom heavy hitters), with its exact
+    count.  Generalizes the reference's vocab-from-data scan
+    (``wiki2sdp.py:186-233``) to the bounded-exchange shape exact heavy
+    hitters need at 100 TB — the classic two-scan sketch-then-verify:
+
+    1. **Candidate scan** (per-batch frequent filter, the vectorized
+       Misra-Gries / lossy-counting bound): each batch emits only tokens
+       with local count > eps * batch_tokens where eps = phi/2, plus one
+       sentinel row carrying the batch token total.  At most ``1/eps =
+       2*denom`` rows leave any batch, so the groupby exchange is bounded
+       by sketch size x batches, never by distinct-token count.  For any
+       token, the filtered-away mass is <= eps * n per batch-sum, so every
+       true heavy hitter (count > phi*n) retains partial sum > eps*n —
+       keeping candidates with partial sum > eps*n is a strict superset of
+       the answer, and total emitted mass <= n caps the candidate set at
+       ``2*denom`` tokens (driver-safe broadcast at any corpus size).
+    2. **Exact recount scan**: candidates broadcast once via ``ray.put``;
+       each batch counts only candidate tokens (``index_in`` + bincount),
+       tiny groupby, exact integer threshold ``count * denom > n``.
+
+    All thresholds are exact integer comparisons (no float drift vs the
+    SQL oracle): ``c > eps*n_b`` with eps = 1/(2*denom) is
+    ``c * 2 * denom > n_b``.
+    """
+    sentinel = "\x00total\x00"
+
+    def candidate_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(_split_lower(batch.column(text_col)))
+        vc = toks.value_counts()
+        tokens = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        keep = pc.not_equal(tokens, "")
+        tokens, counts = tokens.filter(keep), counts.filter(keep)
+        n_b = int(pc.sum(counts).as_py() or 0)
+        # local frequent filter: c * 2 * denom > n_b
+        hot = pc.greater(pc.multiply(counts, pa.scalar(2 * denom, pa.int64())), n_b)
+
+        def plain(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [plain(tokens.filter(hot)).cast(pa.string()), pa.array([sentinel], pa.string())]
+                ),
+                "cnt": pa.concat_arrays(
+                    [plain(counts.filter(hot)), pa.array([n_b], pa.int64())]
+                ),
+            }
+        )
+
+    sketch = (
+        docs.map_batches(candidate_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .map_batches(lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow")
+    )
+    # sketch is <= 2*denom candidate rows + 1 sentinel: driver-safe take_all
+    rows = sketch.take_all()
+    n_total = 0
+    cand: list[str] = []
+    for r in rows:
+        if r["token"] == sentinel:
+            n_total = int(r["cnt"])
+    for r in rows:
+        # superset filter: partial sum > eps*n  <=>  cnt * 2 * denom > n
+        if r["token"] != sentinel and int(r["cnt"]) * 2 * denom > n_total:
+            cand.append(r["token"])
+    cand_arr = pa.array(sorted(cand), pa.string())
+    ref = ray.put((cand_arr, n_total))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cands, _ = ray.get(ref)
+        toks = pc.list_flatten(_split_lower(batch.column(text_col)))
+        idx = pc.index_in(toks, cands)
+        hits = idx.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.bincount(hits, minlength=len(cands)).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "token": cands.take(pa.array(nz)),
+                "cnt": pa.array(c[nz], pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .map_batches(lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow")
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch.column("cnt"), pa.scalar(denom, pa.int64())),
+            pa.scalar(n_total, pa.int64()),
+        )
+        return batch.filter(keep)
+
+    return exact.map_batches(threshold, batch_format="pyarrow").sort(
+        ["cnt", "token"], descending=[True, False]
+    )

@@ -1010,3 +1010,48 @@ def test_segment_price_quantiles_vs_numpy(ray_session):
         # percentile_disc: ceil(q*n/100)-th element, 1-based
         want[s] = (n, int(v[(50 * n + 99) // 100 - 1]), int(v[(90 * n + 99) // 100 - 1]))
     assert got == want and len(got) >= 3
+
+
+def test_heavy_hitters_exact_vs_python(ray_session):
+    """Two-scan sketch-then-verify equals brute-force exact counts with a
+    strict > n/denom threshold, across many small batches (stresses the
+    per-batch frequent filter + candidate-superset bound)."""
+    import random
+    from collections import Counter
+
+    from relation_extraction_ray.functions.text import heavy_hitters
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(120):
+        # zipf-ish: low-index words dominate -> a few true heavy hitters
+        toks = [vocab[min(int(rng.expovariate(0.12)), 199)] for _ in range(40)]
+        rows.append({"doc_id": d, "text": " ".join(toks).upper() if d % 3 else " ".join(toks)})
+    ds = _docs_ds(rows).repartition(16)  # many small blocks -> weak per-batch filter
+
+    denom = 50
+    got = heavy_hitters(ds, denom=denom).to_pandas()
+
+    cnt = Counter()
+    for r in rows:
+        for t in r["text"].lower().split(" "):
+            if t:
+                cnt[t] += 1
+    n = sum(cnt.values())
+    want = sorted(
+        ((t, c) for t, c in cnt.items() if c * denom > n),
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    assert list(map(tuple, got[["token", "cnt"]].itertuples(index=False))) == want
+    assert len(want) > 3  # the fixture actually exercises the threshold
+
+
+def test_heavy_hitters_boundary_is_strict(ray_session):
+    """A token with count == n/denom exactly must be excluded (strict >)."""
+    from relation_extraction_ray.functions.text import heavy_hitters
+
+    # n = 100 tokens, denom = 10 -> threshold "count > 10"
+    rows = [{"doc_id": 0, "text": " ".join(["at"] * 10 + ["hot"] * 11 + ["x%d" % i for i in range(79)])}]
+    got = heavy_hitters(_docs_ds(rows), denom=10).to_pandas()
+    assert list(got["token"]) == ["hot"] and list(got["cnt"]) == [11]
