@@ -1,0 +1,100 @@
+"""Mergeable cardinality sketches: HyperLogLog approximate distinct count.
+
+The engine's exact count-distinct operators (``relational.distinct_texts``,
+``relational.distinct_users_by_day``) carry one row per distinct value
+through the exchange — the right answer when distinct cardinality is
+bounded.  At 100 TB a column can hold 10^10+ distinct values; the scale
+path is a MERGEABLE sketch: every batch folds into a fixed 2^p-byte
+register array, the global reduce is an elementwise ``max`` (associative,
+commutative, idempotent — retry-safe by construction), and nothing that
+grows with cardinality ever crosses the object store or lands on the
+driver.
+
+Implementation is the 64-bit HyperLogLog of Flajolet et al. (2007) with
+Heule et al. (2013)'s observation that a 64-bit hash needs no large-range
+correction; linear counting handles the small range.  Hashing reuses the
+engine's vectorized stable key hash (``joins.hash_columns`` — splitmix64 /
+polynomial rolling, no per-row Python), so the sketch is deterministic
+across processes and cluster sizes.
+
+Error: standard deviation ~= 1.04 / sqrt(2^p); p=12 (4 KiB) gives ~1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data.aggregate import AggregateFn
+
+from .joins import hash_columns
+
+_U64 = np.uint64
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (float log2 rounds up at
+    2^53+ and would bias the rank) — 6-step binary search on bits."""
+    x = w.astype(np.uint64, copy=True)
+    bl = np.zeros(x.shape, np.uint64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = _U64(shift)
+        big = x >= (_U64(1) << s)
+        bl[big] += s
+        x[big] >>= s
+    return bl + (x != 0)
+
+
+def hll_fold(regs: np.ndarray, hashes: np.ndarray, p: int) -> np.ndarray:
+    """Fold a batch of uint64 hashes into ``regs`` (2^p uint8) in place:
+    bucket = top p bits, rank = leading-zero count of the 64-p suffix + 1."""
+    q = _U64(64 - p)
+    bucket = (hashes >> q).astype(np.int64)
+    w = hashes & ((_U64(1) << q) - _U64(1))
+    rho = (q - _bit_length_u64(w) + _U64(1)).astype(np.uint8)
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+def hll_registers(
+    ds: ray.data.Dataset, cols: list[str], p: int = 12
+) -> np.ndarray:
+    """Merged HLL register array for the distinct tuples of ``cols``.
+
+    One streaming pass: per-block fold (vectorized), elementwise-max
+    combine/merge via :class:`AggregateFn` — the exchange carries exactly
+    one 2^p-byte array per block regardless of row count or cardinality."""
+    m = 1 << p
+
+    def acc_block(regs: np.ndarray, block) -> np.ndarray:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return regs
+        return hll_fold(regs.copy(), hash_columns(block, cols), p)
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(m, np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=acc_block,
+        name="hll_regs",
+    )
+    out = ds.select_columns(cols).aggregate(agg)
+    return np.asarray(out["hll_regs"], dtype=np.uint8)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate from a register array (64-bit
+    variant: linear counting below 2.5m, no large-range correction)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def approx_distinct(ds: ray.data.Dataset, cols: list[str], p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT cols) — rounded HLL estimate."""
+    return int(round(hll_estimate(hll_registers(ds, cols, p))))

@@ -1,0 +1,75 @@
+"""HyperLogLog approximate distinct count: accuracy envelope, exact
+mergeability, determinism, grouped-hash consistency."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from relation_extraction_ray.functions.sketch import (
+    approx_distinct,
+    hll_estimate,
+    hll_fold,
+    hll_registers,
+)
+from relation_extraction_ray.functions.joins import hash_columns
+
+
+def _ints_ds(vals, blocks=8):
+    return ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(blocks)
+
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 60_000])
+def test_hll_accuracy_envelope(ray_session, true_n):
+    """p=12 → sigma ~= 1.625%; assert within 5 sigma (one-shot safe)."""
+    rng = np.random.default_rng(123)
+    vals = rng.integers(0, true_n, size=true_n * 3)  # heavy dups
+    distinct = len(np.unique(vals))
+    est = approx_distinct(_ints_ds(vals.tolist()), ["v"], p=12)
+    rel_err = abs(est - distinct) / distinct
+    assert rel_err < 5 * 1.04 / np.sqrt(4096), (est, distinct, rel_err)
+
+
+def test_hll_merge_equals_union(ray_session):
+    """max-merge of two sketches == sketch of the union, register-exact
+    (the property that makes the distributed fold retry-safe)."""
+    a = list(range(0, 3000))
+    b = list(range(1500, 5000))
+    ra = hll_registers(_ints_ds(a), ["v"], p=10)
+    rb = hll_registers(_ints_ds(b), ["v"], p=10)
+    ru = hll_registers(_ints_ds(a + b), ["v"], p=10)
+    assert np.array_equal(np.maximum(ra, rb), ru)
+
+
+def test_hll_deterministic_and_block_invariant(ray_session):
+    """Same values → identical registers regardless of block layout
+    (cluster-size independence of the sketch)."""
+    vals = [f"doc-{i}" for i in range(4000)]
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    r1 = hll_registers(ray.data.from_arrow(t).repartition(2), ["v"], p=11)
+    r2 = hll_registers(ray.data.from_arrow(t).repartition(17), ["v"], p=11)
+    assert np.array_equal(r1, r2)
+
+
+def test_hll_fold_matches_scalar_reference():
+    """Vectorized bucket/rank fold equals a per-hash Python reference."""
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+    p = 6
+    got = hll_fold(np.zeros(1 << p, np.uint8), hashes, p)
+    want = np.zeros(1 << p, np.uint8)
+    for h in hashes.tolist():
+        bucket = h >> (64 - p)
+        w = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - w.bit_length() + 1
+        want[bucket] = max(want[bucket], rho)
+    assert np.array_equal(got, want)
+
+
+def test_hll_string_column_accuracy(ray_session):
+    """String keys go through the polynomial rolling hash — envelope holds."""
+    vals = [f"user-{i % 9000}@example.com" for i in range(30_000)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(6)
+    est = approx_distinct(ds, ["v"], p=12)
+    assert abs(est - 9000) / 9000 < 5 * 1.04 / np.sqrt(4096)
