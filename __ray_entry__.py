@@ -395,6 +395,18 @@ def _q_tfidf(sf_dir: str):
     ).sort(["doc_id", "rank"])
 
 
+def _q_window_join(sf_dir: str):
+    """Keyed band (interval) join: per signup event, the same user's
+    purchase count and milli-value sum within the next 24 h — one
+    side-tagged hash exchange, vectorized composite-key searchsorted
+    probe + prefix-sum range gather per partition."""
+    from relation_extraction_ray.functions.relational import purchases_within_window
+
+    return purchases_within_window(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent terms (count > n_tokens/2000): two-scan
     sketch-then-verify — per-batch frequent filter bounds the candidate
@@ -844,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": _q_boilerplate,
         "tfidf_top5": _q_tfidf,
         "heavy_hitters": _q_heavy_hitters,
+        "window_join": _q_window_join,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
         "cust_no_orders": _q_cust_no_orders,
@@ -1483,6 +1496,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_milli,
                    CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # window_join: keyed band-join replay (LEFT join keeps zero-match
+        # signups; milli values integer-rounded per event before the sum)
+        "window_join": """
+            SELECT s.event_id, s.user_id,
+              CAST(count(p.event_id) AS BIGINT) AS n_purch,
+              CAST(coalesce(sum(CAST(round(p.value * 1000) AS BIGINT)), 0)
+                   AS BIGINT) AS purch_milli
+            FROM events s LEFT JOIN events p
+              ON p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOURS
+            WHERE s.event_type = 'signup'
+            GROUP BY s.event_id, s.user_id
+            ORDER BY s.event_id
         """,
         # heavy_hitters: exact phi=1/2000 frequent terms — same
         # tokenization as every text oracle; strict integer threshold

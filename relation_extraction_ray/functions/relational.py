@@ -819,3 +819,102 @@ def segment_price_quantiles(
     from .joins import hash_partitioned_groups
 
     return hash_partitioned_groups(hist, ["segment"], finalize, n_parts=1)
+
+
+def purchases_within_window(
+    events: ray.data.Dataset,
+    left_type: str = "signup",
+    right_type: str = "purchase",
+    window_hours: int = 24,
+) -> ray.data.Dataset:
+    """Keyed band (interval) join: for every *left_type* event, the count
+    and milli-integer value sum of the same user's *right_type* events
+    with ``left.ts <= right.ts < left.ts + window`` (LEFT-join semantics —
+    zero-match left rows survive).
+
+    Scale shape: both sides co-locate with ONE exchange — rows are tagged
+    with a side bit and hash-partitioned by ``user_id``; within a
+    partition the whole band probe is vectorized: users dense-coded from
+    the union, each side's (user, ts) folded into a single uint64
+    composite key ``code * span + (ts - part_min)``, then two
+    ``searchsorted`` probes against the sorted right keys give each left
+    row its match range, and a prefix sum of right values turns range-sum
+    into two gathers.  No per-row Python, no per-user loop.
+
+    Bound: ``n_users_in_partition * span_us`` must stay < 2^63 (asserted);
+    partitions are derived by row count, and a longer time span simply
+    needs more/narrower partitions — the composite stays exact.
+    """
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    window_us = np.int64(window_hours) * 3600 * 1_000_000
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("n_purch", pa.int64()),
+            ("purch_milli", pa.int64()),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        t = batch.filter(keep)
+        side = pc.equal(t.column("event_type"), right_type).cast(pa.int8())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value": t.column("value"),
+                "side": side,
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            part.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        is_l = side == 0
+        if not is_l.any():
+            return out_schema.empty_table()
+        t0 = ts.min()
+        span = np.uint64(ts.max() - t0 + int(window_us) + 2)
+        codes = np.unique(users)
+        assert len(codes) * int(span) < (1 << 63), "narrow the partitions"
+        code = np.searchsorted(codes, users).astype(np.uint64)
+        key = code * span + (ts - t0).astype(np.uint64)
+
+        kr = key[~is_l]
+        order = np.argsort(kr, kind="mergesort")
+        kr = kr[order]
+        milli = np.rint(
+            part.column("value").to_numpy(zero_copy_only=False)[~is_l] * 1000
+        ).astype(np.int64)[order]
+        csum = np.concatenate([[0], np.cumsum(milli)])
+
+        kl = key[is_l]
+        lo = np.searchsorted(kr, kl, side="left")
+        hi = np.searchsorted(kr, kl + np.uint64(int(window_us)), side="left")
+        return pa.table(
+            {
+                "event_id": part.column("event_id").to_numpy(zero_copy_only=False)[is_l],
+                "user_id": pa.array(users[is_l], pa.int64()),
+                "n_purch": pa.array((hi - lo).astype(np.int64)),
+                "purch_milli": pa.array(csum[hi] - csum[lo], pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    return hash_partitioned_groups(tagged, ["user_id"], per_part, n_parts).sort("event_id")

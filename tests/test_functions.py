@@ -1055,3 +1055,54 @@ def test_heavy_hitters_boundary_is_strict(ray_session):
     rows = [{"doc_id": 0, "text": " ".join(["at"] * 10 + ["hot"] * 11 + ["x%d" % i for i in range(79)])}]
     got = heavy_hitters(_docs_ds(rows), denom=10).to_pandas()
     assert list(got["token"]) == ["hot"] and list(got["cnt"]) == [11]
+
+
+def test_purchases_within_window_vs_pandas(ray_session):
+    """Band join equals a brute-force pandas double loop, including
+    zero-match lefts, window boundary (>= start, < end) and same-ts rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import purchases_within_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    rng_vals = [3.0, 7.25, 0.4995, 12.0, 1.5]
+    for u in range(20):
+        for k in range(6):
+            rows.append(
+                {
+                    "event_id": (eid := eid + 1),
+                    "user_id": u,
+                    "ts": base + dt.timedelta(hours=u * 3 + k * 7),
+                    "event_type": ["signup", "purchase", "click", "purchase", "signup", "purchase"][k],
+                    "value": rng_vals[k % 5] * (k + 1),
+                }
+            )
+    # boundary rows: purchase at exactly +24h (excluded) and at +0 (included)
+    rows.append({"event_id": 9001, "user_id": 3, "ts": rows[0]["ts"], "event_type": "signup", "value": 0.0})
+    rows.append({"event_id": 9002, "user_id": 3, "ts": rows[0]["ts"], "event_type": "purchase", "value": 10.0})
+    rows.append({"event_id": 9003, "user_id": 3, "ts": rows[0]["ts"] + dt.timedelta(hours=24), "event_type": "purchase", "value": 99.0})
+    # a user whose only event is a signup: LEFT semantics must keep it
+    rows.append({"event_id": 9004, "user_id": 50, "ts": rows[0]["ts"], "event_type": "signup", "value": 0.0})
+
+    ds = _docs_ds(rows).repartition(7)
+    got = purchases_within_window(ds).to_pandas()
+
+    df = pd.DataFrame(rows)
+    want = []
+    for _, s in df[df.event_type == "signup"].iterrows():
+        p = df[
+            (df.event_type == "purchase")
+            & (df.user_id == s.user_id)
+            & (df.ts >= s.ts)
+            & (df.ts < s.ts + pd.Timedelta(hours=24))
+        ]
+        want.append(
+            (s.event_id, s.user_id, len(p), int(sum(round(v * 1000) for v in p.value)))
+        )
+    want.sort()
+    assert [tuple(r) for r in got[["event_id", "user_id", "n_purch", "purch_milli"]].itertuples(index=False)] == want
+    assert (got.n_purch == 0).any()  # zero-match lefts survive
