@@ -545,6 +545,14 @@ def _q_kg_adjacency(sf_dir: str):
     return _kg_run()["adjacency"].sort(ADJ_SORT)
 
 
+def _q_pagerank(sf_dir: str):
+    """Distributed integer PageRank (5 iterations) over the pipeline's
+    own adjacency table — the canonical KG-downstream consumer."""
+    from relation_extraction_ray.functions.graph import pagerank
+
+    return pagerank(_kg_run()["adjacency"], iters=5)
+
+
 def _q_kg_linked(sf_dir: str):
     """Triples with KB-linked entity ids (entity-link disambiguator actor
     pool over a broadcast KB)."""
@@ -865,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessionize,
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
+        "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -1074,6 +1083,32 @@ def _rolling_fps_sql() -> str:
 
 
 _ROLLING_FPS_SQL = _rolling_fps_sql()
+
+
+def _pagerank_sql(adj_path: str, iters: int = 5) -> str:
+    """Unroll the engine's integer-PageRank recurrence (functions/graph.py)
+    as chained CTEs: rank0 = 1e12; contrib = rank*w // ow (dangling mass
+    dropped); rank' = 15%*1e12 + 85%*sum // 100.  All-integer, so the
+    replay is bit-exact at any partitioning."""
+    cte = f"""
+    edges0 AS (SELECT src_id AS u, dst_id AS v, CAST(sum(weight) AS BIGINT) AS w
+               FROM read_parquet('{adj_path}') GROUP BY 1, 2),
+    outw AS (SELECT u, sum(w) AS ow FROM edges0 GROUP BY u),
+    nodes AS (SELECT u AS node FROM edges0 UNION SELECT v FROM edges0),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    for i in range(iters):
+        cte += f""",
+    c{i + 1} AS (SELECT e.v AS node, sum(r.rank * e.w // o.ow) AS s
+           FROM edges0 e JOIN r{i} r ON r.node = e.u JOIN outw o ON o.u = e.u
+           GROUP BY e.v),
+    r{i + 1} AS (SELECT n.node,
+           CAST(150000000000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c{i + 1} c ON c.node = n.node)"""
+    return (
+        "WITH "
+        + cte
+        + f"\n    SELECT node, rank FROM r{iters} ORDER BY rank DESC, node ASC"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1808,6 +1843,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sims WHERE sim >= 0.4
             ORDER BY vec_a, vec_b
         """,
+        # pagerank: the engine's integer-PageRank recurrence unrolled in
+        # SQL over the ORACLE's adjacency (full independence: the engine
+        # ranks its own pipeline's adjacency, the SQL ranks the
+        # single-process oracle's) — integer // everywhere, bit-exact
+        "pagerank": _pagerank_sql(kg_paths["kg_adjacency"], iters=5),
         # --- KG family: pure-Python single-process oracle via parquet ---
         "kg_triples": f"""
             SELECT * FROM read_parquet('{kg_paths["kg_triples"]}')

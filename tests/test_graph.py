@@ -1,0 +1,74 @@
+"""Distributed integer PageRank vs a single-process Python reference."""
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from relation_extraction_ray.functions.graph import SCALE, pagerank
+
+ROWS = [
+    ("a", "p1", "b", 3), ("a", "p2", "b", 2), ("a", "p1", "c", 5),
+    ("b", "p1", "c", 1), ("c", "p1", "a", 4), ("c", "p1", "d", 1),
+    ("d", "p1", "d", 2),          # self loop
+    ("e", "p1", "a", 1),          # source-only node
+    ("f", "p1", "g", 1),          # isolated pair; g dangling
+]
+
+
+def _adj(rows):
+    return pa.table(
+        {
+            "src_id": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "dst_id": [r[2] for r in rows],
+            "weight": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _reference(rows, iters):
+    ew = defaultdict(int)
+    for u, _, v, w in rows:
+        ew[(u, v)] += w
+    nodes = sorted({u for u, _ in ew} | {v for _, v in ew})
+    ow = defaultdict(int)
+    for (u, _), w in ew.items():
+        ow[u] += w
+    rank = {n: SCALE for n in nodes}
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for (u, v), w in ew.items():
+            contrib[v] += rank[u] * w // ow[u]
+        rank = {n: 15 * SCALE // 100 + 85 * contrib[n] // 100 for n in nodes}
+    return sorted(((r, n) for n, r in rank.items()), key=lambda t: (-t[0], t[1]))
+
+
+@pytest.mark.parametrize("iters", [1, 4])
+def test_pagerank_matches_reference(ray_session, iters):
+    ds = ray.data.from_arrow(_adj(ROWS)).repartition(3)
+    got = [(int(r.rank), r.node) for r in pagerank(ds, iters=iters).to_pandas().itertuples()]
+    assert got == _reference(ROWS, iters)
+
+
+def test_pagerank_block_invariant(ray_session):
+    """Identical ranks regardless of input block layout (integer
+    arithmetic makes the reduce order-independent)."""
+    a = pagerank(ray.data.from_arrow(_adj(ROWS)).repartition(1), iters=3).to_pandas()
+    b = pagerank(ray.data.from_arrow(_adj(ROWS)).repartition(9), iters=3).to_pandas()
+    assert a.equals(b)
+
+
+def test_pagerank_larger_random_graph(ray_session):
+    """200-node random multigraph: exact vs reference."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"n{int(rng.integers(200))}", "p", f"n{int(rng.integers(200))}", int(rng.integers(1, 5)))
+        for _ in range(1500)
+    ]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(5)
+    got = [(int(r.rank), r.node) for r in pagerank(ds, iters=3).to_pandas().itertuples()]
+    assert got == _reference(rows, 3)
