@@ -553,6 +553,14 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5)
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count of the KG's undirected entity graph —
+    degree-ordered wedge enumeration (out-degree bounded O(sqrt m))."""
+    from relation_extraction_ray.functions.graph import triangle_count
+
+    return triangle_count(_kg_run()["adjacency"])
+
+
 def _q_kg_linked(sf_dir: str):
     """Triples with KB-linked entity ids (entity-link disambiguator actor
     pool over a broadcast KB)."""
@@ -874,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "pagerank": _q_pagerank,
+        "triangles": _q_triangles,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -1848,6 +1857,19 @@ def oracle_sql() -> dict[str, str]:
         # ranks its own pipeline's adjacency, the SQL ranks the
         # single-process oracle's) — integer // everywhere, bit-exact
         "pagerank": _pagerank_sql(kg_paths["kg_adjacency"], iters=5),
+        # triangles: textbook 3-way self-join on the deduped undirected
+        # edge set of the ORACLE adjacency (a<b<c once each)
+        "triangles": f"""
+            WITH e AS (
+              SELECT DISTINCT least(src_id, dst_id) AS a,
+                              greatest(src_id, dst_id) AS b
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
         # --- KG family: pure-Python single-process oracle via parquet ---
         "kg_triples": f"""
             SELECT * FROM read_parquet('{kg_paths["kg_triples"]}')

@@ -72,3 +72,41 @@ def test_pagerank_larger_random_graph(ray_session):
     ds = ray.data.from_arrow(_adj(rows)).repartition(5)
     got = [(int(r.rank), r.node) for r in pagerank(ds, iters=3).to_pandas().itertuples()]
     assert got == _reference(rows, 3)
+
+
+def _ref_triangles(rows):
+    import itertools
+
+    E = set()
+    for u, _, v, _ in rows:
+        if u != v:
+            E.add((min(u, v), max(u, v)))
+    nodes = sorted({x for e in E for x in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in E and (b, c) in E and (a, c) in E
+    )
+
+
+def test_triangle_count_random_graph(ray_session):
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"n{int(rng.integers(40))}", "p", f"n{int(rng.integers(40))}", 1)
+        for _ in range(300)
+    ]
+    from relation_extraction_ray.functions.graph import triangle_count
+
+    got = triangle_count(ray.data.from_arrow(_adj(rows)).repartition(4)).to_pandas()
+    assert int(got["n_triangles"][0]) == _ref_triangles(rows)
+
+
+def test_triangle_count_star_skew_and_directions(ray_session):
+    """A 50-leaf hub emits zero wedges under degree orientation; reversed
+    duplicate directed edges collapse to one undirected edge."""
+    from relation_extraction_ray.functions.graph import triangle_count
+
+    rows = [("hub", "p", f"leaf{i}", 1) for i in range(50)]
+    rows += [("x", "p", "y", 1), ("y", "p", "x", 2), ("y", "p", "z", 1), ("x", "p", "z", 1)]
+    got = triangle_count(ray.data.from_arrow(_adj(rows)).repartition(3)).to_pandas()
+    assert int(got["n_triangles"][0]) == 1
