@@ -407,6 +407,15 @@ def _q_window_join(sf_dir: str):
     )
 
 
+def _q_clean_corpus(sf_dir: str):
+    """Fused cleaning recipe: quality gates + language filter + exact
+    keep-first dedup — the corpus is read once, only survivor (doc_id,
+    md5) pairs reach the single dedup exchange."""
+    from relation_extraction_ray.functions.clean import clean_corpus
+
+    return clean_corpus(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent terms (count > n_tokens/2000): two-scan
     sketch-then-verify — per-batch frequent filter bounds the candidate
@@ -873,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top5": _q_tfidf,
         "heavy_hitters": _q_heavy_hitters,
         "window_join": _q_window_join,
+        "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
         "cust_no_orders": _q_cust_no_orders,
@@ -1555,6 +1565,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.event_id, s.user_id
             ORDER BY s.event_id
         """,
+        # clean_corpus: the fused cleaning recipe replayed — same
+        # tokenization, same distinct-marker lang CASE as lang_id, same
+        # md5 keep-first; gates: n_tokens >= 5, max token length <= 30,
+        # lang = 'en'
+        "clean_corpus": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS rawtoks,
+                     list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents
+            ), q AS (
+              SELECT doc_id, text,
+                     CAST(len(rawtoks) AS BIGINT) AS n_tokens,
+                     list_max(list_transform(rawtoks, x -> length(x))) AS max_tok,
+            {{lang_cols}}
+              FROM t
+            ), l AS (
+              SELECT doc_id, text, n_tokens,
+                   CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                        WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                        WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                        WHEN n_es >= n_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+              FROM q WHERE n_tokens >= 5 AND max_tok <= 30
+            ), s AS (
+              SELECT * FROM l WHERE lang_pred = 'en'
+            ), k AS (
+              SELECT min(doc_id) AS doc_id FROM s GROUP BY md5(text)
+            )
+            SELECT s.doc_id, s.n_tokens, s.lang_pred
+            FROM s JOIN k USING (doc_id) ORDER BY s.doc_id
+        """.format(lang_cols=lang_cols),
         # heavy_hitters: exact phi=1/2000 frequent terms — same
         # tokenization as every text oracle; strict integer threshold
         # count*2000 > n replays the engine's two-scan exact result

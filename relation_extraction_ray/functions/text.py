@@ -109,18 +109,31 @@ def quality_features(docs: ray.data.Dataset) -> ray.data.Dataset:
     quality filter, one vectorized pass, no shuffle."""
 
     def feats(batch: pa.Table) -> pa.Table:
+        # fully vectorized (round 4): per-row distinct via one Arrow
+        # hash-aggregate on (row, token) pairs, per-row max via a uint
+        # scatter-max — no Python loop over rows or tokens
         split = _split_lower(batch.column("text"))
-        n_tokens = pc.list_value_length(split).cast(pa.int64())
-        n_uniq, max_len = [], []
-        for toks in split.to_pylist():
-            n_uniq.append(len(set(toks)))
-            max_len.append(max((len(t) for t in toks), default=0))
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lens)
+        flat = pc.list_flatten(split)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        max_len = np.zeros(n, np.int64)
+        np.maximum.at(max_len, row, tok_len)
+        pairs = (
+            pa.table({"r": pa.array(row), "t": flat})
+            .group_by(["r", "t"])
+            .aggregate([])
+        )
+        n_uniq = np.zeros(n, np.int64)
+        r = pairs.column("r").to_numpy(zero_copy_only=False)
+        np.add.at(n_uniq, r, 1)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": n_tokens,
-                "n_uniq": pa.array(n_uniq, pa.int64()),
-                "max_token_len": pa.array(max_len, pa.int64()),
+                "n_tokens": pa.array(lens),
+                "n_uniq": pa.array(n_uniq),
+                "max_token_len": pa.array(max_len),
             }
         )
 

@@ -1106,3 +1106,24 @@ def test_purchases_within_window_vs_pandas(ray_session):
     want.sort()
     assert [tuple(r) for r in got[["event_id", "user_id", "n_purch", "purch_milli"]].itertuples(index=False)] == want
     assert (got.n_purch == 0).any()  # zero-match lefts survive
+
+
+def test_clean_corpus_gates_and_keep_first(ray_session):
+    """Every gate exercised: short doc dropped, long-token doc dropped,
+    non-English dropped, exact dup keeps the min doc_id."""
+    from relation_extraction_ray.functions.clean import clean_corpus
+
+    en = "the cat and the dog sat with that hat for fun"
+    rows = [
+        {"doc_id": 1, "text": en},
+        {"doc_id": 2, "text": en},                                  # dup of 1 -> dropped
+        {"doc_id": 3, "text": "the and of to in"},                  # en, exactly 5 tokens -> kept
+        {"doc_id": 4, "text": "the and of to"},                     # 4 tokens -> dropped
+        {"doc_id": 5, "text": "der und das ist nicht mit ein von"}, # de -> dropped
+        {"doc_id": 6, "text": "the and of to in " + "x" * 31},     # 31-char token -> dropped
+        {"doc_id": 7, "text": "the and of to in " + "x" * 30},     # 30-char token -> kept
+    ]
+    got = clean_corpus(_docs_ds(rows).repartition(3)).to_pandas()
+    assert list(got.doc_id) == [1, 3, 7]
+    assert list(got.lang_pred.unique()) == ["en"]
+    assert list(got.n_tokens) == [11, 5, 6]
