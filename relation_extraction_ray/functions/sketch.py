@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import AggregateFn
 
@@ -98,3 +99,66 @@ def hll_estimate(regs: np.ndarray) -> float:
 def approx_distinct(ds: ray.data.Dataset, cols: list[str], p: int = 12) -> int:
     """Approximate COUNT(DISTINCT cols) — rounded HLL estimate."""
     return int(round(hll_estimate(hll_registers(ds, cols, p))))
+
+
+def approx_distinct_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_cols: list[str],
+    p: int = 12,
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT value_cols) per group — the sketch-sized
+    scale path beside the exact pair-shuffle (``distinct_users_by_day``):
+    per-batch partial fold produces ONE 2^p-byte register row per (group,
+    batch), the groupby reduces registers with elementwise max, and the
+    finalize emits the HLL estimate.  Exchange volume is groups × batches
+    sketch rows, independent of value cardinality."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], batch.schema.field(group_col).type),
+                 "regs": pa.array([], pa.binary())}
+            )
+        keys = batch.column(group_col)
+        # dense-code groups within the batch, fold each group's hashes
+        # into its own register row
+        codes_arr = pc.dictionary_encode(keys.combine_chunks())
+        idx = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_groups = len(codes_arr.dictionary)
+        hashes = hash_columns(batch, value_cols)
+        regs = np.zeros((n_groups, m), np.uint8)
+        q = _U64(64 - p)
+        bucket = (hashes >> q).astype(np.int64)
+        w = hashes & ((_U64(1) << q) - _U64(1))
+        rho = (q - _bit_length_u64(w) + _U64(1)).astype(np.uint8)
+        np.maximum.at(regs, (idx, bucket), rho)
+        return pa.table(
+            {
+                group_col: codes_arr.dictionary,
+                "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    def acc_block(acc: np.ndarray, block) -> np.ndarray:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        out = acc.copy()
+        for b in block.column("regs").to_pylist():
+            out = np.maximum(out, np.frombuffer(b, np.uint8))
+        return out
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(m, np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=acc_block,
+        name="regs_merged",
+        finalize=lambda regs: int(round(hll_estimate(np.asarray(regs, np.uint8)))),
+    )
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(group_col).aggregate(agg)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([group_col, "n_distinct_approx"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(group_col)

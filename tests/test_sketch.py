@@ -73,3 +73,28 @@ def test_hll_string_column_accuracy(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(6)
     est = approx_distinct(ds, ["v"], p=12)
     assert abs(est - 9000) / 9000 < 5 * 1.04 / np.sqrt(4096)
+
+
+def test_grouped_hll_envelope_and_determinism(ray_session):
+    """Per-group estimates within 5 sigma of exact; block-layout invariant."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.sketch import approx_distinct_by_group
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    g = rng.integers(0, 4, size=n)          # 4 groups
+    # distinct pools of very different sizes per group
+    pools = [50, 800, 5_000, 20_000]
+    v = np.array([int(rng.integers(0, pools[gi])) + gi * 10**7 for gi in g])
+    t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = {r["g"]: r["n_distinct_approx"] for r in approx_distinct_by_group(ds, "g", ["v"], p=12).take_all()}
+    df = pd.DataFrame({"g": g, "v": v})
+    exact = df.groupby("g")["v"].nunique().to_dict()
+    sigma = 1.04 / np.sqrt(4096)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 5 * sigma, (k, got[k], e)
+
+    got2 = {r["g"]: r["n_distinct_approx"] for r in approx_distinct_by_group(ds.repartition(2), "g", ["v"], p=12).take_all()}
+    assert got == got2
