@@ -110,3 +110,14 @@ def test_triangle_count_star_skew_and_directions(ray_session):
     rows += [("x", "p", "y", 1), ("y", "p", "x", 2), ("y", "p", "z", 1), ("x", "p", "z", 1)]
     got = triangle_count(ray.data.from_arrow(_adj(rows)).repartition(3)).to_pandas()
     assert int(got["n_triangles"][0]) == 1
+
+
+def test_pagerank_pinned_equals_union_path(ray_session):
+    """pin_bytes_bound=0 forces the re-union fallback; both paths must be
+    bit-identical (integer arithmetic, same partition function)."""
+    from relation_extraction_ray.functions.graph import pagerank
+
+    ds = ray.data.from_arrow(_adj(ROWS)).repartition(3)
+    pinned = pagerank(ds, iters=3).to_pandas()
+    union = pagerank(ds, iters=3, pin_bytes_bound=0).to_pandas()
+    assert pinned.equals(union)
