@@ -240,6 +240,29 @@ def _add_kg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
 
 
+
+def cmd_clean_corpus(args: argparse.Namespace) -> int:
+    """documents parquet -> cleaned keeper table (quality + language +
+    exact keep-first dedup, one scan; see functions/clean.py)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.clean import clean_corpus
+
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    n_in = docs.count()
+    out = clean_corpus(
+        docs,
+        min_tokens=args.min_tokens,
+        max_token_len=args.max_token_len,
+        lang=args.lang,
+    )
+    out.write_parquet(args.out)
+    n_out = out.count()
+    print(json.dumps({"out": args.out, "docs_in": n_in, "docs_kept": n_out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="relation_extraction_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -282,6 +305,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keys", default=None, help="key file for official scoring")
     p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     p.set_defaults(fn=cmd_semeval_classify)
+
+    p = sub.add_parser("clean-corpus", help="quality+language+dedup cleaning recipe")
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    p.add_argument("--out", required=True, help="cleaned keeper parquet directory")
+    p.add_argument("--min-tokens", dest="min_tokens", type=int, default=5)
+    p.add_argument("--max-token-len", dest="max_token_len", type=int, default=30)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_clean_corpus)
 
     args = ap.parse_args(argv)
     import ray

@@ -116,3 +116,27 @@ def test_semeval_train_cli_alternating_distributed_with_init(tmp_path, capsys, r
 
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["loss_last"] < summary["loss_first"]
+
+
+def test_clean_corpus_cli(tmp_path, capsys, ray_session):
+    import pyarrow as pa
+
+    from relation_extraction_ray.__main__ import main
+
+    d = str(tmp_path / "docs")
+    en = "the cat and the dog sat with that hat for fun"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [en, en, "the and of to", "der und das ist nicht mit ein von"],
+        }
+    )
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    out = str(tmp_path / "clean")
+    rc = main(["clean-corpus", "--input", d, "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"out": out, "docs_in": 4, "docs_kept": 1}
+    kept = pq.read_table(out)
+    assert kept.column("doc_id").to_pylist() == [1]
