@@ -395,6 +395,50 @@ def _q_tfidf(sf_dir: str):
     ).sort(["doc_id", "rank"])
 
 
+#: BM25 query workload — fixed (query_id, text) pairs over the synthetic
+#: corpus vocabulary; shared verbatim with the SQL oracle's VALUES list.
+BM25_QUERIES = [
+    (0, "customer order join"),
+    (1, "hash table scan slow"),
+    (2, "spark stream window"),
+]
+
+
+def _bm25_values() -> str:
+    """SQL VALUES list of (query_id, term) rows — the exact term sets the
+    engine derives from :data:`BM25_QUERIES` (lower, space-split, distinct)."""
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted({x for x in text.lower().split(" ") if x}):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 top-10 retrieval for a fixed 3-query workload: one tiny
+    stats exchange (bounded by |query terms| × n_batches), broadcast
+    (df, idf, avgdl), then a streaming score pass with per-batch local
+    top-k — integer micro-unit contributions so ranking is bit-exact."""
+    from relation_extraction_ray.functions.search import bm25_search
+
+    return bm25_search(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        BM25_QUERIES,
+        k=10,
+    ).sort(["query_id", "rank"])
+
+
+def _q_dup_passages(sf_dir: str):
+    """Cross-document duplicated passages: every token 5-gram occurring
+    in ≥ 2 docs with doc/occurrence counts — vectorized window join of
+    the flattened token stream, one (ngram, doc)-bounded exchange."""
+    from relation_extraction_ray.functions.text import dup_passages
+
+    return dup_passages(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=5
+    ).sort("ngram")
+
+
 def _q_window_join(sf_dir: str):
     """Keyed band (interval) join: per signup event, the same user's
     purchase count and milli-value sum within the next 24 h — one
@@ -882,6 +926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top5": _q_tfidf,
         "heavy_hitters": _q_heavy_hitters,
         "window_join": _q_window_join,
+        "bm25": _q_bm25,
+        "dup_passages": _q_dup_passages,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
@@ -1564,6 +1610,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.event_type = 'signup'
             GROUP BY s.event_id, s.user_id
             ORDER BY s.event_id
+        """,
+        # bm25: full replay — same tokenization, per-(doc,term)
+        # contribution integer-rounded BEFORE the per-doc sum (order-free),
+        # log-free rational idf, identical double expression order
+        "bm25": f"""
+            WITH q(query_id, term) AS (VALUES {_bm25_values()}),
+            tok AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+              WHERE token <> '' GROUP BY doc_id, token
+            ), dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+            ), n AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl
+            ), df AS (
+              SELECT tf.token, CAST(count(*) AS BIGINT) AS df
+              FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.token = qt.term
+              GROUP BY tf.token
+            ), contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                CAST(floor(
+                  ((CAST(n.n - coalesce(df.df, 0) AS DOUBLE) + 0.5)
+                     / (CAST(coalesce(df.df, 0) AS DOUBLE) + 0.5) + 1.0)
+                  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (CAST(dl.dl AS DOUBLE) / n.avgdl))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS c
+              FROM q JOIN tf ON tf.token = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              LEFT JOIN df ON df.token = q.term, n
+            ), sc AS (
+              SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+              FROM contrib GROUP BY query_id, doc_id
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id ASC) AS rank
+              FROM sc
+            )
+            SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # dup_passages: token-5-gram window replay over the raw split list
+        # (empties included, same as the engine's flattened window join)
+        "dup_passages": """
+            WITH tok AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, i.i + 1, i.i + 5), ' ') AS ngram
+              FROM tok, LATERAL (SELECT unnest(range(len(toks) - 4)) AS i) i
+              WHERE len(toks) >= 5
+            ), per AS (
+              SELECT ngram, doc_id, CAST(count(*) AS BIGINT) AS occ
+              FROM g GROUP BY ngram, doc_id
+            ), agg AS (
+              SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(occ) AS BIGINT) AS n_occ,
+                     min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              FROM per GROUP BY ngram
+            )
+            SELECT * FROM agg WHERE n_docs >= 2 ORDER BY ngram
         """,
         # clean_corpus: the fused cleaning recipe replayed — same
         # tokenization, same distinct-marker lang CASE as lang_id, same

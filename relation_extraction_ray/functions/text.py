@@ -798,3 +798,78 @@ def heavy_hitters(
     return exact.map_batches(threshold, batch_format="pyarrow").sort(
         ["cnt", "token"], descending=[True, False]
     )
+
+
+# --- cross-doc duplicated passages (exact substring-dup detection) ----------
+
+def dup_passages(
+    docs: ray.data.Dataset, n: int = 5, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Exact cross-document duplicated-passage detection: every token
+    ``n``-gram that occurs in ≥ 2 distinct documents, with its document
+    count, total occurrence count and the min/max doc ids carrying it —
+    the signal behind substring-level training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22:
+    repeated ≥ 50-token spans; ``n`` is the configurable span length).
+
+    Scale shape: ONE streaming scan builds the n-grams fully vectorized
+    (list-flatten + window-sliced ``binary_join_element_wise`` — no
+    per-row Python) and pre-aggregates per (ngram, doc) inside the batch,
+    so the single keyed exchange ships one row per distinct (ngram, doc)
+    pair per batch; the reduce is one hash aggregate.  Because a document
+    never spans batches, summing per-batch distinct-doc partials is the
+    EXACT distinct-document count.  At production scale the group key
+    would be dictionary/hash-encoded before the exchange (the shuffled
+    bytes are the n-gram strings themselves); semantics are identical, so
+    the string key is kept here for the value-exact SQL replay.  Output
+    is filtered to ``n_docs >= 2`` — the surviving set is bounded by true
+    duplication, not corpus size."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = _split_lower(batch.column(text_col))
+        flat = lists.combine_chunks().flatten()
+        parent = pc.list_parent_indices(lists).combine_chunks()
+        L = len(flat)
+        if L < n:
+            return pa.schema(
+                [("ngram", pa.string()), ("doc_id", pa.int64()), ("n_occ", pa.int64())]
+            ).empty_table()
+        windows = [flat.slice(j, L - n + 1) for j in range(n)]
+        joined = pc.binary_join_element_wise(*windows, " ")
+        p = parent.to_numpy(zero_copy_only=False)
+        valid = p[: L - n + 1] == p[n - 1 :]
+        mask = pa.array(valid)
+        grouped = (
+            pa.table(
+                {"row": parent.slice(0, L - n + 1).filter(mask), "ngram": joined.filter(mask)}
+            )
+            .group_by(["row", "ngram"])
+            .aggregate([("ngram", "count")])
+        )
+        return pa.table(
+            {
+                "ngram": grouped.column("ngram"),
+                "doc_id": batch.column("doc_id").take(grouped.column("row")),
+                "n_occ": grouped.column("ngram_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_occ", alias_name="n_occ"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+    )
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.greater_equal(batch.column("n_docs"), 2))
+        return out.select(["ngram", "n_docs", "n_occ", "min_doc", "max_doc"]).set_column(
+            1, "n_docs", out.column("n_docs").cast(pa.int64())
+        )
+
+    return agg.map_batches(keep_dups, batch_format="pyarrow")

@@ -1127,3 +1127,112 @@ def test_clean_corpus_gates_and_keep_first(ray_session):
     assert list(got.doc_id) == [1, 3, 7]
     assert list(got.lang_pred.unique()) == ["en"]
     assert list(got.n_tokens) == [11, 5, 6]
+
+
+# --- bm25_search + dup_passages ---------------------------------------------
+
+
+def _bm25_brute(rows, queries, k=10):
+    """Independent per-doc reference: plain-Python BM25 with the same
+    integer-first contribution rounding."""
+    import math
+
+    docs_toks = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t] for r in rows
+    }
+    n = len(docs_toks)
+    avgdl = sum(len(v) for v in docs_toks.values()) / n
+    out = []
+    for qid, text in queries:
+        terms = sorted({t for t in text.lower().split(" ") if t})
+        scored = []
+        for did, toks in docs_toks.items():
+            s = 0
+            for t in terms:
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in docs_toks.values() if t in v)
+                idf = ((n - df) + 0.5) / (df + 0.5) + 1.0
+                c = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(toks) / avgdl))))
+                s += int(math.floor(c * 1000000.0 + 0.5))
+            if s > 0:
+                scored.append((did, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (did, s) in enumerate(scored[:k], 1):
+            out.append((qid, did, s, rank))
+    return out
+
+
+def test_bm25_search_matches_bruteforce(docs):
+    from relation_extraction_ray.functions.search import bm25_search
+
+    rows, ds = docs
+    queries = [(0, "cat mat"), (1, "dog entirely"), (2, "absentterm")]
+    got = [
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
+        for r in bm25_search(ds, queries, k=3).sort(["query_id", "rank"]).take_all()
+    ]
+    want = _bm25_brute(rows, queries, k=3)
+    assert got == want
+    # q2's term is absent everywhere -> no rows for it
+    assert not any(q == 2 for q, *_ in got)
+
+
+def test_bm25_block_layout_invariance(docs):
+    """Same result at 1 block and many blocks — per-batch local top-k and
+    the stats partials must not depend on partitioning."""
+    from relation_extraction_ray.functions.search import bm25_search
+
+    rows, _ = docs
+    queries = [(0, "cat mat"), (1, "the sat")]
+    outs = []
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist(rows)
+        ).repartition(nb)
+        outs.append(
+            [
+                (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
+                for r in bm25_search(ds, queries, k=2).sort(["query_id", "rank"]).take_all()
+            ]
+        )
+    assert outs[0] == outs[1]
+
+
+def test_dup_passages_exact(ray_session):
+    from relation_extraction_ray.functions.text import dup_passages
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f"},       # ngrams: "a b c d e", "b c d e f"
+        {"doc_id": 2, "text": "x a b c d e y"},     # shares "a b c d e"
+        {"doc_id": 3, "text": "a b c d e a b c d e"},  # shares it twice + bridge grams
+        {"doc_id": 4, "text": "short"},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = {
+        r["ngram"]: (r["n_docs"], r["n_occ"], r["min_doc"], r["max_doc"])
+        for r in dup_passages(_docs_ds(rows), n=5).take_all()
+    }
+    assert out["a b c d e"] == (3, 4, 1, 3)
+    # doc-boundary check: "e f x a b" (doc1->doc2 bridge) must NOT exist
+    assert all(" f x " not in g for g in out)
+    # within-doc-only repeats (doc 3's "b c d e a" etc.) appear in 1 doc -> excluded
+    assert all(v[0] >= 2 for v in out.values())
+
+
+def test_dup_passages_block_invariance(ray_session):
+    from relation_extraction_ray.functions.text import dup_passages
+
+    rows = [
+        {"doc_id": i, "text": " ".join(["tok%d" % (j % 7) for j in range(i, i + 12)])}
+        for i in range(20)
+    ]
+    outs = []
+    for nb in (1, 5):
+        ds = _docs_ds(rows).repartition(nb)
+        outs.append(sorted(
+            (r["ngram"], r["n_docs"], r["n_occ"], r["min_doc"], r["max_doc"])
+            for r in dup_passages(ds, n=5).take_all()
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
