@@ -439,6 +439,81 @@ def _q_dup_passages(sf_dir: str):
     ).sort("ngram")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-centers quantizer (data-point centroids via integer
+    micro-cosine farthest-point selection — fully SQL-unrollable), one
+    streaming assignment scan, one cluster-keyed exchange, per-cluster
+    keep-first prune.  Scoped to the same deterministic vec_id slice as
+    dedup_embed (whole table at sf0.01, fixed quarter at sf0.1)."""
+    from relation_extraction_ray.functions.ann import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr="vec_id < 500"
+    )
+    return semantic_dedup(emb, n_centroids=8, threshold=0.4).sort("vec_id")
+
+
+def _semantic_dedup_sql(k: int = 8, tau: int = 400000) -> str:
+    """Unrolled SQL replay of the k-centers selection + assignment +
+    keep-first prune (the pagerank-style unrolled-CTE trick): every
+    decision compares integer micro-cosines, so the replay is exact."""
+
+    def mic(a: str, b: str) -> str:
+        return (
+            f"CAST(floor(list_cosine_similarity({a}, {b}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        )
+
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS e FROM embeddings WHERE vec_id < 500)",
+        "c0 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1)",
+        f"b0 AS (SELECT emb.vec_id, {mic('emb.e', 'c0.e')} AS best FROM emb, c0)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"c{i} AS (SELECT emb.vec_id, emb.e FROM emb"
+            f" JOIN b{i - 1} USING (vec_id)"
+            f" ORDER BY b{i - 1}.best ASC, emb.vec_id ASC LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"b{i} AS (SELECT b{i - 1}.vec_id,"
+                f" greatest(b{i - 1}.best, {mic('emb.e', f'c{i}.e')}) AS best"
+                f" FROM b{i - 1} JOIN emb USING (vec_id), c{i})"
+            )
+    cents = " UNION ALL ".join(f"SELECT {i} AS cid, e FROM c{i}" for i in range(k))
+    parts.append(f"cents AS ({cents})")
+    parts.append(
+        "sims AS (SELECT emb.vec_id, cents.cid,"
+        f" {mic('emb.e', 'cents.e')} AS s FROM emb CROSS JOIN cents)"
+    )
+    parts.append(
+        "asg AS (SELECT vec_id, cid FROM ("
+        "SELECT vec_id, cid, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM sims"
+        ") WHERE rn = 1)"
+    )
+    parts.append(
+        "pairs AS (SELECT b.vec_id AS v,"
+        f" {mic('ea.e', 'eb.e')} AS s"
+        " FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id"
+        " JOIN emb ea ON ea.vec_id = a.vec_id"
+        " JOIN emb eb ON eb.vec_id = b.vec_id)"
+    )
+    parts.append("prior AS (SELECT v AS vec_id, max(s) AS mp FROM pairs GROUP BY v)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cluster_id,
+               CAST(coalesce(prior.mp, -2000000) AS BIGINT) AS max_prior_micro,
+               coalesce(prior.mp, -2000000) < {tau} AS keep
+        FROM asg LEFT JOIN prior USING (vec_id) ORDER BY asg.vec_id
+        """
+    )
+
+
 def _q_window_join(sf_dir: str):
     """Keyed band (interval) join: per signup event, the same user's
     purchase count and milli-value sum within the next 24 h — one
@@ -927,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "window_join": _q_window_join,
         "bm25": _q_bm25,
+        "semantic_dedup": _q_semantic_dedup,
         "dup_passages": _q_dup_passages,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
@@ -1657,6 +1733,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        # semantic_dedup: unrolled k-centers + assignment + keep-first
+        # prune replay — every decision is an integer micro-cosine compare
+        "semantic_dedup": _semantic_dedup_sql(k=8, tau=400000),
         # dup_passages: token-5-gram window replay over the raw split list
         # (empties included, same as the engine's flattened window join)
         "dup_passages": """

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..taskexec import cached_stage_fn
@@ -666,3 +667,101 @@ def embed_neardup_pairs(
         )
 
     return joined.map_batches(cosine, batch_format="pyarrow")
+
+
+# --- SemDeDup-style semantic dedup ------------------------------------------
+
+#: Sentinel for "no earlier same-cluster member" — outside the valid
+#: cos_micro range [-1e6, 1e6], shared with the SQL oracle.
+NO_PRIOR_MICRO = -2_000_000
+
+
+def _cos_micro(x: np.ndarray) -> np.ndarray:
+    """Integer micro-unit cosine rounding — the ann-family parity recipe
+    (same expression the dedup_embed oracle replays)."""
+    return np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+
+
+def kcenter_centroids(
+    embeddings: ray.data.Dataset,
+    n_centroids: int,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-centers quantizer: centroids are DATA POINTS chosen
+    by farthest-point (min-max cosine) selection over a bounded id-ordered
+    sample — no Lloyd averaging, so every step is a max/argmin over
+    integer micro-cosines and the whole selection unrolls into an exact
+    SQL replay (the same trick the integer-PageRank oracle uses).  Ties
+    break lowest vec_id (selection) / lowest centroid index (assignment).
+    """
+    rows = embeddings.sort(id_col).limit(sample).take_all()
+    m = _normalize(np.asarray([r[col] for r in rows], dtype=np.float64))
+    chosen = [0]
+    best = _cos_micro(m @ m[0])
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(best))  # first min = lowest vec_id (id-sorted)
+        chosen.append(nxt)
+        best = np.maximum(best, _cos_micro(m @ m[nxt]))
+    return m[np.array(chosen)]
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space with a
+    cheap quantizer, then mark within-cluster semantic duplicates — a
+    vector is a duplicate iff some LOWER-id member of its cluster has
+    cosine ≥ ``threshold`` (keep-first, the engine's exact-dedup policy).
+    Output per vector: ``(vec_id, cluster_id, max_prior_micro, keep)``.
+
+    Scale shape: centroid selection touches only a bounded id-ordered
+    sample on the driver (k × dim result, broadcast once); assignment is
+    one streaming vectorized scan; the dedup itself is ONE keyed exchange
+    by cluster id followed by a per-cluster O(c²) micro-cosine matrix —
+    the operative bound is the cluster size c ≈ n / k, so production
+    sizes ``n_centroids`` to make a cluster fit one worker (and re-runs
+    the operator inside oversized clusters, which this composition
+    supports directly).  Every keep decision is an INTEGER comparison of
+    micro-rounded cosines, so engine and SQL replay agree bit-for-bit."""
+    cents = kcenter_centroids(embeddings, n_centroids, sample, id_col, col)
+    cref = ray.put(cents)
+    tau = int(np.floor(threshold * 1_000_000 + 0.5))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_matrix(batch, col))
+        s = _cos_micro(m @ c.T)  # [B, k] int64
+        cid = np.argmax(s, axis=1).astype(np.int64)  # first max = lowest cid
+        return batch.append_column("cluster_id", pa.array(cid, pa.int64()))
+
+    def prune(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        )
+        m = _normalize(_matrix(g, col))
+        s = _cos_micro(m @ m.T)
+        n = len(m)
+        prior = np.where(
+            np.tril(np.ones((n, n), dtype=bool), -1), s, NO_PRIOR_MICRO
+        ).max(axis=1, initial=NO_PRIOR_MICRO)
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "cluster_id": g.column("cluster_id"),
+                "max_prior_micro": pa.array(prior, pa.int64()),
+                "keep": pa.array(prior < tau),
+            }
+        )
+
+    return (
+        embeddings.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(prune, batch_format="pyarrow")
+    )

@@ -1236,3 +1236,58 @@ def test_dup_passages_block_invariance(ray_session):
             for r in dup_passages(ds, n=5).take_all()
         ))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+# --- semantic_dedup (SemDeDup) -----------------------------------------------
+
+
+def _emb_ds(vecs, nb=1):
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in v]} for i, v in enumerate(vecs)
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(nb)
+
+
+def test_semantic_dedup_single_cluster_is_global_keep_first(ray_session):
+    """n_centroids=1 degenerates to a global keep-first prune — checked
+    against a plain O(n^2) numpy reference."""
+    from relation_extraction_ray.functions.ann import NO_PRIOR_MICRO, semantic_dedup
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8)
+    vecs[17] = vecs[3] + 1e-4 * rng.randn(8)  # planted near-dup of 3
+    vecs[29] = vecs[3] + 1e-4 * rng.randn(8)  # second copy
+    got = {
+        r["vec_id"]: (r["keep"], r["max_prior_micro"])
+        for r in semantic_dedup(_emb_ds(vecs, nb=4), n_centroids=1, threshold=0.9).take_all()
+    }
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = np.floor(m @ m.T * 1_000_000 + 0.5).astype(np.int64)
+    for i in range(40):
+        prior = int(s[i, :i].max()) if i else NO_PRIOR_MICRO
+        assert got[i] == (prior < 900000, prior), i
+    assert got[3][0] and not got[17][0] and not got[29][0]
+
+
+def test_semantic_dedup_block_and_cluster_invariants(ray_session):
+    """Output is invariant to block layout; every cluster id is one of the
+    k selected; within a cluster the lowest id is always kept."""
+    from relation_extraction_ray.functions.ann import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8)
+    outs = []
+    for nb in (1, 6):
+        res = sorted(
+            (r["vec_id"], r["cluster_id"], r["max_prior_micro"], r["keep"])
+            for r in semantic_dedup(_emb_ds(vecs, nb=nb), n_centroids=4, threshold=0.5).take_all()
+        )
+        outs.append(res)
+    assert outs[0] == outs[1]
+    rows = outs[0]
+    assert {c for _, c, _, _ in rows} <= set(range(4))
+    first_of = {}
+    for vid, cid, _, keep in rows:  # rows sorted by vec_id
+        if cid not in first_of:
+            first_of[cid] = vid
+            assert keep, f"lowest id {vid} of cluster {cid} must be kept"
