@@ -514,6 +514,62 @@ def _semantic_dedup_sql(k: int = 8, tau: int = 400000) -> str:
     )
 
 
+#: CMS probe workload: frequent vocabulary + absent tokens (the absent
+#: ones exercise the empty-cell → 0 path); shared with the SQL VALUES list.
+CMS_PROBES = [
+    "batch", "column", "customer", "filter", "hash", "join",
+    "row", "scan", "spark", "window", "nosuchtoken", "zzz_absent",
+]
+
+
+def _q_cms_counts(sf_dir: str):
+    """Count-min-sketch point queries for a fixed probe set: one
+    streaming fold into a 4×1024 int64 matrix (32 KiB per block,
+    elementwise-sum merge), estimates = min over the d row cells.  The
+    sketch itself — not just the estimates — is replayed exactly in SQL."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.sketch import cms_estimate, cms_sketch
+
+    counts = cms_sketch(_read(sf_dir, "documents", columns=["text"]))
+    probes = sorted(CMS_PROBES)
+    return pd.DataFrame(
+        {"token": probes, "est": cms_estimate(counts, probes)}
+    )
+
+
+def _cms_sql() -> str:
+    """Exact SQL replay of the count-min sketch: same md5-slice buckets,
+    same cell sums, min over d LEFT-JOINed cells (absent cell = 0)."""
+    h = _md5u64("'cms:' || token")
+    vals = ", ".join(f"('{t}')" for t in sorted(CMS_PROBES))
+    return f"""
+        WITH tok AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+        ), tc AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+          WHERE token <> '' GROUP BY token
+        ), hh AS (
+          SELECT token, c, {h} AS h64 FROM tc
+        ), jj AS (SELECT unnest(range(4)) AS j),
+        cells AS (
+          SELECT jj.j AS j,
+                 CAST(((hh.h64 >> CAST(16 * jj.j AS UBIGINT)) & 65535) % 1024 AS BIGINT) AS b,
+                 CAST(sum(hh.c) AS BIGINT) AS s
+          FROM hh CROSS JOIN jj GROUP BY jj.j, b
+        ), probes(token) AS (VALUES {vals}),
+        ph AS (SELECT token, {h} AS h64 FROM probes),
+        pe AS (
+          SELECT ph.token, min(coalesce(cells.s, 0)) AS est
+          FROM ph CROSS JOIN jj
+          LEFT JOIN cells ON cells.j = jj.j
+            AND cells.b = CAST(((ph.h64 >> CAST(16 * jj.j AS UBIGINT)) & 65535) % 1024 AS BIGINT)
+          GROUP BY ph.token
+        )
+        SELECT token, CAST(est AS BIGINT) AS est FROM pe ORDER BY token
+    """
+
+
 def _q_window_join(sf_dir: str):
     """Keyed band (interval) join: per signup event, the same user's
     purchase count and milli-value sum within the next 24 h — one
@@ -1003,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join": _q_window_join,
         "bm25": _q_bm25,
         "semantic_dedup": _q_semantic_dedup,
+        "cms_counts": _q_cms_counts,
         "dup_passages": _q_dup_passages,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
@@ -1733,6 +1790,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        # cms_counts: the count-min sketch replayed cell-for-cell in SQL
+        "cms_counts": _cms_sql(),
         # semantic_dedup: unrolled k-centers + assignment + keep-first
         # prune replay — every decision is an integer micro-cosine compare
         "semantic_dedup": _semantic_dedup_sql(k=8, tau=400000),

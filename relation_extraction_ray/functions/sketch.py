@@ -162,3 +162,83 @@ def approx_distinct_by_group(
         return batch.rename_columns([group_col, "n_distinct_approx"])
 
     return out.map_batches(rename, batch_format="pyarrow").sort(group_col)
+
+
+# --- count-min sketch (mergeable approximate frequencies) -------------------
+
+#: CMS geometry: d rows × w buckets.  The d row-buckets come from disjoint
+#: 16-bit slices of ONE md5-derived 64-bit token hash (one hash per
+#: distinct token per batch instead of d), so the whole sketch has an
+#: exact SQL replay via the same ``'0x'||substr(md5(...),1,16)`` fragment
+#: every md5-keyed oracle uses.  4 × 1024 × 8 B = 32 KiB per block —
+#: exchange volume independent of vocabulary size.
+CMS_D, CMS_W = 4, 1024
+
+
+def _cms_buckets(tokens: list[str]) -> np.ndarray:
+    """[n, d] bucket matrix: bucket_j = ((md5_u64('cms:'+t) >> 16j) &
+    0xFFFF) % w.  One md5 per token; slice extraction is vectorized."""
+    import hashlib
+
+    h = np.array(
+        [int(hashlib.md5(("cms:" + t).encode()).hexdigest()[:16], 16) for t in tokens],
+        dtype=np.uint64,
+    )
+    out = np.empty((len(tokens), CMS_D), dtype=np.int64)
+    for j in range(CMS_D):
+        out[:, j] = ((h >> _U64(16 * j)) & _U64(0xFFFF)).astype(np.int64) % CMS_W
+    return out
+
+
+def cms_sketch(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> np.ndarray:
+    """Merged count-min sketch (Cormode & Muthukrishnan, 2005) of the
+    corpus token-frequency distribution — the mergeable scale path beside
+    the exact ``heavy_hitters`` two-scan: per-block fold into a fixed
+    d × w int64 matrix, elementwise-SUM merge (associative, commutative),
+    nothing cardinality-sized crosses the object store.  Guarantee:
+    ``true ≤ est ≤ true + εN`` with prob ≥ 1-δ for ε = e/w, δ = e^-d.
+
+    The per-batch md5 loop runs once per DISTINCT token per batch (the
+    value_counts pre-combine); a throughput-critical deployment would swap
+    in the vectorized splitmix hash at the cost of the SQL-replayable
+    oracle."""
+    from .text import _split_lower
+
+    def acc_block(counts: np.ndarray, block) -> np.ndarray:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return counts
+        toks = pc.list_flatten(_split_lower(block.column(text_col)))
+        vc = toks.value_counts()
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = [i for i, v in enumerate(vals) if v != ""]
+        if not keep:
+            return counts
+        vals = [vals[i] for i in keep]
+        cnts = cnts[keep]
+        b = _cms_buckets(vals)
+        out = counts.copy()
+        for j in range(CMS_D):
+            np.add.at(out[j], b[:, j], cnts)
+        return out
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros((CMS_D, CMS_W), np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_block,
+        name="cms",
+    )
+    out = ds.select_columns([text_col]).aggregate(agg)
+    return np.asarray(out["cms"], dtype=np.int64).reshape(CMS_D, CMS_W)
+
+
+def cms_estimate(counts: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-query estimates for ``tokens``: min over the d row cells."""
+    b = _cms_buckets(tokens)
+    return np.min(
+        np.stack([counts[j, b[:, j]] for j in range(CMS_D)]), axis=0
+    ).astype(np.int64)

@@ -98,3 +98,50 @@ def test_grouped_hll_envelope_and_determinism(ray_session):
 
     got2 = {r["g"]: r["n_distinct_approx"] for r in approx_distinct_by_group(ds.repartition(2), "g", ["v"], p=12).take_all()}
     assert got == got2
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_bounds_overcount(ray_session):
+    from relation_extraction_ray.functions.sketch import (
+        CMS_W,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40, p=_zipf_p(len(vocab))))
+        for _ in range(400)
+    ]
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(7)
+    counts = cms_sketch(ds)
+    exact = {}
+    for t in texts:
+        for w in t.split(" "):
+            exact[w] = exact.get(w, 0) + 1
+    n_total = sum(exact.values())
+    probes = vocab[:50] + ["absent_token"]
+    est = cms_estimate(counts, probes)
+    for w, e in zip(probes, est):
+        true = exact.get(w, 0)
+        assert e >= true, (w, e, true)            # CMS never undercounts
+        assert e <= true + 4 * (n_total / CMS_W), (w, e, true)  # loose eps bound
+    assert est[-1] >= 0
+
+
+def _zipf_p(n):
+    p = 1.0 / np.arange(1, n + 1)
+    return p / p.sum()
+
+
+def test_cms_block_layout_invariance(ray_session):
+    from relation_extraction_ray.functions.sketch import cms_sketch
+
+    texts = [{"text": f"tok{i % 13} tok{i % 7} shared"} for i in range(200)]
+    a = cms_sketch(ray.data.from_items(texts).repartition(1))
+    b = cms_sketch(ray.data.from_items(texts).repartition(9))
+    assert (a == b).all()
+    assert a.sum() > 0
