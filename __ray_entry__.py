@@ -514,6 +514,17 @@ def _semantic_dedup_sql(k: int = 8, tau: int = 400000) -> str:
     )
 
 
+def _q_corpus_drift(sf_dir: str):
+    """Per-source chi-square divergence vs the corpus token distribution
+    (domain-shift diagnostic): one combine-fed (source, token) exchange,
+    two tiny derived groupbys, broadcast token totals, integer-nano terms."""
+    from relation_extraction_ray.functions.text import corpus_drift
+
+    return corpus_drift(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    ).sort("source")
+
+
 #: CMS probe workload: frequent vocabulary + absent tokens (the absent
 #: ones exercise the empty-cell → 0 path); shared with the SQL VALUES list.
 CMS_PROBES = [
@@ -1060,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": _q_bm25,
         "semantic_dedup": _q_semantic_dedup,
         "cms_counts": _q_cms_counts,
+        "corpus_drift": _q_corpus_drift,
         "dup_passages": _q_dup_passages,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
@@ -1789,6 +1801,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # corpus_drift: chi-square via sum(p^2/q) - 1 — per-term nano
+        # rounding before the sum, identical double expression order
+        "corpus_drift": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), pairs AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok
+              WHERE token <> '' GROUP BY source, token
+            ), tt AS (
+              SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM pairs GROUP BY token
+            ), st AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM pairs GROUP BY source
+            ), tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS ctot FROM tt),
+            terms AS (
+              SELECT pairs.source,
+                CAST(floor(
+                  ((CAST(pairs.c AS DOUBLE) * CAST(pairs.c AS DOUBLE)) * tot.ctot)
+                  / ((CAST(st.cs AS DOUBLE) * CAST(st.cs AS DOUBLE))
+                     * CAST(tt.ct AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS nano
+              FROM pairs JOIN tt USING (token) JOIN st USING (source), tot
+            )
+            SELECT terms.source, st.cs AS n_tokens,
+                   CAST(sum(nano) - 1000000000 AS BIGINT) AS chi2_nano
+            FROM terms JOIN st ON st.source = terms.source
+            GROUP BY terms.source, st.cs ORDER BY terms.source
         """,
         # cms_counts: the count-min sketch replayed cell-for-cell in SQL
         "cms_counts": _cms_sql(),

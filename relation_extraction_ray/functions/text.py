@@ -873,3 +873,107 @@ def dup_passages(
         )
 
     return agg.map_batches(keep_dups, batch_format="pyarrow")
+
+
+# --- corpus drift: per-source chi-square divergence vs the corpus -----------
+
+def corpus_drift(
+    docs: ray.data.Dataset, group_col: str = "source", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Domain-shift diagnostic for mixture curation: for every source, the
+    chi-square divergence between its token distribution p and the whole
+    corpus's q — ``χ²(p‖q) = Σ_t (p_t − q_t)²/q_t``.  Uses the identity
+    ``χ² = Σ_t p_t²/q_t − 1``: the p_t = 0 terms vanish, so only tokens
+    PRESENT in a source are ever enumerated (no source × vocabulary grid).
+    Each present-token term is the pure integer rational
+    ``c_st²·C / (C_s²·c_t)`` evaluated in one fixed double-precision
+    order, rounded to nano units FIRST, and summed as integers — so the
+    result is independent of summation order and bit-exact against SQL
+    (chi-square rather than KL precisely because it needs no ``ln``,
+    which has no cross-engine bit guarantee).
+
+    Scale shape: ONE combine-fed exchange builds the (source, token)
+    count table (bounded by per-batch distinct pairs); corpus token
+    totals and per-source totals are two tiny derived groupbys of that
+    table; the vocab-sized token-total map broadcasts once via
+    ``ray.put`` (the T5/T6 pattern — reduce-side join above worker-heap
+    vocab, same planner split as the linker); the final reduce is a
+    #sources-row groupby.  Output: (source, n_tokens, chi2_nano)."""
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lists = _split_lower(batch.column(text_col))
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        src = batch.column(group_col).take(parent.filter(mask))
+        grouped = (
+            pa.table({group_col: src, "token": flat.filter(mask)})
+            .group_by([group_col, "token"])
+            .aggregate([("token", "count")])
+        )
+        return pa.table(
+            {
+                group_col: grouped.column(group_col),
+                "token": grouped.column("token"),
+                "c": grouped.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns([group_col, "token", "c"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed three times below (tok totals, src totals, terms)
+    )
+    tok_tbl = pairs.groupby("token").sum("c").to_pandas()
+    tok_arr = pa.array(tok_tbl["token"].to_numpy(), pa.string())
+    tok_tot = tok_tbl["sum(c)"].to_numpy().astype(np.int64)
+    src_tbl = pairs.groupby(group_col).sum("c").to_pandas()
+    src_tot = dict(zip(src_tbl[group_col], src_tbl["sum(c)"].astype(np.int64)))
+    c_total = float(tok_tot.sum())
+    ref = ray.put((tok_arr, tok_tot))
+
+    def term(batch: pa.Table) -> pa.Table:
+        toks, tots = ray.get(ref)
+        idx = pc.index_in(batch.column("token"), toks).to_numpy(zero_copy_only=False)
+        c_st = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_t = tots[idx].astype(np.float64)
+        c_s = np.array(
+            [float(src_tot[s]) for s in batch.column(group_col).to_pylist()],
+            dtype=np.float64,
+        )
+        # fixed op order, mirrored in the SQL oracle:
+        # floor(((cst*cst)*C) / ((cs*cs)*ct) * 1e9 + 0.5)
+        nano = np.floor(
+            ((c_st * c_st) * c_total) / ((c_s * c_s) * c_t) * 1000000000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "term_nano": pa.array(nano, pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(term, batch_format="pyarrow")
+        .groupby(group_col)
+        .sum("term_nano")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(group_col).to_pylist()
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_tokens": pa.array([int(src_tot[s]) for s in srcs], pa.int64()),
+                "chi2_nano": pc.subtract(
+                    batch.column("sum(term_nano)"), pa.scalar(1000000000, pa.int64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1291,3 +1291,38 @@ def test_semantic_dedup_block_and_cluster_invariants(ray_session):
         if cid not in first_of:
             first_of[cid] = vid
             assert keep, f"lowest id {vid} of cluster {cid} must be kept"
+
+
+def test_corpus_drift_matches_handrolled_chi2(ray_session):
+    from relation_extraction_ray.functions.text import corpus_drift
+
+    rows = [
+        {"doc_id": 1, "source": "a", "text": "x x y"},
+        {"doc_id": 2, "source": "a", "text": "x z"},
+        {"doc_id": 3, "source": "b", "text": "y y y z"},
+        {"doc_id": 4, "source": "b", "text": ""},
+    ]
+    for nb in (1, 3):
+        got = {
+            r["source"]: (r["n_tokens"], r["chi2_nano"])
+            for r in corpus_drift(_docs_ds(rows).repartition(nb)).take_all()
+        }
+        # hand-rolled reference with the same per-term nano rounding
+        import math
+        from collections import Counter
+
+        per = {"a": Counter("x x y x z".split()), "b": Counter("y y y z".split())}
+        tot = Counter()
+        for c in per.values():
+            tot += c
+        C = sum(tot.values())
+        want = {}
+        for s, cnt in per.items():
+            cs = sum(cnt.values())
+            acc = 0
+            for t, c_st in cnt.items():
+                acc += int(math.floor(((c_st * c_st) * C) / ((cs * cs) * tot[t]) * 1e9 + 0.5))
+            want[s] = (cs, acc - 1_000_000_000)
+        assert got == want, nb
+    # a uniform-vs-itself corpus has chi2 ~ 0 only if p == q; here both differ
+    assert got["a"][1] > 0 and got["b"][1] > 0
