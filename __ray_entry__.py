@@ -525,6 +525,17 @@ def _q_corpus_drift(sf_dir: str):
     ).sort("source")
 
 
+def _q_token_cooc(sf_dir: str):
+    """Top-50-vocab document-level co-occurrence + lift: per-batch boolean
+    presence matrix → V×V int64 partial, elementwise-sum merge — no
+    per-pair exchange at any corpus size."""
+    from relation_extraction_ray.functions.text import token_cooccurrence
+
+    return token_cooccurrence(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), top_v=50
+    )
+
+
 #: CMS probe workload: frequent vocabulary + absent tokens (the absent
 #: ones exercise the empty-cell → 0 path); shared with the SQL VALUES list.
 CMS_PROBES = [
@@ -1072,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "cms_counts": _q_cms_counts,
         "corpus_drift": _q_corpus_drift,
+        "token_cooc": _q_token_cooc,
         "dup_passages": _q_dup_passages,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
@@ -1801,6 +1813,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # token_cooc: top-50 vocab (proven count-desc/token-asc select),
+        # distinct doc-token presence self-join, same double lift order
+        "token_cooc": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+              WHERE token <> '' GROUP BY token
+            ), vocab AS (
+              SELECT token FROM tc ORDER BY cnt DESC, token ASC LIMIT 50
+            ), pres AS (
+              SELECT DISTINCT doc_id, token FROM tok
+              WHERE token IN (SELECT token FROM vocab)
+            ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            cx AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS c FROM pres GROUP BY token
+            ), pr AS (
+              SELECT a.token AS tok_a, b.token AS tok_b,
+                     CAST(count(*) AS BIGINT) AS n_docs_both
+              FROM pres a JOIN pres b
+                ON a.doc_id = b.doc_id AND a.token < b.token
+              GROUP BY a.token, b.token
+            )
+            SELECT pr.tok_a, pr.tok_b, pr.n_docs_both,
+              CAST(floor(
+                (CAST(pr.n_docs_both AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+            FROM pr
+            JOIN cx ca ON ca.token = pr.tok_a
+            JOIN cx cb ON cb.token = pr.tok_b, nn
+            ORDER BY pr.tok_a, pr.tok_b
         """,
         # corpus_drift: chi-square via sum(p^2/q) - 1 — per-term nano
         # rounding before the sum, identical double expression order

@@ -977,3 +977,80 @@ def corpus_drift(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- token co-occurrence + lift over the top-V vocabulary -------------------
+
+def token_cooccurrence(
+    docs: ray.data.Dataset, top_v: int = 50, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Document-level token association over the ``top_v`` most frequent
+    tokens: for every vocabulary pair (a < b), the number of documents
+    containing BOTH and the lift ``P(ab) / (P(a)·P(b)) = c_ab·N /
+    (c_a·c_b)`` in integer micro-units — the log-free PMI surrogate
+    (PMI = ln lift; lift keeps the bit-exact SQL replay, see
+    ``corpus_drift`` for the rationale).
+
+    Scale shape: pass 1 is the proven top-k vocabulary selection
+    (count desc, token asc); pass 2 builds a boolean presence matrix
+    [batch_docs × V] per batch and takes ``Pᵀ·P`` — the per-batch partial
+    is a fixed V×V int64 matrix (V=50 → 20 KiB) merged by elementwise
+    sum, so NO per-pair rows ever cross the exchange regardless of corpus
+    size; diagonal = per-token doc frequencies.  N is total documents
+    (including vocab-free ones)."""
+    from ray.data.aggregate import AggregateFn
+
+    top = vocab_top_k(docs, k=top_v, text_col=text_col).take_all()
+    vocab = [r["token"] for r in top]
+    v_arr = pa.array(vocab, pa.string())
+    V = len(vocab)
+    vref = ray.put(v_arr)
+
+    def acc_block(state, block) -> np.ndarray:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        mat, n = state
+        if block.num_rows == 0:
+            return (mat, n)
+        va = ray.get(vref)
+        lists = _split_lower(block.column(text_col))
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        idx = pc.index_in(flat, va)
+        ok = pc.is_valid(idx)
+        rows = parent.filter(ok).to_numpy(zero_copy_only=False)
+        cols = idx.filter(ok).to_numpy(zero_copy_only=False).astype(np.int64)
+        presence = np.zeros((block.num_rows, V), dtype=np.int64)
+        presence[rows, cols] = 1
+        return (mat + presence.T @ presence, n + block.num_rows)
+
+    agg = AggregateFn(
+        init=lambda k: (np.zeros((V, V), np.int64), 0),
+        merge=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        accumulate_block=acc_block,
+        name="cooc",
+    )
+    mat, n_docs = docs.select_columns([text_col]).aggregate(agg)["cooc"]
+    ia, ib = np.triu_indices(V, k=1)
+    c_ab = mat[ia, ib]
+    keep = c_ab > 0
+    ia, ib, c_ab = ia[keep], ib[keep], c_ab[keep]
+    c_a = mat[ia, ia].astype(np.float64)
+    c_b = mat[ib, ib].astype(np.float64)
+    lift = np.floor(
+        (c_ab.astype(np.float64) * float(n_docs)) / (c_a * c_b) * 1000000.0 + 0.5
+    ).astype(np.int64)
+    # canonical pair order: token string asc (vocab rank order differs)
+    ta = np.array([vocab[i] for i in ia], dtype=object)
+    tb = np.array([vocab[i] for i in ib], dtype=object)
+    swap = ta > tb
+    ta[swap], tb[swap] = tb[swap], ta[swap].copy()
+    out = pa.table(
+        {
+            "tok_a": pa.array(list(ta), pa.string()),
+            "tok_b": pa.array(list(tb), pa.string()),
+            "n_docs_both": pa.array(c_ab, pa.int64()),
+            "lift_micro": pa.array(lift, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out.take(pc.sort_indices(out, [("tok_a", "ascending"), ("tok_b", "ascending")])))

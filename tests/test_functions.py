@@ -1326,3 +1326,32 @@ def test_corpus_drift_matches_handrolled_chi2(ray_session):
         assert got == want, nb
     # a uniform-vs-itself corpus has chi2 ~ 0 only if p == q; here both differ
     assert got["a"][1] > 0 and got["b"][1] > 0
+
+
+def test_token_cooccurrence_handrolled(ray_session):
+    from relation_extraction_ray.functions.text import token_cooccurrence
+
+    rows = [
+        {"doc_id": 1, "text": "x y x"},   # x,y
+        {"doc_id": 2, "text": "x z"},     # x,z
+        {"doc_id": 3, "text": "y z y z"}, # y,z
+        {"doc_id": 4, "text": "x"},       # x alone
+        {"doc_id": 5, "text": ""},        # nothing (still counts toward N)
+    ]
+    for nb in (1, 3):
+        got = [
+            (r["tok_a"], r["tok_b"], r["n_docs_both"], r["lift_micro"])
+            for r in token_cooccurrence(_docs_ds(rows).repartition(nb), top_v=3).take_all()
+        ]
+        # doc freqs: x=3, y=2, z=2; N=5
+        import math
+
+        def lift(cab, ca, cb):
+            return int(math.floor((float(cab) * 5.0) / (float(ca) * float(cb)) * 1e6 + 0.5))
+
+        want = [
+            ("x", "y", 1, lift(1, 3, 2)),
+            ("x", "z", 1, lift(1, 3, 2)),
+            ("y", "z", 1, lift(1, 2, 2)),
+        ]
+        assert got == want, nb
