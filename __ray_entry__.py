@@ -767,6 +767,14 @@ def _q_triangles(sf_dir: str):
     return triangle_count(_kg_run()["adjacency"])
 
 
+def _q_edge_jaccard(sf_dir: str):
+    """Per-edge common-neighbor count + Jaccard link score over the KG's
+    undirected entity graph (link-prediction / entity-resolution feature)."""
+    from relation_extraction_ray.functions.graph import edge_jaccard
+
+    return edge_jaccard(_kg_run()["adjacency"]).sort(["node_a", "node_b"])
+
+
 def _q_kg_linked(sf_dir: str):
     """Triples with KB-linked entity ids (entity-link disambiguator actor
     pool over a broadcast KB)."""
@@ -1096,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked": _q_kg_linked,
         "pagerank": _q_pagerank,
         "triangles": _q_triangles,
+        "edge_jaccard": _q_edge_jaccard,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -2248,6 +2257,39 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        # edge_jaccard: per-edge common-neighbor count and Jaccard link
+        # score on the deduped undirected edge set of the ORACLE adjacency
+        # (LEFT join keeps triangle-free edges at n_common = 0); same
+        # integer micro-unit rounding as the engine
+        "edge_jaccard": f"""
+            WITH e AS (
+              SELECT DISTINCT least(src_id, dst_id) AS a,
+                              greatest(src_id, dst_id) AS b
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id),
+            nb AS (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL SELECT b AS node, a AS nbr FROM e),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY node),
+            cn AS (
+              SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n_common
+              FROM nb x
+              JOIN nb y ON y.nbr = x.nbr AND x.node < y.node
+              JOIN e   ON e.a = x.node AND e.b = y.node
+              GROUP BY x.node, y.node)
+            SELECT e.a AS node_a, e.b AS node_b,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   COALESCE(cn.n_common, 0) AS n_common,
+                   CAST(floor(COALESCE(cn.n_common, 0) * 1000000.0
+                        / (da.deg + db.deg - COALESCE(cn.n_common, 0)) + 0.5)
+                        AS BIGINT) AS jacc_micro
+            FROM e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+            LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+            ORDER BY node_a, node_b
         """,
         # --- KG family: pure-Python single-process oracle via parquet ---
         "kg_triples": f"""

@@ -536,3 +536,310 @@ def triangle_count(adjacency: ray.data.Dataset) -> ray.data.Dataset:
     # the per-partition counts are one int each: tiny final driver fold
     s = int(per_part.to_pandas()["n"].sum())
     return ray.data.from_arrow(pa.table({"n_triangles": pa.array([s], pa.int64())}))
+
+
+def edge_jaccard(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-edge neighborhood similarity of the undirected simple graph
+    underlying the adjacency table: for every canonical edge (a < b by
+    node name) the common-neighbor count ``|N(a) ∩ N(b)|`` (= triangles
+    through the edge) and the Jaccard link score ``cn / (deg_a + deg_b −
+    cn)`` in integer micro-units — the classic link-prediction /
+    entity-resolution feature over a constructed KG.
+
+    Scale shape: the same degree-ordered wedge machinery as
+    :func:`triangle_count` (out-degree bounded O(√m), all keyed
+    exchanges, nothing graph-sized broadcast), except matched wedges emit
+    THREE per-edge credit rows (each triangle touches 3 edges), which are
+    pre-combined per partition before one edge-keyed groupby; the final
+    attach joins credits + endpoint degrees back onto the full edge set
+    co-partitioned on the edge key (LEFT semantics — triangle-free edges
+    report cn = 0)."""
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        u = batch.column("src_id")
+        v = batch.column("dst_id")
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"a": lo, "b": hi})
+        t = t.group_by(["a", "b"]).aggregate([])
+        return t.append_column("part", part_array(t, ["a", "b"], n_parts))
+
+    def dedup_part(part: pa.Table) -> pa.Table:
+        return part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    edges = (
+        adjacency.map_batches(undirected, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+        )
+        vc = pc.value_counts(both)
+        return pa.table(
+            {"node": vc.field("values"), "deg": vc.field("counts").cast(pa.int64())}
+        )
+
+    degrees = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .sum("deg")
+        .map_batches(lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _attach(
+        edge_ds: ray.data.Dataset,
+        lookup: ray.data.Dataset,
+        key: str,
+        out_col: str,
+        edge_schema: pa.Schema,
+        default: int | None = None,
+        lookup_keys: list[str] | None = None,
+    ) -> ray.data.Dataset:
+        """Co-partition ``edge_ds`` (on ``key`` — one column, or the
+        composite (a, b) pair when ``lookup_keys`` is set) with ``lookup``
+        rows (node/deg or a/b/val); append ``out_col`` via a sorted
+        searchsorted probe.  ``default`` None = every key must hit (degree
+        attach); an int = LEFT semantics (credit attach)."""
+        lk = lookup_keys or ["node"]
+        edge_cols = list(edge_schema.names)
+        edge_types = [edge_schema.field(c).type for c in edge_cols]
+
+        def _ck(tab: pa.Table, cols: list[str]) -> np.ndarray:
+            parts_ = [tab.column(c).to_numpy(zero_copy_only=False).astype(str) for c in cols]
+            out = parts_[0]
+            for nxt in parts_[1:]:
+                out = np.char.add(np.char.add(out, "\x00"), nxt)
+            return out
+
+        part_cols = [key] if lookup_keys is None else ["a", "b"]
+
+        def edge_tag(batch: pa.Table) -> pa.Table:
+            t = batch
+            for c in lk:
+                if c not in t.schema.names:
+                    t = t.append_column(c, pa.nulls(batch.num_rows, pa.string()))
+            t = t.append_column("val", pa.array(np.zeros(batch.num_rows, np.int64)))
+            t = t.append_column("is_edge", pa.array(np.ones(batch.num_rows, np.int8)))
+            return t.append_column("part", part_array(batch, part_cols, n_parts))
+
+        def lk_tag(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {c: pa.nulls(n, typ) for c, typ in zip(edge_cols, edge_types)}
+            for c in lk:
+                cols[c] = batch.column(c)
+            val_col = [c for c in batch.schema.names if c not in lk][0]
+            cols["val"] = batch.column(val_col).cast(pa.int64())
+            cols["is_edge"] = pa.array(np.zeros(n, np.int8))
+            t = pa.table(cols)
+            return t.append_column(
+                "part", part_array(batch.select(lk), lk, n_parts)
+            )
+
+        def probe(part: pa.Table) -> pa.Table:
+            is_e = part.column("is_edge").to_numpy(zero_copy_only=False) == 1
+            if not is_e.any():
+                sch = pa.schema(
+                    list(zip(edge_cols, edge_types)) + [(out_col, pa.int64())]
+                )
+                return sch.empty_table()
+            if lookup_keys is None:
+                probe_k = part.column(key).to_numpy(zero_copy_only=False).astype(str)[is_e]
+                lk_k = _ck(part.filter(pa.array(~is_e)), lk)
+            else:
+                probe_k = _ck(part.filter(pa.array(is_e)), ["a", "b"])
+                lk_k = _ck(part.filter(pa.array(~is_e)), lk)
+            lv = part.column("val").to_numpy(zero_copy_only=False)[~is_e]
+            order = np.argsort(lk_k, kind="mergesort")
+            lk_k, lv = lk_k[order], lv[order]
+            pos = np.searchsorted(lk_k, probe_k)
+            out = {c: part.column(c).filter(pa.array(is_e)) for c in edge_cols}
+            if default is None:
+                out[out_col] = pa.array(lv[pos], pa.int64())
+            else:
+                pos_c = np.minimum(pos, max(len(lk_k) - 1, 0))
+                hit = (len(lk_k) > 0) & (lk_k[pos_c] == probe_k) if len(lk_k) else np.zeros(len(probe_k), bool)
+                vals = np.where(hit, lv[pos_c] if len(lk_k) else 0, default)
+                out[out_col] = pa.array(vals.astype(np.int64), pa.int64())
+            return pa.table(out)
+
+        unioned = edge_ds.map_batches(edge_tag, batch_format="pyarrow").union(
+            lookup.map_batches(lk_tag, batch_format="pyarrow")
+        )
+        return unioned.groupby("part").map_groups(probe, batch_format="pyarrow")
+
+    ab = pa.schema([("a", pa.string()), ("b", pa.string())])
+    with_da = _attach(edges, degrees, "a", "deg_a", ab)
+    with_db = _attach(
+        with_da, degrees, "b", "deg_b", ab.append(pa.field("deg_a", pa.int64()))
+    ).materialize()
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        t = pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.string()),
+                "dst": pa.array(np.where(a_first, b, a), pa.string()),
+                "ddst": pa.array(np.where(a_first, db, da).astype(np.int64)),
+            }
+        )
+        return t.append_column("part", part_array(t, ["src"], n_parts))
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow").materialize()
+
+    wedge_schema = pa.schema(
+        [("lo", pa.string()), ("hi", pa.string()), ("apex", pa.string())]
+    )
+
+    def wedges(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return wedge_schema.empty_table()
+        t = part.sort_by(
+            [("src", "ascending"), ("ddst", "ascending"), ("dst", "ascending")]
+        )
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(src)]]))
+        if int((lens * (lens - 1) // 2).sum()) == 0:
+            return wedge_schema.empty_table()
+        lo_idx, hi_idx = [], []
+        for s, l in zip(starts.tolist(), lens.tolist()):
+            if l < 2:
+                continue
+            iu = np.triu_indices(l, k=1)
+            lo_idx.append(iu[0] + s)
+            hi_idx.append(iu[1] + s)
+        lo_i = np.concatenate(lo_idx)
+        hi_i = np.concatenate(hi_idx)
+        return pa.table(
+            {
+                "lo": pa.array(dst[lo_i], pa.string()),
+                "hi": pa.array(dst[hi_i], pa.string()),
+                "apex": pa.array(src[lo_i], pa.string()),
+            }
+        )
+
+    wedge_ds = (
+        oriented.groupby("part")
+        .map_groups(wedges, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("part", part_array(t, ["lo", "hi"], n_parts)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def edge_key_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lo": batch.column("src"),
+                "hi": batch.column("dst"),
+                "apex": pa.nulls(batch.num_rows, pa.string()),
+                "is_edge": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+        return t.append_column("part", part_array(t, ["lo", "hi"], n_parts))
+
+    def wedge_tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lo": batch.column("lo"),
+                "hi": batch.column("hi"),
+                "apex": batch.column("apex"),
+                "is_edge": pa.array(np.zeros(batch.num_rows, np.int8)),
+                "part": batch.column("part"),
+            }
+        )
+
+    joined = wedge_ds.map_batches(wedge_tag, batch_format="pyarrow").union(
+        oriented.map_batches(edge_key_tag, batch_format="pyarrow")
+    )
+
+    credit_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("cn", pa.int64())]
+    )
+
+    def credit_part(part: pa.Table) -> pa.Table:
+        is_e = part.column("is_edge").to_numpy(zero_copy_only=False) == 1
+        if not is_e.any() or is_e.all():
+            return credit_schema.empty_table()
+        lo = part.column("lo").to_numpy(zero_copy_only=False).astype(str)
+        hi = part.column("hi").to_numpy(zero_copy_only=False).astype(str)
+        ek = np.char.add(np.char.add(lo[is_e], "\x00"), hi[is_e])
+        ek.sort()
+        wl, wh = lo[~is_e], hi[~is_e]
+        wk = np.char.add(np.char.add(wl, "\x00"), wh)
+        pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+        hit = ek[pos] == wk
+        if not hit.any():
+            return credit_schema.empty_table()
+        ap = part.column("apex").to_numpy(zero_copy_only=False).astype(str)[~is_e][hit]
+        wl, wh = wl[hit], wh[hit]
+        # each closed triangle {apex, lo, hi} credits its 3 edges, each
+        # keyed canonical (name-min, name-max)
+        # wedge lo/hi are DEGREE-ordered; credit keys must be NAME-canonical
+        # (numpy string minimum/maximum reject mixed itemsizes, use where)
+        al, ah, lh = ap < wl, ap < wh, wl < wh
+        ca = np.concatenate([np.where(lh, wl, wh), np.where(al, ap, wl), np.where(ah, ap, wh)])
+        cb = np.concatenate([np.where(lh, wh, wl), np.where(al, wl, ap), np.where(ah, wh, ap)])
+        t = pa.table({"a": pa.array(ca, pa.string()), "b": pa.array(cb, pa.string())})
+        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table(
+            {
+                "a": g.column("a"),
+                "b": g.column("b"),
+                "cn": g.column("a_count").cast(pa.int64()),
+            }
+        )
+
+    credits = (
+        joined.groupby("part")
+        .map_groups(credit_part, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .sum("cn")
+        .map_batches(lambda t: t.rename_columns(["a", "b", "cn"]), batch_format="pyarrow")
+    )
+
+    abdd = pa.schema(
+        [
+            ("a", pa.string()),
+            ("b", pa.string()),
+            ("deg_a", pa.int64()),
+            ("deg_b", pa.int64()),
+        ]
+    )
+    with_cn = _attach(
+        with_db, credits, "a", "n_common", abdd, default=0, lookup_keys=["a", "b"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn = batch.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        denom = (da + db - cn.astype(np.int64)).astype(np.float64)
+        jacc = np.floor(cn * 1000000.0 / denom + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "node_a": batch.column("a"),
+                "node_b": batch.column("b"),
+                "deg_a": batch.column("deg_a"),
+                "deg_b": batch.column("deg_b"),
+                "n_common": batch.column("n_common"),
+                "jacc_micro": pa.array(jacc, pa.int64()),
+            }
+        )
+
+    return with_cn.map_batches(finish, batch_format="pyarrow")

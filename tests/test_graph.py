@@ -121,3 +121,57 @@ def test_pagerank_pinned_equals_union_path(ray_session):
     pinned = pagerank(ds, iters=3).to_pandas()
     union = pagerank(ds, iters=3, pin_bytes_bound=0).to_pandas()
     assert pinned.equals(union)
+
+
+def _ref_edge_jaccard(rows):
+    import collections
+
+    E = set()
+    for u, _, v, _ in rows:
+        if u != v:
+            E.add((min(u, v), max(u, v)))
+    nbrs = collections.defaultdict(set)
+    for a, b in E:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    out = []
+    for a, b in sorted(E):
+        cn = len(nbrs[a] & nbrs[b])
+        da, db = len(nbrs[a]), len(nbrs[b])
+        out.append((a, b, da, db, cn, int(np.floor(cn * 1000000.0 / (da + db - cn) + 0.5))))
+    return out
+
+
+def test_edge_jaccard_random_graph(ray_session):
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"n{int(rng.integers(40))}", "p", f"n{int(rng.integers(40))}", 1)
+        for _ in range(300)
+    ]
+    from relation_extraction_ray.functions.graph import edge_jaccard
+
+    got = (
+        edge_jaccard(ray.data.from_arrow(_adj(rows)).repartition(4))
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == _ref_edge_jaccard(rows)
+
+
+def test_edge_jaccard_star_and_triangle(ray_session):
+    """Hub-star edges have zero common neighbors (LEFT semantics keep them);
+    the one triangle credits all three of its edges."""
+    from relation_extraction_ray.functions.graph import edge_jaccard
+
+    rows = [("hub", "p", f"leaf{i}", 1) for i in range(30)]
+    rows += [("x", "p", "y", 1), ("y", "p", "x", 2), ("y", "p", "z", 1), ("x", "p", "z", 1)]
+    got = (
+        edge_jaccard(ray.data.from_arrow(_adj(rows)).repartition(3))
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == _ref_edge_jaccard(rows)
+    tri = got[got.n_common > 0]
+    assert len(tri) == 3 and set(tri.n_common) == {1}
