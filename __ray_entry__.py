@@ -153,6 +153,24 @@ def _q_revenue(sf_dir: str):
     )
 
 
+def _q_revenue_nation(sf_dir: str):
+    """TPC-H-Q5-shaped 6-table join (region/nation driver-resolved,
+    customer/supplier broadcast, orders×lineitem one hash exchange)."""
+    from relation_extraction_ray.functions.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+        region_name="ASIA",
+        date_lo="1996-01-01",
+        date_hi="1998-01-01",
+    )
+
+
 def _q_top_orders(sf_dir: str):
     from relation_extraction_ray.functions.relational import top_orders
 
@@ -1057,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _q_knn,
         "pricing_summary": _q_pricing,
         "revenue_by_segment": _q_revenue,
+        "revenue_by_nation": _q_revenue_nation,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1447,6 +1466,19 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
             FROM orders ORDER BY o_totalprice_cents DESC, o_orderkey ASC LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_tenk
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
         """,
         "events_by_day": """
             SELECT event_type,

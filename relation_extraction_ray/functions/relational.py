@@ -918,3 +918,162 @@ def purchases_within_window(
     tagged = events.map_batches(tag, batch_format="pyarrow")
     n_parts = derive_n_parts(events.count(), rows_per_part=65536)
     return hash_partitioned_groups(tagged, ["user_id"], per_part, n_parts).sort("event_id")
+
+
+def _broadcast_key_i32(ds: ray.data.Dataset, key_col: str, val_col: str) -> "ray.ObjectRef":
+    """Broadcast a (int64 key → int32 value) dimension table as sorted
+    numpy arrays via ``ray.put`` — shipped once, probed with
+    ``searchsorted`` inside every task (SURVEY.md J1 pattern)."""
+    keys_l, vals_l = [], []
+    for b in ds.select_columns([key_col, val_col]).iter_batches(batch_format="pyarrow"):
+        keys_l.append(b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        vals_l.append(b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int32))
+    keys = np.concatenate(keys_l) if keys_l else np.array([], np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.array([], np.int32)
+    order = np.argsort(keys, kind="mergesort")
+    return ray.put((keys[order], vals[order]))
+
+
+def _probe_i32(ref_val: tuple[np.ndarray, np.ndarray], keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized dimension probe: (value, hit-mask) per key."""
+    skeys, svals = ref_val
+    if len(skeys) == 0:
+        return np.zeros(len(keys), np.int32), np.zeros(len(keys), bool)
+    pos = np.minimum(np.searchsorted(skeys, keys), len(skeys) - 1)
+    hit = skeys[pos] == keys
+    return svals[pos], hit
+
+
+def revenue_by_nation(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> ray.data.Dataset:
+    """TPC-H-Q5-shaped 6-table join: revenue per nation from lineitems
+    whose order's customer and whose supplier sit in the SAME nation,
+    restricted to one region and an order-date window.
+
+    Scale shape (the multi-join planner pattern in one query):
+
+    * region → nation is resolved on the DRIVER (25 rows) into the
+      in-region nation-key set; both fact legs filter on it EARLY, so
+      out-of-region rows never reach the exchange.
+    * customer and supplier are broadcast once as sorted
+      (key → nationkey) numpy pairs via ``ray.put`` (8+4 B/row: 10⁹
+      customers ≈ 12 GB — above worker heap the same probe runs
+      reduce-side, the adaptive split ``state/linker.py`` implements).
+    * orders × lineitem — the one FACT×FACT join — co-locates with a
+      single side-tagged hash exchange on ``orderkey``
+      (``hash_partitioned_groups``); per partition the probe is one
+      ``searchsorted`` of lineitem orderkeys against the sorted order
+      leg, then a same-nation filter and an int64 scatter-add into
+      per-nation revenue bins, so each partition emits ≤ |nations| rows.
+    * the final groupby therefore moves ≤ n_parts × |nations| tiny rows.
+
+    Revenue is summed in exact integer ten-thousandths
+    (``price*(1-disc)`` has ≤4 decimals), ordered desc with name
+    tiebreak.
+    """
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    # driver-side dimension resolve: region name -> in-region nations
+    reg = {r["r_name"]: r["r_regionkey"] for r in region.take_all()}
+    rkey = reg[region_name]
+    nat_rows = [r for r in nation.take_all() if r["n_regionkey"] == rkey]
+    nat_keys = np.array(sorted(r["n_nationkey"] for r in nat_rows), np.int64)
+    nat_name = {r["n_nationkey"]: r["n_name"] for r in nat_rows}
+
+    cust_ref = _broadcast_key_i32(customer, "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_key_i32(supplier, "s_suppkey", "s_nationkey")
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = (ts >= lo) & (ts < hi)
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep]
+        nat, hit = _probe_i32(ray.get(cust_ref), batch.column("o_custkey").to_numpy(zero_copy_only=False)[keep])
+        in_region = hit & np.isin(nat.astype(np.int64), nat_keys)
+        return pa.table(
+            {
+                "orderkey": pa.array(okey[in_region], pa.int64()),
+                "nat": pa.array(nat[in_region].astype(np.int64)),
+                "rev_tenk": pa.array(np.zeros(int(in_region.sum()), np.int64)),
+                "side": pa.array(np.zeros(int(in_region.sum()), np.int8)),
+            }
+        )
+
+    def lineitem_leg(batch: pa.Table) -> pa.Table:
+        nat, hit = _probe_i32(ray.get(supp_ref), batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        keep = hit & np.isin(nat.astype(np.int64), nat_keys)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.rint(price * (1.0 - disc) * 10000).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": batch.column("l_orderkey").filter(pa.array(keep)).cast(pa.int64()),
+                "nat": pa.array(nat[keep].astype(np.int64)),
+                "rev_tenk": pa.array(rev),
+                "side": pa.array(np.ones(int(keep.sum()), np.int8)),
+            }
+        )
+
+    part_schema = pa.schema([("n_nationkey", pa.int64()), ("revenue_tenk", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        okey = part.column("orderkey").to_numpy(zero_copy_only=False)
+        nat = part.column("nat").to_numpy(zero_copy_only=False)
+        is_o = side == 0
+        ko, no = okey[is_o], nat[is_o]
+        if len(ko) == 0 or len(ko) == len(okey):
+            return part_schema.empty_table()
+        order = np.argsort(ko, kind="mergesort")
+        ko, no = ko[order], no[order]
+        kl = okey[~is_o]
+        pos = np.minimum(np.searchsorted(ko, kl), len(ko) - 1)
+        hit = (ko[pos] == kl) & (no[pos] == nat[~is_o])
+        code = np.searchsorted(nat_keys, nat[~is_o][hit])
+        bins = np.zeros(len(nat_keys), np.int64)
+        np.add.at(bins, code, part.column("rev_tenk").to_numpy(zero_copy_only=False)[~is_o][hit])
+        nz = np.flatnonzero(bins)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nat_keys[nz], pa.int64()),
+                "revenue_tenk": pa.array(bins[nz], pa.int64()),
+            }
+        )
+
+    tagged = orders.map_batches(orders_leg, batch_format="pyarrow").union(
+        lineitem.map_batches(lineitem_leg, batch_format="pyarrow")
+    )
+    n_parts = derive_n_parts(lineitem.count(), rows_per_part=65536)
+    partials = hash_partitioned_groups(tagged, ["orderkey"], per_part, n_parts)
+    agg = partials.groupby("n_nationkey").aggregate(
+        ray.data.aggregate.Sum("revenue_tenk", alias_name="revenue_tenk")
+    )
+
+    def named(batch: pa.Table) -> pa.Table:
+        names = [nat_name[int(k)] for k in batch.column("n_nationkey").to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "revenue_tenk": batch.column("revenue_tenk")}
+        )
+
+    return agg.map_batches(named, batch_format="pyarrow").sort(
+        ["revenue_tenk", "n_name"], descending=[True, False]
+    )

@@ -1355,3 +1355,67 @@ def test_token_cooccurrence_handrolled(ray_session):
             ("y", "z", 1, lift(1, 2, 2)),
         ]
         assert got == want, nb
+
+
+def test_revenue_by_nation_vs_duckdb(ray_session):
+    import duckdb
+
+    from relation_extraction_ray.functions.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    got = revenue_by_nation(
+        ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        ray.data.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf}/nation.parquet"),
+        ray.data.read_parquet(f"{sf}/region.parquet"),
+        region_name="EUROPE",
+        date_lo="1995-06-01",
+        date_hi="1999-01-01",
+    ).take_all()
+    want = duckdb.sql(
+        f"""
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_tenk
+        FROM read_parquet('{sf}/customer.parquet') c,
+             read_parquet('{sf}/orders.parquet') o,
+             read_parquet('{sf}/lineitem.parquet') l,
+             read_parquet('{sf}/supplier.parquet') s,
+             read_parquet('{sf}/nation.parquet') n,
+             read_parquet('{sf}/region.parquet') r
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """
+    ).df()
+    assert len(got) == len(want) and len(got) > 0
+    for row, (_, w) in zip(got, want.iterrows()):
+        assert row["n_name"] == w["n_name"] and row["revenue_tenk"] == w["revenue_tenk"]
+
+
+def test_revenue_by_nation_empty_window(ray_session):
+    from relation_extraction_ray.functions.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    got = revenue_by_nation(
+        ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        ray.data.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf}/nation.parquet"),
+        ray.data.read_parquet(f"{sf}/region.parquet"),
+        region_name="ASIA",
+        date_lo="1970-01-01",
+        date_hi="1970-01-02",
+    ).take_all()
+    assert got == []
