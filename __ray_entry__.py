@@ -457,6 +457,17 @@ def _q_dup_passages(sf_dir: str):
     ).sort("ngram")
 
 
+def _q_dup_spans(sf_dir: str):
+    """Maximal duplicated-passage extents per doc: duplicated 5-gram
+    windows merged into maximal covered-token intervals (gaps-and-islands,
+    merge on overlap-or-touch) — span count / coverage / longest span."""
+    from relation_extraction_ray.functions.text import dup_spans
+
+    return dup_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=5
+    ).sort("doc_id")
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-centers quantizer (data-point centroids via integer
     micro-cosine farthest-point selection — fully SQL-unrollable), one
@@ -1112,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_drift": _q_corpus_drift,
         "token_cooc": _q_token_cooc,
         "dup_passages": _q_dup_passages,
+        "dup_spans": _q_dup_spans,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
@@ -1942,6 +1954,41 @@ def oracle_sql() -> dict[str, str]:
               FROM per GROUP BY ngram
             )
             SELECT * FROM agg WHERE n_docs >= 2 ORDER BY ngram
+        """,
+        # dup_spans: the same 5-gram windows, duplicated ones merged into
+        # maximal covered-token intervals via gaps-and-islands (merge when
+        # the next window starts within pos + 5)
+        "dup_spans": """
+            WITH tok AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, i.i AS pos,
+                     array_to_string(list_slice(toks, i.i + 1, i.i + 5), ' ') AS ngram
+              FROM tok, LATERAL (SELECT unnest(range(len(toks) - 4)) AS i) i
+              WHERE len(toks) >= 5
+            ), per AS (
+              SELECT ngram, doc_id FROM g GROUP BY ngram, doc_id
+            ), dups AS (
+              SELECT ngram FROM per GROUP BY ngram HAVING count(*) >= 2
+            ), m AS (
+              SELECT g.doc_id, g.pos FROM g JOIN dups USING (ngram)
+            ), o AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM m
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM o
+            ), sp AS (
+              SELECT doc_id, max(pos) + 5 - min(pos) AS span_len
+              FROM isl GROUP BY doc_id, gid
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+                   CAST(max(span_len) AS BIGINT) AS max_span
+            FROM sp GROUP BY doc_id ORDER BY doc_id
         """,
         # clean_corpus: the fused cleaning recipe replayed — same
         # tokenization, same distinct-marker lang CASE as lang_id, same

@@ -802,6 +802,34 @@ def heavy_hitters(
 
 # --- cross-doc duplicated passages (exact substring-dup detection) ----------
 
+def _ngram_windows(
+    text_col: "pa.ChunkedArray", n: int
+) -> tuple["np.ndarray | None", "np.ndarray | None", "pa.Array | None"]:
+    """Vectorized token n-gram windows over a batch of texts: returns
+    (doc row index, 0-based token start position within the doc, joined
+    n-gram string) for every window that stays inside one document —
+    list-flatten + window-sliced ``binary_join_element_wise``, no per-row
+    Python.  ``(None, None, None)`` when the batch has no window."""
+    lists = _split_lower(text_col)
+    la = lists.combine_chunks()
+    flat = la.flatten()
+    parent = pc.list_parent_indices(lists).combine_chunks()
+    L = len(flat)
+    if L < n:
+        return None, None, None
+    windows = [flat.slice(j, L - n + 1) for j in range(n)]
+    joined = pc.binary_join_element_wise(*windows, " ")
+    p = parent.to_numpy(zero_copy_only=False)
+    valid = p[: L - n + 1] == p[n - 1 :]
+    if not valid.any():
+        return None, None, None
+    row = p[: L - n + 1][valid]
+    lengths = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    pos = np.flatnonzero(valid) - doc_off[row]
+    return row, pos, joined.filter(pa.array(valid))
+
+
 def dup_passages(
     docs: ray.data.Dataset, n: int = 5, text_col: str = "text"
 ) -> ray.data.Dataset:
@@ -827,23 +855,13 @@ def dup_passages(
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        lists = _split_lower(batch.column(text_col))
-        flat = lists.combine_chunks().flatten()
-        parent = pc.list_parent_indices(lists).combine_chunks()
-        L = len(flat)
-        if L < n:
+        row, _pos, joined = _ngram_windows(batch.column(text_col), n)
+        if row is None:
             return pa.schema(
                 [("ngram", pa.string()), ("doc_id", pa.int64()), ("n_occ", pa.int64())]
             ).empty_table()
-        windows = [flat.slice(j, L - n + 1) for j in range(n)]
-        joined = pc.binary_join_element_wise(*windows, " ")
-        p = parent.to_numpy(zero_copy_only=False)
-        valid = p[: L - n + 1] == p[n - 1 :]
-        mask = pa.array(valid)
         grouped = (
-            pa.table(
-                {"row": parent.slice(0, L - n + 1).filter(mask), "ngram": joined.filter(mask)}
-            )
+            pa.table({"row": pa.array(row), "ngram": joined})
             .group_by(["row", "ngram"])
             .aggregate([("ngram", "count")])
         )
@@ -873,6 +891,109 @@ def dup_passages(
         )
 
     return agg.map_batches(keep_dups, batch_format="pyarrow")
+
+
+def dup_spans(
+    docs: ray.data.Dataset, n: int = 5, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Maximal duplicated-passage EXTENTS per document: merge every token
+    window whose ``n``-gram occurs in ≥ 2 distinct documents into maximal
+    covered-token intervals (gaps-and-islands: two windows merge when
+    their [pos, pos+n-1] token spans overlap or touch, i.e.
+    ``next_pos <= pos + n``), and report per doc the span count, total
+    duplicated-token coverage and longest span — the actionable form of
+    substring-level dedup (Lee et al., ACL'22: cut the repeated extent,
+    not the whole document; ``dup_passages`` reports the shared n-grams,
+    this reports WHERE they sit).
+
+    Scale shape: two streaming scans.  Scan 1 is ``dup_passages``'s
+    combine-fed (ngram, doc) exchange reduced to the cross-doc-duplicated
+    n-gram SET — bounded by true duplication, not corpus size — which
+    broadcasts once via ``ray.put`` (above worker heap the mark step
+    re-keys windows by ngram instead, the adaptive planner split
+    ``state/linker.py`` implements).  Scan 2 rebuilds windows per batch,
+    marks members with one vectorized ``is_in``, and merges islands with
+    numpy diff/cumsum — documents never span batches, so per-doc outputs
+    finalize inside the batch and scan 2 needs NO exchange at all.
+    Output: (doc_id, n_dup_spans, dup_tokens, max_span) for docs with ≥ 1
+    span."""
+    from ray.data.aggregate import Count
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        row, _pos, joined = _ngram_windows(batch.column(text_col), n)
+        if row is None:
+            return pa.schema([("ngram", pa.string()), ("doc_id", pa.int64())]).empty_table()
+        grouped = (
+            pa.table({"row": pa.array(row), "ngram": joined})
+            .group_by(["row", "ngram"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "ngram": grouped.column("ngram"),
+                "doc_id": batch.column("doc_id").take(grouped.column("row")),
+            }
+        )
+
+    agg = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_docs"), 2)).select(["ngram"])
+
+    chunks = [
+        b.column("ngram").combine_chunks()
+        for b in agg.map_batches(only_dup, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    dup_set = pa.chunked_array(chunks or [pa.array([], pa.string())]).combine_chunks()
+    ref = ray.put(dup_set)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_dup_spans", pa.int64()),
+            ("dup_tokens", pa.int64()),
+            ("max_span", pa.int64()),
+        ]
+    )
+
+    def mark_and_merge(batch: pa.Table) -> pa.Table:
+        row, pos, joined = _ngram_windows(batch.column(text_col), n)
+        if row is None:
+            return out_schema.empty_table()
+        member = pc.is_in(joined, value_set=ray.get(ref)).to_numpy(zero_copy_only=False)
+        row, pos = row[member], pos[member]
+        if len(row) == 0:
+            return out_schema.empty_table()
+        # flattened window order is (doc, pos)-sorted already
+        new_island = np.ones(len(row), bool)
+        new_island[1:] = (row[1:] != row[:-1]) | (pos[1:] > pos[:-1] + n)
+        starts = np.flatnonzero(new_island)
+        ends = np.concatenate([starts[1:], [len(row)]]) - 1
+        span_doc = row[starts]
+        span_len = pos[ends] + n - pos[starts]
+        doc_breaks = np.ones(len(span_doc), bool)
+        doc_breaks[1:] = span_doc[1:] != span_doc[:-1]
+        d0 = np.flatnonzero(doc_breaks)
+        d1 = np.concatenate([d0[1:], [len(span_doc)]])
+        csum = np.concatenate([[0], np.cumsum(span_len)])
+        max_span = np.maximum.reduceat(span_len, d0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(span_doc[d0])),
+                "n_dup_spans": pa.array((d1 - d0).astype(np.int64)),
+                "dup_tokens": pa.array(csum[d1] - csum[d0], pa.int64()),
+                "max_span": pa.array(max_span.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(mark_and_merge, batch_format="pyarrow")
 
 
 # --- corpus drift: per-source chi-square divergence vs the corpus -----------

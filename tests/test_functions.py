@@ -1419,3 +1419,53 @@ def test_revenue_by_nation_empty_window(ray_session):
         date_hi="1970-01-02",
     ).take_all()
     assert got == []
+
+
+def test_dup_spans_handcrafted_extents(ray_session):
+    from relation_extraction_ray.functions.text import dup_spans
+
+    shared = "p q r s t u v"  # 7 tokens -> 3 shared 5-gram windows, one merged span of 7
+    rows = [
+        {"doc_id": 1, "text": f"a1 b1 {shared} c1 d1"},
+        {"doc_id": 2, "text": f"{shared} z2 z3 z4 z5 z6 {shared}"},
+        {"doc_id": 3, "text": "nothing duplicated here at all"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = {r["doc_id"]: r for r in dup_spans(_docs_ds(rows), n=5).take_all()}
+    # doc 1: one island covering the 7 shared tokens
+    assert got[1]["n_dup_spans"] == 1 and got[1]["dup_tokens"] == 7 and got[1]["max_span"] == 7
+    # doc 2: shared prefix + shared suffix, separated by 5 unique tokens -> 2 islands
+    assert got[2]["n_dup_spans"] == 2 and got[2]["dup_tokens"] == 14 and got[2]["max_span"] == 7
+    assert 3 not in got and 4 not in got
+
+
+def test_dup_spans_touching_windows_merge(ray_session):
+    from relation_extraction_ray.functions.text import dup_spans
+
+    # doc 1 carries "m1..m5" at pos 0 and again at pos 5 (spans touch: [0,4] + [5,9])
+    rows = [
+        {"doc_id": 1, "text": "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5"},
+        {"doc_id": 2, "text": "m1 m2 m3 m4 m5 x y z w v"},
+    ]
+    got = {r["doc_id"]: r for r in dup_spans(_docs_ds(rows), n=5).take_all()}
+    # bridge grams ("m2 m3 m4 m5 m1" etc.) occur in doc 1 only -> not duplicated;
+    # but the two occurrences' token spans touch, so they merge into ONE island
+    assert got[1]["n_dup_spans"] == 1 and got[1]["dup_tokens"] == 10
+    assert got[2]["n_dup_spans"] == 1 and got[2]["dup_tokens"] == 5
+
+
+def test_dup_spans_block_invariance(ray_session):
+    from relation_extraction_ray.functions.text import dup_spans
+
+    rows = [
+        {"doc_id": i, "text": " ".join("tok%d" % (j % 9) for j in range(i, i + 14))}
+        for i in range(24)
+    ]
+    outs = []
+    for nb in (1, 6):
+        ds = _docs_ds(rows).repartition(nb)
+        outs.append(sorted(
+            (r["doc_id"], r["n_dup_spans"], r["dup_tokens"], r["max_span"])
+            for r in dup_spans(ds, n=5).take_all()
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
