@@ -457,6 +457,17 @@ def _q_dup_passages(sf_dir: str):
     ).sort("ngram")
 
 
+def _q_postings(sf_dir: str):
+    """Inverted-index build: per token (df ≥ 2), document frequency,
+    total tf and the full ascending-doc posting list — one combine-fed
+    (token, doc, tf) exchange, per-token-partition vectorized list build."""
+    from relation_extraction_ray.functions.text import build_postings
+
+    return build_postings(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), min_df=2
+    ).sort("token")
+
+
 def _q_dup_spans(sf_dir: str):
     """Maximal duplicated-passage extents per doc: duplicated 5-gram
     windows merged into maximal covered-token intervals (gaps-and-islands,
@@ -1124,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooc": _q_token_cooc,
         "dup_passages": _q_dup_passages,
         "dup_spans": _q_dup_spans,
+        "postings": _q_postings,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
@@ -1989,6 +2001,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(span_len) AS BIGINT) AS dup_tokens,
                    CAST(max(span_len) AS BIGINT) AS max_span
             FROM sp GROUP BY doc_id ORDER BY doc_id
+        """,
+        # postings: inverted index replayed with ordered string_agg
+        "postings": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), f AS (
+              SELECT doc_id, token FROM tok WHERE token <> ''
+            ), per AS (
+              SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM f GROUP BY token, doc_id
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM per GROUP BY token HAVING count(*) >= 2 ORDER BY token
         """,
         # clean_corpus: the fused cleaning recipe replayed — same
         # tokenization, same distinct-marker lang CASE as lang_id, same

@@ -1175,3 +1175,97 @@ def token_cooccurrence(
         }
     )
     return ray.data.from_arrow(out.take(pc.sort_indices(out, [("tok_a", "ascending"), ("tok_b", "ascending")])))
+
+
+# --- inverted index: term -> ordered posting list ---------------------------
+
+def build_postings(
+    docs: ray.data.Dataset, min_df: int = 2, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Inverted-index build (the offline half of retrieval — ``bm25``
+    consumes these statistics query-side): for every token with document
+    frequency ≥ ``min_df``, its df, total term frequency, and the FULL
+    posting list as a comma-joined doc-id string in ascending doc order.
+
+    Scale shape: one streaming scan pre-reduces (token, doc, tf) inside
+    each batch (Arrow hash-aggregate — one row per distinct token per doc
+    per batch, and documents never span batches so the pairs are globally
+    unique); ONE keyed exchange groups pairs by token hash
+    (``hash_partitioned_groups`` — n_parts dispatches, not n_tokens);
+    within a partition the posting lists are built with one vectorized
+    (token, doc) mergesort + ``binary_join`` per run — no per-token
+    Python.  A production index shards each posting list by doc range
+    (this row layout is the per-shard segment); the single-row-per-term
+    form here is what the value-exact SQL replay compares."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lists = _split_lower(batch.column(text_col))
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        grouped = (
+            pa.table({"row": parent.filter(mask), "token": flat.filter(mask)})
+            .group_by(["row", "token"])
+            .aggregate([("token", "count")])
+        )
+        return pa.table(
+            {
+                "token": grouped.column("token"),
+                "doc_id": batch.column("doc_id").take(grouped.column("row")).cast(pa.int64()),
+                "tf": grouped.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("df", pa.int64()),
+            ("total_tf", pa.int64()),
+            ("postings", pa.string()),
+        ]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        toks = part.column("token").to_numpy(zero_copy_only=False)
+        doc = part.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, toks))
+        toks, doc, tf = toks[order], doc[order], tf[order]
+        breaks = np.ones(len(toks), bool)
+        breaks[1:] = toks[1:] != toks[:-1]
+        t0 = np.flatnonzero(breaks)
+        t1 = np.concatenate([t0[1:], [len(toks)]])
+        df = (t1 - t0).astype(np.int64)
+        keep = df >= min_df
+        if not keep.any():
+            return out_schema.empty_table()
+        csum = np.concatenate([[0], np.cumsum(tf)])
+        total_tf = csum[t1] - csum[t0]
+        # one vectorized join: doc ids -> strings, kept runs gathered into
+        # a single ListArray, then one binary_join over all lists
+        doc_str = pc.cast(pa.array(doc, pa.int64()), pa.string())
+        k0, k1 = t0[keep], t1[keep]
+        run_lens = k1 - k0
+        idx = np.repeat(k0, run_lens) + (
+            np.arange(int(run_lens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(run_lens)[:-1]]), run_lens)
+        )
+        gathered = doc_str.take(pa.array(idx, pa.int64()))
+        offs = np.concatenate([[0], np.cumsum(run_lens)]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offs), gathered)
+        postings = pc.binary_join(la, ",")
+        return pa.table(
+            {
+                "token": pa.array(toks[k0], pa.string()),
+                "df": pa.array(df[keep]),
+                "total_tf": pa.array(total_tf[keep], pa.int64()),
+                "postings": postings,
+            }
+        )
+
+    pairs = docs.map_batches(pair_partial, batch_format="pyarrow")
+    n_parts = derive_n_parts(docs.count(), rows_per_part=4096)
+    return hash_partitioned_groups(pairs, ["token"], per_part, n_parts)

@@ -1469,3 +1469,38 @@ def test_dup_spans_block_invariance(ray_session):
             for r in dup_spans(ds, n=5).take_all()
         ))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_build_postings_handcrafted(ray_session):
+    from relation_extraction_ray.functions.text import build_postings
+
+    rows = [
+        {"doc_id": 3, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "apple cherry cherry"},
+        {"doc_id": 4, "text": "unique"},
+    ]
+    got = {r["token"]: r for r in build_postings(_docs_ds(rows), min_df=2).take_all()}
+    assert set(got) == {"apple", "banana", "cherry"}
+    assert got["apple"]["df"] == 2 and got["apple"]["total_tf"] == 3
+    assert got["apple"]["postings"] == "2,3"
+    assert got["banana"]["postings"] == "1,3" and got["banana"]["total_tf"] == 2
+    assert got["cherry"]["df"] == 2 and got["cherry"]["total_tf"] == 3
+    assert got["cherry"]["postings"] == "1,2"
+
+
+def test_build_postings_block_invariance(ray_session):
+    from relation_extraction_ray.functions.text import build_postings
+
+    rows = [
+        {"doc_id": i, "text": " ".join("w%d" % (j % 6) for j in range(i % 4 + 3))}
+        for i in range(30)
+    ]
+    outs = []
+    for nb in (1, 7):
+        ds = _docs_ds(rows).repartition(nb)
+        outs.append(sorted(
+            (r["token"], r["df"], r["total_tf"], r["postings"])
+            for r in build_postings(ds, min_df=2).take_all()
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
