@@ -312,6 +312,16 @@ def _q_knn_lsh(sf_dir: str):
     ).sort(["query_id", "rank"])
 
 
+def _q_knn_sq8(sf_dir: str):
+    """int8 scalar-quantized top-k — 4× less memory traffic per stored
+    vector; quantizer + integer-dot ranking replayed exactly in SQL."""
+    from relation_extraction_ray.functions.ann import knn_quantized
+
+    return knn_quantized(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), [10, 11, 12, 13, 14], k=10
+    )
+
+
 def _q_knn_ivf(sf_dir: str):
     from relation_extraction_ray.functions.ann import knn_ivf
 
@@ -1118,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_filter": _q_oov_filter,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_sq8": _q_knn_sq8,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
@@ -1451,6 +1462,38 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS rank
               FROM q, e WHERE e.vec_id <> q.vec_id)
             WHERE rank <= 10
+        """,
+        # knn_sq8: per-vector max-abs int8 quantization replayed with the
+        # same round-half-up closed form; integer dots are exact in DOUBLE
+        # and the div/sqrt ranking expression is IEEE-identical to numpy
+        "knn_sq8": """
+            WITH raw AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, emb,
+                     list_max(list_transform(emb, x -> abs(x))) AS mx
+              FROM raw
+            ), c8 AS (
+              SELECT vec_id,
+                     list_transform(emb, x -> floor(x * 127.0 /
+                       (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) + 0.5)) AS c
+              FROM s
+            ), qq AS (
+              SELECT vec_id, c FROM c8 WHERE vec_id IN (10, 11, 12, 13, 14)
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT qq.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY qq.vec_id
+                       ORDER BY list_dot_product(qq.c, e.c)
+                                  / sqrt(list_dot_product(e.c, e.c)) DESC,
+                                e.vec_id ASC
+                     ) AS BIGINT) AS rank
+              FROM qq, c8 e
+              WHERE e.vec_id <> qq.vec_id AND list_dot_product(e.c, e.c) > 0)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
         """,
         "knn_ivf": """
             WITH q AS (

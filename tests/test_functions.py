@@ -1504,3 +1504,49 @@ def test_build_postings_block_invariance(ray_session):
             for r in build_postings(ds, min_df=2).take_all()
         ))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_knn_quantized_matches_numpy_and_recall(ray_session):
+    from relation_extraction_ray.functions.ann import _quantize_i8, knn_brute_force, knn_quantized
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((60, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(60)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = knn_quantized(ds, [0, 9], k=5).take_all()
+
+    def expect(qid):
+        c = _quantize_i8(emb.astype(np.float64))
+        nrm = np.sqrt((c * c).sum(axis=1))
+        sims = (c @ c[qid]) / nrm
+        order = sorted(
+            ((s, i) for i, s in enumerate(sims) if i != qid), key=lambda si: (-si[0], si[1])
+        )
+        return [i for _, i in order[:5]]
+
+    for qid in (0, 9):
+        got = [
+            r["neighbor_id"]
+            for r in sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])
+        ]
+        assert got == expect(qid)
+
+    # recall vs exact cosine: int8 max-abs quantization on 16-d gaussians
+    # keeps most of the true top-5 (deterministic seed, deterministic bound)
+    exact = knn_brute_force(ds, [0, 9], k=5).take_all()
+    for qid in (0, 9):
+        g = {r["neighbor_id"] for r in out if r["query_id"] == qid}
+        e = {r["neighbor_id"] for r in exact if r["query_id"] == qid}
+        assert len(g & e) >= 3
+
+
+def test_quantize_i8_props():
+    from relation_extraction_ray.functions.ann import _quantize_i8
+
+    m = np.array([[0.0, 0.0, 0.0], [1.0, -0.5, 0.25], [-2.0, 2.0, 1.0]])
+    c = _quantize_i8(m)
+    assert (c[0] == 0).all()                      # zero vector -> zero codes
+    assert (np.abs(c) <= 127).all()
+    assert c[1][0] == 127 and c[2][1] == 127      # max-abs component hits ±127
+    assert c[2][0] == -127
+    assert (c == np.floor(c)).all()               # integral codes
