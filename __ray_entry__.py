@@ -809,6 +809,14 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5)
 
 
+def _q_kcore(sf_dir: str):
+    """2-core of the KG entity graph via synchronized peeling (degrees +
+    two alive-filter exchanges per round, run to fixpoint)."""
+    from relation_extraction_ray.functions.graph import kcore
+
+    return kcore(_kg_run()["adjacency"], k=2, max_rounds=8)
+
+
 def _q_triangles(sf_dir: str):
     """Exact triangle count of the KG's undirected entity graph —
     degree-ordered wedge enumeration (out-degree bounded O(sqrt m))."""
@@ -1159,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "triangles": _q_triangles,
         "edge_jaccard": _q_edge_jaccard,
+        "kcore": _q_kcore,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -1368,6 +1377,37 @@ def _rolling_fps_sql() -> str:
 
 
 _ROLLING_FPS_SQL = _rolling_fps_sql()
+
+
+def _kcore_sql(adj_path: str, k: int = 2, rounds: int = 8) -> str:
+    """Unroll the synchronized k-core peel (functions/graph.py kcore) as
+    chained CTEs: each round recomputes degrees over the surviving edges
+    and keeps only edges with both endpoints at degree ≥ k.  Peeling is
+    monotone, so rounds past the fixpoint are no-ops — a FIXED unroll
+    depth compares exactly with the engine's run-to-fixpoint as long as
+    the data converges within ``rounds`` (asserted in tests)."""
+    cte = f"""
+    e0 AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a,
+                           greatest(src_id, dst_id) AS b
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id)"""
+    for i in range(rounds):
+        # MATERIALIZED: inlined CTEs re-expand e{i} ~5x per round (the
+        # unroll would blow up combinatorially and exhaust file handles
+        # re-opening the parquet)
+        cte += f""",
+    d{i} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY node),
+    e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e
+             JOIN d{i} x ON x.node = e.a AND x.deg >= {k}
+             JOIN d{i} y ON y.node = e.b AND y.deg >= {k})"""
+    return (
+        "WITH "
+        + cte
+        + f""",
+    df AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+           (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY node)
+    SELECT node, deg FROM df WHERE deg >= {k} ORDER BY node"""
+    )
 
 
 def _pagerank_sql(adj_path: str, iters: int = 5) -> str:
@@ -2395,6 +2435,9 @@ def oracle_sql() -> dict[str, str]:
         # ranks its own pipeline's adjacency, the SQL ranks the
         # single-process oracle's) — integer // everywhere, bit-exact
         "pagerank": _pagerank_sql(kg_paths["kg_adjacency"], iters=5),
+        # kcore: the synchronized peel unrolled to a fixed depth (no-op
+        # rounds past the fixpoint make the fixed unroll exact)
+        "kcore": _kcore_sql(kg_paths["kg_adjacency"], k=2, rounds=8),
         # triangles: textbook 3-way self-join on the deduped undirected
         # edge set of the ORACLE adjacency (a<b<c once each)
         "triangles": f"""

@@ -175,3 +175,66 @@ def test_edge_jaccard_star_and_triangle(ray_session):
     assert [tuple(r) for r in got.itertuples(index=False)] == _ref_edge_jaccard(rows)
     tri = got[got.n_common > 0]
     assert len(tri) == 3 and set(tri.n_common) == {1}
+
+
+def _kcore_ref(edges, k):
+    """Brute-force peel: repeatedly drop nodes with degree < k."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = defaultdict(int)
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        dead = {n for n, d in deg.items() if d < k}
+        if not dead:
+            return sorted(deg.items())
+        es = {e for e in es if e[0] not in dead and e[1] not in dead}
+
+
+def test_kcore_chain_clique_and_bridge(ray_session):
+    from relation_extraction_ray.functions.graph import kcore
+
+    # 4-clique (every node deg 3) + a chain hanging off it + a self loop
+    rows = [
+        ("k1", "p", "k2", 1), ("k1", "p", "k3", 1), ("k1", "p", "k4", 1),
+        ("k2", "p", "k3", 1), ("k2", "p", "k4", 1), ("k3", "p", "k4", 1),
+        ("k4", "p", "c1", 1), ("c1", "p", "c2", 1), ("c2", "p", "c3", 1),
+        ("z", "p", "z", 1),
+    ]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(3)
+    got = [(r["node"], r["deg"]) for r in kcore(ds, k=2).take_all()]
+    assert got == [("k1", 3), ("k2", 3), ("k3", 3), ("k4", 3)]
+    # k=3: the clique survives intact; k=4: nothing survives
+    got3 = [(r["node"], r["deg"]) for r in kcore(ds, k=3).take_all()]
+    assert got3 == [("k1", 3), ("k2", 3), ("k3", 3), ("k4", 3)]
+    assert kcore(ds, k=4).take_all() == []
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_random_graph_vs_bruteforce(ray_session, k):
+    from relation_extraction_ray.functions.graph import kcore
+
+    rng = np.random.default_rng(17)
+    n = 60
+    edges = [
+        (f"n{int(rng.integers(n))}", f"n{int(rng.integers(n))}") for _ in range(150)
+    ]
+    rows = [(a, "p", b, 1) for a, b in edges]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(5)
+    got = [(r["node"], r["deg"]) for r in kcore(ds, k=k, max_rounds=32).take_all()]
+    assert got == _kcore_ref(edges, k)
+
+
+def test_kcore_block_invariant(ray_session):
+    from relation_extraction_ray.functions.graph import kcore
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (f"n{int(rng.integers(25))}", "p", f"n{int(rng.integers(25))}", 1)
+        for _ in range(60)
+    ]
+    outs = []
+    for nb in (1, 6):
+        ds = ray.data.from_arrow(_adj(rows)).repartition(nb)
+        outs.append([(r["node"], r["deg"]) for r in kcore(ds, k=2).take_all()])
+    assert outs[0] == outs[1] and len(outs[0]) > 0
