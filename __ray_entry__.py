@@ -171,6 +171,16 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_corr(sf_dir: str):
+    """Pearson correlation price↔quantity via mergeable integer
+    sufficient stats (6 int64s per block; one fixed IEEE final form)."""
+    from relation_extraction_ray.functions.relational import corr_price_qty
+
+    return corr_price_qty(
+        _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    )
+
+
 def _q_top_orders(sf_dir: str):
     from relation_extraction_ray.functions.relational import top_orders
 
@@ -310,6 +320,14 @@ def _q_knn_lsh(sf_dir: str):
         k=10,
         n_planes=8,
     ).sort(["query_id", "rank"])
+
+
+def _q_centroids(sf_dir: str):
+    """Per-label embedding centroids: grouped vector mean over exact
+    integer micro-units (labels×dim rows per batch cross the exchange)."""
+    from relation_extraction_ray.functions.ann import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings", columns=["label", "embedding"]))
 
 
 def _q_knn_sq8(sf_dir: str):
@@ -1116,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing,
         "revenue_by_segment": _q_revenue,
         "revenue_by_nation": _q_revenue_nation,
+        "corr_price_qty": _q_corr,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1137,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_sq8": _q_knn_sq8,
+        "label_centroids": _q_centroids,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
@@ -1503,6 +1523,24 @@ def oracle_sql() -> dict[str, str]:
               FROM q, e WHERE e.vec_id <> q.vec_id)
             WHERE rank <= 10
         """,
+        # label_centroids: grouped vector mean replayed per (label, dim)
+        # with the same micro-int quantization and // (trunc) mean
+        "label_centroids": """
+            WITH x AS (
+              SELECT label,
+                     list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)) AS micro
+              FROM embeddings
+            ), e AS (
+              SELECT label, i.i AS pos, micro[i.i + 1] AS m
+              FROM x, LATERAL (SELECT unnest(range(len(micro))) AS i) i
+            )
+            SELECT CAST(label AS BIGINT) AS label, pos,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(m) AS BIGINT) AS sum_micro,
+                   CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_micro
+            FROM e GROUP BY label, pos ORDER BY label, pos
+        """,
         # knn_sq8: per-vector max-abs int8 quantization replayed with the
         # same round-half-up closed form; integer dots are exact in DOUBLE
         # and the div/sqrt ranking expression is IEEE-identical to numpy
@@ -1586,6 +1624,34 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        # corr_price_qty: the same integer sufficient stats in HUGEINT,
+        # final r in the identical IEEE order (cast, divide, scale, floor)
+        "corr_price_qty": """
+            WITH s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+                     sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxx,
+                     sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS syy,
+                     sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxy
+              FROM lineitem
+            ), f AS (
+              SELECT n, sx, sy,
+                     CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+                     CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS a,
+                     CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS b
+              FROM s
+            )
+            SELECT n, sx AS sum_price_cents, sy AS sum_qty,
+                   CASE WHEN a > 0 AND b > 0 THEN
+                     CAST(floor(CAST(num AS DOUBLE)
+                           / (sqrt(CAST(a AS DOUBLE)) * sqrt(CAST(b AS DOUBLE)))
+                           * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS r_nano
+            FROM f
         """,
         "events_by_day": """
             SELECT event_type,

@@ -852,3 +852,66 @@ def knn_quantized(
         batch_format="pyarrow",
     )
     return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")
+
+
+# --- grouped vector aggregate: per-label embedding centroids -----------------
+
+def label_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> ray.data.Dataset:
+    """Per-label embedding centroid (class centroids — the vector-valued
+    grouped mean behind prototype classifiers, SemDeDup-style cluster
+    summaries and k-means init): for every (label, dimension), the vector
+    count, the exact integer micro-unit component sum and the
+    floor-divided mean.
+
+    Scale shape: each batch folds to ONE (label × dim) partial via a
+    vectorized scatter-add over exact micro-ints — the exchange ships
+    ``labels·dim`` rows per batch regardless of row count, and the reduce
+    is a plain int64 groupby-sum, order-free and overflow-safe
+    (|1e6-unit| · 2^31 rows still fits int64).  Components are quantized
+    with the same ``floor(x·1e6 + 0.5)`` closed form the SQL oracle
+    evaluates, so sums are bit-exact cross-engine; the mean truncates
+    toward zero (SQL ``//`` semantics — numpy's ``//`` floors, so the
+    engine computes ``sign(s)·(|s| // n)`` explicitly)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        micro = np.floor(m * 1e6 + 0.5)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, code = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.int64)
+        np.add.at(sums, code, micro.astype(np.int64))
+        counts = np.bincount(code, minlength=len(uniq)).astype(np.int64)
+        n_lab, dim = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+                "n_vecs": pa.array(np.repeat(counts, dim)),
+                "sum_micro": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    agg = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_micro", alias_name="sum_micro"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_vecs").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_micro").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "pos": batch.column("pos"),
+                "n_vecs": batch.column("n_vecs"),
+                "sum_micro": batch.column("sum_micro"),
+                "mean_micro": pa.array(np.sign(s) * (np.abs(s) // n), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["label", "pos"])

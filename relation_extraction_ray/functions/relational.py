@@ -1077,3 +1077,56 @@ def revenue_by_nation(
     return agg.map_batches(named, batch_format="pyarrow").sort(
         ["revenue_tenk", "n_name"], descending=[True, False]
     )
+
+
+def corr_price_qty(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed Pearson correlation between ``l_extendedprice`` and
+    ``l_quantity`` — the textbook mergeable-sufficient-stats pattern:
+    each batch folds to ONE integer 6-tuple (n, Σx, Σy, Σx², Σy², Σxy)
+    over exact integer units (price in cents, quantity integral), the
+    merge is elementwise int64 sums (exchange volume: 6 numbers per
+    block at any data size), and the final r is evaluated once on the
+    driver from exact arbitrary-precision ints in a fixed IEEE order —
+    ``r_nano = floor(num / (sqrt(a)·sqrt(b)) · 1e9 + 0.5)`` — the
+    identical closed form the SQL oracle computes in HUGEINT+DOUBLE, so
+    the result is bit-exact cross-engine (never a streamed float sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        y = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg
+
+    stats = lineitem.map_batches(partial, batch_format="pyarrow").aggregate(
+        agg.Sum("n", alias_name="n"),
+        agg.Sum("sx", alias_name="sx"),
+        agg.Sum("sy", alias_name="sy"),
+        agg.Sum("sxx", alias_name="sxx"),
+        agg.Sum("syy", alias_name="syy"),
+        agg.Sum("sxy", alias_name="sxy"),
+    )
+    n, sx, sy = int(stats["n"]), int(stats["sx"]), int(stats["sy"])
+    sxx, syy, sxy = int(stats["sxx"]), int(stats["syy"]), int(stats["sxy"])
+    num = n * sxy - sx * sy          # exact python ints (never overflow)
+    a = n * sxx - sx * sx
+    b = n * syy - sy * sy
+    if a > 0 and b > 0:
+        r = float(num) / (np.sqrt(float(a)) * np.sqrt(float(b)))
+        r_nano = int(np.floor(r * 1e9 + 0.5))
+    else:
+        r_nano = 0
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"n": [n], "sum_price_cents": [sx], "sum_qty": [sy], "r_nano": [r_nano]}
+    )

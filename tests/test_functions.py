@@ -1550,3 +1550,63 @@ def test_quantize_i8_props():
     assert c[1][0] == 127 and c[2][1] == 127      # max-abs component hits ±127
     assert c[2][0] == -127
     assert (c == np.floor(c)).all()               # integral codes
+
+
+def test_corr_price_qty_vs_numpy(ray_session):
+    from relation_extraction_ray.functions.relational import corr_price_qty
+
+    sf = "/root/testdata/sf0.001"
+    got = corr_price_qty(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"])
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"])
+    x = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(object)
+    y = t.column("l_quantity").to_numpy().astype(np.int64).astype(object)
+    n = len(x)
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    a = n * int((x * x).sum()) - int(x.sum()) ** 2
+    b = n * int((y * y).sum()) - int(y.sum()) ** 2
+    want = int(np.floor(float(num) / (np.sqrt(float(a)) * np.sqrt(float(b))) * 1e9 + 0.5))
+    assert got["r_nano"][0] == want and got["n"][0] == n
+    # r must be a plausible correlation in [-1, 1]
+    assert -1_000_000_000 <= want <= 1_000_000_000
+
+
+def test_corr_block_invariance(ray_session):
+    from relation_extraction_ray.functions.relational import corr_price_qty
+
+    sf = "/root/testdata/sf0.001"
+    outs = []
+    for nb in (1, 8):
+        ds = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+        ).repartition(nb)
+        outs.append(corr_price_qty(ds).iloc[0].tolist())
+    assert outs[0] == outs[1]
+
+
+def test_label_centroids_vs_numpy(ray_session):
+    from relation_extraction_ray.functions.ann import label_centroids
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((40, 6))
+    labels = rng.integers(0, 3, 40)
+    rows = [
+        {"vec_id": i, "embedding": emb[i].tolist(), "label": int(labels[i])}
+        for i in range(40)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    got = label_centroids(ds).take_all()
+    micro = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+    i = 0
+    for lab in sorted(set(int(x) for x in labels)):
+        sel = micro[labels == lab]
+        for pos in range(6):
+            r = got[i]
+            s = int(sel[:, pos].sum())
+            assert (r["label"], r["pos"], r["n_vecs"], r["sum_micro"]) == (lab, pos, len(sel), s)
+            assert r["mean_micro"] == int(np.sign(s)) * (abs(s) // len(sel))
+            i += 1
+    assert i == len(got)
