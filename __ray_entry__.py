@@ -171,6 +171,16 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_mode(sf_dir: str):
+    """Per-user modal event type (grouped MODE, ties by value asc) —
+    combine-fed pair counts, one group-keyed argmax exchange."""
+    from relation_extraction_ray.functions.relational import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]), "user_id", "event_type"
+    )
+
+
 def _q_corr(sf_dir: str):
     """Pearson correlation price↔quantity via mergeable integer
     sufficient stats (6 int64s per block; one fixed IEEE final form)."""
@@ -1135,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue,
         "revenue_by_nation": _q_revenue_nation,
         "corr_price_qty": _q_corr,
+        "mode_event_type": _q_mode,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1624,6 +1635,15 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "mode_event_type": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+                     ) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
         """,
         # corr_price_qty: the same integer sufficient stats in HUGEINT,
         # final r in the identical IEEE order (cast, divide, scale, floor)

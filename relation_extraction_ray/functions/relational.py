@@ -1130,3 +1130,62 @@ def corr_price_qty(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     return pd.DataFrame(
         {"n": [n], "sum_price_cents": [sx], "sum_qty": [sy], "r_nano": [r_nano]}
     )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> ray.data.Dataset:
+    """Per-group MODE: the most frequent ``value_col`` per ``group_col``
+    with its count, ties broken by value asc (deterministic).
+
+    Scale shape: per-batch (group, value) Arrow hash-aggregate partials
+    bound the first exchange at distinct-pairs-per-batch; the summed pair
+    counts then hash-partition by group ONCE and each partition resolves
+    its argmax with one vectorized sort + first-of-run gather — no
+    per-group dispatch.  A group's distinct VALUES must fit a partition
+    (its raw rows never travel)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([(value_col, "count")])
+        )
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                value_col: t.column(value_col),
+                "n": t.column(f"{value_col}_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return part
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[
+                    (group_col, "ascending"),
+                    ("n", "descending"),
+                    (value_col, "ascending"),
+                ],
+            )
+        )
+        g = s.column(group_col).to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], g[1:] != g[:-1]])
+        return s.filter(pa.array(first))
+
+    n_parts = derive_n_parts(ds.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pairs, [group_col], per_part, n_parts).sort(group_col)

@@ -1610,3 +1610,28 @@ def test_label_centroids_vs_numpy(ray_session):
             assert r["mean_micro"] == int(np.sign(s)) * (abs(s) // len(sel))
             i += 1
     assert i == len(got)
+
+
+def test_grouped_mode_vs_pandas(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import grouped_mode
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 12, 300),
+            "event_type": [f"t{int(v)}" for v in rng.integers(0, 5, 300)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6).map_batches(lambda t: t, batch_format="pyarrow")
+    got = [
+        (r["user_id"], r["event_type"], r["n"])
+        for r in grouped_mode(ds, "user_id", "event_type").take_all()
+    ]
+    want = []
+    for uid, g in df.groupby("user_id"):
+        counts = g["event_type"].value_counts()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((uid, best[0], best[1]))
+    assert got == sorted(want)
