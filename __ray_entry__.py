@@ -171,6 +171,28 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_nation_stats(sf_dir: str):
+    """Dimension-preserving outer aggregate: all nations, zero-customer
+    nations kept via the zero-row union-completion idiom."""
+    from relation_extraction_ray.functions.relational import nation_customer_stats
+
+    return nation_customer_stats(
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "nation", columns=["n_nationkey"]),
+    )
+
+
+def _q_deciles(sf_dir: str):
+    """SQL-NTILE equal-depth tiles of account balance within segment —
+    one segment-keyed exchange, vectorized in-partition bucketing."""
+    from relation_extraction_ray.functions.relational import segment_balance_deciles
+
+    return segment_balance_deciles(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]),
+        n_tiles=10,
+    )
+
+
 def _q_mode(sf_dir: str):
     """Per-user modal event type (grouped MODE, ties by value asc) —
     combine-fed pair counts, one group-keyed argmax exchange."""
@@ -1146,6 +1168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_nation,
         "corr_price_qty": _q_corr,
         "mode_event_type": _q_mode,
+        "nation_customer_stats": _q_nation_stats,
+        "balance_deciles": _q_deciles,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1635,6 +1659,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "nation_customer_stats": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(count(c_custkey) AS BIGINT) AS n_customers,
+                   CAST(COALESCE(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0) AS BIGINT)
+                       AS acctbal_cents
+            FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey ORDER BY n_nationkey
+        """,
+        "balance_deciles": """
+            SELECT c_custkey, c_mktsegment, acctbal_cents, tile FROM (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                     CAST(ntile(10) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey
+                     ) AS BIGINT) AS tile
+              FROM customer)
+            ORDER BY c_mktsegment, tile, acctbal_cents, c_custkey
         """,
         "mode_event_type": """
             SELECT user_id, event_type, n FROM (

@@ -1189,3 +1189,115 @@ def grouped_mode(
 
     n_parts = derive_n_parts(ds.count(), rows_per_part=65536)
     return hash_partitioned_groups(pairs, [group_col], per_part, n_parts).sort(group_col)
+
+
+def nation_customer_stats(
+    customer: ray.data.Dataset, nation: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Dimension-preserving outer aggregate: per nation (ALL nations —
+    zero-customer nations survive with 0/0), customer count and total
+    account balance in exact integer cents.
+
+    Scale shape: the fact side folds to per-batch (nationkey, n, cents)
+    partials (bounded by |nations| per batch); the dimension side unions
+    in one zero row per nation — the LEFT-join-completion idiom PageRank
+    uses for dangling nodes — so the groupby output is exactly one row
+    per nation with no driver-side join."""
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(batch.column("c_acctbal").to_numpy(zero_copy_only=False))
+        uniq, code = np.unique(nk, return_inverse=True)
+        n = np.bincount(code).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, code, cents)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(uniq),
+                "n_customers": pa.array(n),
+                "acctbal_cents": pa.array(s),
+            }
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.int64)
+        return pa.table(
+            {
+                "n_nationkey": batch.column("n_nationkey").cast(pa.int64()),
+                "n_customers": pa.array(z),
+                "acctbal_cents": pa.array(z),
+            }
+        )
+
+    both = customer.map_batches(cust_partial, batch_format="pyarrow").union(
+        nation.map_batches(zero_rows, batch_format="pyarrow")
+    )
+    out = both.groupby("n_nationkey").aggregate(
+        ray.data.aggregate.Sum("n_customers", alias_name="n_customers"),
+        ray.data.aggregate.Sum("acctbal_cents", alias_name="acctbal_cents"),
+    )
+    return out.sort("n_nationkey")
+
+
+def segment_balance_deciles(customer: ray.data.Dataset, n_tiles: int = 10) -> ray.data.Dataset:
+    """Window NTILE: bucket every customer into ``n_tiles`` equal-depth
+    tiles of account balance WITHIN its market segment (ties resolved by
+    the unique custkey, so the total order — and therefore every tile
+    boundary — is deterministic).  SQL-NTILE sizing: the first
+    ``n % k`` tiles get one extra row.
+
+    Scale shape: one hash exchange on segment; each partition buckets
+    with a vectorized sort + integer index arithmetic.  Skew note: a
+    segment's rows must fit a partition — true equal-depth tiles are a
+    global-order property; the distributed alternative (the
+    ``segment_price_quantiles`` histogram pattern) trades that exactness
+    for bounded memory when one group outgrows a worker."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "acctbal_cents": pa.array(
+                    _cents(batch.column("c_acctbal").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return part.append_column("tile", pa.array([], pa.int64()))
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[
+                    ("c_mktsegment", "ascending"),
+                    ("acctbal_cents", "ascending"),
+                    ("c_custkey", "ascending"),
+                ],
+            )
+        )
+        g = s.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        idx = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes)
+        n = np.repeat(sizes, sizes)
+        # SQL NTILE: first (n % k) tiles have ceil(n/k) rows, rest floor
+        big, rem = n // n_tiles, n % n_tiles
+        cut = rem * (big + 1)
+        tile = np.where(
+            idx < cut,
+            idx // np.maximum(big + 1, 1),
+            rem + np.where(big > 0, (idx - cut) // np.maximum(big, 1), 0),
+        ) + 1
+        return s.append_column("tile", pa.array(tile.astype(np.int64)))
+
+    pr = customer.map_batches(proj, batch_format="pyarrow")
+    n_parts = derive_n_parts(customer.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pr, ["c_mktsegment"], per_part, n_parts).sort(
+        ["c_mktsegment", "tile", "acctbal_cents", "c_custkey"]
+    )

@@ -1635,3 +1635,54 @@ def test_grouped_mode_vs_pandas(ray_session):
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         want.append((uid, best[0], best[1]))
     assert got == sorted(want)
+
+
+def test_nation_customer_stats_keeps_empty_nations(ray_session):
+    from relation_extraction_ray.functions.relational import nation_customer_stats
+
+    cust = ray.data.from_arrow(pa.table(
+        {
+            "c_nationkey": pa.array([1, 1, 3], pa.int32()),
+            "c_acctbal": pa.array([10.25, -2.50, 7.00]),
+        }
+    ))
+    nat = ray.data.from_arrow(pa.table({"n_nationkey": pa.array([0, 1, 2, 3], pa.int32())}))
+    got = [
+        (r["n_nationkey"], r["n_customers"], r["acctbal_cents"])
+        for r in nation_customer_stats(cust, nat).take_all()
+    ]
+    assert got == [(0, 0, 0), (1, 2, 775), (2, 0, 0), (3, 1, 700)]
+
+
+def test_segment_balance_deciles_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import segment_balance_deciles
+
+    rng = np.random.default_rng(31)
+    # group sizes deliberately NOT divisible by n_tiles
+    df = pd.DataFrame(
+        {
+            "c_custkey": np.arange(137, dtype=np.int64),
+            "c_mktsegment": [f"S{int(v)}" for v in rng.integers(0, 3, 137)],
+            "c_acctbal": np.round(rng.uniform(-100, 100, 137), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4).map_batches(lambda t: t, batch_format="pyarrow")
+    got = [
+        (r["c_custkey"], r["c_mktsegment"], r["acctbal_cents"], r["tile"])
+        for r in segment_balance_deciles(ds, n_tiles=4).take_all()
+    ]
+    want = duckdb.sql(
+        """
+        SELECT c_custkey, c_mktsegment, acctbal_cents, tile FROM (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+                 CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                   ORDER BY CAST(round(c_acctbal*100) AS BIGINT), c_custkey) AS BIGINT) AS tile
+          FROM df)
+        ORDER BY c_mktsegment, tile, acctbal_cents, c_custkey
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
