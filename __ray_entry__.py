@@ -171,6 +171,22 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_fill_gaps(sf_dir: str):
+    """Per-user dense daily grid with explicit zero days (resample/gap
+    fill) — one user-keyed exchange, integer grid arithmetic in-partition."""
+    from relation_extraction_ray.functions.relational import fill_daily_gaps
+
+    return fill_daily_gaps(_read(sf_dir, "events", columns=["user_id", "ts", "value"]))
+
+
+def _q_gap_stats(sf_dir: str):
+    """Per-user inter-event gap stats (lead/lag family): n/min/max/total
+    whole-second gaps over (ts, event_id) order."""
+    from relation_extraction_ray.functions.relational import user_gap_stats
+
+    return user_gap_stats(_read(sf_dir, "events", columns=["user_id", "ts", "event_id"]))
+
+
 def _q_nation_stats(sf_dir: str):
     """Dimension-preserving outer aggregate: all nations, zero-customer
     nations kept via the zero-row union-completion idiom."""
@@ -1170,6 +1186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
         "balance_deciles": _q_deciles,
+        "fill_daily_gaps": _q_fill_gaps,
+        "user_gap_stats": _q_gap_stats,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1659,6 +1677,42 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "fill_daily_gaps": """
+            WITH e AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), span AS (
+              SELECT user_id, min(d) AS lo, max(d) AS hi FROM e GROUP BY user_id
+            ), grid AS (
+              SELECT user_id,
+                     CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+              FROM span
+            ), tot AS (
+              SELECT user_id, d, CAST(sum(cents) AS BIGINT) AS total_cents
+              FROM e GROUP BY user_id, d
+            )
+            SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day,
+                   CAST(COALESCE(t.total_cents, 0) AS BIGINT) AS total_cents
+            FROM grid g LEFT JOIN tot t ON t.user_id = g.user_id AND t.d = g.d
+            ORDER BY g.user_id, day
+        """,
+        "user_gap_stats": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), g AS (
+              SELECT user_id,
+                     date_diff('microsecond', prev, ts) // 1000000 AS gap
+              FROM o WHERE prev IS NOT NULL
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_s,
+                   CAST(max(gap) AS BIGINT) AS max_gap_s,
+                   CAST(sum(gap) AS BIGINT) AS total_gap_s
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "nation_customer_stats": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

@@ -1301,3 +1301,149 @@ def segment_balance_deciles(customer: ray.data.Dataset, n_tiles: int = 10) -> ra
     return hash_partitioned_groups(pr, ["c_mktsegment"], per_part, n_parts).sort(
         ["c_mktsegment", "tile", "acctbal_cents", "c_custkey"]
     )
+
+
+def fill_daily_gaps(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Time-series resample with gap filling: per user, the integer-cents
+    daily total for EVERY calendar day between that user's first and last
+    event — missing days emitted as explicit zeros (the dense-grid shape
+    model features and forecasting joins expect).
+
+    Scale shape: one hash exchange on ``user_id``; each partition builds
+    its users' dense day grids with pure integer index arithmetic
+    (``repeat``/``arange`` — no per-user loop, no calendar library) and
+    scatter-adds the observed day totals in.  Output rows are bounded by
+    Σ(span_days) per user, never by a global calendar cross join."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    day_us = 86_400_000_000
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(ts // day_us, pa.int64()),
+                "cents": pa.array(
+                    _cents(batch.column("value").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.string()), ("total_cents", pa.int64())]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        day = part.column("day").to_numpy(zero_copy_only=False)
+        cents = part.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, users))
+        users, day, cents = users[order], day[order], cents[order]
+        first = np.concatenate([[True], users[1:] != users[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:], [len(users)]]) - 1
+        lo, hi = day[starts], day[ends]
+        spans = (hi - lo + 1).astype(np.int64)
+        u_out = np.repeat(users[starts], spans)
+        base = np.repeat(lo, spans)
+        grid_off = np.arange(int(spans.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(spans)[:-1]]), spans
+        )
+        grid_day = base + grid_off
+        totals = np.zeros(int(spans.sum()), np.int64)
+        row_pos = np.repeat(np.concatenate([[0], np.cumsum(spans)[:-1]]), ends - starts + 1) + (
+            day - np.repeat(lo, ends - starts + 1)
+        )
+        np.add.at(totals, row_pos, cents)
+        days_str = (grid_day * day_us).astype("datetime64[us]").astype("datetime64[D]")
+        return pa.table(
+            {
+                "user_id": pa.array(u_out),
+                "day": pa.array(days_str.astype(str), pa.string()),
+                "total_cents": pa.array(totals),
+            }
+        )
+
+    pr = events.map_batches(proj, batch_format="pyarrow")
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pr, ["user_id"], per_part, n_parts).sort(
+        ["user_id", "day"]
+    )
+
+
+def user_gap_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Inter-event gap statistics (the lead/lag window family): per user
+    with ≥ 2 events, the number of gaps and the min / max / total gap in
+    whole seconds between consecutive events ordered by (ts, event_id).
+
+    Scale shape: one hash exchange on ``user_id``; per partition the
+    deltas are one vectorized diff over the (user, ts, id)-sorted rows
+    with run boundaries masked out — no per-user loop."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("min_gap_s", pa.int64()),
+            ("max_gap_s", pa.int64()),
+            ("total_gap_s", pa.int64()),
+        ]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        users, ts = users[order], ts[order]
+        same_user = users[1:] == users[:-1]
+        if not same_user.any():
+            return out_schema.empty_table()
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000
+        gu = users[1:][same_user]
+        g = gaps[same_user]
+        first = np.concatenate([[True], gu[1:] != gu[:-1]])
+        s0 = np.flatnonzero(first)
+        s1 = np.concatenate([s0[1:], [len(gu)]])
+        csum = np.concatenate([[0], np.cumsum(g)])
+        return pa.table(
+            {
+                "user_id": pa.array(gu[s0]),
+                "n_gaps": pa.array((s1 - s0).astype(np.int64)),
+                "min_gap_s": pa.array(np.minimum.reduceat(g, s0).astype(np.int64)),
+                "max_gap_s": pa.array(np.maximum.reduceat(g, s0).astype(np.int64)),
+                "total_gap_s": pa.array(csum[s1] - csum[s0], pa.int64()),
+            }
+        )
+
+    pr = events.map_batches(proj, batch_format="pyarrow")
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pr, ["user_id"], per_part, n_parts).sort("user_id")

@@ -1686,3 +1686,61 @@ def test_segment_balance_deciles_vs_duckdb(ray_session):
         """
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_fill_daily_gaps_dense_grid(ray_session):
+    from relation_extraction_ray.functions.relational import fill_daily_gaps
+
+    rows = [
+        # user 1: events on day 0 and day 3 -> grid of 4 days, 2 zeros
+        {"user_id": 1, "ts": np.datetime64("2024-01-01T10:00:00", "us"), "value": 1.50},
+        {"user_id": 1, "ts": np.datetime64("2024-01-01T12:00:00", "us"), "value": 0.25},
+        {"user_id": 1, "ts": np.datetime64("2024-01-04T01:00:00", "us"), "value": 2.00},
+        # user 2: single event -> 1-day grid
+        {"user_id": 2, "ts": np.datetime64("2024-02-10T00:00:00", "us"), "value": 5.00},
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r["value"] for r in rows]),
+        }
+    )
+    got = [
+        (r["user_id"], r["day"], r["total_cents"])
+        for r in fill_daily_gaps(ray.data.from_arrow(t).repartition(2)).take_all()
+    ]
+    assert got == [
+        (1, "2024-01-01", 175),
+        (1, "2024-01-02", 0),
+        (1, "2024-01-03", 0),
+        (1, "2024-01-04", 200),
+        (2, "2024-02-10", 500),
+    ]
+
+
+def test_user_gap_stats_handcrafted(ray_session):
+    from relation_extraction_ray.functions.relational import user_gap_stats
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [
+                    np.datetime64("2024-01-01T00:00:00.500000", "us"),
+                    np.datetime64("2024-01-01T00:00:10.400000", "us"),
+                    np.datetime64("2024-01-01T00:01:10.400000", "us"),
+                    np.datetime64("2024-03-01T00:00:00", "us"),
+                    np.datetime64("2024-03-02T00:00:00", "us"),
+                ],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    got = [
+        (r["user_id"], r["n_gaps"], r["min_gap_s"], r["max_gap_s"], r["total_gap_s"])
+        for r in user_gap_stats(ray.data.from_arrow(t).repartition(2)).take_all()
+    ]
+    # gaps: 9.9s -> floor 9; 60.0s -> 60 ; users 2/3 have single events -> absent
+    assert got == [(1, 2, 9, 60, 69)]
