@@ -171,6 +171,24 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_histogram(sf_dir: str):
+    """Equi-width 20-bin histogram of order totals — min/max pass, then
+    ≤ n_bins partial rows per batch across the exchange."""
+    from relation_extraction_ray.functions.relational import price_histogram
+
+    return price_histogram(_read(sf_dir, "orders", columns=["o_totalprice"]), n_bins=20)
+
+
+def _q_median(sf_dir: str):
+    """Grouped exact interpolated median (percentile_cont parity in
+    half-cent integers) via the distinct-value-histogram exchange."""
+    from relation_extraction_ray.functions.relational import segment_median_balance
+
+    return segment_median_balance(
+        _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    )
+
+
 def _q_fill_gaps(sf_dir: str):
     """Per-user dense daily grid with explicit zero days (resample/gap
     fill) — one user-keyed exchange, integer grid arithmetic in-partition."""
@@ -1188,6 +1206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_deciles": _q_deciles,
         "fill_daily_gaps": _q_fill_gaps,
         "user_gap_stats": _q_gap_stats,
+        "price_histogram": _q_histogram,
+        "segment_median": _q_median,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1677,6 +1697,39 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "price_histogram": """
+            WITH v AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+            ), mm AS (
+              SELECT min(cents) AS lo, max(cents) AS hi FROM v
+            ), b AS (
+              SELECT (cents - lo) * 20 // (hi - lo + 1) AS bin FROM v, mm
+            ), g AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin
+            )
+            SELECT CAST(g.bin AS BIGINT) AS bin,
+                   CAST(lo + (g.bin * (hi - lo + 1) + 19) // 20 AS BIGINT) AS edge_cents,
+                   n
+            FROM g, mm ORDER BY bin
+        """,
+        "segment_median": """
+            WITH v AS (
+              SELECT c_mktsegment AS seg,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer
+            ), r AS (
+              SELECT seg, cents,
+                     row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY seg) AS n
+              FROM v
+            )
+            SELECT seg AS c_mktsegment,
+                   CAST(max(n) AS BIGINT) AS n_customers,
+                   CAST(sum(CASE WHEN rn = (n - 1) // 2 + 1 OR rn = n // 2 + 1
+                        THEN cents * (CASE WHEN (n - 1) // 2 = n // 2 THEN 2 ELSE 1 END)
+                        ELSE 0 END) AS BIGINT) AS median_halfcents
+            FROM r GROUP BY seg ORDER BY seg
         """,
         "fill_daily_gaps": """
             WITH e AS (

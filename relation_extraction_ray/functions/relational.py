@@ -1447,3 +1447,124 @@ def user_gap_stats(events: ray.data.Dataset) -> ray.data.Dataset:
     pr = events.map_batches(proj, batch_format="pyarrow")
     n_parts = derive_n_parts(events.count(), rows_per_part=65536)
     return hash_partitioned_groups(pr, ["user_id"], per_part, n_parts).sort("user_id")
+
+
+def price_histogram(
+    orders: ray.data.Dataset, n_bins: int = 20
+) -> ray.data.Dataset:
+    """Equi-width histogram of order totals: global integer-cent min/max
+    in one aggregate pass, then per-batch vectorized bincount partials —
+    the exchange carries ≤ ``n_bins`` rows per batch at any data size.
+    Bin rule (replayed exactly in SQL with integer arithmetic):
+    ``bin = (v - lo) * n_bins // (hi - lo + 1)``; emitted with the bin's
+    inclusive integer-cent lower edge."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cents": pa.array(_cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False)))}
+        )
+
+    pr = orders.map_batches(proj, batch_format="pyarrow")
+    mm = pr.aggregate(Min("cents", alias_name="lo"), Max("cents", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = (v - lo) * n_bins // span
+        counts = np.bincount(b, minlength=n_bins).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "n": pa.array(counts[nz])}
+        )
+
+    agg = (
+        pr.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        # smallest v with (v-lo)*n_bins//span == b  is  lo + ceil(b*span/n_bins)
+        edge = lo + (b * span + n_bins - 1) // n_bins
+        return pa.table(
+            {
+                "bin": batch.column("bin"),
+                "edge_cents": pa.array(edge.astype(np.int64)),
+                "n": batch.column("n"),
+            }
+        )
+
+    return agg.map_batches(edges, batch_format="pyarrow").sort("bin")
+
+
+def segment_median_balance(customer: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped interpolated median (percentile_cont(0.5) parity, exact):
+    per segment, the median account balance in HALF-cent integer units —
+    ``2·median = sorted[(n-1)//2] + sorted[n//2]``, so the even-n average
+    needs no float.  Same distinct-value-histogram shape as
+    ``segment_price_quantiles``: the exchange carries one row per
+    (segment, distinct cents) — never the raw rows — and the two order
+    statistics are found per segment with integer rank targets over the
+    value-sorted counts."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("c_acctbal").to_numpy(zero_copy_only=False))
+        t = (
+            pa.table({"seg": pa.array(seg), "cents": pa.array(cents), "n": pa.array(np.ones(len(seg), np.int64))})
+            .group_by(["seg", "cents"])
+            .aggregate([("n", "sum")])
+        )
+        return t.rename_columns(["seg", "cents", "n"])
+
+    pairs = (
+        customer.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["seg", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("n_customers", pa.int64()), ("median_halfcents", pa.int64())]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        s = part.take(
+            pc.sort_indices(part, sort_keys=[("seg", "ascending"), ("cents", "ascending")])
+        )
+        seg = s.column("seg").to_numpy(zero_copy_only=False)
+        cents = s.column("cents").to_numpy(zero_copy_only=False)
+        cnt = s.column("n").to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], seg[1:] != seg[:-1]])
+        s0 = np.flatnonzero(first)
+        s1 = np.concatenate([s0[1:], [len(seg)]])
+        # loop over SEGMENTS (bounded by group count, not rows)
+        out_seg, out_n, out_med = [], [], []
+        for a, b in zip(s0, s1):
+            run = np.cumsum(cnt[a:b])
+            n = int(run[-1])
+            r1, r2 = (n - 1) // 2, n // 2
+            v1 = cents[a + np.searchsorted(run, r1 + 1)]
+            v2 = cents[a + np.searchsorted(run, r2 + 1)]
+            out_seg.append(seg[a])
+            out_n.append(n)
+            out_med.append(int(v1) + int(v2))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out_seg, pa.string()),
+                "n_customers": pa.array(out_n, pa.int64()),
+                "median_halfcents": pa.array(out_med, pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(customer.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pairs, ["seg"], per_part, n_parts).sort("c_mktsegment")

@@ -1744,3 +1744,59 @@ def test_user_gap_stats_handcrafted(ray_session):
     ]
     # gaps: 9.9s -> floor 9; 60.0s -> 60 ; users 2/3 have single events -> absent
     assert got == [(1, 2, 9, 60, 69)]
+
+
+def test_price_histogram_vs_numpy(ray_session):
+    from relation_extraction_ray.functions.relational import price_histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["bin"], r["edge_cents"], r["n"])
+        for r in price_histogram(
+            ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_totalprice"]), n_bins=8
+        ).take_all()
+    ]
+    import pyarrow.parquet as pq
+
+    v = np.rint(
+        pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"])
+        .column("o_totalprice")
+        .to_numpy() * 100
+    ).astype(np.int64)
+    lo, hi = int(v.min()), int(v.max())
+    span = hi - lo + 1
+    bins = (v - lo) * 8 // span
+    want = [
+        (b, lo + (b * span + 7) // 8, int((bins == b).sum()))
+        for b in sorted(set(bins.tolist()))
+    ]
+    assert got == want
+    assert sum(n for _, _, n in got) == len(v)
+
+
+def test_segment_median_vs_numpy(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import segment_median_balance
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "c_mktsegment": [f"S{int(v)}" for v in rng.integers(0, 4, 101)],
+            "c_acctbal": np.round(rng.uniform(-50, 50, 101), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5).map_batches(lambda t: t, batch_format="pyarrow")
+    got = [
+        (r["c_mktsegment"], r["n_customers"], r["median_halfcents"])
+        for r in segment_median_balance(ds).take_all()
+    ]
+    want = []
+    for seg, g in df.groupby("c_mktsegment"):
+        cents = np.sort(np.rint(g["c_acctbal"].to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        want.append((seg, n, int(cents[(n - 1) // 2]) + int(cents[n // 2])))
+    assert got == sorted(want)
+    # exact percentile_cont parity: halfcents/2 == numpy median in cents
+    for (seg, n, hc), (_, g) in zip(got, df.groupby("c_mktsegment")):
+        assert hc / 2 == np.median(np.rint(g["c_acctbal"].to_numpy() * 100))
