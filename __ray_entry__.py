@@ -171,6 +171,37 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_bloom(sf_dir: str):
+    """Mergeable Bloom membership: OR-merged 8 KiB sketch of ordering
+    customers, probed per customer batch — no false negatives, and the
+    md5-derived false positives are themselves deterministic, so the SQL
+    bit replay is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from relation_extraction_ray.functions.sketch import bloom_contains, bloom_sketch
+
+    words = bloom_sketch(_read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
+    ref = _ray.put(words)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch.column("c_custkey").to_pylist()]
+        inb = bloom_contains(_ray.get(ref), keys)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "in_bloom": pa.array(inb.astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", columns=["c_custkey"])
+        .map_batches(probe, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
 def _q_histogram(sf_dir: str):
     """Equi-width 20-bin histogram of order totals — min/max pass, then
     ≤ n_bins partial rows per batch across the exchange."""
@@ -1208,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": _q_gap_stats,
         "price_histogram": _q_histogram,
         "segment_median": _q_median,
+        "bloom_members": _q_bloom,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1697,6 +1729,38 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        # bloom_members: the Bloom bit rule replayed in UBIGINT arithmetic
+        # (pos_j = (h1%m + j*(h2%m)) % m over both md5 halves); a customer
+        # is "in" iff every one of its k positions is set by some order key
+        "bloom_members": """
+            WITH ok AS (
+              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s FROM orders
+            ), h AS (
+              SELECT CAST(CAST(('0x' || substr(md5('bloom:' || s), 1, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS m1,
+                     CAST(CAST(('0x' || substr(md5('bloom:' || s), 17, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS m2
+              FROM ok
+            ), setpos AS (
+              SELECT DISTINCT (m1 + j.j * m2) % 65536 AS pos
+              FROM h, LATERAL (SELECT unnest(range(4)) AS j) j
+            ), ch AS (
+              SELECT c_custkey,
+                     CAST(CAST(('0x' || substr(md5('bloom:' || CAST(c_custkey AS VARCHAR)), 1, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS m1,
+                     CAST(CAST(('0x' || substr(md5('bloom:' || CAST(c_custkey AS VARCHAR)), 17, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS m2
+              FROM customer
+            ), cp AS (
+              SELECT DISTINCT c_custkey, (m1 + j.j * m2) % 65536 AS pos
+              FROM ch, LATERAL (SELECT unnest(range(4)) AS j) j
+            )
+            SELECT c_custkey,
+                   CAST(CASE WHEN count(*) = sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        THEN 1 ELSE 0 END AS BIGINT) AS in_bloom
+            FROM cp LEFT JOIN setpos s USING (pos)
+            GROUP BY c_custkey ORDER BY c_custkey
         """,
         "price_histogram": """
             WITH v AS (

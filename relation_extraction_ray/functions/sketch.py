@@ -242,3 +242,72 @@ def cms_estimate(counts: np.ndarray, tokens: list[str]) -> np.ndarray:
     return np.min(
         np.stack([counts[j, b[:, j]] for j in range(CMS_D)]), axis=0
     ).astype(np.int64)
+
+
+# --- Bloom filter: mergeable approximate membership ---------------------------
+
+BLOOM_M = 65536  # bits (8 KiB of words per sketch)
+BLOOM_K = 4
+
+
+def _bloom_positions(keys: list[str]) -> np.ndarray:
+    """[n, k] bit positions via Kirsch-Mitzenmacher double hashing:
+    ``pos_j = (h1 + j·h2) mod m`` with h1/h2 = the two 64-bit halves of
+    one md5 per key — one digest per key, and the whole position rule is
+    replayable in SQL UBIGINT arithmetic (mod-m first, so nothing
+    overflows)."""
+    import hashlib
+
+    h1 = np.empty(len(keys), np.uint64)
+    h2 = np.empty(len(keys), np.uint64)
+    for i, s in enumerate(keys):
+        d = hashlib.md5(("bloom:" + s).encode()).hexdigest()
+        h1[i] = int(d[:16], 16)
+        h2[i] = int(d[16:32], 16)
+    m = _U64(BLOOM_M)
+    out = np.empty((len(keys), BLOOM_K), np.int64)
+    for j in range(BLOOM_K):
+        out[:, j] = ((h1 % m + _U64(j) * (h2 % m)) % m).astype(np.int64)
+    return out
+
+
+def bloom_sketch(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    """Merged Bloom filter (Bloom, 1970) over a key column — the
+    mergeable membership sketch beside HLL (distinct) and CMS
+    (frequency): per-block fold into a fixed 2^16-bit word array,
+    bitwise-OR merge (associative, commutative, IDEMPOTENT — retry-safe
+    by construction), 8 KiB per block across the exchange at any key
+    cardinality.  No false negatives ever; false-positive rate
+    ≈ (1 - e^{-kn/m})^k and — because every bit is md5-derived — the
+    false positives themselves are deterministic and SQL-replayable."""
+
+    def acc_block(words: np.ndarray, block) -> np.ndarray:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        if block.num_rows == 0:
+            return words
+        keys = [str(v) for v in block.column(col).unique().to_pylist()]
+        if not keys:
+            return words
+        pos = _bloom_positions(keys).reshape(-1)
+        out = words.copy()
+        np.bitwise_or.at(out, pos // 64, _U64(1) << (pos % 64).astype(np.uint64))
+        return out
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(BLOOM_M // 64, np.uint64),
+        merge=np.bitwise_or,
+        accumulate_block=acc_block,
+        name="bloom",
+    )
+    out = ds.select_columns([col]).aggregate(agg)
+    return np.asarray(out["bloom"], dtype=np.uint64).reshape(BLOOM_M // 64)
+
+
+def bloom_contains(words: np.ndarray, keys: list[str]) -> np.ndarray:
+    """Vectorized membership probe: True iff all k bits are set."""
+    if not keys:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(keys)
+    bits = (words[pos // 64] >> (pos % 64).astype(np.uint64)) & _U64(1)
+    return (bits == 1).all(axis=1)

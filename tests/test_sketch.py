@@ -145,3 +145,29 @@ def test_cms_block_layout_invariance(ray_session):
     b = cms_sketch(ray.data.from_items(texts).repartition(9))
     assert (a == b).all()
     assert a.sum() > 0
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    from relation_extraction_ray.functions.sketch import bloom_contains, bloom_sketch
+
+    members = [{"k": f"key{i}"} for i in range(2000)]
+    words = bloom_sketch(ray.data.from_items(members).repartition(7), "k")
+    present = bloom_contains(words, [f"key{i}" for i in range(2000)])
+    assert present.all()  # a Bloom filter NEVER false-negatives
+    absent = bloom_contains(words, [f"other{i}" for i in range(5000)])
+    # m=65536, k=4, n=2000 -> fp ~ (1-e^(-kn/m))^4 ~ 1.2e-4
+    assert absent.sum() <= 5
+
+
+def test_bloom_merge_idempotent_and_block_invariant(ray_session):
+    from relation_extraction_ray.functions.sketch import bloom_sketch
+
+    rows = [{"k": f"v{i % 211}"} for i in range(1500)]  # heavy duplication
+    a = bloom_sketch(ray.data.from_items(rows).repartition(1), "k")
+    b = bloom_sketch(ray.data.from_items(rows).repartition(11), "k")
+    assert (a == b).all()
+    # idempotent: OR-ing the sketch with itself changes nothing
+    assert (np.bitwise_or(a, a) == a).all()
+    # distinct-only: same sketch as the deduplicated key set
+    c = bloom_sketch(ray.data.from_items([{"k": f"v{i}"} for i in range(211)]), "k")
+    assert (a == c).all()
