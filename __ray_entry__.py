@@ -171,6 +171,29 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): fact-sized work only at the fine
+    level; subtotals re-aggregate the |nations|-row result."""
+    from relation_extraction_ray.functions.relational import revenue_rollup
+
+    return revenue_rollup(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+    )
+
+
+def _q_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per user
+    (sequence mining) — one user-keyed exchange, vectorized shift."""
+    from relation_extraction_ray.functions.relational import event_transitions
+
+    return event_transitions(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    )
+
+
 def _q_bloom(sf_dir: str):
     """Mergeable Bloom membership: OR-merged 8 KiB sketch of ordering
     customers, probed per customer batch — no false negatives, and the
@@ -1240,6 +1263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_histogram,
         "segment_median": _q_median,
         "bloom_members": _q_bloom,
+        "revenue_rollup": _q_rollup,
+        "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
         "running_totals": _q_running_totals,
@@ -1729,6 +1754,31 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders, customer, nation, region
+            WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY r_name, n_name
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY prev, event_type ORDER BY from_type, to_type
         """,
         # bloom_members: the Bloom bit rule replayed in UBIGINT arithmetic
         # (pos_j = (h1%m + j*(h2%m)) % m over both md5 halves); a customer

@@ -1568,3 +1568,159 @@ def segment_median_balance(customer: ray.data.Dataset) -> ray.data.Dataset:
 
     n_parts = derive_n_parts(customer.count(), rows_per_part=65536)
     return hash_partitioned_groups(pairs, ["seg"], per_part, n_parts).sort("c_mktsegment")
+
+
+def revenue_rollup(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(region, nation) over order revenue: nation rows,
+    per-region subtotals and a grand total in one result (subtotal keys
+    as the literal 'ALL').
+
+    Scale shape: the ONLY fact-sized work is the fine-grained aggregate —
+    order batches probe the broadcast customer→nation map and emit
+    ≤ |nations| partial rows each; the coarser rollup levels re-aggregate
+    the tiny nation-level RESULT (|nations| rows), never the facts, as a
+    union of three small groupbys."""
+    from ray.data.aggregate import Sum
+
+    # driver-side dims (25 + 5 rows)
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+    nreg = {r["n_nationkey"]: r["n_regionkey"] for r in nation.take_all()}
+    reg = {r["r_regionkey"]: r["r_name"] for r in region.take_all()}
+    cust_ref = _broadcast_key_i32(customer, "c_custkey", "c_nationkey")
+
+    def probe(batch: pa.Table) -> pa.Table:
+        nk, hit = _probe_i32(
+            ray.get(cust_ref), batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        )
+        cents = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        nk = nk.astype(np.int64)[hit]
+        cents = cents[hit]
+        uniq, code = np.unique(nk, return_inverse=True)
+        n = np.bincount(code).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, code, cents)
+        return pa.table(
+            {
+                "nationkey": pa.array(uniq),
+                "n_orders": pa.array(n),
+                "revenue_cents": pa.array(s),
+            }
+        )
+
+    fine = (
+        orders.map_batches(probe, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+    def levels(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nationkey").to_numpy(zero_copy_only=False)
+        rn = [reg[nreg[int(k)]] for k in nk]
+        return pa.table(
+            {
+                "r_name": pa.array(rn, pa.string()),
+                "n_name": pa.array([nat[int(k)] for k in nk], pa.string()),
+                "n_orders": batch.column("n_orders"),
+                "revenue_cents": batch.column("revenue_cents"),
+            }
+        )
+
+    named = fine.map_batches(levels, batch_format="pyarrow")
+
+    def to_region(batch: pa.Table) -> pa.Table:
+        return batch.set_column(1, "n_name", pa.array(["ALL"] * batch.num_rows, pa.string()))
+
+    def to_grand(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": pa.array(["ALL"] * batch.num_rows, pa.string()),
+                "n_name": pa.array(["ALL"] * batch.num_rows, pa.string()),
+                "n_orders": batch.column("n_orders"),
+                "revenue_cents": batch.column("revenue_cents"),
+            }
+        )
+
+    all_levels = named.union(
+        named.map_batches(to_region, batch_format="pyarrow"),
+        named.map_batches(to_grand, batch_format="pyarrow"),
+    )
+    out = all_levels.groupby(["r_name", "n_name"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+    return out.sort(["r_name", "n_name"])
+
+
+def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Markov transition counts (sequence mining): for every ordered pair
+    of event types, how often a user's consecutive events (by ts,
+    event_id) move from one to the other.
+
+    Scale shape: one hash exchange on ``user_id``; per partition the
+    transition pairs fall out of one vectorized shift over the sorted
+    rows (run boundaries masked), pre-aggregated per partition so the
+    final exchange carries ≤ |types|² rows per partition."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        et = part.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        users, et = users[order], et[order]
+        same = users[1:] == users[:-1]
+        if not same.any():
+            return out_schema.empty_table()
+        t = (
+            pa.table(
+                {
+                    "from_type": pa.array(et[:-1][same], pa.string()),
+                    "to_type": pa.array(et[1:][same], pa.string()),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns(["from_type", "to_type", "n"]).set_column(
+            2, "n", t.column("count_all").cast(pa.int64())
+        )
+
+    pr = events.map_batches(proj, batch_format="pyarrow")
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    partials = hash_partitioned_groups(pr, ["user_id"], per_part, n_parts)
+    out = partials.groupby(["from_type", "to_type"]).aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n")
+    )
+    return out.sort(["from_type", "to_type"])

@@ -1800,3 +1800,66 @@ def test_segment_median_vs_numpy(ray_session):
     # exact percentile_cont parity: halfcents/2 == numpy median in cents
     for (seg, n, hc), (_, g) in zip(got, df.groupby("c_mktsegment")):
         assert hc / 2 == np.median(np.rint(g["c_acctbal"].to_numpy() * 100))
+
+
+def test_revenue_rollup_vs_duckdb(ray_session):
+    import duckdb
+
+    from relation_extraction_ray.functions.relational import revenue_rollup
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["r_name"], r["n_name"], r["n_orders"], r["revenue_cents"])
+        for r in revenue_rollup(
+            ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]),
+            ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+            ray.data.read_parquet(f"{sf}/nation.parquet"),
+            ray.data.read_parquet(f"{sf}/region.parquet"),
+        ).take_all()
+    ]
+    want = duckdb.sql(
+        f"""
+        SELECT COALESCE(r_name,'ALL'), COALESCE(n_name,'ALL'),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{sf}/orders.parquet') o,
+             read_parquet('{sf}/customer.parquet') c,
+             read_parquet('{sf}/nation.parquet') n,
+             read_parquet('{sf}/region.parquet') r
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    # grand total row present and equals the sum of nation rows
+    grand = [g for g in got if g[0] == "ALL" and g[1] == "ALL"]
+    fine = [g for g in got if g[1] != "ALL"]
+    assert len(grand) == 1 and grand[0][3] == sum(g[3] for g in fine)
+
+
+def test_event_transitions_vs_pandas(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import event_transitions
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": [f"t{int(v)}" for v in rng.integers(0, 4, n)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5).map_batches(lambda t: t, batch_format="pyarrow")
+    got = [
+        (r["from_type"], r["to_type"], r["n"]) for r in event_transitions(ds).take_all()
+    ]
+    want: dict = {}
+    for _, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        types = g["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == sorted((a, b, c) for (a, b), c in want.items())
