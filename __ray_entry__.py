@@ -605,6 +605,16 @@ def _q_dup_passages(sf_dir: str):
     ).sort("ngram")
 
 
+def _q_vocab_diff(sf_dir: str):
+    """EXCEPT/INTERSECT on derived vocabularies of two corpus slices —
+    one combine-fed token-keyed fold, vectorized membership label."""
+    from relation_extraction_ray.functions.text import vocab_diff
+
+    return vocab_diff(
+        _read(sf_dir, "documents", columns=["source", "text"]), "src1", "src2"
+    )
+
+
 def _q_postings(sf_dir: str):
     """Inverted-index build: per token (df ≥ 2), document frequency,
     total tf and the full ascending-doc posting list — one combine-fed
@@ -1305,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": _q_dup_passages,
         "dup_spans": _q_dup_spans,
         "postings": _q_postings,
+        "vocab_diff": _q_vocab_diff,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
@@ -2434,6 +2445,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(span_len) AS BIGINT) AS dup_tokens,
                    CAST(max(span_len) AS BIGINT) AS max_span
             FROM sp GROUP BY doc_id ORDER BY doc_id
+        """,
+        "vocab_diff": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents WHERE source IN ('src1', 'src2')
+            ), f AS (
+              SELECT source, token FROM tok WHERE token <> ''
+            ), g AS (
+              SELECT token,
+                     CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM f GROUP BY token
+            )
+            SELECT token,
+                   CASE WHEN n_a = 0 THEN 'b_only'
+                        WHEN n_b = 0 THEN 'a_only'
+                        ELSE 'both' END AS membership,
+                   n_a, n_b
+            FROM g ORDER BY token
         """,
         # postings: inverted index replayed with ordered string_agg
         "postings": """

@@ -1269,3 +1269,80 @@ def build_postings(
     pairs = docs.map_batches(pair_partial, batch_format="pyarrow")
     n_parts = derive_n_parts(docs.count(), rows_per_part=4096)
     return hash_partitioned_groups(pairs, ["token"], per_part, n_parts)
+
+
+# --- set ops on derived keys: vocabulary diff between corpus slices ----------
+
+def vocab_diff(
+    docs: ray.data.Dataset,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> ray.data.Dataset:
+    """Set operations (EXCEPT / INTERSECT) on two corpus slices' derived
+    vocabularies: every token present in ``source_a`` or ``source_b``
+    docs, labeled 'a_only' / 'b_only' / 'both' with per-side counts —
+    the domain-vocabulary-diff question mixture curation asks
+    ("what does slice A say that slice B never does?").
+
+    Scale shape: one scan pre-reduces (token, side) counts inside each
+    batch (Arrow hash-aggregate), ONE token-keyed groupby folds the two
+    side counts per token (sum partials — rows shuffled bounded by
+    distinct tokens per batch), and the label is a vectorized CASE over
+    the folded pair.  The same shape implements EXCEPT (filter a_only)
+    and INTERSECT (filter both) on any derived key."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column(group_col)
+        keep = pc.or_(pc.equal(src, source_a), pc.equal(src, source_b))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("token", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+            ).empty_table()
+        lists = _split_lower(t.column(text_col))
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        is_a = pc.equal(t.column(group_col), source_a).take(parent)
+        mask = pc.not_equal(flat, "")
+        g = (
+            pa.table(
+                {
+                    "token": flat.filter(mask),
+                    "n_a": pc.cast(is_a.filter(mask), pa.int64()),
+                }
+            )
+            .group_by(["token"])
+            .aggregate([("n_a", "sum"), ("n_a", "count")])
+        )
+        na = g.column("n_a_sum").cast(pa.int64())
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n_a": na,
+                "n_b": pc.subtract(g.column("n_a_count").cast(pa.int64()), na),
+            }
+        )
+
+    folded = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        lab = np.where(na == 0, "b_only", np.where(nb == 0, "a_only", "both"))
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "membership": pa.array(lab, pa.string()),
+                "n_a": batch.column("n_a"),
+                "n_b": batch.column("n_b"),
+            }
+        )
+
+    return folded.map_batches(label, batch_format="pyarrow").sort("token")

@@ -1863,3 +1863,25 @@ def test_event_transitions_vs_pandas(ray_session):
         for a, b in zip(types, types[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == sorted((a, b, c) for (a, b), c in want.items())
+
+
+def test_vocab_diff_membership(ray_session):
+    from relation_extraction_ray.functions.text import vocab_diff
+
+    rows = [
+        {"doc_id": 1, "source": "A", "text": "alpha beta shared"},
+        {"doc_id": 2, "source": "A", "text": "alpha shared"},
+        {"doc_id": 3, "source": "B", "text": "gamma shared shared"},
+        {"doc_id": 4, "source": "C", "text": "ignored alpha"},  # not in {A,B}
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    got = {
+        r["token"]: (r["membership"], r["n_a"], r["n_b"])
+        for r in vocab_diff(ds, "A", "B").take_all()
+    }
+    assert got == {
+        "alpha": ("a_only", 2, 0),
+        "beta": ("a_only", 1, 0),
+        "gamma": ("b_only", 0, 1),
+        "shared": ("both", 2, 2),
+    }
