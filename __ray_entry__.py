@@ -712,6 +712,113 @@ def _semantic_dedup_sql(k: int = 8, tau: int = 400000) -> str:
     )
 
 
+def _pq_sql(
+    m_sub: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    query_ids: tuple = (15, 16, 17, 18, 19),
+    topk: int = 10,
+    sample: int = 4096,
+) -> str:
+    """Unrolled SQL replay of PQ (functions/ann.py knn_pq): per-subspace
+    k-centers codebook selection (the semantic_dedup unroll, run on
+    list_slice subvectors), argmax code assignment, and ADC ranking by
+    the integer sum of per-slice micro-cosines.  MATERIALIZED CTEs keep
+    the unroll from re-expanding combinatorially (the kcore lesson)."""
+
+    def mic(a: str, b: str) -> str:
+        return (
+            f"CAST(floor(list_cosine_similarity({a}, {b}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        )
+
+    ds_ = dim // m_sub
+    parts = [
+        "emb AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        f"samp AS MATERIALIZED (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {sample})",
+        f"qq AS MATERIALIZED (SELECT vec_id, e FROM emb WHERE vec_id IN {query_ids})",
+    ]
+    for j in range(m_sub):
+        sl = f"list_slice(samp.e, {j * ds_ + 1}, {(j + 1) * ds_})"
+        parts.append(
+            f"s{j}c0 AS (SELECT vec_id, list_slice(e, {j * ds_ + 1}, {(j + 1) * ds_})"
+            " AS e FROM samp ORDER BY vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"s{j}b0 AS MATERIALIZED (SELECT samp.vec_id,"
+            f" {mic(sl, f's{j}c0.e')} AS best FROM samp, s{j}c0)"
+        )
+        for i in range(1, k):
+            parts.append(
+                f"s{j}c{i} AS (SELECT samp.vec_id,"
+                f" list_slice(samp.e, {j * ds_ + 1}, {(j + 1) * ds_}) AS e"
+                f" FROM samp JOIN s{j}b{i - 1} USING (vec_id)"
+                f" ORDER BY s{j}b{i - 1}.best ASC, samp.vec_id ASC LIMIT 1)"
+            )
+            if i < k - 1:
+                parts.append(
+                    f"s{j}b{i} AS MATERIALIZED (SELECT s{j}b{i - 1}.vec_id,"
+                    f" greatest(s{j}b{i - 1}.best, {mic(sl, f's{j}c{i}.e')}) AS best"
+                    f" FROM s{j}b{i - 1} JOIN samp USING (vec_id), s{j}c{i})"
+                )
+        cents = " UNION ALL ".join(
+            f"SELECT {i} AS cid, e FROM s{j}c{i}" for i in range(k)
+        )
+        parts.append(f"cents{j} AS MATERIALIZED ({cents})")
+        esl = f"list_slice(emb.e, {j * ds_ + 1}, {(j + 1) * ds_})"
+        parts.append(
+            f"codes{j} AS MATERIALIZED (SELECT vec_id, cid AS code FROM ("
+            f"SELECT emb.vec_id, c.cid, row_number() OVER ("
+            f"PARTITION BY emb.vec_id ORDER BY {mic(esl, 'c.e')} DESC, c.cid ASC"
+            f") AS rn FROM emb CROSS JOIN cents{j} c) WHERE rn = 1)"
+        )
+        qsl = f"list_slice(q.e, {j * ds_ + 1}, {(j + 1) * ds_})"
+        parts.append(
+            f"lut{j} AS MATERIALIZED (SELECT q.vec_id AS qid, c.cid,"
+            f" {mic(qsl, 'c.e')} AS s FROM qq q CROSS JOIN cents{j} c)"
+        )
+    joins = " ".join(
+        f"JOIN codes{j} c{j} ON c{j}.vec_id = c0.vec_id" for j in range(1, m_sub)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cid = c{j}.code AND l{j}.qid = l0.qid"
+        for j in range(1, m_sub)
+    )
+    score = " + ".join(f"l{j}.s" for j in range(m_sub))
+    parts.append(
+        f"sc AS (SELECT l0.qid AS query_id, c0.vec_id AS neighbor_id,"
+        f" {score} AS score FROM codes0 c0 {joins}"
+        f" JOIN lut0 l0 ON l0.cid = c0.code {lut_joins}"
+        f" WHERE c0.vec_id <> l0.qid)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+          ) AS BIGINT) AS rank FROM sc)
+        WHERE rank <= {topk} ORDER BY query_id, rank
+        """
+    )
+
+
+def _q_knn_pq(sf_dir: str):
+    """PQ-ADC top-k (4 subspaces × 8 centroids): codebooks trained with
+    the deterministic k-centers unroll per slice, ADC integer ranking."""
+    from relation_extraction_ray.functions.ann import knn_pq
+
+    return knn_pq(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        [15, 16, 17, 18, 19],
+        k=10,
+        m_sub=4,
+        n_cents=8,
+    ).sort(["query_id", "rank"])
+
+
 def _q_corpus_drift(sf_dir: str):
     """Per-source chi-square divergence vs the corpus token distribution
     (domain-shift diagnostic): one combine-fed (source, token) exchange,
@@ -1297,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_sq8": _q_knn_sq8,
         "label_centroids": _q_centroids,
+        "knn_pq": _q_knn_pq,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
@@ -2390,6 +2498,8 @@ def oracle_sql() -> dict[str, str]:
         # semantic_dedup: unrolled k-centers + assignment + keep-first
         # prune replay — every decision is an integer micro-cosine compare
         "semantic_dedup": _semantic_dedup_sql(k=8, tau=400000),
+        # knn_pq: PQ codebook training + assignment + ADC ranking unrolled
+        "knn_pq": _pq_sql(m_sub=4, k=8, dim=64),
         # dup_passages: token-5-gram window replay over the raw split list
         # (empties included, same as the engine's flattened window join)
         "dup_passages": """

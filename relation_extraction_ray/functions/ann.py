@@ -915,3 +915,130 @@ def label_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> r
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["label", "pos"])
+
+
+# --- product quantization: m-subspace codebooks + ADC top-k -------------------
+
+def pq_codebooks(
+    embeddings: ray.data.Dataset,
+    m_sub: int = 4,
+    k: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., PAMI 2011): the
+    embedding is split into ``m_sub`` contiguous slices and each slice
+    gets its own ``k``-centroid codebook — storage per vector drops from
+    dim floats to ``m_sub`` byte codes.  Training reuses the
+    deterministic k-centers selection of :func:`kcenter_centroids`
+    (farthest-point over integer micro-cosines on a bounded id-ordered
+    sample — data-point centroids, no Lloyd averaging), run per slice,
+    so the whole training unrolls into an exact SQL replay.
+    Returns ``[m_sub, k, dim/m_sub]`` normalized centroid slices."""
+    rows = embeddings.sort(id_col).limit(sample).take_all()
+    full = np.asarray([r[col] for r in rows], dtype=np.float64)
+    d = full.shape[1]
+    assert d % m_sub == 0, "dim must divide into equal subspaces"
+    ds_ = d // m_sub
+    books = []
+    for j in range(m_sub):
+        sl = _normalize(full[:, j * ds_ : (j + 1) * ds_])
+        chosen = [0]
+        best = _cos_micro(sl @ sl[0])
+        for _ in range(1, k):
+            nxt = int(np.argmin(best))  # first min = lowest vec_id
+            chosen.append(nxt)
+            best = np.maximum(best, _cos_micro(sl @ sl[nxt]))
+        books.append(sl[np.array(chosen)])
+    return np.stack(books)
+
+
+def _pq_codes(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[n, m_sub] codes: per slice, argmax micro-cosine centroid (first
+    max = lowest code, the semantic_dedup tie rule)."""
+    m_sub, _, ds_ = books.shape
+    codes = np.empty((len(m), m_sub), np.int64)
+    for j in range(m_sub):
+        sl = _normalize(m[:, j * ds_ : (j + 1) * ds_])
+        codes[:, j] = np.argmax(_cos_micro(sl @ books[j].T), axis=1)
+    return codes
+
+
+class PqScan:
+    """Actor-pool stage: encode the batch to PQ codes and score every
+    query by asymmetric distance computation — the query's per-(slice,
+    centroid) micro-cosine lookup table is built ONCE (m_sub × k ints),
+    each stored vector then costs ``m_sub`` integer table gathers instead
+    of a dim-float dot.  Integer sums → deterministic ranking."""
+
+    def __init__(self, state_ref, k: int) -> None:
+        self.q_ids, self.lut, self.books = ray.get(state_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        codes = _pq_codes(_matrix(batch, "embedding"), self.books)
+        # score[q, v] = sum_j lut[q, j, codes[v, j]]
+        m_sub = codes.shape[1]
+        scores = np.zeros((len(self.q_ids), len(ids)), np.int64)
+        for j in range(m_sub):
+            scores += self.lut[:, j, codes[:, j]]
+        out: dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(self.q_ids):
+            row = scores[qi]
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], row[mask]
+            if len(cand_ids) > self.k:
+                top = np.argpartition(-cand_s, self.k)[: self.k]
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out["query_id"].extend([qid] * len(cand_ids))
+            out["neighbor_id"].extend(cand_ids.tolist())
+            out["sim"].extend(cand_s.tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+
+def knn_pq(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    m_sub: int = 4,
+    n_cents: int = 8,
+    sample: int = 4096,
+) -> ray.data.Dataset:
+    """PQ-ADC top-k: rank stored vectors by the integer sum of per-slice
+    micro-cosines between the query slice and the vector's ASSIGNED
+    centroid slice — (query_id, neighbor_id, rank), ties by neighbor_id.
+    The compression loss is part of the contract: codebook training,
+    assignment and ranking all unroll into the same SQL the driver
+    replays, so PQ's approximation is value-exact cross-engine.
+
+    Scale shape: codebooks train on a bounded sample (driver, broadcast
+    once); encoding+scoring is one streaming scan where each vector costs
+    ``m_sub`` table gathers; per-batch local top-k bounds the exchange at
+    queries × k rows per batch.  At production scale codes persist as a
+    ``binary`` column (32× smaller than float32) and re-rank the PQ top-R
+    with exact dots."""
+    books = pq_codebooks(embeddings, m_sub, n_cents, sample)
+    q_expr = " or ".join(f"vec_id == {int(q)}" for q in query_ids)
+    q_rows = embeddings.filter(expr=q_expr).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = [r["vec_id"] for r in q_rows]
+    q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    m_subn, _, ds_ = books.shape
+    lut = np.empty((len(q_ids), m_subn, n_cents), np.int64)
+    for j in range(m_subn):
+        qs = _normalize(q[:, j * ds_ : (j + 1) * ds_])
+        lut[:, j, :] = _cos_micro(qs @ books[j].T)
+    state_ref = ray.put((q_ids, lut, books))
+    local = embeddings.map_batches(
+        cached_stage_fn(PqScan, (state_ref.hex(), k, "pq"), {"state_ref": state_ref, "k": k}),
+        batch_format="pyarrow",
+    )
+    return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")

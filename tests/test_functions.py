@@ -1885,3 +1885,60 @@ def test_vocab_diff_membership(ray_session):
         "gamma": ("b_only", 0, 1),
         "shared": ("both", 2, 2),
     }
+
+
+def test_knn_pq_matches_numpy_adc(ray_session):
+    from relation_extraction_ray.functions.ann import (
+        _cos_micro,
+        _normalize,
+        _pq_codes,
+        knn_pq,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(19)
+    emb = rng.standard_normal((80, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(80)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = knn_pq(ds, [0, 5], k=6, m_sub=4, n_cents=4, sample=80).take_all()
+
+    books = pq_codebooks(ds, m_sub=4, k=4, sample=80)
+    assert books.shape == (4, 4, 4)
+    m = emb.astype(np.float64)
+    codes = _pq_codes(m, books)
+    for qid in (0, 5):
+        lut = np.empty((4, 4), np.int64)
+        for j in range(4):
+            qs = _normalize(m[qid : qid + 1, j * 4 : (j + 1) * 4])
+            lut[j] = _cos_micro(qs @ books[j].T)[0]
+        scores = sum(lut[j, codes[:, j]] for j in range(4))
+        order = sorted(
+            ((s, i) for i, s in enumerate(scores) if i != qid), key=lambda si: (-si[0], si[1])
+        )
+        want = [i for _, i in order[:6]]
+        got = [
+            r["neighbor_id"]
+            for r in sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])
+        ]
+        assert got == want
+
+
+def test_knn_pq_block_invariance_and_code_range(ray_session):
+    from relation_extraction_ray.functions.ann import _pq_codes, knn_pq, pq_codebooks
+
+    rng = np.random.default_rng(29)
+    emb = rng.standard_normal((60, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(60)]
+    outs = []
+    for nb in (1, 6):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(nb)
+        outs.append(sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in knn_pq(ds, [3], k=5, m_sub=2, n_cents=4, sample=60).take_all()
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) == 5
+    books = pq_codebooks(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), m_sub=2, k=4, sample=60
+    )
+    codes = _pq_codes(emb.astype(np.float64), books)
+    assert codes.min() >= 0 and codes.max() < 4 and codes.shape == (60, 2)
