@@ -605,6 +605,56 @@ def _q_dup_passages(sf_dir: str):
     ).sort("ngram")
 
 
+def _bpe_sql(n_merges: int = 6) -> str:
+    """Unrolled SQL replay of BPE-style phrase merging: per round, the
+    pair count over the current sequences, the (cnt desc, x, y) argmax,
+    and the literal ``replace(' x y ', ' x_y ')`` rewrite — both engines
+    share the same non-overlapping left-to-right replace semantics."""
+    parts = [
+        "seq0 AS MATERIALIZED (SELECT doc_id, ' ' || lower(text) || ' ' AS seq"
+        " FROM documents)"
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED ("
+            f"SELECT t1 AS x, t2 AS y, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            f"SELECT toks[i.i + 1] AS t1, toks[i.i + 2] AS t2"
+            f" FROM (SELECT string_split(seq, ' ') AS toks FROM seq{r - 1}) s,"
+            f" LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i)"
+            f" WHERE t1 <> '' AND t2 <> '' GROUP BY t1, t2)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT x, y, x || '_' || y AS merged, cnt"
+            f" FROM p{r} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"
+        )
+        if r < n_merges:
+            parts.append(
+                f"seq{r} AS MATERIALIZED (SELECT doc_id,"
+                f" replace(seq, ' ' || m{r}.x || ' ' || m{r}.y || ' ',"
+                f" ' ' || m{r}.merged || ' ') AS seq FROM seq{r - 1}, m{r})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS round, x, y, merged, cnt FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\n    SELECT CAST(round AS BIGINT) AS round, x, y, merged, cnt"
+        f" FROM ({union}) ORDER BY round"
+    )
+
+
+def _q_bpe(sf_dir: str):
+    """BPE-style phrase-merge training (6 rounds): per round one
+    combine-fed pair-count exchange + a streaming rewrite scan."""
+    from relation_extraction_ray.functions.text import bpe_phrases
+
+    return bpe_phrases(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=6
+    )
+
+
 def _q_vocab_diff(sf_dir: str):
     """EXCEPT/INTERSECT on derived vocabularies of two corpus slices —
     one combine-fed token-keyed fold, vectorized membership label."""
@@ -1424,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "postings": _q_postings,
         "vocab_diff": _q_vocab_diff,
+        "bpe_merges": _q_bpe,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
@@ -2556,6 +2607,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(span_len) AS BIGINT) AS max_span
             FROM sp GROUP BY doc_id ORDER BY doc_id
         """,
+        # bpe_merges: 6 unrolled rounds of count→argmax→replace
+        "bpe_merges": _bpe_sql(n_merges=6),
         "vocab_diff": """
             WITH tok AS (
               SELECT source, unnest(string_split(lower(text), ' ')) AS token

@@ -1346,3 +1346,113 @@ def vocab_diff(
         )
 
     return folded.map_batches(label, batch_format="pyarrow").sort("token")
+
+
+# --- BPE-style greedy pair merging (phrase-vocabulary training) --------------
+
+def bpe_phrases(
+    docs: ray.data.Dataset, n_merges: int = 6, text_col: str = "text"
+) -> "pa.Table":
+    """BPE-style phrase mining (the word-level form of Sennrich et al.'s
+    byte-pair-encoding vocabulary training): ``n_merges`` rounds, each
+    picking the corpus-wide most frequent adjacent symbol pair (count
+    desc, then x asc, y asc) and rewriting every sequence with the merged
+    symbol ``x_y``.  Returns the merge table (round, x, y, merged, cnt) —
+    the trained artifact a tokenizer/phrase-indexer consumes.
+
+    Determinism contract: rewriting is literal non-overlapping
+    left-to-right ``replace(' x y ', ' x_y ')`` on single-space-padded
+    sequences — the exact semantics of both Arrow ``replace_substring``
+    and SQL ``replace``, so every round (counts, argmax, rewrite) is
+    bit-identical cross-engine and the whole training unrolls into a
+    MATERIALIZED-CTE SQL replay.
+
+    Scale shape per round: ONE combine-fed pair-count exchange (per-batch
+    Arrow hash-aggregate bounds shuffled rows at distinct pairs per
+    batch), a driver-side top-1 of the count table (sort+limit — the
+    only cross-round state is ONE pair), and a streaming rewrite scan;
+    sequences re-materialize per round (the k-core/PageRank static-data
+    iteration pattern)."""
+    from ray.data.aggregate import Sum
+
+    def to_seq(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "seq": pc.binary_join_element_wise(
+                    " ", pc.utf8_lower(batch.column(text_col)), " ", ""
+                ),
+            }
+        )
+
+    seqs = docs.map_batches(to_seq, batch_format="pyarrow").materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column("seq"), " ")
+        la = lists.combine_chunks()
+        flat = la.flatten()
+        parent = pc.list_parent_indices(lists).combine_chunks().to_numpy(zero_copy_only=False)
+        L = len(flat)
+        empty = pa.schema([("x", pa.string()), ("y", pa.string()), ("cnt", pa.int64())]).empty_table()
+        if L < 2:
+            return empty
+        x = flat.slice(0, L - 1)
+        y = flat.slice(1, L - 1)
+        ok = pa.array(
+            (parent[:-1] == parent[1:])
+        )
+        t = pa.table({"x": x, "y": y}).filter(ok)
+        t = t.filter(
+            pc.and_(pc.not_equal(t.column("x"), ""), pc.not_equal(t.column("y"), ""))
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["x", "y"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "x": g.column("x"),
+                "y": g.column("y"),
+                "cnt": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    merges = []
+    for r in range(1, n_merges + 1):
+        top = (
+            seqs.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["x", "y"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .sort(["cnt", "x", "y"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
+        merged = f"{x}_{y}"
+        merges.append({"round": r, "x": x, "y": y, "merged": merged, "cnt": cnt})
+
+        def rewrite(batch: pa.Table, _x=x, _y=y, _m=merged) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "seq": pc.replace_substring(
+                        batch.column("seq"), pattern=f" {_x} {_y} ", replacement=f" {_m} "
+                    ),
+                }
+            )
+
+        seqs = seqs.map_batches(rewrite, batch_format="pyarrow").materialize()
+
+    return pa.Table.from_pylist(
+        merges,
+        schema=pa.schema(
+            [
+                ("round", pa.int64()),
+                ("x", pa.string()),
+                ("y", pa.string()),
+                ("merged", pa.string()),
+                ("cnt", pa.int64()),
+            ]
+        ),
+    )

@@ -1942,3 +1942,35 @@ def test_knn_pq_block_invariance_and_code_range(ray_session):
     )
     codes = _pq_codes(emb.astype(np.float64), books)
     assert codes.min() >= 0 and codes.max() < 4 and codes.shape == (60, 2)
+
+
+def test_bpe_phrases_handcrafted(ray_session):
+    from relation_extraction_ray.functions.text import bpe_phrases
+
+    rows = [
+        {"doc_id": 1, "text": "new york city is big"},
+        {"doc_id": 2, "text": "new york is old"},
+        {"doc_id": 3, "text": "i love new york city"},
+    ]
+    out = bpe_phrases(_docs_ds(rows), n_merges=2).to_pylist()
+    # round 1: ("new","york") ×3 is the unique most frequent pair
+    assert out[0] == {"round": 1, "x": "new", "y": "york", "merged": "new_york", "cnt": 3}
+    # round 2: ("new_york","city") ×2 wins (all other pairs ≤2 and later in tie order)
+    assert out[1]["round"] == 2 and out[1]["cnt"] == 2
+    assert (out[1]["x"], out[1]["y"], out[1]["merged"]) == ("new_york", "city", "new_york_city")
+
+
+def test_bpe_phrases_block_invariance_and_replace_rule(ray_session):
+    from relation_extraction_ray.functions.text import bpe_phrases
+
+    rows = [
+        {"doc_id": i, "text": " ".join("w%d" % (j % 5) for j in range(i % 3 + 4))}
+        for i in range(30)
+    ]
+    a = bpe_phrases(_docs_ds(rows).repartition(1), n_merges=3).to_pylist()
+    b = bpe_phrases(_docs_ds(rows).repartition(7), n_merges=3).to_pylist()
+    assert a == b and len(a) == 3
+    # overlap rule: 'y y y' merges once per round (left-to-right non-overlap)
+    rows2 = [{"doc_id": 1, "text": "y y y"}]
+    out = bpe_phrases(_docs_ds(rows2), n_merges=1).to_pylist()
+    assert out == [{"round": 1, "x": "y", "y": "y", "merged": "y_y", "cnt": 2}]
