@@ -1114,6 +1114,14 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5)
 
 
+def _q_degree_hist(sf_dir: str):
+    """Degree distribution of the KG entity graph (power-law diagnostic)
+    — two combine-fed exchanges, ≤ max-degree output rows."""
+    from relation_extraction_ray.functions.graph import degree_histogram
+
+    return degree_histogram(_kg_run()["adjacency"])
+
+
 def _q_kcore(sf_dir: str):
     """2-core of the KG entity graph via synchronized peeling (degrees +
     two alive-filter exchanges per round, run to fixpoint)."""
@@ -1488,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "edge_jaccard": _q_edge_jaccard,
         "kcore": _q_kcore,
+        "degree_hist": _q_degree_hist,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -2981,6 +2990,18 @@ def oracle_sql() -> dict[str, str]:
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)
         "kcore": _kcore_sql(kg_paths["kg_adjacency"], k=2, rounds=8),
+        "degree_hist": f"""
+            WITH e AS (
+              SELECT DISTINCT least(src_id, dst_id) AS a,
+                              greatest(src_id, dst_id) AS b
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id),
+            d AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+              (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY deg ORDER BY deg
+        """,
         # triangles: textbook 3-way self-join on the deduped undirected
         # edge set of the ORACLE adjacency (a<b<c once each)
         "triangles": f"""

@@ -953,3 +953,63 @@ def kcore(adjacency: ray.data.Dataset, k: int = 2, max_rounds: int = 8) -> ray.d
         deg = degrees(edges).materialize()
 
     return deg.filter(expr=f"deg >= {k}").sort("node")
+
+
+def degree_histogram(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Degree distribution of the undirected simple KG entity graph
+    (the power-law / hub-skew diagnostic that sizes every other graph
+    operator's partitioning): for each degree value, how many nodes have
+    it.  Two combine-fed exchanges — endpoint degree counts, then counts
+    of counts — each bounded by distinct keys per batch; output is
+    ≤ max-degree rows."""
+    from ray.data.aggregate import Sum
+
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        t = pa.table({"a": pc.min_element_wise(u, v), "b": pc.max_element_wise(u, v)})
+        t = t.group_by(["a", "b"]).aggregate([])
+        return t.append_column("part", part_array(t, ["a", "b"], n_parts))
+
+    def dedup_part(part: pa.Table) -> pa.Table:
+        return part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    edges = (
+        adjacency.map_batches(undirected, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+        )
+        vc = pc.value_counts(both)
+        return pa.table(
+            {"node": vc.field("values"), "d": vc.field("counts").cast(pa.int64())}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("deg").combine_chunks())
+        return pa.table(
+            {
+                "deg": vc.field("values").cast(pa.int64()),
+                "n_nodes": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("deg")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+        .sort("deg")
+    )

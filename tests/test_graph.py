@@ -238,3 +238,25 @@ def test_kcore_block_invariant(ray_session):
         ds = ray.data.from_arrow(_adj(rows)).repartition(nb)
         outs.append([(r["node"], r["deg"]) for r in kcore(ds, k=2).take_all()])
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_degree_histogram_vs_bruteforce(ray_session):
+    from relation_extraction_ray.functions.graph import degree_histogram
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"n{int(rng.integers(30))}", "p", f"n{int(rng.integers(30))}", 1)
+        for _ in range(80)
+    ]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(4)
+    got = [(r["deg"], r["n_nodes"]) for r in degree_histogram(ds).take_all()]
+    es = {tuple(sorted((a, b))) for a, _, b, _ in rows if a != b}
+    deg = defaultdict(int)
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    hist = defaultdict(int)
+    for d in deg.values():
+        hist[d] += 1
+    assert got == sorted(hist.items())
+    assert sum(n for _, n in got) == len(deg)
