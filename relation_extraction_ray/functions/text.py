@@ -60,23 +60,21 @@ def doc_stats_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
     Partial sums per batch → tiny groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        n_toks = pc.list_value_length(pc.split_pattern(batch.column("text"), " ")).cast(pa.int64())
-        n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
-        agg: dict[str, list] = {"source": [], "n_docs": [], "total_chars": [], "total_tokens": []}
-        by: dict[str, list[int]] = {}
-        for s, t, c in zip(
-            batch.column("source").to_pylist(), n_toks.to_pylist(), n_chars.to_pylist()
-        ):
-            e = by.setdefault(s, [0, 0, 0])
-            e[0] += 1
-            e[1] += c
-            e[2] += t
-        for s, (d, c, t) in by.items():
-            agg["source"].append(s)
-            agg["n_docs"].append(d)
-            agg["total_chars"].append(c)
-            agg["total_tokens"].append(t)
-        return pa.Table.from_pydict(agg)
+        # one Arrow hash-aggregate per batch — no per-row Python
+        pre = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "total_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+                "total_tokens": pc.list_value_length(
+                    pc.split_pattern(batch.column("text"), " ")
+                ).cast(pa.int64()),
+            }
+        )
+        out = pre.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum"), ("total_tokens", "sum")]
+        )
+        return out.rename_columns(["source", "n_docs", "total_chars", "total_tokens"])
 
     g = docs.map_batches(partial, batch_format="pyarrow").groupby("source")
     out = g.aggregate(
