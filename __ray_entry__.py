@@ -171,6 +171,17 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_audit(sf_dir: str):
+    """Constraint audit over orders (ETL validation gate): one counter
+    row per batch per constraint; broadcast FK probe."""
+    from relation_extraction_ray.functions.relational import audit_orders
+
+    return audit_orders(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+    )
+
+
 def _q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(region, nation): fact-sized work only at the fine
     level; subtotals re-aggregate the |nations|-row result."""
@@ -1439,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_median": _q_median,
         "bloom_members": _q_bloom,
         "revenue_rollup": _q_rollup,
+        "audit_orders": _q_audit,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -1933,6 +1945,30 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "audit_orders": """
+            WITH c AS (
+              SELECT
+                CAST(count(*) AS BIGINT) AS rows,
+                CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) AS null_price,
+                CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                      AND CAST(round(o_totalprice * 100) AS BIGINT) <= 0) AS BIGINT) AS nonpos_price,
+                CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                      OR o_orderdate >= TIMESTAMP '2010-01-01') AS BIGINT) AS date_out_of_range,
+                CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                      AND CAST(round(o_totalprice * 100) AS BIGINT) > 30000000) AS BIGINT) AS price_above_cap,
+                CAST(count(*) FILTER (WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer)) AS BIGINT) AS fk_orphan
+              FROM orders
+            )
+            SELECT check_name, n_violations FROM (
+              SELECT 'rows' AS check_name, rows AS n_violations FROM c
+              UNION ALL SELECT 'null_price', null_price FROM c
+              UNION ALL SELECT 'nonpos_price', nonpos_price FROM c
+              UNION ALL SELECT 'date_out_of_range', date_out_of_range FROM c
+              UNION ALL SELECT 'price_above_cap', price_above_cap FROM c
+              UNION ALL SELECT 'fk_orphan', fk_orphan FROM c
+            ) ORDER BY check_name
         """,
         "revenue_rollup": """
             SELECT COALESCE(r_name, 'ALL') AS r_name,

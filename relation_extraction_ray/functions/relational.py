@@ -1724,3 +1724,69 @@ def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
         ray.data.aggregate.Sum("n", alias_name="n")
     )
     return out.sort(["from_type", "to_type"])
+
+
+def audit_orders(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    price_cap_cents: int = 30_000_000,
+    date_lo: str = "1990-01-01",
+    date_hi: str = "2010-01-01",
+) -> ray.data.Dataset:
+    """Data-quality constraint audit (the ETL validation gate): one
+    streaming pass over the fact table counting, per constraint, the
+    rows that violate it — null price, non-positive price, order date
+    outside [lo, hi), price above the profiling cap, and FK orphans
+    (``o_custkey`` not in customer).  Output: (check_name, n_violations)
+    plus a ``rows`` total — the audit report a pipeline gates a load on.
+
+    Scale shape: per batch ONE row of integer counters (the exchange is
+    |constraints| numbers per block at any data size); the FK check
+    probes the broadcast sorted customer-key array — above worker heap
+    the same check runs reduce-side (the documented planner split)."""
+    keys_l = []
+    for b in customer.select_columns(["c_custkey"]).iter_batches(batch_format="pyarrow"):
+        keys_l.append(b.column("c_custkey").to_numpy(zero_copy_only=False))
+    ckeys = np.sort(np.concatenate(keys_l)) if keys_l else np.array([], np.int64)
+    ref = ray.put(ckeys)
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice")
+        n_null = int(price.null_count)
+        pv = price.drop_null().to_numpy(zero_copy_only=False)
+        cents = _cents(pv)
+        ts = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keys = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ck), max(len(keys) - 1, 0))
+        fk_ok = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
+        names = ["rows", "null_price", "nonpos_price", "date_out_of_range", "price_above_cap", "fk_orphan"]
+        vals = [
+            batch.num_rows,
+            n_null,
+            int((cents <= 0).sum()),
+            int(((ts < lo) | (ts >= hi)).sum()),
+            int((cents > price_cap_cents).sum()),
+            int((~fk_ok).sum()),
+        ]
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "n_violations": pa.array(vals, pa.int64()),
+            }
+        )
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("check_name")
+        .aggregate(ray.data.aggregate.Sum("n_violations", alias_name="n_violations"))
+    )
+    return out.sort("check_name")

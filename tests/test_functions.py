@@ -1974,3 +1974,33 @@ def test_bpe_phrases_block_invariance_and_replace_rule(ray_session):
     rows2 = [{"doc_id": 1, "text": "y y y"}]
     out = bpe_phrases(_docs_ds(rows2), n_merges=1).to_pylist()
     assert out == [{"round": 1, "x": "y", "y": "y", "merged": "y_y", "cnt": 2}]
+
+
+def test_audit_orders_counts(ray_session):
+    from relation_extraction_ray.functions.relational import audit_orders
+
+    orders = ray.data.from_arrow(pa.table(
+        {
+            "o_custkey": pa.array([1, 2, 9, 1], pa.int64()),
+            "o_totalprice": pa.array([100.0, -5.0, 50.0, 400000.0]),
+            "o_orderdate": pa.array(
+                [
+                    np.datetime64("1999-01-01", "us"),
+                    np.datetime64("1985-01-01", "us"),  # out of range
+                    np.datetime64("2000-01-01", "us"),
+                    np.datetime64("2015-01-01", "us"),  # out of range
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )).repartition(2)
+    customer = ray.data.from_arrow(pa.table({"c_custkey": pa.array([1, 2], pa.int64())}))
+    got = {r["check_name"]: r["n_violations"] for r in audit_orders(orders, customer).take_all()}
+    assert got == {
+        "rows": 4,
+        "null_price": 0,
+        "nonpos_price": 1,
+        "date_out_of_range": 2,
+        "price_above_cap": 1,
+        "fk_orphan": 1,  # custkey 9
+    }
