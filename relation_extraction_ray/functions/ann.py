@@ -774,10 +774,14 @@ def _quantize_i8(m: np.ndarray) -> np.ndarray:
     integers: ``floor(x * 127 / max|x| + 0.5)`` (round-half-up — the same
     closed form the SQL oracle evaluates, so codes are bit-identical
     cross-engine; zero vectors keep scale 1).  Codes stay in float64 — at
-    |c| ≤ 127 every integer dot is exact well inside 2^53."""
+    |c| ≤ 127 every integer dot is exact well inside 2^53.  The
+    association is EXACTLY the SQL expression's ((x·127)/mx, not
+    x·(127/mx)): it is both the bit-identical replay order and the
+    overflow-safe one (127/subnormal-mx would be inf — found by the
+    hypothesis property suite)."""
     mx = np.abs(m).max(axis=1, keepdims=True)
     mx[mx == 0] = 1.0
-    return np.floor(m * (127.0 / mx) + 0.5)
+    return np.floor(m * 127.0 / mx + 0.5)
 
 
 class QuantizedScan:
