@@ -880,6 +880,24 @@ def _q_knn_pq(sf_dir: str):
     ).sort(["query_id", "rank"])
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    """Composed IVF-PQ (IVFADC): coarse lists + PQ-ADC within probed
+    lists.  n_probe = n_centroids degenerates the routing so the full
+    PQ SQL replay is a true end-to-end oracle for the composition (the
+    knn_ivf split); approximate probing is pytest-covered."""
+    from relation_extraction_ray.functions.ann import knn_ivfpq
+
+    return knn_ivfpq(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        [20, 21, 22, 23, 24],
+        k=10,
+        n_centroids=8,
+        n_probe=8,
+        m_sub=4,
+        n_cents=8,
+    ).sort(["query_id", "rank"])
+
+
 def _q_corpus_drift(sf_dir: str):
     """Per-source chi-square divergence vs the corpus token distribution
     (domain-shift diagnostic): one combine-fed (source, token) exchange,
@@ -1475,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq8": _q_knn_sq8,
         "label_centroids": _q_centroids,
         "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
@@ -2596,6 +2615,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(k=8, tau=400000),
         # knn_pq: PQ codebook training + assignment + ADC ranking unrolled
         "knn_pq": _pq_sql(m_sub=4, k=8, dim=64),
+        # knn_ivfpq: degenerate-probe composition == full PQ ranking
+        "knn_ivfpq": _pq_sql(m_sub=4, k=8, dim=64, query_ids=(20, 21, 22, 23, 24)),
         # dup_passages: token-5-gram window replay over the raw split list
         # (empties included, same as the engine's flattened window join)
         "dup_passages": """

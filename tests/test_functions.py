@@ -2004,3 +2004,30 @@ def test_audit_orders_counts(ray_session):
         "price_above_cap": 1,
         "fk_orphan": 1,  # custkey 9
     }
+
+
+def test_knn_ivfpq_degenerate_equals_pq_and_probe_recall(ray_session):
+    from relation_extraction_ray.functions.ann import knn_ivfpq, knn_pq
+
+    rng = np.random.default_rng(37)
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(100)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    kw = dict(k=5, m_sub=4, n_cents=4, sample=100)
+    full = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivfpq(ds, [0, 7], n_centroids=6, n_probe=6, dim=16, **kw).take_all()
+    )
+    pq = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_pq(ds, [0, 7], **kw).take_all()
+    )
+    assert full == pq and len(full) == 10
+    # approximate probing returns a subset-quality result: every neighbor
+    # it reports must also appear in the degenerate (exhaustive) ranking's
+    # candidate pool, and recall@5 is positive
+    part = knn_ivfpq(ds, [0, 7], n_centroids=6, n_probe=2, dim=16, **kw).take_all()
+    for qid in (0, 7):
+        g = {r["neighbor_id"] for r in part if r["query_id"] == qid}
+        f = {nb for (q, _, nb) in full if q == qid}
+        assert len(g) <= 5 and len(g & f) >= 1
