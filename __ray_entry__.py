@@ -171,6 +171,15 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_column_stats(sf_dir: str):
+    """ANALYZE-style catalog stats for orders: counts/nulls/min/max fold
+    to one row per column per batch; exact distinct via the standard
+    distinct-pair exchange."""
+    from relation_extraction_ray.functions.relational import column_stats
+
+    return column_stats(_read(sf_dir, "orders"))
+
+
 def _q_audit(sf_dir: str):
     """Constraint audit over orders (ETL validation gate): one counter
     row per batch per constraint; broadcast FK probe."""
@@ -1469,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_members": _q_bloom,
         "revenue_rollup": _q_rollup,
         "audit_orders": _q_audit,
+        "column_stats": _q_column_stats,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -1964,6 +1974,53 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "column_stats": """
+            SELECT col_name, n, n_null, n_distinct, min_int, max_int, min_str, max_str
+            FROM (
+              SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                     CAST(min(o_orderkey) AS BIGINT) AS min_int,
+                     CAST(max(o_orderkey) AS BIGINT) AS max_int,
+                     CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(o_custkey) AS BIGINT),
+                     CAST(count(DISTINCT o_custkey) AS BIGINT),
+                     CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT),
+                     NULL, NULL
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(o_totalprice) AS BIGINT),
+                     CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+                     CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+                     CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+                     NULL, NULL
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(o_orderdate) AS BIGINT),
+                     CAST(count(DISTINCT o_orderdate) AS BIGINT),
+                     CAST(epoch_us(min(o_orderdate)) AS BIGINT),
+                     CAST(epoch_us(max(o_orderdate)) AS BIGINT),
+                     NULL, NULL
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                     CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                     NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                     CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                     CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                     NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+              FROM orders
+            ) ORDER BY col_name
         """,
         "audit_orders": """
             WITH c AS (

@@ -1790,3 +1790,130 @@ def audit_orders(
         .aggregate(ray.data.aggregate.Sum("n_violations", alias_name="n_violations"))
     )
     return out.sort("check_name")
+
+
+def column_stats(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """ANALYZE-style catalog statistics over the orders table: per
+    column — row count, null count, EXACT distinct count, and typed
+    min/max (numeric columns as exact integers: cents for money, epoch
+    micros for timestamps; string columns lexicographic, with the
+    opposite pair NULL).  The statistics every planner and data catalog
+    collects, as one operator.
+
+    Scale shape: counts and min/max fold to ONE row per column per
+    batch; the exact distinct count is the engine's standard
+    distinct-pair exchange — per-batch unique (column, value) partials
+    bound shuffled rows by distinct-values-per-batch, then one pair
+    dedup groupby and a per-column count.  (At 10¹⁰⁺ distinct values
+    the mergeable HLL sketch — ``sketch.approx_distinct_by_group`` — is
+    the documented scale path beside this exact operator.)"""
+    from ray.data.aggregate import Max, Min, Sum
+
+    int_cols = {
+        "o_orderkey": lambda b: b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+        "o_custkey": lambda b: b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+        "o_totalprice": lambda b: _cents(b.column("o_totalprice").to_numpy(zero_copy_only=False)),
+        "o_orderdate": lambda b: b.column("o_orderdate")
+        .cast(pa.timestamp("us"))
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64),
+    }
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name, fn in int_cols.items():
+            v = fn(batch)
+            rows.append(
+                {
+                    "col_name": name,
+                    "n": batch.num_rows,
+                    "n_null": int(batch.column(name).null_count),
+                    "min_int": int(v.min()),
+                    "max_int": int(v.max()),
+                    "min_str": None,
+                    "max_str": None,
+                }
+            )
+        for name in str_cols:
+            col = batch.column(name)
+            rows.append(
+                {
+                    "col_name": name,
+                    "n": batch.num_rows,
+                    "n_null": int(col.null_count),
+                    "min_int": None,
+                    "max_int": None,
+                    "min_str": pc.min(col).as_py(),
+                    "max_str": pc.max(col).as_py(),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("col_name", pa.string()),
+                    ("n", pa.int64()),
+                    ("n_null", pa.int64()),
+                    ("min_int", pa.int64()),
+                    ("max_int", pa.int64()),
+                    ("min_str", pa.string()),
+                    ("max_str", pa.string()),
+                ]
+            ),
+        )
+
+    stats = (
+        orders.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_int", alias_name="min_int", ignore_nulls=True),
+            Max("max_int", alias_name="max_int", ignore_nulls=True),
+            Min("min_str", alias_name="min_str", ignore_nulls=True),
+            Max("max_str", alias_name="max_str", ignore_nulls=True),
+        )
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for name, fn in int_cols.items():
+            u = np.unique(fn(batch))
+            cols.extend([name] * len(u))
+            vals.extend(str(int(x)) for x in u)
+        for name in str_cols:
+            for s in batch.column(name).unique().to_pylist():
+                cols.append(name)
+                vals.append(s)
+        return pa.table({"col_name": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())})
+
+    pair_dedup = (
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["col_name", "val"])
+        .count()
+    )
+
+    def one_per_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col_name": batch.column("col_name"),
+                "n_distinct": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    nd = (
+        pair_dedup.map_batches(one_per_pair, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+    )
+    nd_map = {r["col_name"]: int(r["n_distinct"]) for r in nd.take_all()}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_distinct",
+            pa.array([nd_map[c] for c in batch.column("col_name").to_pylist()], pa.int64()),
+        )
+
+    return stats.map_batches(attach, batch_format="pyarrow").sort("col_name")

@@ -2031,3 +2031,33 @@ def test_knn_ivfpq_degenerate_equals_pq_and_probe_recall(ray_session):
         g = {r["neighbor_id"] for r in part if r["query_id"] == qid}
         f = {nb for (q, _, nb) in full if q == qid}
         assert len(g) <= 5 and len(g & f) >= 1
+
+
+def test_column_stats_vs_duckdb(ray_session):
+    import duckdb
+
+    from relation_extraction_ray.functions.relational import column_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = column_stats(ray.data.read_parquet(f"{sf}/orders.parquet")).take_all()
+    con = duckdb.connect()
+    for r in got:
+        c = r["col_name"]
+        n, nd = con.sql(
+            f"SELECT count(*), count(DISTINCT {c}) FROM read_parquet('{sf}/orders.parquet')"
+        ).fetchone()
+        assert r["n"] == n and r["n_null"] == 0
+        if c == "o_totalprice":
+            nd = con.sql(
+                f"SELECT count(DISTINCT CAST(round({c}*100) AS BIGINT)) FROM read_parquet('{sf}/orders.parquet')"
+            ).fetchone()[0]
+        assert r["n_distinct"] == nd, c
+        if c in ("o_orderstatus", "o_orderpriority"):
+            mn, mx = con.sql(
+                f"SELECT min({c}), max({c}) FROM read_parquet('{sf}/orders.parquet')"
+            ).fetchone()
+            assert (r["min_str"], r["max_str"]) == (mn, mx)
+            assert r["min_int"] is None and r["max_int"] is None
+        else:
+            assert r["min_int"] is not None and r["min_int"] <= r["max_int"]
+            assert r["min_str"] is None
