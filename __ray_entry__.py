@@ -1152,6 +1152,14 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5)
 
 
+def _q_pred_bigrams(sf_dir: str):
+    """Two-hop predicate metapath counts over the KG — per-node in×out
+    pred-tally cross products, never path enumeration."""
+    from relation_extraction_ray.functions.graph import pred_bigrams
+
+    return pred_bigrams(_kg_run()["adjacency"])
+
+
 def _q_degree_hist(sf_dir: str):
     """Degree distribution of the KG entity graph (power-law diagnostic)
     — two combine-fed exchanges, ≤ max-degree output rows."""
@@ -1538,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": _q_edge_jaccard,
         "kcore": _q_kcore,
         "degree_hist": _q_degree_hist,
+        "pred_bigrams": _q_pred_bigrams,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -3104,6 +3113,13 @@ def oracle_sql() -> dict[str, str]:
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)
         "kcore": _kcore_sql(kg_paths["kg_adjacency"], k=2, rounds=8),
+        "pred_bigrams": f"""
+            SELECT e1.pred AS p1, e2.pred AS p2, CAST(count(*) AS BIGINT) AS n_paths
+            FROM read_parquet('{kg_paths["kg_adjacency"]}') e1
+            JOIN read_parquet('{kg_paths["kg_adjacency"]}') e2
+              ON e2.src_id = e1.dst_id
+            GROUP BY e1.pred, e2.pred ORDER BY p1, p2
+        """,
         "degree_hist": f"""
             WITH e AS (
               SELECT DISTINCT least(src_id, dst_id) AS a,

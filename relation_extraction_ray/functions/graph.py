@@ -1013,3 +1013,98 @@ def degree_histogram(adjacency: ray.data.Dataset) -> ray.data.Dataset:
         .aggregate(Sum("n_nodes", alias_name="n_nodes"))
         .sort("deg")
     )
+
+
+def pred_bigrams(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Two-hop metapath counts over the directed KG: for every ordered
+    predicate pair (p1, p2), how many paths a —p1→ b —p2→ c exist — the
+    schema-induction / relation-composition statistic (which relations
+    chain through shared entities).
+
+    Scale shape: every adjacency row ships TWICE through one side-tagged
+    hash exchange on its middle-node role (as an in-edge keyed by dst,
+    as an out-edge keyed by src); within a partition the per-node
+    (pred → count) tallies come from one Arrow hash-aggregate and the
+    path counts are the per-node CROSS PRODUCT of in-pred × out-pred
+    tallies, materialized with repeat/tile index arithmetic and
+    pre-combined before the tiny final (p1, p2) groupby — no row-level
+    join ever enumerates the paths themselves (a hub with 10⁶ in × 10⁶
+    out edges contributes |preds|² rows, not 10¹²)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_partitioned_groups
+
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("dst_id").combine_chunks(),  # in-edge at its head
+                        batch.column("src_id").combine_chunks(),  # out-edge at its tail
+                    ]
+                ),
+                "pred": pa.concat_arrays(
+                    [batch.column("pred").combine_chunks()] * 2
+                ),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+            }
+        )
+
+    out_schema = pa.schema([("p1", pa.string()), ("p2", pa.string()), ("n_paths", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = (
+            part.select(["node", "side", "pred"])
+            .group_by(["node", "side", "pred"])
+            .aggregate([([], "count_all")])
+            .sort_by([("node", "ascending"), ("side", "ascending"), ("pred", "ascending")])
+        )
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pred = g.column("pred").to_numpy(zero_copy_only=False)
+        cnt = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.concatenate([[True], node[1:] != node[:-1]])
+        s0 = np.flatnonzero(first)
+        s1 = np.concatenate([s0[1:], [len(node)]])
+        p1_l, p2_l, n_l = [], [], []
+        # loop over NODES within the partition run-wise, but the work per
+        # node is |preds_in| × |preds_out| (bounded by the predicate
+        # vocabulary, not the edge count)
+        for a, b in zip(s0, s1):
+            sides = side[a:b]
+            in_m = sides == 0
+            out_m = sides == 1
+            if not in_m.any() or not out_m.any():
+                continue
+            pi, ci = pred[a:b][in_m], cnt[a:b][in_m]
+            po, co = pred[a:b][out_m], cnt[a:b][out_m]
+            p1_l.append(np.repeat(pi, len(po)))
+            p2_l.append(np.tile(po, len(pi)))
+            n_l.append((ci[:, None] * co[None, :]).reshape(-1))
+        if not p1_l:
+            return out_schema.empty_table()
+        t = pa.table(
+            {
+                "p1": pa.array(np.concatenate(p1_l), pa.string()),
+                "p2": pa.array(np.concatenate(p2_l), pa.string()),
+                "n_paths": pa.array(np.concatenate(n_l), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["p1", "p2"]).aggregate([("n_paths", "sum")]).rename_columns(["p1", "p2", "n_paths"])
+        )
+
+    tagged = adjacency.map_batches(tag, batch_format="pyarrow")
+    partials = hash_partitioned_groups(tagged, ["node"], per_part, n_parts)
+    return (
+        partials.groupby(["p1", "p2"])
+        .aggregate(Sum("n_paths", alias_name="n_paths"))
+        .sort(["p1", "p2"])
+    )

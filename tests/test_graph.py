@@ -260,3 +260,42 @@ def test_degree_histogram_vs_bruteforce(ray_session):
         hist[d] += 1
     assert got == sorted(hist.items())
     assert sum(n for _, n in got) == len(deg)
+
+
+def test_pred_bigrams_vs_bruteforce(ray_session):
+    from relation_extraction_ray.functions.graph import pred_bigrams
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            f"n{int(rng.integers(15))}",
+            f"p{int(rng.integers(4))}",
+            f"n{int(rng.integers(15))}",
+            1,
+        )
+        for _ in range(60)
+    ]
+    # adjacency semantics: rows unique per (src, pred, dst)
+    rows = sorted({(a, p, b) for a, p, b, _ in rows})
+    rows = [(a, p, b, 1) for a, p, b in rows]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(4)
+    got = [(r["p1"], r["p2"], r["n_paths"]) for r in pred_bigrams(ds).take_all()]
+    want = defaultdict(int)
+    for a1, p1, b1, _ in rows:
+        for a2, p2, b2, _ in rows:
+            if a2 == b1:
+                want[(p1, p2)] += 1
+    assert got == sorted((p1, p2, n) for (p1, p2), n in want.items())
+
+
+def test_pred_bigrams_hub_no_enumeration_blowup(ray_session):
+    from relation_extraction_ray.functions.graph import pred_bigrams
+
+    # star hub: 200 in-edges x 200 out-edges = 40,000 paths but only ONE
+    # output row (pa, pb) — the cross product is of tallies, not paths
+    rows = [(f"i{i}", "pa", "hub", 1) for i in range(200)] + [
+        ("hub", "pb", f"o{i}", 1) for i in range(200)
+    ]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(3)
+    got = [(r["p1"], r["p2"], r["n_paths"]) for r in pred_bigrams(ds).take_all()]
+    assert got == [("pa", "pb", 40000)]
