@@ -171,6 +171,49 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_table_diff(sf_dir: str):
+    """CDC snapshot diff between two deterministically derived versions
+    of orders (A drops keys %11, B drops %13 and bumps %7 prices) —
+    one side-tagged key exchange, per-status counter rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import _cents, table_diff
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def derive_a(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = k % 11 != 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))[keep]
+                ),
+            }
+        )
+
+    def derive_b(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = k % 13 != 0
+        cents = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        cents = np.where(k % 7 == 0, cents + 111, cents)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    return table_diff(
+        base.map_batches(derive_a, batch_format="pyarrow"),
+        base.map_batches(derive_b, batch_format="pyarrow"),
+        "o_orderkey",
+        ["cents"],
+    )
+
+
 def _q_column_stats(sf_dir: str):
     """ANALYZE-style catalog stats for orders: counts/nulls/min/max fold
     to one row per column per batch; exact distinct via the standard
@@ -1487,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": _q_rollup,
         "audit_orders": _q_audit,
         "column_stats": _q_column_stats,
+        "table_diff": _q_table_diff,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -1983,6 +2027,29 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        # table_diff: the derivation is shared, so the oracle classifies
+        # from the key predicates directly (changed = %7 price bump)
+        "table_diff": """
+            WITH a AS (
+              SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 <> 0
+            ), b AS (
+              SELECT o_orderkey AS k, (o_orderkey % 7 = 0) AS ch
+              FROM orders WHERE o_orderkey % 13 <> 0
+            ), s AS (
+              SELECT 'added' AS status, b.k FROM b LEFT JOIN a ON a.k = b.k
+              WHERE a.k IS NULL
+              UNION ALL
+              SELECT 'removed', a.k FROM a LEFT JOIN b ON b.k = a.k
+              WHERE b.k IS NULL
+              UNION ALL
+              SELECT CASE WHEN ch THEN 'changed' ELSE 'unchanged' END, b.k
+              FROM b JOIN a ON a.k = b.k
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(k) AS BIGINT) AS min_key,
+                   CAST(max(k) AS BIGINT) AS max_key
+            FROM s GROUP BY status ORDER BY status
         """,
         "column_stats": """
             SELECT col_name, n, n_null, n_distinct, min_int, max_int, min_str, max_str

@@ -2061,3 +2061,39 @@ def test_column_stats_vs_duckdb(ray_session):
         else:
             assert r["min_int"] is not None and r["min_int"] <= r["max_int"]
             assert r["min_str"] is None
+
+
+def test_table_diff_statuses(ray_session):
+    from relation_extraction_ray.functions.relational import table_diff
+
+    a = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3, 4], pa.int64()), "v": pa.array([10, 20, 30, 40], pa.int64())}
+    )).repartition(2)
+    b = ray.data.from_arrow(pa.table(
+        {"k": pa.array([2, 3, 4, 5, 6], pa.int64()), "v": pa.array([20, 99, 40, 50, 60], pa.int64())}
+    )).repartition(2)
+    got = {
+        r["status"]: (r["n"], r["min_key"], r["max_key"])
+        for r in table_diff(a, b, "k", ["v"]).take_all()
+    }
+    assert got == {
+        "added": (2, 5, 6),      # keys 5, 6
+        "removed": (1, 1, 1),    # key 1
+        "changed": (1, 3, 3),    # key 3 (30 -> 99)
+        "unchanged": (2, 2, 4),  # keys 2, 4
+    }
+
+
+def test_table_diff_duplicate_keys_raise(ray_session):
+    import pytest as _pytest
+
+    from relation_extraction_ray.functions.relational import table_diff
+
+    a = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 1], pa.int64()), "v": pa.array([10, 11], pa.int64())}
+    ))
+    b = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1], pa.int64()), "v": pa.array([10], pa.int64())}
+    ))
+    with _pytest.raises(Exception):
+        table_diff(a, b, "k", ["v"]).take_all()
