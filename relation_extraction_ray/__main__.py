@@ -263,6 +263,30 @@ def cmd_clean_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """orders-shaped parquet -> ANALYZE report: per-column catalog
+    statistics + the constraint-audit counters, one JSON line."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.relational import audit_orders, column_stats
+
+    orders = rd.read_parquet(args.input)
+    stats = {r["col_name"]: {k: v for k, v in r.items() if k != "col_name"}
+             for r in column_stats(orders).take_all()}
+    report: dict = {"input": args.input, "columns": stats}
+    if args.customer:
+        cust = rd.read_parquet(args.customer, columns=["c_custkey"])
+        report["audit"] = {
+            r["check_name"]: r["n_violations"]
+            for r in audit_orders(
+                orders.select_columns(["o_custkey", "o_totalprice", "o_orderdate"]), cust
+            ).take_all()
+        }
+    print(json.dumps(report, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="relation_extraction_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -314,6 +338,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lang", default="en")
     p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     p.set_defaults(fn=cmd_clean_corpus)
+
+    p = sub.add_parser("analyze", help="catalog statistics + constraint audit")
+    p.add_argument("--input", required=True, help="orders-shaped parquet")
+    p.add_argument("--customer", default=None, help="customer parquet for the FK audit")
+    p.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
     import ray

@@ -140,3 +140,20 @@ def test_clean_corpus_cli(tmp_path, capsys, ray_session):
     assert summary == {"out": out, "docs_in": 4, "docs_kept": 1}
     kept = pq.read_table(out)
     assert kept.column("doc_id").to_pylist() == [1]
+
+
+def test_analyze_cli(capsys, ray_session):
+    import json
+
+    from relation_extraction_ray.__main__ import main
+
+    rc = main([
+        "analyze",
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--customer", "/root/testdata/sf0.001/customer.parquet",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["audit"]["rows"] == 1500 and report["audit"]["fk_orphan"] == 0
+    ok = report["columns"]["o_orderkey"]
+    assert ok["n"] == 1500 and ok["n_distinct"] == 1500 and ok["n_null"] == 0
