@@ -576,14 +576,14 @@ def top_k_per_group(
     ``row_number() OVER (PARTITION BY g ORDER BY v DESC, tie ASC) <= k``
     pattern) — rank emitted as a 1-based BIGINT column.
 
-    Scale shape: rows hash-partition ONCE by ``group_col`` (every row of
-    a group co-locates), then each partition is one vectorized Arrow
-    sort + numpy segmented rank — no per-group dispatch, no global sort.
-    Skew note: a single group's rows must fit a partition; pathological
-    hot groups would take the bounded-heap treatment (per-batch local
-    top-k combine before the exchange — any row below its batch's k-th
-    value can never reach the global top-k, so the exchange shrinks to
-    ≤ k rows per (batch, group))."""
+    Scale shape: a BOUNDED-HEAP combine runs inside every batch before
+    the exchange — a row below its batch's k-th value in its group can
+    never reach the global top-k, so at most k rows per (batch, group)
+    ever ship (this is what makes a hot group safe: 10⁹ rows of one key
+    across 10⁴ batches exchange ≤ 10⁴·k rows, not 10⁹).  Rows then
+    hash-partition ONCE by ``group_col`` and each partition finishes
+    with one vectorized Arrow sort + numpy segmented rank — no
+    per-group dispatch, no global sort."""
     from .joins import derive_n_parts, hash_partitioned_groups
 
     sort_keys = [
@@ -592,6 +592,20 @@ def top_k_per_group(
     ]
     if tie_col is not None:
         sort_keys.append((tie_col, "ascending"))
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        # identical rank logic as the finish, kept to rank <= k; the
+        # final per-partition pass re-ranks the survivors exactly
+        if batch.num_rows == 0:
+            return batch
+        s = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        g = s.column(group_col).to_numpy()
+        new_g = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new_g)
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]]))
+        ) + 1
+        return s.filter(pa.array(rank <= k))
 
     def per_part(part: pa.Table) -> pa.Table:
         if "part" in part.column_names:
@@ -608,8 +622,9 @@ def top_k_per_group(
         s = s.append_column("rank", pa.array(rank))
         return s.filter(pa.array(rank <= k))
 
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
     n_parts = derive_n_parts(ds.count(), rows_per_part=65536)
-    return hash_partitioned_groups(ds, [group_col], per_part, n_parts)
+    return hash_partitioned_groups(pruned, [group_col], per_part, n_parts)
 
 
 def distinct_users_by_day(events: ray.data.Dataset) -> ray.data.Dataset:

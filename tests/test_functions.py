@@ -2097,3 +2097,32 @@ def test_table_diff_duplicate_keys_raise(ray_session):
     ))
     with _pytest.raises(Exception):
         table_diff(a, b, "k", ["v"]).take_all()
+
+
+def test_top_k_per_group_hot_group_prune_exact(ray_session):
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import top_k_per_group
+
+    # one hot group spanning many blocks: the per-batch prune must not
+    # change the exact global top-k (ties resolved by the tie column)
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame(
+        {
+            "g": np.zeros(3000, np.int64),
+            "v": rng.integers(0, 500, 3000),
+            "t": np.arange(3000, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(24).map_batches(lambda x: x, batch_format="pyarrow")
+    got = [
+        (r["rank"], r["v"], r["t"])
+        for r in sorted(
+            top_k_per_group(ds, "g", "v", k=7, tie_col="t").take_all(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    want = df.sort_values(["v", "t"], ascending=[False, True]).head(7)
+    assert got == [
+        (i + 1, int(r.v), int(r.t)) for i, r in enumerate(want.itertuples())
+    ]
