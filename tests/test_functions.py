@@ -2126,3 +2126,32 @@ def test_top_k_per_group_hot_group_prune_exact(ray_session):
     assert got == [
         (i + 1, int(r.v), int(r.t)) for i, r in enumerate(want.itertuples())
     ]
+
+
+def test_pq_encode_then_query_equals_knn_pq(ray_session):
+    from relation_extraction_ray.functions.ann import (
+        knn_pq,
+        knn_pq_over_codes,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(53)
+    emb = rng.standard_normal((90, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(90)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    books = pq_codebooks(ds, m_sub=4, k=4, sample=90)
+    codes = pq_encode(ds, books)
+    # codes table is the compact artifact: m int8s per vector
+    one = codes.take(1)[0]
+    assert len(one["codes"]) == 4
+    queries = [(0, emb[0].astype(np.float64)), (11, emb[11].astype(np.float64))]
+    via_codes = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_pq_over_codes(codes, books, queries, k=6).take_all()
+    )
+    direct = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_pq(ds, [0, 11], k=6, m_sub=4, n_cents=4, sample=90).take_all()
+    )
+    assert via_codes == direct and len(direct) == 12

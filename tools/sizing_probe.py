@@ -13,7 +13,7 @@ over the same materialized input (one extra cheap scan); the recorded
 walltime covers only the public pipeline call.
 
 Run:  python tools/sizing_probe.py --rows 10000000 \
-          [--families minhash,ngram,embed,knn_lsh] [--out /tmp/probe.json]
+          [--families minhash,ngram,embed,knn_lsh,pq] [--out /tmp/probe.json]
 """
 
 from __future__ import annotations
@@ -136,7 +136,7 @@ def bucket_hist(bucketed, col: str = "bucket") -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
-    ap.add_argument("--families", default="minhash,ngram,embed,knn_lsh")
+    ap.add_argument("--families", default="minhash,ngram,embed,knn_lsh,pq")
     ap.add_argument("--blocks", type=int, default=256)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default="/tmp/sizing_probe.json")
@@ -225,7 +225,7 @@ def main() -> None:
         record("ngram", rec)
 
     vecs = None
-    if want & {"embed", "knn_lsh"}:
+    if want & {"embed", "knn_lsh", "pq"}:
         t0 = time.time()
         vecs = gen_vecs(n, args.blocks).materialize()
         print(f"vectors generated: {vecs.count()} in {time.time()-t0:.0f}s", flush=True)
@@ -264,6 +264,41 @@ def main() -> None:
         rec = {"wall_sec": round(wall, 1), "out_rows": out_rows, "n_planes": n_planes}
         rec.update(bucket_hist(bucketed))
         record("knn_lsh", rec)
+
+    if "pq" in want:
+        # the build/query split: codebooks (bounded sample), ONE encode scan
+        # writing the 32x-compact code table, then queries that read codes
+        # only; brute force over the same vectors is the comparison row
+        from relation_extraction_ray.functions.ann import (
+            knn_brute_force,
+            knn_pq_over_codes,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        t0 = time.time()
+        books = pq_codebooks(vecs, m_sub=4, k=8, sample=4096)
+        codes = pq_encode(vecs, books).materialize()
+        build_wall = time.time() - t0
+        q_ids = list(range(0, n, max(1, n // 100)))[:100]
+        q_rows = vecs.filter(expr=" or ".join(f"vec_id == {q}" for q in q_ids)).take_all()
+        queries = [(r["vec_id"], np.asarray(r["embedding"], np.float64)) for r in q_rows]
+        t0 = time.time()
+        out_rows = knn_pq_over_codes(codes, books, queries, k=10).count()
+        query_wall = time.time() - t0
+        t0 = time.time()
+        brute_rows = knn_brute_force(vecs, q_ids, k=10).count()
+        brute_wall = time.time() - t0
+        record(
+            "pq",
+            {
+                "build_wall_sec": round(build_wall, 1),
+                "query_wall_sec": round(query_wall, 1),
+                "brute_wall_sec": round(brute_wall, 1),
+                "out_rows": out_rows,
+                "brute_rows": brute_rows,
+            },
+        )
 
     print(json.dumps(results))
     ray.shutdown()
