@@ -708,6 +708,54 @@ def _bpe_sql(n_merges: int = 6) -> str:
     )
 
 
+def _bpe_apply_sql(n_merges: int = 6) -> str:
+    """The bpe unroll carried through ALL rewrites, finishing with the
+    per-doc before/after symbol counts (tokenizer-apply replay)."""
+    parts = [
+        "seq0 AS MATERIALIZED (SELECT doc_id, ' ' || lower(text) || ' ' AS seq"
+        " FROM documents)"
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED ("
+            f"SELECT t1 AS x, t2 AS y, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            f"SELECT toks[i.i + 1] AS t1, toks[i.i + 2] AS t2"
+            f" FROM (SELECT string_split(seq, ' ') AS toks FROM seq{r - 1}) s,"
+            f" LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i)"
+            f" WHERE t1 <> '' AND t2 <> '' GROUP BY t1, t2)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT x, y, x || '_' || y AS merged, cnt"
+            f" FROM p{r} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"
+        )
+        parts.append(
+            f"seq{r} AS MATERIALIZED (SELECT doc_id,"
+            f" replace(seq, ' ' || m{r}.x || ' ' || m{r}.y || ' ',"
+            f" ' ' || m{r}.merged || ' ') AS seq FROM seq{r - 1}, m{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(s.seq, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_symbols
+        FROM documents d JOIN seq{n_merges} s USING (doc_id) ORDER BY d.doc_id
+        """
+    )
+
+
+def _q_bpe_encode(sf_dir: str):
+    """Tokenizer apply: train 6 merges, encode every doc, report per-doc
+    symbol counts before/after — one streaming scan, no exchange."""
+    from relation_extraction_ray.functions.text import bpe_apply, bpe_phrases
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_phrases(docs, n_merges=6)
+    return bpe_apply(docs, merges).sort("doc_id")
+
+
 def _q_bpe(sf_dir: str):
     """BPE-style phrase-merge training (6 rounds): per round one
     combine-fed pair-count exchange + a streaming rewrite scan."""
@@ -1576,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "vocab_diff": _q_vocab_diff,
         "bpe_merges": _q_bpe,
+        "bpe_encode": _q_bpe_encode,
         "clean_corpus": _q_clean_corpus,
         "top_per_cust": _q_top_per_cust,
         "distinct_by_day": _q_distinct_by_day,
@@ -2808,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bpe_merges: 6 unrolled rounds of count→argmax→replace
         "bpe_merges": _bpe_sql(n_merges=6),
+        "bpe_encode": _bpe_apply_sql(n_merges=6),
         "vocab_diff": """
             WITH tok AS (
               SELECT source, unnest(string_split(lower(text), ' ')) AS token

@@ -1454,3 +1454,51 @@ def bpe_phrases(
             ]
         ),
     )
+
+
+def bpe_apply(
+    docs: ray.data.Dataset, merges: "pa.Table", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Tokenizer APPLY: encode every document with a trained
+    :func:`bpe_phrases` merge table (replaces applied in round order —
+    exactly how a BPE vocabulary is used on new text) and report the
+    per-doc symbol count before and after — the compression-ratio signal
+    that sizes a token budget.
+
+    One streaming scan; each merge is a vectorized literal
+    ``replace_substring`` over the padded sequence (the same
+    non-overlap semantics the training rounds and the SQL replay use).
+    No exchange at all."""
+    pairs = [
+        (r["x"], r["y"], r["merged"])
+        for r in sorted(merges.to_pylist(), key=lambda r: r["round"])
+    ]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        seq = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(batch.column(text_col)), " ", ""
+        )
+        before = pc.list_value_length(pc.split_pattern(batch.column(text_col), " ")).cast(
+            pa.int64()
+        )
+        for x, y, m in pairs:
+            seq = pc.replace_substring(seq, pattern=f" {x} {y} ", replacement=f" {m} ")
+        toks = pc.split_pattern(seq, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        after = np.zeros(batch.num_rows, np.int64)
+        np.add.at(
+            after,
+            parent.filter(nonempty).to_numpy(zero_copy_only=False),
+            1,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": before,
+                "n_symbols": pa.array(after),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")

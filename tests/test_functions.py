@@ -2155,3 +2155,20 @@ def test_pq_encode_then_query_equals_knn_pq(ray_session):
         for r in knn_pq(ds, [0, 11], k=6, m_sub=4, n_cents=4, sample=90).take_all()
     )
     assert via_codes == direct and len(direct) == 12
+
+
+def test_bpe_apply_encodes_with_trained_merges(ray_session):
+    from relation_extraction_ray.functions.text import bpe_apply, bpe_phrases
+
+    rows = [
+        {"doc_id": 1, "text": "new york city is big"},
+        {"doc_id": 2, "text": "new york is old"},
+        {"doc_id": 3, "text": "i love new york city"},
+        {"doc_id": 4, "text": "nothing here"},
+    ]
+    merges = bpe_phrases(_docs_ds(rows), n_merges=2)  # new_york, new_york_city
+    got = {r["doc_id"]: (r["n_tokens"], r["n_symbols"]) for r in bpe_apply(_docs_ds(rows), merges).take_all()}
+    # doc 1: 5 tokens -> new_york_city is big = 3 symbols
+    # doc 2: 4 -> new_york is old = 3; doc 3: 5 -> i love new_york_city = 3
+    # doc 4: untouched
+    assert got == {1: (5, 3), 2: (4, 3), 3: (5, 3), 4: (2, 2)}
