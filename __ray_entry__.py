@@ -1235,6 +1235,14 @@ def _q_kg_adjacency(sf_dir: str):
     return _kg_run()["adjacency"].sort(ADJ_SORT)
 
 
+def _q_provenance(sf_dir: str):
+    """Per surface triple: mention count, exact distinct supporting
+    docs, min/max doc id — the which-sources-say-this KG query."""
+    from relation_extraction_ray.pipelines.kg import triple_provenance
+
+    return triple_provenance(_kg_run()["triples"])
+
+
 def _q_pagerank(sf_dir: str):
     """Distributed integer PageRank (5 iterations) over the pipeline's
     own adjacency table — the canonical KG-downstream consumer."""
@@ -1640,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "degree_hist": _q_degree_hist,
         "pred_bigrams": _q_pred_bigrams,
+        "triple_provenance": _q_provenance,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
@@ -3230,6 +3239,15 @@ def oracle_sql() -> dict[str, str]:
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)
         "kcore": _kcore_sql(kg_paths["kg_adjacency"], k=2, rounds=8),
+        "triple_provenance": f"""
+            SELECT subj, pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM read_parquet('{kg_paths["kg_triples"]}')
+            GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+        """,
         "pred_bigrams": f"""
             SELECT e1.pred AS p1, e2.pred AS p2, CAST(count(*) AS BIGINT) AS n_paths
             FROM read_parquet('{kg_paths["kg_adjacency"]}') e1

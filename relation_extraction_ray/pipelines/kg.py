@@ -1048,3 +1048,152 @@ class KGPipeline:
             return read_jsonl(path, schema=arrow_schema)
         ds.write_parquet(path)
         return rd.read_parquet(path)
+
+
+def triple_provenance(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Provenance roll-up: for every surface triple (subj, pred, obj) —
+    its total mention count, the number of DISTINCT supporting documents
+    and the min/max supporting doc id (the "which sources say this"
+    query a KG consumer runs before trusting an edge; the adjacency
+    table keeps only canonical-id weights, this keeps the evidence).
+
+    Scale shape: mention counts and doc ranges fold per batch (Arrow
+    hash-aggregate — one row per distinct triple per batch); the exact
+    distinct-doc count rides a (triple, doc) pair dedup exchange bounded
+    by distinct pairs per batch, the engine's standard count-distinct
+    shape."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    def base_partial(batch: "pa.Table") -> "pa.Table":
+        # doc_id is a STRING id; min/max are lexicographic (same as SQL
+        # min/max on VARCHAR)
+        t = (
+            batch.select(["subj", "pred", "obj", "doc_id"])
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("doc_id", "count"), ("doc_id", "min"), ("doc_id", "max")])
+        )
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "n_mentions": t.column("doc_id_count").cast(pa.int64()),
+                "min_doc": t.column("doc_id_min"),
+                "max_doc": t.column("doc_id_max"),
+            }
+        )
+
+    base = (
+        triples.map_batches(base_partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Min("min_doc", alias_name="min_doc", ignore_nulls=True),
+            Max("max_doc", alias_name="max_doc", ignore_nulls=True),
+        )
+    )
+
+    def pair_partial(batch: "pa.Table") -> "pa.Table":
+        return (
+            batch.select(["subj", "pred", "obj", "doc_id"])
+            .group_by(["subj", "pred", "obj", "doc_id"])
+            .aggregate([])
+        )
+
+    pair_dedup = (
+        triples.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj", "doc_id"])
+        .count()
+    )
+
+    def one(batch: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    nd = (
+        pair_dedup.map_batches(one, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    # both sides are triple-keyed and tiny relative to the corpus; attach
+    # with one more keyed exchange (side-tagged union, searchsorted-free:
+    # Arrow join on the 3-part key via groupby is overkill — the counts
+    # table is the same key set, so a sorted merge per partition suffices)
+    from ..functions.joins import derive_n_parts, hash_partitioned_groups
+
+    def tag(side: int):
+        def f(batch: "pa.Table") -> "pa.Table":
+            cols = {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "side": pa.array(np.full(batch.num_rows, side, np.int8)),
+            }
+            if side == 0:
+                cols["n_mentions"] = batch.column("n_mentions")
+                cols["min_doc"] = batch.column("min_doc")
+                cols["max_doc"] = batch.column("max_doc")
+                cols["n_docs"] = pa.array(np.zeros(batch.num_rows, np.int64))
+            else:
+                # neutral elements: 0 for the sums, "" for the string maxes
+                # (both sides are already globally reduced, so the merge is
+                # an attach — "" < every real doc id)
+                empty = pa.array([""] * batch.num_rows, pa.string())
+                cols["n_mentions"] = pa.array(np.zeros(batch.num_rows, np.int64))
+                cols["min_doc"] = empty
+                cols["max_doc"] = empty
+                cols["n_docs"] = batch.column("n_docs")
+            return pa.table(cols)
+
+        return f
+
+    both = base.map_batches(tag(0), batch_format="pyarrow").union(
+        nd.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("n_mentions", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("min_doc", pa.string()),
+            ("max_doc", pa.string()),
+        ]
+    )
+
+    def merge_part(part: "pa.Table") -> "pa.Table":
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = (
+            part.group_by(["subj", "pred", "obj"])
+            .aggregate(
+                [("n_mentions", "sum"), ("n_docs", "sum"), ("min_doc", "max"), ("max_doc", "max")]
+            )
+        )
+        return pa.table(
+            {
+                "subj": g.column("subj"),
+                "pred": g.column("pred"),
+                "obj": g.column("obj"),
+                "n_mentions": g.column("n_mentions_sum").cast(pa.int64()),
+                "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+                "min_doc": g.column("min_doc_max"),
+                "max_doc": g.column("max_doc_max"),
+            }
+        )
+
+    n_parts = derive_n_parts(max(triples.count() // 4, 1), rows_per_part=65536)
+    return hash_partitioned_groups(both, ["subj", "pred", "obj"], merge_part, n_parts).sort(
+        ["subj", "pred", "obj"]
+    )

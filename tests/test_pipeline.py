@@ -206,3 +206,34 @@ def test_oneshot_empty_corpus_streaming(tmp_path, ray_session):
     ds, counters = pipe.adjacency_oneshot(empty, out_dir=str(tmp_path / "adj0"))
     assert counters["triples"] == 0 and counters["edges"] == 0
     assert ds.count() == 0
+
+
+def test_triple_provenance_vs_bruteforce(ray_session):
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.pipelines.kg import triple_provenance
+
+    rows = [
+        {"doc_id": "d2", "subj": "a", "pred": "p", "obj": "b"},
+        {"doc_id": "d1", "subj": "a", "pred": "p", "obj": "b"},
+        {"doc_id": "d1", "subj": "a", "pred": "p", "obj": "b"},  # same doc twice
+        {"doc_id": "d3", "subj": "x", "pred": "q", "obj": "y"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    got = [
+        (r["subj"], r["pred"], r["obj"], r["n_mentions"], r["n_docs"], r["min_doc"], r["max_doc"])
+        for r in triple_provenance(ds).take_all()
+    ]
+    want = defaultdict(lambda: [0, set()])
+    for r in rows:
+        k = (r["subj"], r["pred"], r["obj"])
+        want[k][0] += 1
+        want[k][1].add(r["doc_id"])
+    expect = sorted(
+        (s, p, o, n, len(docs), min(docs), max(docs))
+        for (s, p, o), (n, docs) in want.items()
+    )
+    assert got == expect
