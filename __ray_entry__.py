@@ -766,6 +766,16 @@ def _q_bpe(sf_dir: str):
     )
 
 
+def _q_top_terms_src(sf_dir: str):
+    """Per-source top-5 terms (mixture profile) — combine-fed pair
+    counts + one group-keyed segmented rank."""
+    from relation_extraction_ray.functions.text import top_terms_by_source
+
+    return top_terms_by_source(
+        _read(sf_dir, "documents", columns=["source", "text"]), k=5
+    )
+
+
 def _q_vocab_diff(sf_dir: str):
     """EXCEPT/INTERSECT on derived vocabularies of two corpus slices —
     one combine-fed token-keyed fold, vectorized membership label."""
@@ -1631,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "postings": _q_postings,
         "vocab_diff": _q_vocab_diff,
+        "top_terms_by_source": _q_top_terms_src,
         "bpe_merges": _q_bpe,
         "bpe_encode": _q_bpe_encode,
         "clean_corpus": _q_clean_corpus,
@@ -2867,6 +2878,19 @@ def oracle_sql() -> dict[str, str]:
         # bpe_merges: 6 unrolled rounds of count→argmax→replace
         "bpe_merges": _bpe_sql(n_merges=6),
         "bpe_encode": _bpe_apply_sql(n_merges=6),
+        "top_terms_by_source": """
+            SELECT source, token, n, rank FROM (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS n,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY count(*) DESC, token ASC
+                     ) AS BIGINT) AS rank
+              FROM (
+                SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+              ) WHERE token <> ''
+              GROUP BY source, token)
+            WHERE rank <= 5 ORDER BY source, rank
+        """,
         "vocab_diff": """
             WITH tok AS (
               SELECT source, unnest(string_split(lower(text), ' ')) AS token

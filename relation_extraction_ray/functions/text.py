@@ -1502,3 +1502,70 @@ def bpe_apply(
         )
 
     return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def top_terms_by_source(
+    docs: ray.data.Dataset, k: int = 5, text_col: str = "text", group_col: str = "source"
+) -> ray.data.Dataset:
+    """Per-source top-k terms (the mixture profile curation dashboards
+    show): token counts per source, ranked within source by (count desc,
+    token asc) — a pure composition of the engine's combine-fed pair
+    counts and the bounded per-group rank (``top_k_per_group``'s
+    shape over the already-aggregated pair table)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lists = _split_lower(batch.column(text_col))
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        g = (
+            pa.table(
+                {
+                    group_col: batch.column(group_col).take(parent.filter(mask)),
+                    "token": flat.filter(mask),
+                }
+            )
+            .group_by([group_col, "token"])
+            .aggregate([("token", "count")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "token": g.column("token"),
+                "n": g.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return part.append_column("rank", pa.array([], pa.int64()))
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[(group_col, "ascending"), ("n", "descending"), ("token", "ascending")],
+            )
+        )
+        g = s.column(group_col).to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]]))
+        ) + 1
+        s = s.append_column("rank", pa.array(rank))
+        return s.filter(pa.array(rank <= k))
+
+    n_parts = derive_n_parts(docs.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pairs, [group_col], per_part, n_parts).sort(
+        [group_col, "rank"]
+    )

@@ -2172,3 +2172,27 @@ def test_bpe_apply_encodes_with_trained_merges(ray_session):
     # doc 2: 4 -> new_york is old = 3; doc 3: 5 -> i love new_york_city = 3
     # doc 4: untouched
     assert got == {1: (5, 3), 2: (4, 3), 3: (5, 3), 4: (2, 2)}
+
+
+def test_top_terms_by_source_vs_python(ray_session):
+    from collections import Counter
+
+    from relation_extraction_ray.functions.text import top_terms_by_source
+
+    rows = [
+        {"doc_id": 1, "source": "A", "text": "x x y z"},
+        {"doc_id": 2, "source": "A", "text": "y y z"},
+        {"doc_id": 3, "source": "B", "text": "q q q r"},
+    ]
+    got = [
+        (r["source"], r["rank"], r["token"], r["n"])
+        for r in top_terms_by_source(_docs_ds(rows), k=2).take_all()
+    ]
+    want = []
+    for src in ("A", "B"):
+        c = Counter(
+            t for r in rows if r["source"] == src for t in r["text"].split() if t
+        )
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want += [(src, i + 1, t, n) for i, (t, n) in enumerate(top)]
+    assert got == want
