@@ -420,6 +420,31 @@ def _q_sample(sf_dir: str):
     return deterministic_sample(_read(sf_dir, "documents", columns=["doc_id"]), "doc_id", pct=20)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Temperature-balanced source mixture (τ=1/2): per-source quotas
+    ∝ isqrt(n_s), each source keeps its quota smallest-(md5, id) docs —
+    the multilingual-LM upsampling rule, exact and deterministic."""
+    from relation_extraction_ray.functions.curation import mixture_sample
+
+    return mixture_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]), total=400
+    )
+
+
+BUDGET_TOKENS = 40000
+
+
+def _q_budget_select(sf_dir: str):
+    """Token-budget corpus selection: quality-ranked greedy fill to a
+    token budget; the cut point is found by a byte-radix weighted-order-
+    statistic search — no global sort, no prefix-sum over the corpus."""
+    from relation_extraction_ray.functions.curation import budget_select
+
+    return budget_select(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), BUDGET_TOKENS
+    )
+
+
 STRATA_PCT = {"en": 30, "de": 10, "fr": 50, "es": 20}  # zh falls to default 5
 
 
@@ -1285,6 +1310,64 @@ def _q_kcore(sf_dir: str):
     return kcore(_kg_run()["adjacency"], k=2, max_rounds=8)
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance from md5-seeded landmark entities
+    (monotone min relaxation — fixed rounds, exact at any partitioning)."""
+    from relation_extraction_ray.functions.graph import bfs_hops
+
+    return bfs_hops(_kg_run()["adjacency"], seed_pct=5, max_hops=6)
+
+
+def _q_label_prop(sf_dir: str):
+    """Synchronous label-propagation communities over the KG entity graph
+    (3 rounds, deterministic count-desc/label-asc tie-break)."""
+    from relation_extraction_ray.functions.graph import label_propagation
+
+    return label_propagation(_kg_run()["adjacency"], rounds=3)
+
+
+def _q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus over the directed KG: one walk per
+    source node, md5-chosen neighbors — the graph-embedding sentence
+    generator, exactly replayable in SQL."""
+    from relation_extraction_ray.functions.graph import random_walks
+
+    return random_walks(_kg_run()["adjacency"], walk_len=4)
+
+
+def _q_walk_pairs(sf_dir: str):
+    """Skip-gram pair counts over the deterministic walk corpus (the
+    DeepWalk co-occurrence distribution; one walk-id exchange, shift
+    kernels, combine-fed pair groupby)."""
+    from relation_extraction_ray.functions.graph import walk_pairs
+
+    return walk_pairs(_kg_run()["adjacency"], walk_len=4, window=2)
+
+
+def _q_kg_embeddings(sf_dir: str):
+    """DeepWalk entity embeddings (walks → pairs → SGNS via the engine's
+    proven skip-gram machinery), digested to each entity's nearest
+    neighbor by cosine.  Float-iterative training — no SQL oracle; the
+    driver records the rows-only check, and determinism/quality are
+    pytest-covered (tests/test_graph.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from relation_extraction_ray.functions.graph import kg_node_embeddings
+
+    nodes, emb = kg_node_embeddings(
+        _kg_run()["adjacency"], dim=16, walk_len=4, window=2, epochs=5
+    )
+    e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    sims = e @ e.T
+    np.fill_diagonal(sims, -2.0)
+    nn = sims.argmax(axis=1)
+    cos_micro = np.floor(sims[np.arange(len(nodes)), nn] * 1e6 + 0.5).astype(np.int64)
+    return pd.DataFrame(
+        {"node": nodes, "nn": [nodes[i] for i in nn], "cos_micro": cos_micro}
+    )
+
+
 def _q_triangles(sf_dir: str):
     """Exact triangle count of the KG's undirected entity graph —
     degree-ordered wedge enumeration (out-degree bounded O(sqrt m))."""
@@ -1607,6 +1690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "sample_docs": _q_sample,
         "stratified_sample": _q_stratified_sample,
+        "mixture_sample": _q_mixture_sample,
+        "budget_select": _q_budget_select,
         "distinct_texts": _q_distinct_texts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -1657,6 +1742,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "edge_jaccard": _q_edge_jaccard,
         "kcore": _q_kcore,
+        "bfs_hops": _q_bfs_hops,
+        "label_prop": _q_label_prop,
+        "random_walks": _q_random_walks,
+        "walk_pairs": _q_walk_pairs,
+        "kg_embeddings": _q_kg_embeddings,
         "degree_hist": _q_degree_hist,
         "pred_bigrams": _q_pred_bigrams,
         "triple_provenance": _q_provenance,
@@ -1685,6 +1775,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
     from relation_extraction_ray import schemas
     from relation_extraction_ray.config import KGConfig
     from relation_extraction_ray.oracle import (
+        kg_embeddings_rows,
         link_rows,
         media_digest_rows,
         run_oracle,
@@ -1716,6 +1807,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         pa.Table.from_pylist(media_digest_rows(KG_DOCS), schema=FEATURES_DIGEST),
         ["doc_id", "span_idx", "frame_idx"],
     )
+    emb_nn = pa.Table.from_pylist(kg_embeddings_rows(out["adjacency"]))
     sup = pa.Table.from_pylist([supervised_metrics_row(500)])
     sup_large = pa.Table.from_pylist([supervised_metrics_row_large(500)])
     official = pa.Table.from_pylist([semeval_official_row()])
@@ -1729,6 +1821,7 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ("kg_adjacency", adjacency),
         ("kg_linked", linked),
         ("media_features", media),
+        ("kg_embeddings", emb_nn),
         ("supervised_eval", sup),
         ("supervised_eval_large", sup_large),
         ("semeval_official", official),
@@ -1899,6 +1992,106 @@ def _kcore_sql(adj_path: str, k: int = 2, rounds: int = 8) -> str:
     df AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
            (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY node)
     SELECT node, deg FROM df WHERE deg >= {k} ORDER BY node"""
+    )
+
+
+def _bfs_sql(adj_path: str, seed_pct: int = 5, hops: int = 6) -> str:
+    """Unroll the multi-source BFS min-relaxation (functions/graph.py
+    bfs_hops) as chained CTEs: seeds are the md5-bucket nodes, each round
+    folds (existing dists ∪ neighbor dist+1) with one GROUP BY min.
+    Min is monotone, so a fixed unroll depth compares exactly with the
+    engine's fixed round count at any convergence point."""
+    cte = f"""
+    eu AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a,
+                               greatest(src_id, dst_id) AS b
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id),
+    e AS MATERIALIZED (SELECT a AS u, b AS v FROM eu UNION ALL SELECT b, a FROM eu),
+    d0 AS MATERIALIZED (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist FROM e
+           WHERE CAST(('0x' || substr(md5('seed:' || u), 1, 8)) AS UBIGINT) % 100 < {seed_pct})"""
+    for i in range(hops):
+        cte += f""",
+    d{i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d{i}
+             UNION ALL
+             SELECT e.v AS node, d.dist + 1 FROM e JOIN d{i} d ON d.node = e.u
+           ) GROUP BY node)"""
+    return "WITH " + cte + f"\n    SELECT node, dist FROM d{hops} ORDER BY node"
+
+
+def _label_prop_sql(adj_path: str, rounds: int = 3) -> str:
+    """Unroll synchronous label propagation (functions/graph.py
+    label_propagation) as chained CTEs: per round, neighbor-label counts
+    via one join + GROUP BY, then the per-node argmax via a
+    row_number() window ordered (count DESC, label ASC) — the same
+    deterministic tie-break the engine's vectorized MODE kernel applies.
+    Both sides run EXACTLY ``rounds`` rounds, so the compare is exact
+    without any fixpoint argument."""
+    cte = f"""
+    eu AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a,
+                               greatest(src_id, dst_id) AS b
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id),
+    e AS MATERIALIZED (SELECT a AS u, b AS v FROM eu UNION ALL SELECT b, a FROM eu),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e)"""
+    for i in range(rounds):
+        cte += f""",
+    l{i + 1} AS MATERIALIZED (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+             FROM (SELECT e.v AS node, l.label AS label, count(*) AS cnt
+                   FROM e JOIN l{i} l ON l.node = e.u GROUP BY 1, 2)
+           ) WHERE rn = 1)"""
+    return (
+        "WITH " + cte
+        + f"\n    SELECT node, label AS community FROM l{rounds} ORDER BY node"
+    )
+
+
+def _walks_cte(adj_path: str, walk_len: int) -> str:
+    """Shared walk-replay CTE chain (functions/graph.py random_walks):
+    neighbors ranked by row_number() over sorted dst per src, the step-t
+    hop joined on idx = md5_u64(walk_id|node|t) % outdeg — the identical
+    draw the engine computes, so the full walk set is value-exact.
+    Ends with a CTE named ``w`` holding (walk_id, step, node)."""
+    cte = f"""
+    e AS MATERIALIZED (SELECT DISTINCT src_id AS u, dst_id AS v
+                       FROM read_parquet('{adj_path}')),
+    nb AS MATERIALIZED (SELECT u, v,
+           row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
+           count(*) OVER (PARTITION BY u) AS deg FROM e),
+    w0 AS MATERIALIZED (SELECT DISTINCT u AS walk_id, u AS node FROM e)"""
+    for t in range(1, walk_len + 1):
+        cte += f""",
+    w{t} AS MATERIALIZED (SELECT w.walk_id, n.v AS node
+           FROM w{t - 1} w JOIN nb n ON n.u = w.node
+           AND n.idx = CAST(
+                 CAST(('0x' || substr(md5(w.walk_id || '|' || w.node || '|{t}'), 1, 16)) AS UBIGINT)
+                 % CAST(n.deg AS UBIGINT) AS BIGINT))"""
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"] + [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(1, walk_len + 1)
+    ]
+    return cte + ",\n    w AS MATERIALIZED (" + "\n    UNION ALL ".join(selects) + ")"
+
+
+def _walks_sql(adj_path: str, walk_len: int = 4) -> str:
+    return (
+        "WITH "
+        + _walks_cte(adj_path, walk_len)
+        + "\n    SELECT walk_id, step, node FROM w ORDER BY walk_id, step"
+    )
+
+
+def _walk_pairs_sql(adj_path: str, walk_len: int = 4, window: int = 2) -> str:
+    """Skip-gram pair counts over the walk replay: self-join on walk_id
+    with step distance 1..window, both directions via |Δ|."""
+    return (
+        "WITH "
+        + _walks_cte(adj_path, walk_len)
+        + f"""
+    SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n
+    FROM w a JOIN w b ON a.walk_id = b.walk_id
+         AND a.step <> b.step AND abs(a.step - b.step) <= {window}
+    GROUP BY 1, 2 ORDER BY 1, 2"""
     )
 
 
@@ -2436,6 +2629,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
                   < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 WHEN 'fr' THEN 50 WHEN 'es' THEN 20 ELSE 5 END
+            ORDER BY doc_id
+        """,
+        # mixture_sample: √n temperature quotas (isqrt == floor(sqrt) for
+        # n < 2^51), per-source smallest-(md5, id) picks via one window
+        "mixture_sample": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            r AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS rt FROM c),
+            q AS (SELECT source, least(n, 400 * rt // (SELECT sum(rt) FROM r)) AS quota FROM r),
+            ranked AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) ASC,
+                              doc_id ASC) AS rn
+                   FROM documents)
+            SELECT d.doc_id, d.source FROM ranked d JOIN q USING (source)
+            WHERE d.rn <= q.quota ORDER BY doc_id
+        """,
+        # budget_select: the engine's radix-located cut point IS the
+        # window prefix rule (token sums are strictly positive, so
+        # cum <= budget == stop-at-first-overflow)
+        "budget_select": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h,
+                     CAST(len(list_distinct(string_split(lower(text), ' '))) * 1000
+                          // len(string_split(lower(text), ' ')) AS BIGINT) AS score,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            o AS (SELECT doc_id, score, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY score DESC, h ASC, doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM f)
+            SELECT doc_id, score, n_tokens FROM o WHERE cum <= {BUDGET_TOKENS}
             ORDER BY doc_id
         """,
         "distinct_texts": """
@@ -3263,6 +3489,20 @@ def oracle_sql() -> dict[str, str]:
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)
         "kcore": _kcore_sql(kg_paths["kg_adjacency"], k=2, rounds=8),
+        # bfs_hops: monotone min relaxation unrolled to the engine's fixed
+        # hop count; label_prop: exactly-3-round synchronous LPA replay;
+        # random_walks: the md5-mod neighbor draw joined per step
+        "bfs_hops": _bfs_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=6),
+        "label_prop": _label_prop_sql(kg_paths["kg_adjacency"], rounds=3),
+        "random_walks": _walks_sql(kg_paths["kg_adjacency"], walk_len=4),
+        # walk_pairs: self-join over the identical walk replay;
+        # kg_embeddings: parquet-materialized single-process DeepWalk
+        # replay (plain-python walks/pairs + the driver SGNS kernel —
+        # the supervised_eval oracle precedent)
+        "walk_pairs": _walk_pairs_sql(kg_paths["kg_adjacency"], walk_len=4, window=2),
+        "kg_embeddings": f"""
+            SELECT * FROM read_parquet('{kg_paths["kg_embeddings"]}') ORDER BY node
+        """,
         "triple_provenance": f"""
             SELECT subj, pred, obj,
                    CAST(count(*) AS BIGINT) AS n_mentions,

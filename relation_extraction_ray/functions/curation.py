@@ -1,0 +1,323 @@
+"""Corpus curation for LLM training data: temperature-balanced source
+mixing and token-budget selection.
+
+Both operators answer the two questions every pretraining data pipeline
+asks right before writing shards: *in what proportions do the sources
+enter the mix?* (``mixture_sample`` — the multinomial temperature rule of
+multilingual/multi-domain training, p_s ∝ n_s^τ) and *which documents fit
+the token budget?* (``budget_select`` — quality-ranked greedy fill).
+Everything is integer / md5-deterministic, so both are value-exact
+replayable in SQL at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .joins import derive_n_parts, hash_partitioned_groups
+
+
+def _md5_u64_col(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 per id: first 16 md5 hex chars — the cross-engine-portable
+    uniform key (SQL: ``CAST(('0x'||substr(md5(id),1,16)) AS UBIGINT)``).
+    One digest per row; the portable-hash price every md5-keyed oracle
+    pays (see functions/joins.py hash_columns for the fast internal
+    alternative when no SQL replay is needed)."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(str(s).encode()).hexdigest()[:16], 16)
+            for s in ids.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def mixture_sample(
+    docs: ray.data.Dataset,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    total: int = 1000,
+) -> ray.data.Dataset:
+    """Temperature-balanced source mixture (τ = 1/2): sample ~``total``
+    documents with per-source quotas ∝ √n_s — the standard temperature
+    upsampling of low-resource sources (multilingual LM recipe, e.g.
+    mBERT/XLM exponent-smoothed sampling) made exact and deterministic:
+
+        quota_s = min(n_s, total · isqrt(n_s) // Σ_t isqrt(n_t))
+
+    and each source keeps its quota_s documents with the SMALLEST
+    (md5_u64(key), key) — a uniform, reproducible within-source draw.
+
+    Scale shape: one combine-fed groupby for the per-source counts
+    (output = |sources| rows); quotas are a tiny driver dict (broadcast
+    by closure); selection is the bounded-heap per-group top-k — every
+    batch locally prunes each source to its quota before the exchange,
+    so a 10¹⁰-row source ships ≤ quota rows per batch, and one keyed
+    exchange finishes with a vectorized segmented rank.  isqrt equals
+    SQL ``floor(sqrt(n))`` exactly for n < 2⁵¹ (correctly-rounded double
+    sqrt can't cross an integer below that), so the SQL replay is exact."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(source_col).combine_chunks())
+        return pa.table(
+            {"source": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        docs.select_columns([source_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    roots = {r["source"]: math.isqrt(r["n"]) for r in counts}
+    tot_root = sum(roots.values())
+    quota = {
+        r["source"]: min(r["n"], total * roots[r["source"]] // tot_root)
+        for r in counts
+    }
+    max_q = max(quota.values()) if quota else 0
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.string()), ("source", pa.string()), ("h", pa.uint64())]
+            ).empty_table()
+        h = _md5_u64_col(batch.column(key_col))
+        t = pa.table(
+            {
+                "doc_id": batch.column(key_col),
+                "source": batch.column(source_col),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+        s = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("source", "ascending"),
+                    ("h", "ascending"),
+                    ("doc_id", "ascending"),
+                ],
+            )
+        )
+        g = s.column("source").to_numpy(zero_copy_only=False)
+        new_g = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new_g)
+        rank = (
+            np.arange(len(g), dtype=np.int64)
+            - np.repeat(starts, np.diff(np.concatenate([starts, [len(g)]])))
+            + 1
+        )
+        # bounded-heap combine: a row below its batch's max-quota-th rank
+        # in its source can never make the global quota
+        return s.filter(pa.array(rank <= max_q))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.string()), ("source", pa.string())]
+            ).empty_table()
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[
+                    ("source", "ascending"),
+                    ("h", "ascending"),
+                    ("doc_id", "ascending"),
+                ],
+            )
+        )
+        g = s.column("source").to_numpy(zero_copy_only=False)
+        new_g = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new_g)
+        rank = (
+            np.arange(len(g), dtype=np.int64)
+            - np.repeat(starts, np.diff(np.concatenate([starts, [len(g)]])))
+            + 1
+        )
+        q = np.fromiter((quota.get(x, 0) for x in g), dtype=np.int64, count=len(g))
+        return s.filter(pa.array(rank <= q)).select(["doc_id", "source"])
+
+    pruned = docs.select_columns([key_col, source_col]).map_batches(
+        local_prune, batch_format="pyarrow"
+    )
+    n_parts = derive_n_parts(len(quota), rows_per_part=64)
+    return hash_partitioned_groups(pruned, ["source"], per_part, n_parts).sort(
+        ["doc_id"]
+    )
+
+
+def budget_select(
+    docs: ray.data.Dataset, budget_tokens: int, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Token-budget corpus selection: greedily keep the highest-quality
+    documents until the running token total would exceed
+    ``budget_tokens`` — the curation step that turns "we can afford N
+    tokens" into a document list.  Quality is the integer distinct-token
+    ratio ``score = n_uniq · 1000 // n_tokens`` (milli-units, ≤ 1001
+    distinct values); the global order is (score DESC, md5_u64(doc_id)
+    ASC, doc_id ASC) and a document is kept iff the cumulative token sum
+    up to and including it is ≤ the budget (window prefix rule —
+    ``sum(...) OVER (ORDER BY ...) <= budget`` in the SQL replay).
+
+    Scale shape — the cut point is found WITHOUT any global sort:
+    (1) one scan derives (doc_id, h, score, n_tokens); (2) one
+    combine-fed groupby(score) (≤ 1001 rows) lets the driver find the
+    boundary score s* and the budget remainder; (3) within the s*
+    stratum the exact cut hash h* is located by BYTE-RADIX refinement —
+    eight ≤-256-bucket groupbys over (h >> shift) & 0xFF, each narrowing
+    one byte, each shipping at most 256 counter rows (the distributed
+    weighted-order-statistic search; h is md5-uniform so strata split
+    evenly regardless of data skew); (4) one vectorized filter scan
+    emits the selection.  No stage ever materializes, sorts, or
+    prefix-sums the corpus; ties at the full 64-bit h* (whp a single
+    doc) resolve driver-side by doc_id.  Output: (doc_id, score,
+    n_tokens) of selected docs, doc_id-sorted."""
+    from ray.data.aggregate import Count, Sum
+
+    from .text import _split_lower
+
+    def feats(batch: pa.Table) -> pa.Table:
+        split = _split_lower(batch.column(text_col))
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lens)
+        flat = pc.list_flatten(split)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pairs = (
+            pa.table({"r": pa.array(row), "t": flat}).group_by(["r", "t"]).aggregate([])
+        )
+        n_uniq = np.zeros(n, np.int64)
+        np.add.at(n_uniq, pairs.column("r").to_numpy(zero_copy_only=False), 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(_md5_u64_col(batch.column("doc_id")), pa.uint64()),
+                "score": pa.array(n_uniq * 1000 // lens, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+            }
+        )
+
+    f = docs.select_columns(["doc_id", text_col]).map_batches(
+        feats, batch_format="pyarrow"
+    ).materialize()  # 4 scalar columns — the projection, never the corpus
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["score"]).aggregate([("n_tokens", "sum")])
+        return g.rename_columns(["score", "toks"])
+
+    by_score = (
+        f.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .take_all()
+    )
+    by_score.sort(key=lambda r: -r["score"])
+    out_cols = ["doc_id", "score", "n_tokens"]
+
+    cum = 0
+    s_star = None
+    b_rem = 0
+    for r in by_score:
+        if cum + r["toks"] > budget_tokens:
+            s_star = r["score"]
+            b_rem = budget_tokens - cum
+            break
+        cum += r["toks"]
+    if s_star is None:  # whole corpus fits
+        return f.select_columns(out_cols).sort("doc_id")
+
+    # byte-radix search for the cut hash h* inside the boundary stratum
+    stratum = f.filter(expr=f"score == {s_star}").materialize()
+    prefix = np.uint64(0)
+    bits_left = 64
+    for b in range(8):
+        shift = 8 * (7 - b)
+        if b_rem <= 0:
+            break
+
+        def bucket_partial(batch: pa.Table, _shift=shift, _prefix=prefix, _b=b):
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            if _b > 0:
+                keep = (h >> np.uint64(_shift + 8)) == _prefix
+                h = h[keep]
+                toks = batch.column("n_tokens").to_numpy(zero_copy_only=False)[keep]
+            else:
+                toks = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+            byte = ((h >> np.uint64(_shift)) & np.uint64(0xFF)).astype(np.int64)
+            t = pa.table(
+                {"byte": pa.array(byte), "toks": pa.array(toks.astype(np.int64))}
+            )
+            g = t.group_by(["byte"]).aggregate([("toks", "sum"), ([], "count_all")])
+            return pa.table(
+                {
+                    "byte": g.column("byte"),
+                    "toks": g.column("toks_sum"),
+                    "n": g.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        buckets = (
+            stratum.map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("byte")
+            .aggregate(Sum("toks", alias_name="toks"), Sum("n", alias_name="n"))
+            .take_all()
+        )
+        buckets.sort(key=lambda r: r["byte"])
+        boundary_byte = None
+        for r in buckets:
+            if b_rem - r["toks"] < 0:
+                boundary_byte = r["byte"]
+                break
+            b_rem -= r["toks"]
+        if boundary_byte is None:
+            # impossible by the level invariant (the candidate set's token
+            # total strictly exceeds b_rem at every level)
+            raise RuntimeError("budget_select: radix invariant violated")
+        prefix = (prefix << np.uint64(8)) | np.uint64(boundary_byte)
+        bits_left -= 8
+
+    if bits_left == 0 and b_rem > 0:
+        # candidates with h == h* (whp one doc): driver tie-break by doc_id
+        h_star = int(prefix)
+        hs = pa.scalar(h_star, pa.uint64())
+        ties = sorted(
+            stratum.map_batches(
+                lambda t: t.filter(pc.equal(t.column("h"), hs)),
+                batch_format="pyarrow",
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        included_ids = []
+        for r in ties:
+            if b_rem - r["n_tokens"] < 0:
+                break
+            b_rem -= r["n_tokens"]
+            included_ids.append(r["doc_id"])
+        inc_set = set(included_ids)
+    else:
+        # ran out of budget mid-radix: everything strictly under the
+        # partial prefix is in, nothing at or above it fits
+        h_star = int(prefix) << bits_left
+        inc_set = set()
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        sc = batch.column("score").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        at_star = sc == s_star
+        keep = sc > s_star
+        keep |= at_star & (h < np.uint64(h_star))
+        if inc_set:
+            keep |= at_star & (h == np.uint64(h_star)) & np.isin(ids, list(inc_set))
+        return batch.filter(pa.array(keep)).select(out_cols)
+
+    return f.map_batches(final_filter, batch_format="pyarrow").sort("doc_id")

@@ -1108,3 +1108,556 @@ def pred_bigrams(adjacency: ray.data.Dataset) -> ray.data.Dataset:
         .aggregate(Sum("n_paths", alias_name="n_paths"))
         .sort(["p1", "p2"])
     )
+
+
+# --- multi-source BFS: hop distance from hash-seeded landmarks ---------------
+
+def _undirected_both_dirs(adjacency: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
+    """Distinct undirected simple edges of the KG entity graph,
+    materialized BOTH directions as (u, v) rows (self-loops dropped,
+    predicates/weights ignored) and hash-partitioned by ``u`` — the
+    static probe side shared by :func:`bfs_hops` and
+    :func:`label_propagation`.  Dedup is exact: canonical (min, max)
+    pairs flow through one keyed exchange before mirroring."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        t = pa.table({"a": pc.min_element_wise(u, v), "b": pc.max_element_wise(u, v)})
+        t = t.group_by(["a", "b"]).aggregate([])
+        return t.append_column("part", part_array(t, ["a", "b"], n_parts))
+
+    def mirror(part: pa.Table) -> pa.Table:
+        d = part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        a, b = d.column("a").combine_chunks(), d.column("b").combine_chunks()
+        t = pa.table(
+            {"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])}
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    return (
+        adjacency.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mirror, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def bfs_seed_mask(nodes: "pa.Array | pa.ChunkedArray", pct: int) -> pa.Array:
+    """Deterministic landmark selection: node is a BFS source iff its
+    md5('seed:'+node) bucket < ``pct`` of 100 — the same cross-engine
+    md5-bucket rule every sampling oracle replays
+    (``CAST(('0x'||substr(md5('seed:'||node),1,8)) AS UBIGINT) % 100``)."""
+    import hashlib
+
+    return pa.array(
+        [
+            int(hashlib.md5(("seed:" + s).encode()).hexdigest()[:8], 16) % 100 < pct
+            for s in nodes.to_pylist()
+        ],
+        pa.bool_(),
+    )
+
+
+def bfs_hops(
+    adjacency: ray.data.Dataset, seed_pct: int = 5, max_hops: int = 6
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance over the undirected KG entity graph
+    (the landmark-distance feature of graph ML / KG QA: how many hops is
+    each entity from the nearest seed): sources are the deterministic
+    md5-bucket ``seed_pct``% of nodes; output is (node, dist) for every
+    node REACHED within ``max_hops`` (unreached nodes carry no row —
+    distance ∞ stays implicit, never materialized).
+
+    Scale shape: the mirrored edge table partitions once and pins
+    (static graph, iterating frontier, the PageRank discipline); each
+    round the current distance table exchanges ONCE through the same
+    hash as the edges, the per-partition probe is a vectorized
+    sorted-array ``searchsorted`` join emitting (neighbor, dist+1)
+    candidates pre-combined locally (min per neighbor), and one
+    ``groupby(node).min`` folds candidates into the running distances.
+    Distance relaxation is MONOTONE (min of ints), so running exactly
+    ``max_hops`` rounds is deterministic at any partitioning and a
+    fixed-depth SQL unroll compares exactly — rounds past convergence
+    are no-ops.  Per-round exchange volume is O(frontier ∪ dists), never
+    O(edges): the edge side is static."""
+    from ray.data.aggregate import Min
+
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+    edges = _undirected_both_dirs(adjacency, n_parts)
+
+    def seed_partial(part: pa.Table) -> pa.Table:
+        nodes = pc.unique(part.column("u").combine_chunks())
+        hit = bfs_seed_mask(nodes, seed_pct)
+        picked = nodes.filter(hit)
+        return pa.table(
+            {
+                "node": picked,
+                "dist": pa.array(np.zeros(len(picked), np.int64)),
+            }
+        )
+
+    # node set = distinct u of the mirrored table (covers every endpoint);
+    # distinct-per-partition is exact because the mirror step partitions by u
+    dist = (
+        edges.groupby("part")
+        .map_groups(seed_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cand_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
+
+    def dist_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column("node"),
+                "v": batch.column("node"),
+                "dist": batch.column("dist").cast(pa.int64()),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        cols = ["u", "v", "part"] if "part" in batch.column_names else ["u", "v"]
+        t = batch.select(cols)
+        if "part" not in t.column_names:
+            t = t.append_column("part", part_array(t, ["u"], n_parts))
+        return t.append_column(
+            "dist", pa.array(np.full(t.num_rows, -1, np.int64))
+        ).select(["u", "v", "dist", "part"])
+
+    def probe(part: pa.Table) -> pa.Table:
+        d = part.column("dist").to_numpy(zero_copy_only=False)
+        is_dist = d >= 0
+        if not is_dist.any() or is_dist.all():
+            return cand_schema.empty_table()
+        dn = part.column("u").to_numpy(zero_copy_only=False)[is_dist].astype(str)
+        dv = d[is_dist]
+        order = np.argsort(dn, kind="mergesort")
+        dn, dv = dn[order], dv[order]
+        eu = part.column("u").to_numpy(zero_copy_only=False)[~is_dist].astype(str)
+        pos = np.minimum(np.searchsorted(dn, eu), len(dn) - 1)
+        hit = dn[pos] == eu
+        if not hit.any():
+            return cand_schema.empty_table()
+        ev = part.column("v").filter(pa.array(~is_dist)).combine_chunks()
+        t = pa.table(
+            {
+                "node": ev.filter(pa.array(hit)),
+                "dist": pa.array(dv[pos[hit]] + 1, pa.int64()),
+            }
+        )
+        # local min combine before the node exchange
+        return (
+            t.group_by(["node"]).aggregate([("dist", "min")]).rename_columns(["node", "dist"])
+        )
+
+    for _ in range(max_hops):
+        tagged = edges.map_batches(edge_tag, batch_format="pyarrow").union(
+            dist.map_batches(dist_tag, batch_format="pyarrow")
+        )
+        cand = tagged.groupby("part").map_groups(probe, batch_format="pyarrow")
+        # repartition BEFORE materializing: the aggregate emits as many
+        # blocks as it receives, and dist feeds next round's union — without
+        # the bound, block count (and per-block scheduling overhead)
+        # compounds exponentially across rounds (measured: 0.5→31 s/round
+        # by round 6 on a 60-node graph)
+        dist = (
+            dist.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    return dist.sort("node")
+
+
+# --- synchronous label propagation: community detection -----------------------
+
+def label_propagation(adjacency: ray.data.Dataset, rounds: int = 3) -> ray.data.Dataset:
+    """Community detection by SYNCHRONOUS label propagation over the
+    undirected KG entity graph (Raghavan et al. 2007, the near-linear
+    community baseline): every node starts as its own community; each
+    round every node adopts the most frequent label among its neighbors,
+    ties broken by lexicographically smallest label.  Exactly ``rounds``
+    rounds run — the synchronous update plus deterministic tie-break
+    makes the result independent of partitioning and block order, and a
+    fixed-depth SQL unroll (join → count → windowed argmax per round)
+    replays it exactly.
+
+    Scale shape per round: labels exchange once through the static
+    mirrored-edge partitions (searchsorted probe emits (neighbor, label)
+    tallies pre-combined per partition), one (node, label) groupby sums
+    the tallies, and the per-node argmax is one more keyed exchange
+    resolved with a vectorized sort + first-of-run gather (the grouped-
+    MODE kernel) — no per-node dispatch.  Exchange volume is O(edges)
+    tallies per round, the LPA lower bound."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_partitioned_groups
+
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+    edges = _undirected_both_dirs(adjacency, n_parts)
+
+    def init_labels(part: pa.Table) -> pa.Table:
+        nodes = pc.unique(part.column("u").combine_chunks())
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = (
+        edges.groupby("part").map_groups(init_labels, batch_format="pyarrow").materialize()
+    )
+
+    tally_schema = pa.schema(
+        [("node", pa.string()), ("label", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def label_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column("node"),
+                "v": batch.column("label"),
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["u", "v"])
+        t = t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def probe(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        is_lab = side == 1
+        if not is_lab.any() or is_lab.all():
+            return tally_schema.empty_table()
+        ln = part.column("u").to_numpy(zero_copy_only=False)[is_lab].astype(str)
+        lv = part.column("v").to_numpy(zero_copy_only=False)[is_lab].astype(str)
+        order = np.argsort(ln, kind="mergesort")
+        ln, lv = ln[order], lv[order]
+        eu = part.column("u").to_numpy(zero_copy_only=False)[~is_lab].astype(str)
+        pos = np.minimum(np.searchsorted(ln, eu), len(ln) - 1)
+        hit = ln[pos] == eu
+        if not hit.any():
+            return tally_schema.empty_table()
+        ev = part.column("v").filter(pa.array(~is_lab)).combine_chunks()
+        t = pa.table(
+            {
+                "node": ev.filter(pa.array(hit)),
+                "label": pa.array(lv[pos[hit]], pa.string()),
+            }
+        )
+        g = t.group_by(["node", "label"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": g.column("node"),
+                "label": g.column("label"),
+                "cnt": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def argmax_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.schema([("node", pa.string()), ("label", pa.string())]).empty_table()
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[
+                    ("node", "ascending"),
+                    ("cnt", "descending"),
+                    ("label", "ascending"),
+                ],
+            )
+        )
+        g = s.column("node").to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], g[1:] != g[:-1]])
+        return s.filter(pa.array(first)).select(["node", "label"])
+
+    for _ in range(rounds):
+        tagged = edges.map_batches(edge_tag, batch_format="pyarrow").union(
+            labels.map_batches(label_tag, batch_format="pyarrow")
+        )
+        tallies = (
+            tagged.groupby("part")
+            .map_groups(probe, batch_format="pyarrow")
+            .groupby(["node", "label"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        # repartition bounds the label block count across rounds (labels
+        # re-enter next round's union; see bfs_hops for the growth mode)
+        labels = (
+            hash_partitioned_groups(tallies, ["node"], argmax_part, n_parts)
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "community"]), batch_format="pyarrow"
+    ).sort("node")
+
+
+# --- deterministic random walks: the DeepWalk corpus generator ---------------
+
+def random_walks(adjacency: ray.data.Dataset, walk_len: int = 4) -> ray.data.Dataset:
+    """DeepWalk-style random-walk corpus over the DIRECTED KG (Perozzi et
+    al. 2014 — the sentence generator that turns a graph into skip-gram
+    training data): every distinct source node starts one walk
+    (walk_id = start node); at step t the walk at node c moves to
+    ``sorted_out_neighbors(c)[ md5_u64(walk_id|c|t) % outdeg(c) ]`` and a
+    walk at a node with no out-edges ends.  The neighbor choice is a pure
+    hash — no RNG state — so the walk set is identical at any
+    parallelism AND exactly replayable in SQL (row_number over sorted
+    neighbors joined on the same md5-mod index).
+
+    Scale shape: distinct (u, v) edges partition once by hash(u), sort
+    per partition, and pin across steps; each step the frontier
+    (walk_id, node) exchanges through the same hash, the per-partition
+    probe finds each node's neighbor run with TWO searchsorted calls and
+    gathers the picked neighbor by index arithmetic — the only per-row
+    Python is the md5 draw itself (one digest per live walk per step,
+    the portable-hash price every md5-keyed oracle pays).  Frontier
+    volume is ≤ n_walks rows per step; the edge side never re-shuffles
+    logically (re-unioned here; pin via ray.put below the PageRank
+    bound is the stated cluster optimization)."""
+    import hashlib
+
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def sort_part(part: pa.Table) -> pa.Table:
+        d = part.select(["u", "v"]).group_by(["u", "v"]).aggregate([])
+        d = d.sort_by([("u", "ascending"), ("v", "ascending")])
+        return d.append_column("part", part_array(d, ["u"], n_parts))
+
+    edges = (
+        adjacency.map_batches(dedup, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sort_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def starts_part(part: pa.Table) -> pa.Table:
+        nodes = pc.unique(part.column("u").combine_chunks())
+        return pa.table({"walk_id": nodes, "node": nodes})
+
+    frontier = (
+        edges.groupby("part").map_groups(starts_part, batch_format="pyarrow").materialize()
+    )
+
+    out_rows = [
+        frontier.map_batches(
+            lambda t: t.append_column("step", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+    ]
+
+    step_schema = pa.schema([("walk_id", pa.string()), ("node", pa.string())])
+
+    def frontier_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column("node"),
+                "v": batch.column("walk_id"),
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["u", "v", "part"])
+        return t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8))).select(
+            ["u", "v", "side", "part"]
+        )
+
+    def make_step(t: int):
+        def step_part(part: pa.Table) -> pa.Table:
+            side = part.column("side").to_numpy(zero_copy_only=False)
+            is_f = side == 1
+            if not is_f.any() or is_f.all():
+                return step_schema.empty_table()
+            fe = part.filter(pa.array(~is_f))
+            # edges arrive already sorted per partition, but the union may
+            # interleave blocks — re-sort (cheap, partition-local)
+            fe = fe.sort_by([("u", "ascending"), ("v", "ascending")])
+            eu = fe.column("u").to_numpy(zero_copy_only=False).astype(str)
+            cur = part.column("u").to_numpy(zero_copy_only=False)[is_f].astype(str)
+            wid = part.column("v").to_numpy(zero_copy_only=False)[is_f].astype(str)
+            lo = np.searchsorted(eu, cur, side="left")
+            hi = np.searchsorted(eu, cur, side="right")
+            deg = hi - lo
+            alive = deg > 0
+            if not alive.any():
+                return step_schema.empty_table()
+            cur, wid, lo, deg = cur[alive], wid[alive], lo[alive], deg[alive]
+            # int(d): a 64-bit md5 int % np.int64 would silently promote to
+            # float64 (value-based casting) and corrupt the low bits
+            idx = np.fromiter(
+                (
+                    int(hashlib.md5(f"{w}|{c}|{t}".encode()).hexdigest()[:16], 16) % int(d)
+                    for w, c, d in zip(wid, cur, deg)
+                ),
+                dtype=np.int64,
+                count=len(wid),
+            )
+            picked = fe.column("v").take(pa.array(lo + idx, pa.int64()))
+            return pa.table({"walk_id": pa.array(wid, pa.string()), "node": picked})
+
+        return step_part
+
+    for t in range(1, walk_len + 1):
+        tagged = edges.map_batches(edge_tag, batch_format="pyarrow").union(
+            frontier.map_batches(frontier_tag, batch_format="pyarrow")
+        )
+        # repartition bounds frontier blocks (frontier re-enters next
+        # step's union; see bfs_hops for the growth mode)
+        frontier = (
+            tagged.groupby("part")
+            .map_groups(make_step(t), batch_format="pyarrow")
+            .repartition(n_parts)
+            .materialize()
+        )
+        out_rows.append(
+            frontier.map_batches(
+                lambda b, _t=t: b.append_column(
+                    "step", pa.array(np.full(b.num_rows, _t, np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    out = out_rows[0]
+    for part in out_rows[1:]:
+        out = out.union(part)
+    return out.map_batches(
+        lambda b: b.select(["walk_id", "step", "node"]), batch_format="pyarrow"
+    ).sort(["walk_id", "step"])
+
+
+def walk_pairs(
+    adjacency: ray.data.Dataset, walk_len: int = 4, window: int = 2
+) -> ray.data.Dataset:
+    """Skip-gram training pairs from the deterministic walk corpus (the
+    DeepWalk co-occurrence statistic: which entities appear within
+    ``window`` steps of each other on random walks — the input
+    distribution :func:`kg_node_embeddings` factorizes): for every
+    ordered pair of positions on the same walk at step distance
+    1..window, one (center, context) count.
+
+    Scale shape: walks exchange ONCE keyed by walk_id; within a
+    partition each walk's step sequence is one sorted run and every
+    offset d is a boundary-masked vectorized shift (the Markov-
+    transition kernel), emitting both directions; per-partition Arrow
+    hash-aggregate pre-combines before the final (center, context)
+    groupby, so the exchange carries distinct-pair counts, not pair
+    instances.  Exactly replayable in SQL (self-join on walk_id with
+    |Δstep| ≤ window over the walk replay)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_partitioned_groups
+
+    walks = random_walks(adjacency, walk_len=walk_len)
+    n_parts = derive_n_parts(walks.count(), rows_per_part=65536)
+
+    pair_schema = pa.schema(
+        [("center", pa.string()), ("context", pa.string()), ("n", pa.int64())]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        s = part.sort_by([("walk_id", "ascending"), ("step", "ascending")])
+        wid = s.column("walk_id").to_numpy(zero_copy_only=False).astype(str)
+        node = s.column("node").to_numpy(zero_copy_only=False)
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            if len(wid) <= d:
+                break
+            same = wid[d:] == wid[:-d]  # steps are contiguous per walk
+            a, b = node[:-d][same], node[d:][same]
+            cs.append(a)
+            xs.append(b)
+            cs.append(b)
+            xs.append(a)
+        if not cs:
+            return pair_schema.empty_table()
+        t = pa.table(
+            {
+                "center": pa.array(np.concatenate(cs), pa.string()),
+                "context": pa.array(np.concatenate(xs), pa.string()),
+            }
+        )
+        g = t.group_by(["center", "context"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "center": g.column("center"),
+                "context": g.column("context"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    partials = hash_partitioned_groups(walks, ["walk_id"], per_part, n_parts)
+    return (
+        partials.groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["center", "context"])
+    )
+
+
+def kg_node_embeddings(
+    adjacency: ray.data.Dataset,
+    dim: int = 16,
+    walk_len: int = 8,
+    window: int = 2,
+    epochs: int = 5,
+    lr: float = 0.05,
+    neg: int = 5,
+    seed: int = 7,
+    n_shards: int | None = None,
+) -> tuple[list[str], np.ndarray]:
+    """DeepWalk KG entity embeddings (Perozzi et al. 2014): deterministic
+    random walks → skip-gram pairs → SGNS — the graph-representation
+    pipeline a KG engine feeds to link-prediction / clustering consumers.
+    Returns (nodes, [V, dim] float32) in sorted-node order.
+
+    Reuses the engine's proven SGNS machinery end-to-end
+    (functions/training.py train_skipgram / train_skipgram_sharded —
+    the same code path the SemEval embedding-init lever runs): pair
+    generation is fully distributed (:func:`walk_pairs`, SQL-oracle-
+    exact); the default fit collects the DISTINCT-pair count table
+    (bounded by co-occurring entity pairs, not walk volume) and runs the
+    deterministic driver SGNS over the expanded multiset; ``n_shards``
+    switches to the parameter-averaged object-store path for vocabularies
+    that dwarf driver memory.  The entity vocabulary is O(V·dim) driver
+    state — the same budget as the T5 word2vec broadcast table."""
+    from .training import train_skipgram
+
+    pairs = walk_pairs(adjacency, walk_len=walk_len, window=window)
+    rows = pairs.take_all()  # distinct weighted pairs, pre-combined
+    nodes = sorted({r["center"] for r in rows} | {r["context"] for r in rows})
+    node2id = {n: i for i, n in enumerate(nodes)}
+    if not rows:
+        return nodes, np.zeros((0, dim), np.float32)
+    centers = np.repeat(
+        np.array([node2id[r["center"]] for r in rows], np.int64),
+        np.array([r["n"] for r in rows], np.int64),
+    )
+    contexts = np.repeat(
+        np.array([node2id[r["context"]] for r in rows], np.int64),
+        np.array([r["n"] for r in rows], np.int64),
+    )
+    emb = train_skipgram(
+        centers, contexts, len(nodes), dim=dim, epochs=epochs, neg=neg, lr=lr, seed=seed
+    )
+    return nodes, emb

@@ -545,3 +545,70 @@ def run_oracle(doc_rows: list[dict], cfg: KGConfig | None = None, ok_dep_structu
         if adjacency
         else schemas.ADJACENCY.empty_table(),
     }
+
+
+def kg_embeddings_rows(
+    adjacency: pa.Table,
+    walk_len: int = 4,
+    window: int = 2,
+    dim: int = 16,
+    epochs: int = 5,
+) -> list[dict]:
+    """Single-process replay of the kg_embeddings query (DeepWalk entity
+    vectors): plain-Python deterministic walks + window pairs over the
+    ORACLE pipeline's adjacency, then the same driver SGNS
+    (functions/training.train_skipgram called as a plain function — the
+    supervised_metrics_row precedent of replaying with engine kernels on
+    one batch) and the nearest-neighbor cosine digest.  Verifies the
+    distributed walk/pair plumbing feeds the trainer bit-identical input;
+    walk/pair correctness is independently SQL-proven by the
+    random_walks / walk_pairs oracles."""
+    import hashlib
+
+    import numpy as np
+
+    from .functions.training import train_skipgram
+
+    out: dict[str, set] = {}
+    for u, v in zip(
+        adjacency.column("src_id").to_pylist(), adjacency.column("dst_id").to_pylist()
+    ):
+        out.setdefault(u, set()).add(v)
+    nbrs = {u: sorted(vs) for u, vs in out.items()}
+    pair_cnt: dict[tuple, int] = {}
+    for s in sorted(nbrs):
+        seq = [s]
+        cur = s
+        for t in range(1, walk_len + 1):
+            ns = nbrs.get(cur)
+            if not ns:
+                break
+            cur = ns[
+                int(hashlib.md5(f"{s}|{cur}|{t}".encode()).hexdigest()[:16], 16)
+                % len(ns)
+            ]
+            seq.append(cur)
+        for i in range(len(seq)):
+            for d in range(1, window + 1):
+                if i + d < len(seq):
+                    a, b = seq[i], seq[i + d]
+                    pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+                    pair_cnt[(b, a)] = pair_cnt.get((b, a), 0) + 1
+    if not pair_cnt:
+        return []
+    pairs = sorted(pair_cnt.items())
+    nodes = sorted({a for (a, _), _ in pairs} | {b for (_, b), _ in pairs})
+    n2i = {n: i for i, n in enumerate(nodes)}
+    reps = np.array([n for _, n in pairs], np.int64)
+    centers = np.repeat(np.array([n2i[a] for (a, _), _ in pairs], np.int64), reps)
+    contexts = np.repeat(np.array([n2i[b] for (_, b), _ in pairs], np.int64), reps)
+    emb = train_skipgram(centers, contexts, len(nodes), dim=dim, epochs=epochs)
+    e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    sims = e @ e.T
+    np.fill_diagonal(sims, -2.0)
+    nn = sims.argmax(axis=1)
+    cos_micro = np.floor(sims[np.arange(len(nodes)), nn] * 1e6 + 0.5).astype(np.int64)
+    return [
+        {"node": n, "nn": nodes[j], "cos_micro": int(c)}
+        for n, j, c in zip(nodes, nn, cos_micro)
+    ]

@@ -1,0 +1,115 @@
+"""mixture_sample / budget_select vs single-process brute force."""
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from relation_extraction_ray.functions.curation import budget_select, mixture_sample
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
+def _corpus(seed=42, n=500):
+    rng = np.random.RandomState(seed)
+    srcs = np.array(["web", "wiki", "books", "code"])[
+        rng.choice(4, n, p=[0.6, 0.2, 0.15, 0.05])
+    ]
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(words, rng.randint(1, 30)).tolist()) for _ in range(n)]
+    ids = [f"d{i:05d}" for i in range(n)]
+    return ids, srcs.tolist(), texts, pa.table(
+        {"doc_id": ids, "source": srcs.tolist(), "text": texts}
+    )
+
+
+def test_mixture_sample_vs_bruteforce(ray_session):
+    ids, srcs, _, tab = _corpus()
+    cnt = Counter(srcs)
+    roots = {s: math.isqrt(n) for s, n in cnt.items()}
+    tr = sum(roots.values())
+    total = 100
+    quota = {s: min(cnt[s], total * roots[s] // tr) for s in cnt}
+    exp = []
+    for s in cnt:
+        rows = sorted((( _h64(i), i) for i, sc in zip(ids, srcs) if sc == s))[: quota[s]]
+        exp += [(i, s) for _, i in rows]
+    exp.sort()
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(tab).repartition(parts)
+        got = [(r["doc_id"], r["source"]) for r in mixture_sample(ds, total=total).take_all()]
+        assert got == exp
+
+
+def test_mixture_sample_upweights_small_source(ray_session):
+    """√n temperature: the small source's sampled share exceeds its
+    corpus share."""
+    ids, srcs, _, tab = _corpus(seed=1, n=800)
+    cnt = Counter(srcs)
+    got = mixture_sample(ray.data.from_arrow(tab), total=200).take_all()
+    sample_cnt = Counter(r["source"] for r in got)
+    small = min(cnt, key=cnt.get)
+    assert sample_cnt[small] / len(got) > cnt[small] / len(ids)
+
+
+def _brute_budget(ids, texts, budget):
+    feats = []
+    for i, t in zip(ids, texts):
+        toks = t.lower().split(" ")
+        feats.append((len(set(toks)) * 1000 // len(toks), _h64(i), i, len(toks)))
+    feats.sort(key=lambda x: (-x[0], x[1], x[2]))
+    cum, out = 0, []
+    for sc, _, i, nt in feats:
+        if cum + nt > budget:
+            break
+        cum += nt
+        out.append((i, sc, nt))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("budget", [0, 50, 777, 3000, 10**9])
+def test_budget_select_vs_bruteforce(ray_session, budget):
+    ids, _, texts, tab = _corpus()
+    ds = ray.data.from_arrow(tab).repartition(6)
+    got = [
+        (r["doc_id"], r["score"], r["n_tokens"])
+        for r in budget_select(ds, budget).take_all()
+    ]
+    assert got == _brute_budget(ids, texts, budget)
+
+
+def test_budget_select_block_invariant(ray_session):
+    ids, _, texts, tab = _corpus(seed=9, n=300)
+    exp = _brute_budget(ids, texts, 1500)
+    for parts in (1, 11):
+        ds = ray.data.from_arrow(tab).repartition(parts)
+        got = [
+            (r["doc_id"], r["score"], r["n_tokens"])
+            for r in budget_select(ds, 1500).take_all()
+        ]
+        assert got == exp
+
+
+def test_budget_select_exact_fit_boundary(ray_session):
+    """A budget exactly equal to a prefix total includes exactly that
+    prefix (cum <= budget, strictly-positive token counts)."""
+    ids, _, texts, tab = _corpus(seed=5, n=120)
+    full = _brute_budget(ids, texts, 10**9)
+    # budget = tokens of the first 10 docs in selection order
+    feats = {i: nt for i, _, nt in full}
+    order = []
+    for i, t in zip(ids, texts):
+        toks = t.lower().split(" ")
+        order.append((len(set(toks)) * 1000 // len(toks), _h64(i), i))
+    order.sort(key=lambda x: (-x[0], x[1], x[2]))
+    budget = sum(feats[i] for _, _, i in order[:10])
+    got = budget_select(ray.data.from_arrow(tab), budget).take_all()
+    assert len(got) == 10
+    assert sum(r["n_tokens"] for r in got) == budget

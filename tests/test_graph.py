@@ -299,3 +299,228 @@ def test_pred_bigrams_hub_no_enumeration_blowup(ray_session):
     ds = ray.data.from_arrow(_adj(rows)).repartition(3)
     got = [(r["p1"], r["p2"], r["n_paths"]) for r in pred_bigrams(ds).take_all()]
     assert got == [("pa", "pb", 40000)]
+
+
+# --- bfs_hops / label_propagation / random_walks -----------------------------
+
+def _rand_adj(seed=7, n=60, m=220):
+    rng = np.random.RandomState(seed)
+    names = np.array([f"e{i:03d}" for i in range(n)])
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    return names, src, dst, pa.table(
+        {
+            "src_id": pa.array(names[src]),
+            "dst_id": pa.array(names[dst]),
+            "pred": pa.array(["p"] * m),
+            "weight": pa.array(np.ones(m, np.int64)),
+        }
+    )
+
+
+def _undirected_nbrs(names, src, dst):
+    nbr = {}
+    for u, v in zip(names[src], names[dst]):
+        if u != v:
+            nbr.setdefault(u, set()).add(v)
+            nbr.setdefault(v, set()).add(u)
+    return nbr
+
+
+def test_bfs_hops_vs_bruteforce(ray_session):
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import bfs_hops
+
+    names, src, dst, adj = _rand_adj()
+    nbr = _undirected_nbrs(names, src, dst)
+    seeds = {
+        n
+        for n in nbr
+        if int(hashlib.md5(("seed:" + n).encode()).hexdigest()[:8], 16) % 100 < 5
+    }
+    dist = {n: 0 for n in seeds}
+    for _ in range(6):
+        new = dict(dist)
+        for n, d in dist.items():
+            for m in nbr[n]:
+                if new.get(m, 1 << 60) > d + 1:
+                    new[m] = d + 1
+        dist = new
+    got = [
+        (r["node"], r["dist"])
+        for r in bfs_hops(ray.data.from_arrow(adj).repartition(5), 5, 6).take_all()
+    ]
+    assert got == sorted(dist.items())
+    # monotonicity: extra rounds are no-ops once converged
+    got9 = [
+        (r["node"], r["dist"])
+        for r in bfs_hops(ray.data.from_arrow(adj).repartition(3), 5, 9).take_all()
+    ]
+    assert got9 == got or len(got9) >= len(got)
+
+
+def test_label_propagation_vs_bruteforce(ray_session):
+    from relation_extraction_ray.functions.graph import label_propagation
+
+    names, src, dst, adj = _rand_adj(seed=11)
+    nbr = _undirected_nbrs(names, src, dst)
+    lab = {n: n for n in nbr}
+    for _ in range(3):
+        new = {}
+        for n in nbr:
+            cnt = {}
+            for m in nbr[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    got = [
+        (r["node"], r["community"])
+        for r in label_propagation(ray.data.from_arrow(adj).repartition(5), 3).take_all()
+    ]
+    assert got == sorted(lab.items())
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Two 4-cliques joined by one bridge edge resolve to two communities."""
+    from relation_extraction_ray.functions.graph import label_propagation
+
+    rows = []
+    for grp in (["a1", "a2", "a3", "a4"], ["b1", "b2", "b3", "b4"]):
+        for i, u in enumerate(grp):
+            for v in grp[i + 1:]:
+                rows.append((u, v))
+    rows.append(("a1", "b1"))
+    adj = pa.table(
+        {
+            "src_id": [r[0] for r in rows],
+            "dst_id": [r[1] for r in rows],
+            "pred": ["p"] * len(rows),
+            "weight": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(ray.data.from_arrow(adj), 4).take_all()
+    }
+    assert len({got[n] for n in ("a1", "a2", "a3", "a4")}) == 1
+    assert len({got[n] for n in ("b1", "b2", "b3", "b4")}) == 1
+    assert got["a2"] != got["b2"]
+
+
+def test_random_walks_vs_bruteforce_and_block_invariance(ray_session):
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import random_walks
+
+    names, src, dst, adj = _rand_adj(seed=3)
+    out = {}
+    for u, v in zip(names[src], names[dst]):
+        out.setdefault(u, set()).add(v)
+    out = {u: sorted(vs) for u, vs in out.items()}
+    exp = []
+    for s in sorted(out):
+        cur = s
+        exp.append((s, 0, s))
+        for t in range(1, 5):
+            ns = out.get(cur)
+            if not ns:
+                break
+            idx = int(hashlib.md5(f"{s}|{cur}|{t}".encode()).hexdigest()[:16], 16) % len(ns)
+            cur = ns[idx]
+            exp.append((s, t, cur))
+    for parts in (1, 7):
+        got = [
+            (r["walk_id"], r["step"], r["node"])
+            for r in random_walks(
+                ray.data.from_arrow(adj).repartition(parts), 4
+            ).take_all()
+        ]
+        assert got == sorted(exp)
+
+
+def test_random_walks_dead_end_stops(ray_session):
+    from relation_extraction_ray.functions.graph import random_walks
+
+    adj = pa.table(
+        {
+            "src_id": ["x", "y"],
+            "dst_id": ["y", "z"],
+            "pred": ["p", "p"],
+            "weight": pa.array([1, 1], pa.int64()),
+        }
+    )
+    got = [
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(ray.data.from_arrow(adj), 4).take_all()
+    ]
+    # walk from x: x->y->z then z has no out-edges; walk from y: y->z stop
+    assert got == [
+        ("x", 0, "x"), ("x", 1, "y"), ("x", 2, "z"),
+        ("y", 0, "y"), ("y", 1, "z"),
+    ]
+
+
+def test_walk_pairs_vs_bruteforce(ray_session):
+    from relation_extraction_ray.functions.graph import random_walks, walk_pairs
+
+    names, src, dst, adj = _rand_adj(seed=3)
+    ds = ray.data.from_arrow(adj).repartition(3)
+    walks = {}
+    for r in random_walks(ds, 6).take_all():
+        walks.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    from collections import Counter
+
+    cnt = Counter()
+    for steps in walks.values():
+        steps.sort()
+        nodes = [n for _, n in steps]
+        for i in range(len(nodes)):
+            for d in (1, 2):
+                if i + d < len(nodes):
+                    cnt[(nodes[i], nodes[i + d])] += 1
+                    cnt[(nodes[i + d], nodes[i])] += 1
+    exp = sorted((c, x, n) for (c, x), n in cnt.items())
+    got = [
+        (r["center"], r["context"], r["n"])
+        for r in walk_pairs(ds, walk_len=6, window=2).take_all()
+    ]
+    assert got == exp
+
+
+def test_kg_node_embeddings_quality_and_determinism(ray_session):
+    """Two 5-cliques + one bridge: DeepWalk embeddings place intra-clique
+    pairs far above inter-clique pairs, and the result is bit-identical
+    at any partitioning (deterministic walks + sorted-pair SGNS)."""
+    from relation_extraction_ray.functions.graph import kg_node_embeddings
+
+    rows = []
+    for grp in (["a1", "a2", "a3", "a4", "a5"], ["b1", "b2", "b3", "b4", "b5"]):
+        for u in grp:
+            for v in grp:
+                if u != v:
+                    rows.append((u, v))
+    rows += [("a1", "b1"), ("b1", "a1")]
+    adj = pa.table(
+        {
+            "src_id": [r[0] for r in rows],
+            "dst_id": [r[1] for r in rows],
+            "pred": ["p"] * len(rows),
+            "weight": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    nodes, emb = kg_node_embeddings(
+        ray.data.from_arrow(adj).repartition(3), dim=8, walk_len=6, window=2, epochs=20
+    )
+    n2i = {n: i for i, n in enumerate(nodes)}
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    def cos(a, b):
+        return float(e[n2i[a]] @ e[n2i[b]])
+
+    intra = np.mean([cos("a2", "a3"), cos("a4", "a5"), cos("b2", "b3"), cos("b4", "b5")])
+    inter = np.mean([cos("a2", "b3"), cos("a4", "b2"), cos("a3", "b5")])
+    assert intra > inter + 0.2
+    nodes2, emb2 = kg_node_embeddings(
+        ray.data.from_arrow(adj).repartition(7), dim=8, walk_len=6, window=2, epochs=20
+    )
+    assert nodes2 == nodes and np.array_equal(emb, emb2)
