@@ -1270,6 +1270,43 @@ def _q_kg_adjacency(sf_dir: str):
     return _kg_run()["adjacency"].sort(ADJ_SORT)
 
 
+def _q_sssp(sf_dir: str):
+    """Weighted shortest paths from the md5 landmark set (synchronous
+    Bellman-Ford, integer edge lengths = summed mention weights)."""
+    from relation_extraction_ray.functions.graph import sssp_hops
+
+    return sssp_hops(_kg_run()["adjacency"], seed_pct=5, rounds=6)
+
+
+def _q_kg_incremental(sf_dir: str):
+    """Incremental KG construction: triples split into two doc-disjoint
+    halves (md5(doc_id) parity), each half aggregated to its own
+    adjacency, then merge_adjacency folds them — the oracle is the FULL
+    single-run adjacency, asserting merge(adj(A), adj(B)) == adj(A∪B)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.pipelines.kg import adjacency_from_triples, merge_adjacency
+
+    triples = _kg_run()["triples"]
+
+    def half(parity: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            mask = [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2 == parity
+                for i in ids
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        return triples.map_batches(pick, batch_format="pyarrow")
+
+    adj_a = adjacency_from_triples(half(0))
+    adj_b = adjacency_from_triples(half(1))
+    return merge_adjacency(adj_a, adj_b).sort(ADJ_SORT)
+
+
 def _q_provenance(sf_dir: str):
     """Per surface triple: mention count, exact distinct supporting
     docs, min/max doc id — the which-sources-say-this KG query."""
@@ -1743,6 +1780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": _q_edge_jaccard,
         "kcore": _q_kcore,
         "bfs_hops": _q_bfs_hops,
+        "sssp_hops": _q_sssp,
+        "kg_incremental": _q_kg_incremental,
         "label_prop": _q_label_prop,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
@@ -2016,6 +2055,29 @@ def _bfs_sql(adj_path: str, seed_pct: int = 5, hops: int = 6) -> str:
              SELECT e.v AS node, d.dist + 1 FROM e JOIN d{i} d ON d.node = e.u
            ) GROUP BY node)"""
     return "WITH " + cte + f"\n    SELECT node, dist FROM d{hops} ORDER BY node"
+
+
+def _sssp_sql(adj_path: str, seed_pct: int = 5, rounds: int = 6) -> str:
+    """Unroll the weighted Bellman-Ford relaxation (functions/graph.py
+    sssp_hops): undirected pair weights summed over both directions, seeds
+    from the md5 bucket, per round one join + GROUP BY min over
+    dist + w.  Monotone integer min — fixed unroll compares exactly."""
+    cte = f"""
+    ew AS MATERIALIZED (SELECT least(src_id, dst_id) AS a,
+                               greatest(src_id, dst_id) AS b,
+                               CAST(sum(weight) AS BIGINT) AS w
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id GROUP BY 1, 2),
+    e AS MATERIALIZED (SELECT a AS u, b AS v, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+    d0 AS MATERIALIZED (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist FROM e
+           WHERE CAST(('0x' || substr(md5('seed:' || u), 1, 8)) AS UBIGINT) % 100 < {seed_pct})"""
+    for i in range(rounds):
+        cte += f""",
+    d{i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d{i}
+             UNION ALL
+             SELECT e.v AS node, d.dist + e.w FROM e JOIN d{i} d ON d.node = e.u
+           ) GROUP BY node)"""
+    return "WITH " + cte + f"\n    SELECT node, dist FROM d{rounds} ORDER BY node"
 
 
 def _label_prop_sql(adj_path: str, rounds: int = 3) -> str:
@@ -3493,6 +3555,14 @@ def oracle_sql() -> dict[str, str]:
         # hop count; label_prop: exactly-3-round synchronous LPA replay;
         # random_walks: the md5-mod neighbor draw joined per step
         "bfs_hops": _bfs_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=6),
+        "sssp_hops": _sssp_sql(kg_paths["kg_adjacency"], seed_pct=5, rounds=6),
+        # kg_incremental: merge(adj(docs_A), adj(docs_B)) over a doc-
+        # disjoint split must equal the single full-run adjacency — the
+        # oracle IS the full-corpus oracle adjacency
+        "kg_incremental": f"""
+            SELECT * FROM read_parquet('{kg_paths["kg_adjacency"]}')
+            ORDER BY src_id, pred, dst_id
+        """,
         "label_prop": _label_prop_sql(kg_paths["kg_adjacency"], rounds=3),
         "random_walks": _walks_sql(kg_paths["kg_adjacency"], walk_len=4),
         # walk_pairs: self-join over the identical walk replay;

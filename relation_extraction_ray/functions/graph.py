@@ -1661,3 +1661,135 @@ def kg_node_embeddings(
         centers, contexts, len(nodes), dim=dim, epochs=epochs, neg=neg, lr=lr, seed=seed
     )
     return nodes, emb
+
+
+# --- weighted SSSP: Bellman-Ford relaxation from the BFS landmarks -----------
+
+def sssp_hops(
+    adjacency: ray.data.Dataset, seed_pct: int = 5, rounds: int = 6
+) -> ray.data.Dataset:
+    """Weighted single-source-set shortest paths (synchronous
+    Bellman-Ford) over the undirected KG entity graph: edge length is the
+    summed mention weight between the pair (both directions), sources are
+    the same md5-bucket landmark set as :func:`bfs_hops`, and each round
+    relaxes ``dist'(v) = min(dist(v), min_u dist(u) + w(u,v))``.  All
+    integer, monotone min — exactly ``rounds`` rounds run, a fixed-depth
+    SQL unroll compares exactly, extra rounds past convergence are
+    no-ops.  Same per-round shape as bfs_hops (static pinned edges, one
+    dist exchange, searchsorted probe, groupby-min) with the weight
+    riding the edge rows."""
+    from ray.data.aggregate import Min
+
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("src_id"), batch.column("dst_id")
+        w = batch.column("weight").cast(pa.int64())
+        keep = pc.invert(pc.equal(u, v))
+        u, v, w = u.filter(keep), v.filter(keep), w.filter(keep)
+        t = (
+            pa.table(
+                {"a": pc.min_element_wise(u, v), "b": pc.max_element_wise(u, v), "w": w}
+            )
+            .group_by(["a", "b"])
+            .aggregate([("w", "sum")])
+            .rename_columns(["a", "b", "w"])
+        )
+        return t.append_column("part", part_array(t, ["a", "b"], n_parts))
+
+    def mirror(part: pa.Table) -> pa.Table:
+        d = (
+            part.select(["a", "b", "w"])
+            .group_by(["a", "b"])
+            .aggregate([("w", "sum")])
+            .rename_columns(["a", "b", "w"])
+        )
+        a, b = d.column("a").combine_chunks(), d.column("b").combine_chunks()
+        w = d.column("w").combine_chunks()
+        t = pa.table(
+            {
+                "u": pa.concat_arrays([a, b]),
+                "v": pa.concat_arrays([b, a]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    edges = (
+        adjacency.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mirror, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def seed_partial(part: pa.Table) -> pa.Table:
+        nodes = pc.unique(part.column("u").combine_chunks())
+        picked = nodes.filter(bfs_seed_mask(nodes, seed_pct))
+        return pa.table(
+            {"node": picked, "dist": pa.array(np.zeros(len(picked), np.int64))}
+        )
+
+    dist = (
+        edges.groupby("part").map_groups(seed_partial, batch_format="pyarrow").materialize()
+    )
+
+    cand_schema = pa.schema([("node", pa.string()), ("dist", pa.int64())])
+
+    def dist_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column("node"),
+                "v": batch.column("node"),
+                "w": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "dist": batch.column("dist").cast(pa.int64()),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["u", "v", "w", "part"])
+        return t.append_column(
+            "dist", pa.array(np.full(t.num_rows, -1, np.int64))
+        ).select(["u", "v", "w", "dist", "part"])
+
+    def probe(part: pa.Table) -> pa.Table:
+        d = part.column("dist").to_numpy(zero_copy_only=False)
+        is_dist = d >= 0
+        if not is_dist.any() or is_dist.all():
+            return cand_schema.empty_table()
+        dn = part.column("u").to_numpy(zero_copy_only=False)[is_dist].astype(str)
+        dv = d[is_dist]
+        order = np.argsort(dn, kind="mergesort")
+        dn, dv = dn[order], dv[order]
+        eu = part.column("u").to_numpy(zero_copy_only=False)[~is_dist].astype(str)
+        ew = part.column("w").to_numpy(zero_copy_only=False)[~is_dist]
+        pos = np.minimum(np.searchsorted(dn, eu), len(dn) - 1)
+        hit = dn[pos] == eu
+        if not hit.any():
+            return cand_schema.empty_table()
+        ev = part.column("v").filter(pa.array(~is_dist)).combine_chunks()
+        t = pa.table(
+            {
+                "node": ev.filter(pa.array(hit)),
+                "dist": pa.array(dv[pos[hit]] + ew[hit], pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["node"]).aggregate([("dist", "min")]).rename_columns(["node", "dist"])
+        )
+
+    for _ in range(rounds):
+        tagged = edges.map_batches(edge_tag, batch_format="pyarrow").union(
+            dist.map_batches(dist_tag, batch_format="pyarrow")
+        )
+        cand = tagged.groupby("part").map_groups(probe, batch_format="pyarrow")
+        dist = (
+            dist.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .repartition(n_parts)  # block-count bound (see bfs_hops)
+            .materialize()
+        )
+
+    return dist.sort("node")

@@ -726,6 +726,73 @@ def adjacency_from_triples(triples: ray.data.Dataset, n_parts: int | None = None
     )
 
 
+def merge_adjacency(
+    base: ray.data.Dataset, delta: ray.data.Dataset, n_parts: int | None = None
+) -> ray.data.Dataset:
+    """Incremental KG maintenance: fold a delta corpus's adjacency into an
+    existing one without re-running extraction over the base — the append
+    path of a continuously-built graph.  Per edge key: weight sums,
+    doc_count sums, sample_doc_id takes the min.  EXACT equivalence
+    ``merge(adj(T_A), adj(T_B)) == adj(T_A ∪ T_B)`` holds whenever the two
+    runs cover DISJOINT doc_id sets (the delta-batch invariant: weights are
+    additive, per-edge doc sets are disjoint so exact distinct counts add,
+    and min-of-mins is the global min); overlapping doc sets would double-
+    count doc_count and must be deduplicated upstream (the sharded runner's
+    lineage guarantees disjointness).
+
+    Scale shape: both sides stream through one per-batch combine (Arrow
+    hash-aggregate — already near-deduped inputs collapse to one row per
+    edge per batch) into ONE int-key hash exchange, each partition reduced
+    with a single vectorized aggregate; output key-sorted per partition
+    like :func:`adjacency_from_triples`."""
+    n_parts = n_parts or derived_num_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["src_id", "pred", "dst_id"]).aggregate(
+            [("weight", "sum"), ("doc_count", "sum"), ("sample_doc_id", "min")]
+        )
+        t = pa.Table.from_pydict(
+            {
+                "src_id": g.column("src_id"),
+                "pred": g.column("pred"),
+                "dst_id": g.column("dst_id"),
+                "weight": g.column("weight_sum").cast(pa.int64()),
+                "doc_count": g.column("doc_count_sum").cast(pa.int64()),
+                "sample_doc_id": g.column("sample_doc_id_min"),
+            },
+            schema=schemas.ADJACENCY,
+        )
+        return t.append_column(
+            "part", part_array(t, ["src_id", "pred", "dst_id"], n_parts)
+        )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        g = group.group_by(["src_id", "pred", "dst_id"]).aggregate(
+            [("weight", "sum"), ("doc_count", "sum"), ("sample_doc_id", "min")]
+        )
+        g = g.sort_by(
+            [("src_id", "ascending"), ("pred", "ascending"), ("dst_id", "ascending")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "src_id": g.column("src_id"),
+                "pred": g.column("pred"),
+                "dst_id": g.column("dst_id"),
+                "weight": g.column("weight_sum").cast(pa.int64()),
+                "doc_count": g.column("doc_count_sum").cast(pa.int64()),
+                "sample_doc_id": g.column("sample_doc_id_min"),
+            },
+            schema=schemas.ADJACENCY,
+        )
+
+    return (
+        base.union(delta)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Input adapters
 # ---------------------------------------------------------------------------

@@ -524,3 +524,51 @@ def test_kg_node_embeddings_quality_and_determinism(ray_session):
         ray.data.from_arrow(adj).repartition(7), dim=8, walk_len=6, window=2, epochs=20
     )
     assert nodes2 == nodes and np.array_equal(emb, emb2)
+
+
+def test_sssp_hops_vs_bruteforce(ray_session):
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import sssp_hops
+
+    rng = np.random.RandomState(13)
+    n, m = 50, 180
+    names = np.array([f"e{i:03d}" for i in range(n)])
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    w = rng.randint(1, 9, m)
+    adj = pa.table(
+        {
+            "src_id": pa.array(names[src]),
+            "dst_id": pa.array(names[dst]),
+            "pred": pa.array(["p"] * m),
+            "weight": pa.array(w.astype(np.int64)),
+        }
+    )
+    # undirected pair weights: sum over both directions
+    pw = {}
+    for u, v, ww in zip(names[src], names[dst], w):
+        if u != v:
+            k = (min(u, v), max(u, v))
+            pw[k] = pw.get(k, 0) + int(ww)
+    nbr = {}
+    for (a, b), ww in pw.items():
+        nbr.setdefault(a, []).append((b, ww))
+        nbr.setdefault(b, []).append((a, ww))
+    seeds = {
+        x
+        for x in nbr
+        if int(hashlib.md5(("seed:" + x).encode()).hexdigest()[:8], 16) % 100 < 5
+    }
+    dist = {x: 0 for x in seeds}
+    for _ in range(6):
+        new = dict(dist)
+        for x, d in dist.items():
+            for y, ww in nbr[x]:
+                if new.get(y, 1 << 60) > d + ww:
+                    new[y] = d + ww
+        dist = new
+    got = [
+        (r["node"], r["dist"])
+        for r in sssp_hops(ray.data.from_arrow(adj).repartition(5), 5, 6).take_all()
+    ]
+    assert got == sorted(dist.items())

@@ -237,3 +237,48 @@ def test_triple_provenance_vs_bruteforce(ray_session):
         for (s, p, o), (n, docs) in want.items()
     )
     assert got == expect
+
+
+def test_merge_adjacency_equals_full_run(ray_session):
+    """merge(adj(docs A), adj(docs B)) == adj(A ∪ B) for a doc-disjoint
+    split — the incremental-construction invariant (weights additive,
+    disjoint doc sets sum, min-of-mins)."""
+    import pyarrow as pa
+
+    import ray
+    from relation_extraction_ray.pipelines.kg import (
+        KGPipeline,
+        adjacency_from_triples,
+        merge_adjacency,
+    )
+    from relation_extraction_ray.sources.synth import documents_dataset
+
+    out = KGPipeline().run(documents_dataset(120, override_num_blocks=6))
+    triples = out["triples"].materialize()
+    full = adjacency_from_triples(triples).sort(
+        ["src_id", "pred", "dst_id"]
+    ).take_all()
+
+    def half(parity):
+        import hashlib
+
+        def pick(batch: pa.Table) -> pa.Table:
+            mask = [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2 == parity
+                for i in batch.column("doc_id").to_pylist()
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        return triples.map_batches(pick, batch_format="pyarrow")
+
+    adj_a = adjacency_from_triples(half(0)).materialize()
+    adj_b = adjacency_from_triples(half(1)).materialize()
+    merged = merge_adjacency(adj_a, adj_b).sort(["src_id", "pred", "dst_id"]).take_all()
+    assert merged == full
+    # merge with an empty delta is the identity
+    empty = adj_a.filter(expr="weight < 0")
+    same = merge_adjacency(adj_a, empty).sort(["src_id", "pred", "dst_id"]).take_all()
+    assert same == adj_a.sort(["src_id", "pred", "dst_id"]).take_all()
+    # commutative
+    swapped = merge_adjacency(adj_b, adj_a).sort(["src_id", "pred", "dst_id"]).take_all()
+    assert swapped == merged
