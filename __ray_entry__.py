@@ -171,6 +171,21 @@ def _q_revenue_nation(sf_dir: str):
     )
 
 
+def _q_q3_top(sf_dir: str):
+    """TPC-H-Q3-shaped top-k over a fact×fact join: segment broadcast,
+    early date filters, one orderkey exchange, per-partition top-k prune."""
+    from relation_extraction_ray.functions.relational import q3_top_orders
+
+    return q3_top_orders(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        segment="BUILDING",
+        cutoff="1997-06-01",
+        k=10,
+    )
+
+
 def _q_table_diff(sf_dir: str):
     """CDC snapshot diff between two deterministically derived versions
     of orders (A drops keys %11, B drops %13 and bumps %7 prices) —
@@ -1323,6 +1338,14 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5)
 
 
+def _q_pagerank_personal(sf_dir: str):
+    """Personalized PageRank: teleport mass concentrated on the md5
+    landmark entities — rank as seed-proximity (KG QA / recs feature)."""
+    from relation_extraction_ray.functions.graph import pagerank
+
+    return pagerank(_kg_run()["adjacency"], iters=5, seed_pct=5)
+
+
 def _q_pred_bigrams(sf_dir: str):
     """Two-hop predicate metapath counts over the KG — per-node in×out
     pred-tally cross products, never path enumeration."""
@@ -1704,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing,
         "revenue_by_segment": _q_revenue,
         "revenue_by_nation": _q_revenue_nation,
+        "q3_top_orders": _q_q3_top,
         "corr_price_qty": _q_corr,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
@@ -1776,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embed": _q_dedup_embed,
         "kg_linked": _q_kg_linked,
         "pagerank": _q_pagerank,
+        "pagerank_personal": _q_pagerank_personal,
         "triangles": _q_triangles,
         "edge_jaccard": _q_edge_jaccard,
         "kcore": _q_kcore,
@@ -2157,24 +2182,35 @@ def _walk_pairs_sql(adj_path: str, walk_len: int = 4, window: int = 2) -> str:
     )
 
 
-def _pagerank_sql(adj_path: str, iters: int = 5) -> str:
+def _pagerank_sql(adj_path: str, iters: int = 5, seed_pct: int | None = None) -> str:
     """Unroll the engine's integer-PageRank recurrence (functions/graph.py)
     as chained CTEs: rank0 = 1e12; contrib = rank*w // ow (dangling mass
     dropped); rank' = 15%*1e12 + 85%*sum // 100.  All-integer, so the
-    replay is bit-exact at any partitioning."""
+    replay is bit-exact at any partitioning.  With ``seed_pct`` the init
+    and restart mass apply only to the md5 landmark set (personalized
+    PageRank)."""
+    if seed_pct is None:
+        init_expr = "CAST(1000000000000 AS BIGINT)"
+        base_expr = "150000000000"
+    else:
+        seed = (
+            f"CAST(('0x' || substr(md5('seed:' || {{col}}), 1, 8)) AS UBIGINT) % 100 < {seed_pct}"
+        )
+        init_expr = f"CAST(CASE WHEN {seed.format(col='node')} THEN 1000000000000 ELSE 0 END AS BIGINT)"
+        base_expr = f"CASE WHEN {seed.format(col='n.node')} THEN 150000000000 ELSE 0 END"
     cte = f"""
     edges0 AS (SELECT src_id AS u, dst_id AS v, CAST(sum(weight) AS BIGINT) AS w
                FROM read_parquet('{adj_path}') GROUP BY 1, 2),
     outw AS (SELECT u, sum(w) AS ow FROM edges0 GROUP BY u),
     nodes AS (SELECT u AS node FROM edges0 UNION SELECT v FROM edges0),
-    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    r0 AS (SELECT node, {init_expr} AS rank FROM nodes)"""
     for i in range(iters):
         cte += f""",
     c{i + 1} AS (SELECT e.v AS node, sum(r.rank * e.w // o.ow) AS s
            FROM edges0 e JOIN r{i} r ON r.node = e.u JOIN outw o ON o.u = e.u
            GROUP BY e.v),
     r{i + 1} AS (SELECT n.node,
-           CAST(150000000000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS rank
+           CAST({base_expr} + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS rank
            FROM nodes n LEFT JOIN c{i + 1} c ON c.node = n.node)"""
     return (
         "WITH "
@@ -2351,6 +2387,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name ORDER BY revenue_tenk DESC, n_name
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_tenk
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate  > TIMESTAMP '1997-06-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_tenk DESC, o_orderkey LIMIT 10
         """,
         # table_diff: the derivation is shared, so the oracle classifies
         # from the key predicates directly (changed = %7 price bump)
@@ -3548,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         # ranks its own pipeline's adjacency, the SQL ranks the
         # single-process oracle's) — integer // everywhere, bit-exact
         "pagerank": _pagerank_sql(kg_paths["kg_adjacency"], iters=5),
+        "pagerank_personal": _pagerank_sql(kg_paths["kg_adjacency"], iters=5, seed_pct=5),
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)
         "kcore": _kcore_sql(kg_paths["kg_adjacency"], k=2, rounds=8),

@@ -141,11 +141,20 @@ def pagerank(
     iters: int = 5,
     damping_pct: int = 85,
     pin_bytes_bound: int = PIN_EDGES_BYTES_BOUND,
+    seed_pct: int | None = None,
 ) -> ray.data.Dataset:
     """Integer PageRank over the adjacency table: returns (node, rank)
     with rank in 1e-12 units, sorted by (rank desc, node asc).
     ``pin_bytes_bound=0`` forces the re-union fallback (tested
-    bit-identical to the pinned path)."""
+    bit-identical to the pinned path).
+
+    ``seed_pct`` switches to PERSONALIZED PageRank: the teleport
+    distribution concentrates on the md5-bucket landmark set
+    (:func:`bfs_seed_mask`) instead of all nodes — initial rank and the
+    per-iteration restart mass are non-zero only at seeds, so the
+    stationary rank measures proximity to the seed entities (the
+    query-anchored entity-importance feature of KG QA / recommendation).
+    Same integer recurrence, same exchanges, bit-exact SQL unroll."""
     n_edges = adjacency.count()
     n_parts = derive_n_parts(n_edges, rows_per_part=65536)
     edges = _collapsed_edges(adjacency, n_parts)
@@ -194,12 +203,14 @@ def pagerank(
     base = (100 - damping_pct) * SCALE // 100
 
     def init_ranks(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "rank": pa.array(np.full(batch.num_rows, SCALE, np.int64)),
-            }
-        )
+        if seed_pct is None:
+            r = np.full(batch.num_rows, SCALE, np.int64)
+        else:
+            seed = bfs_seed_mask(batch.column("node"), seed_pct).to_numpy(
+                zero_copy_only=False
+            )
+            r = np.where(seed, SCALE, 0).astype(np.int64)
+        return pa.table({"node": batch.column("node"), "rank": pa.array(r)})
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
 
@@ -295,10 +306,17 @@ def pagerank(
 
         def new_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("contrib").to_numpy(zero_copy_only=False)
+            if seed_pct is None:
+                b = base
+            else:
+                seed = bfs_seed_mask(batch.column("node"), seed_pct).to_numpy(
+                    zero_copy_only=False
+                )
+                b = np.where(seed, base, 0).astype(np.int64)
             return pa.table(
                 {
                     "node": batch.column("node"),
-                    "rank": pa.array(base + damping_pct * s // 100, pa.int64()),
+                    "rank": pa.array(b + damping_pct * s // 100, pa.int64()),
                 }
             )
 

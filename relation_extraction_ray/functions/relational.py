@@ -2031,3 +2031,138 @@ def table_diff(
         ray.data.aggregate.Max("max_key", alias_name="max_key"),
     )
     return out.sort("status")
+
+
+def q3_top_orders(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-01",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """TPC-H-Q3-shaped shipping-priority query: the top-``k`` unshipped
+    orders by revenue for one market segment — orders placed before
+    ``cutoff`` whose lineitems ship after it, revenue summed per order.
+    The composition under test is top-k OVER a fact×fact join.
+
+    Scale shape: the segment's customer keys broadcast once as a sorted
+    int64 array (``ray.put``; the Q5 J1 pattern — reduce-side probe above
+    worker heap); both fact legs filter EARLY (date window + segment
+    probe) so dead rows never reach the exchange; orders × lineitem
+    co-locate with ONE side-tagged hash exchange on orderkey; each
+    partition finishes its join with a sorted-order-leg ``searchsorted``
+    + int64 scatter-add (one revenue row per surviving order) and prunes
+    to its LOCAL top-k (rev desc, orderkey asc) — so the final global
+    sort+limit sees ≤ n_parts·k rows, never the fact table."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    seg_cust = customer.filter(expr=f"c_mktsegment == '{segment}'")
+    seg_ref = _broadcast_key_i32(
+        seg_cust.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int32))
+            ).select(["c_custkey", "one"]),
+            batch_format="pyarrow",
+        ),
+        "c_custkey",
+        "one",
+    )
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        _, hit = _probe_i32(
+            ray.get(seg_ref),
+            batch.column("o_custkey").to_numpy(zero_copy_only=False),
+        )
+        keep = (ts < cut) & hit
+        kp = pa.array(keep)
+        return pa.table(
+            {
+                "orderkey": batch.column("o_orderkey").filter(kp).cast(pa.int64()),
+                "odate": pa.array(ts[keep], pa.int64()),
+                "oprio": batch.column("o_orderpriority").filter(kp),
+                "rev_tenk": pa.array(np.zeros(int(keep.sum()), np.int64)),
+                "side": pa.array(np.zeros(int(keep.sum()), np.int8)),
+            }
+        )
+
+    def lineitem_leg(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = ts > cut
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.rint(price * (1.0 - disc) * 10000).astype(np.int64)
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "orderkey": batch.column("l_orderkey").filter(pa.array(keep)).cast(pa.int64()),
+                "odate": pa.array(np.zeros(n, np.int64)),
+                "oprio": pa.array([""] * n, pa.string()),
+                "rev_tenk": pa.array(rev),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("revenue_tenk", pa.int64()),
+        ]
+    )
+
+    def join_part(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        is_o = side == 0
+        if not is_o.any() or is_o.all():
+            return out_schema.empty_table()
+        o = part.filter(pa.array(is_o)).sort_by([("orderkey", "ascending")])
+        okey = o.column("orderkey").to_numpy(zero_copy_only=False)
+        lkey = part.column("orderkey").to_numpy(zero_copy_only=False)[~is_o]
+        lrev = part.column("rev_tenk").to_numpy(zero_copy_only=False)[~is_o]
+        pos = np.minimum(np.searchsorted(okey, lkey), len(okey) - 1)
+        hit = okey[pos] == lkey
+        rev = np.zeros(len(okey), np.int64)
+        np.add.at(rev, pos[hit], lrev[hit])
+        has = rev > 0
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(okey[has]),
+                "o_orderdate": o.column("odate")
+                .to_numpy(zero_copy_only=False)[has]
+                .astype("datetime64[us]"),
+                "o_orderpriority": o.column("oprio").filter(pa.array(has)),
+                "revenue_tenk": pa.array(rev[has]),
+            },
+            schema=out_schema,
+        )
+        # local top-k prune: only k rows per partition reach the driver sort
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("revenue_tenk", "descending"), ("o_orderkey", "ascending")],
+        )
+        return t.take(idx[:k])
+
+    tagged = orders.map_batches(orders_leg, batch_format="pyarrow").union(
+        lineitem.map_batches(lineitem_leg, batch_format="pyarrow")
+    )
+    n_parts = derive_n_parts(orders.count(), rows_per_part=65536)
+    joined = hash_partitioned_groups(tagged, ["orderkey"], join_part, n_parts)
+    return joined.sort(
+        ["revenue_tenk", "o_orderkey"], descending=[True, False]
+    ).limit(k)

@@ -572,3 +572,45 @@ def test_sssp_hops_vs_bruteforce(ray_session):
         for r in sssp_hops(ray.data.from_arrow(adj).repartition(5), 5, 6).take_all()
     ]
     assert got == sorted(dist.items())
+
+
+def test_personalized_pagerank_vs_reference_and_seed_proximity(ray_session):
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import pagerank
+
+    names, src, dst, adj = _rand_adj(seed=21, n=40, m=140)
+    ew = {}
+    for u, v in zip(names[src], names[dst]):
+        ew[(u, v)] = ew.get((u, v), 0) + 1
+    nodes = sorted({u for u, _ in ew} | {v for _, v in ew})
+    ow = {}
+    for (u, _), w in ew.items():
+        ow[u] = ow.get(u, 0) + w
+    seeds = {
+        n
+        for n in nodes
+        if int(hashlib.md5(("seed:" + n).encode()).hexdigest()[:8], 16) % 100 < 20
+    }
+    rank = {n: (SCALE if n in seeds else 0) for n in nodes}
+    for _ in range(5):
+        contrib = {}
+        for (u, v), w in ew.items():
+            contrib[v] = contrib.get(v, 0) + rank[u] * w // ow[u]
+        rank = {
+            n: (15 * SCALE // 100 if n in seeds else 0) + 85 * contrib.get(n, 0) // 100
+            for n in nodes
+        }
+    exp = sorted(((r, n) for n, r in rank.items()), key=lambda t: (-t[0], t[1]))
+    got = [
+        (r["rank"], r["node"])
+        for r in pagerank(ray.data.from_arrow(adj).repartition(4), iters=5, seed_pct=20).take_all()
+    ]
+    assert got == exp
+    # non-seed nodes with no in-path from seeds carry zero rank
+    reachable = set(seeds)
+    for _ in range(5):
+        reachable |= {v for (u, v) in ew if u in reachable}
+    for r, n in got:
+        if n not in reachable:
+            assert r == 0
