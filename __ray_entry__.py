@@ -1395,6 +1395,15 @@ def _q_random_walks(sf_dir: str):
     return random_walks(_kg_run()["adjacency"], walk_len=4)
 
 
+def _q_fanout_sample(sf_dir: str):
+    """GraphSAGE-style 2-hop fanout neighbor sample from the md5 seeds
+    (per frontier node keep the fanout smallest-hash out-edges) — the
+    GNN minibatch subgraph generator, pure-hash deterministic."""
+    from relation_extraction_ray.functions.graph import fanout_sample
+
+    return fanout_sample(_kg_run()["adjacency"], seed_pct=5, fanouts=(3, 2))
+
+
 def _q_walk_pairs(sf_dir: str):
     """Skip-gram pair counts over the deterministic walk corpus (the
     DeepWalk co-occurrence distribution; one walk-id exchange, shift
@@ -1810,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": _q_label_prop,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
+        "fanout_sample": _q_fanout_sample,
         "kg_embeddings": _q_kg_embeddings,
         "degree_hist": _q_degree_hist,
         "pred_bigrams": _q_pred_bigrams,
@@ -2179,6 +2189,34 @@ def _walk_pairs_sql(adj_path: str, walk_len: int = 4, window: int = 2) -> str:
     FROM w a JOIN w b ON a.walk_id = b.walk_id
          AND a.step <> b.step AND abs(a.step - b.step) <= {window}
     GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+
+
+def _fanout_sql(adj_path: str, seed_pct: int = 5, fanouts: tuple[int, ...] = (3, 2)) -> str:
+    """Replay the deterministic fanout sampler (functions/graph.py
+    fanout_sample): per hop, row_number() over (edge-hash, dst) per
+    frontier node, keep rank ≤ fanout; next frontier = distinct sampled
+    dst."""
+    cte = f"""
+    e AS MATERIALIZED (SELECT DISTINCT src_id AS u, dst_id AS v
+                       FROM read_parquet('{adj_path}')),
+    f0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e
+           WHERE CAST(('0x' || substr(md5('seed:' || u), 1, 8)) AS UBIGINT) % 100 < {seed_pct})"""
+    selects = []
+    for h, f in enumerate(fanouts):
+        cte += f""",
+    s{h} AS MATERIALIZED (SELECT CAST({h} AS BIGINT) AS hop, u AS src, v AS dst FROM (
+           SELECT e.u, e.v,
+                  row_number() OVER (PARTITION BY e.u ORDER BY
+                    CAST(('0x' || substr(md5('fan:' || e.u || '|' || e.v || '|{h}'), 1, 16)) AS UBIGINT),
+                    e.v) AS rn
+           FROM e JOIN f{h} fr ON fr.node = e.u) WHERE rn <= {f}),
+    f{h + 1} AS MATERIALIZED (SELECT DISTINCT dst AS node FROM s{h})"""
+        selects.append(f"SELECT hop, src, dst FROM s{h}")
+    return (
+        "WITH " + cte + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY hop, src, dst"
     )
 
 
@@ -3619,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         # replay (plain-python walks/pairs + the driver SGNS kernel —
         # the supervised_eval oracle precedent)
         "walk_pairs": _walk_pairs_sql(kg_paths["kg_adjacency"], walk_len=4, window=2),
+        "fanout_sample": _fanout_sql(kg_paths["kg_adjacency"], seed_pct=5, fanouts=(3, 2)),
         "kg_embeddings": f"""
             SELECT * FROM read_parquet('{kg_paths["kg_embeddings"]}') ORDER BY node
         """,

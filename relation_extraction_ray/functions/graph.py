@@ -1811,3 +1811,167 @@ def sssp_hops(
         )
 
     return dist.sort("node")
+
+
+# --- GNN minibatch sampling: k-hop deterministic fanout ----------------------
+
+def fanout_sample(
+    adjacency: ray.data.Dataset,
+    seed_pct: int = 5,
+    fanouts: tuple[int, ...] = (3, 2),
+) -> ray.data.Dataset:
+    """GraphSAGE-style k-hop neighborhood sampling (Hamilton et al. 2017
+    — the minibatch subgraph generator of every sampled-GNN trainer):
+    starting from the md5-bucket seed entities, hop h keeps at most
+    ``fanouts[h]`` out-neighbors per frontier node — the neighbors with
+    the SMALLEST md5_u64('fan:'+u+'|'+v+'|'+h) — and emits the sampled
+    edges (hop, src, dst).  The per-(edge, hop) hash makes the sample a
+    pure function of the graph: reproducible at any parallelism and
+    exactly replayable in SQL (row_number over the hash ≤ fanout).
+    Frontier dedup per hop keeps the expansion set-valued (a node
+    reached twice expands once).
+
+    Scale shape: distinct directed edges partition once by hash(src) and
+    pin; each hop the frontier exchanges through the same hash, the
+    per-partition probe finds each node's run with two searchsorted
+    calls, ranks candidates with ONE vectorized argsort over
+    (node, hash) and keeps rank ≤ fanout — per-hop exchange volume is
+    the frontier, and emitted edges are ≤ |frontier|·fanout by
+    construction (the sampling bound that makes 10¹²-edge graphs
+    trainable)."""
+    import hashlib
+
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def sort_part(part: pa.Table) -> pa.Table:
+        d = part.select(["u", "v"]).group_by(["u", "v"]).aggregate([])
+        d = d.sort_by([("u", "ascending"), ("v", "ascending")])
+        return d.append_column("part", part_array(d, ["u"], n_parts))
+
+    edges = (
+        adjacency.map_batches(dedup, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sort_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def seeds_part(part: pa.Table) -> pa.Table:
+        nodes = pc.unique(part.column("u").combine_chunks())
+        return pa.table({"node": nodes.filter(bfs_seed_mask(nodes, seed_pct))})
+
+    frontier = (
+        edges.groupby("part").map_groups(seeds_part, batch_format="pyarrow").materialize()
+    )
+
+    out_schema = pa.schema(
+        [("hop", pa.int64()), ("src", pa.string()), ("dst", pa.string())]
+    )
+    sampled_hops: list[ray.data.Dataset] = []
+
+    def frontier_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column("node"),
+                "v": batch.column("node"),
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["u", "v", "part"])
+        return t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8))).select(
+            ["u", "v", "side", "part"]
+        )
+
+    def make_hop(h: int, fanout: int):
+        def hop_part(part: pa.Table) -> pa.Table:
+            side = part.column("side").to_numpy(zero_copy_only=False)
+            is_f = side == 1
+            if not is_f.any() or is_f.all():
+                return out_schema.empty_table()
+            fe = part.filter(pa.array(~is_f)).sort_by(
+                [("u", "ascending"), ("v", "ascending")]
+            )
+            eu = fe.column("u").to_numpy(zero_copy_only=False).astype(str)
+            ev = fe.column("v").to_numpy(zero_copy_only=False).astype(str)
+            cur = np.unique(
+                part.column("u").to_numpy(zero_copy_only=False)[is_f].astype(str)
+            )
+            lo = np.searchsorted(eu, cur, side="left")
+            hi = np.searchsorted(eu, cur, side="right")
+            keep_src, keep_dst = [], []
+            # per frontier node: rank its run by the edge hash, keep top-f
+            # (runs are outdeg-sized; the md5 per candidate edge is the
+            # portable-hash price — one digest per candidate, candidates
+            # bounded by frontier × outdeg of the frontier only)
+            for c, a, b in zip(cur, lo, hi):
+                if a == b:
+                    continue
+                cand = ev[a:b]
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(f"fan:{c}|{x}|{h}".encode()).hexdigest()[:16],
+                            16,
+                        )
+                        for x in cand
+                    ),
+                    dtype=np.uint64,
+                    count=len(cand),
+                )
+                order = np.lexsort((cand, hs))[:fanout]
+                keep_src.append(np.full(len(order), c, dtype=object))
+                keep_dst.append(cand[order])
+            if not keep_src:
+                return out_schema.empty_table()
+            src = np.concatenate(keep_src)
+            dst = np.concatenate(keep_dst)
+            return pa.table(
+                {
+                    "hop": pa.array(np.full(len(src), h, np.int64)),
+                    "src": pa.array(list(src), pa.string()),
+                    "dst": pa.array(list(dst), pa.string()),
+                },
+                schema=out_schema,
+            )
+
+        return hop_part
+
+    for h, f in enumerate(fanouts):
+        tagged = edges.map_batches(edge_tag, batch_format="pyarrow").union(
+            frontier.map_batches(frontier_tag, batch_format="pyarrow")
+        )
+        hop_edges = (
+            tagged.groupby("part")
+            .map_groups(make_hop(h, f), batch_format="pyarrow")
+            .repartition(n_parts)  # block-count bound (see bfs_hops)
+            .materialize()
+        )
+        sampled_hops.append(hop_edges)
+
+        def next_frontier(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": pc.unique(batch.column("dst").combine_chunks())})
+
+        # dedup across partitions: one keyed pass (set-valued frontier)
+        frontier = (
+            hop_edges.map_batches(next_frontier, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    out = sampled_hops[0]
+    for d in sampled_hops[1:]:
+        out = out.union(d)
+    return out.sort(["hop", "src", "dst"])

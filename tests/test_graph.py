@@ -614,3 +614,48 @@ def test_personalized_pagerank_vs_reference_and_seed_proximity(ray_session):
     for r, n in got:
         if n not in reachable:
             assert r == 0
+
+
+def test_fanout_sample_vs_bruteforce(ray_session):
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import fanout_sample
+
+    names, src, dst, adj = _rand_adj(seed=31)
+    out = {}
+    for u, v in zip(names[src], names[dst]):
+        out.setdefault(u, set()).add(v)
+    out = {u: sorted(vs) for u, vs in out.items()}
+
+    def h64(u, v, h):
+        return int(hashlib.md5(f"fan:{u}|{v}|{h}".encode()).hexdigest()[:16], 16)
+
+    frontier = {
+        u
+        for u in out
+        if int(hashlib.md5(("seed:" + u).encode()).hexdigest()[:8], 16) % 100 < 5
+    }
+    exp = []
+    for h, f in enumerate((3, 2)):
+        nxt = set()
+        for u in sorted(frontier):
+            cand = out.get(u, [])
+            kept = sorted(cand, key=lambda v: (h64(u, v, h), v))[:f]
+            for v in kept:
+                exp.append((h, u, v))
+                nxt.add(v)
+        frontier = nxt
+    exp.sort()
+    for parts in (1, 6):
+        got = [
+            (r["hop"], r["src"], r["dst"])
+            for r in fanout_sample(
+                ray.data.from_arrow(adj).repartition(parts), 5, (3, 2)
+            ).take_all()
+        ]
+        assert got == exp
+    # fanout bound: no src emits more than its hop's fanout
+    from collections import Counter
+
+    per = Counter((h, u) for h, u, _ in exp)
+    assert all(c <= (3 if h == 0 else 2) for (h, _), c in per.items())
