@@ -229,6 +229,50 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_global_rank(sf_dir: str):
+    """Global ROW_NUMBER over orders by (price cents DESC, orderkey ASC)
+    — the sample-split range-exchange external-sort primitive: one
+    projection scan, ≤256 composite boundaries from a deterministic hash
+    sample, one range exchange, per-partition vectorized sort + driver
+    prefix-sum offsets.  No ds.sort, nothing corpus-sized on the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import global_rank
+
+    def cents(t: "pa.Table") -> "pa.Table":
+        v = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "cents": pa.array(v)})
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    return global_rank(o, "cents", "o_orderkey", descending=True)
+
+
+def _q_quantiles_radix(sf_dir: str):
+    """Exact global percentile_disc quantiles of the HIGH-CARDINALITY
+    lineitem price column via iterative byte-radix selection — no global
+    sort, no distinct-value exchange; every fold ships ≤256 counter rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import quantiles_radix
+
+    def cents(t: "pa.Table") -> "pa.Table":
+        v = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(v)})
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    return quantiles_radix(li, "cents", qs=(1, 25, 50, 75, 99))
+
+
 def _q_column_stats(sf_dir: str):
     """ANALYZE-style catalog stats for orders: counts/nulls/min/max fold
     to one row per column per batch; exact distinct via the standard
@@ -1737,6 +1781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue,
         "revenue_by_nation": _q_revenue_nation,
         "q3_top_orders": _q_q3_top,
+        "global_rank": _q_global_rank,
+        "price_quantiles_radix": _q_quantiles_radix,
         "corr_price_qty": _q_corr,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
@@ -2437,6 +2483,29 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate  > TIMESTAMP '1997-06-01'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_tenk DESC, o_orderkey LIMIT 10
+        """,
+        "global_rank": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey
+                   ) AS rnk
+            FROM orders
+        """,
+        # price_quantiles_radix: percentile_disc semantics spelled out as
+        # the integer-exact window rule the radix search implements —
+        # value at ascending rank ceil(q*n/100)
+        "price_quantiles_radix": """
+            WITH c AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+            SELECT q.q_pct, r.v AS value, nn.n
+            FROM (VALUES (CAST(1 AS BIGINT)), (25), (50), (75), (99)) q(q_pct), nn, r
+            WHERE r.rn = (q.q_pct * nn.n + 99) // 100
+            ORDER BY q.q_pct
         """,
         # table_diff: the derivation is shared, so the oracle classifies
         # from the key predicates directly (changed = %7 price bump)

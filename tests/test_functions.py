@@ -2196,3 +2196,78 @@ def test_top_terms_by_source_vs_python(ray_session):
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         want += [(src, i + 1, t, n) for i, (t, n) in enumerate(top)]
     assert got == want
+
+
+def test_global_rank_vs_numpy_many_blocks(ray_session):
+    """Sample-split range-exchange ROW_NUMBER equals the brute-force
+    argsort at awkward block layouts, including heavy order-key ties
+    (the composite-boundary tie fix-up) and both directions."""
+    import numpy as np
+
+    from relation_extraction_ray.functions.relational import global_rank
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    vals = rng.integers(0, 40, n)  # heavy ties: ~125 rows per value
+    ids = np.array([f"id{i:05d}" for i in rng.permutation(n)])
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(ids), "v": pa.array(vals, pa.int64())})
+    ).repartition(17)
+    for desc in (True, False):
+        got = global_rank(ds, "v", "id", descending=desc, rows_per_part=256).take_all()
+        order = np.lexsort((ids, -vals if desc else vals))
+        want_rank = {ids[j]: r + 1 for r, j in enumerate(order)}
+        assert len(got) == n
+        for row in got:
+            assert row["rnk"] == want_rank[row["id"]], (row, want_rank[row["id"]])
+        # every rank exactly once
+        assert sorted(r["rnk"] for r in got) == list(range(1, n + 1))
+
+
+def test_global_rank_constant_column_balances(ray_session):
+    """A CONSTANT order column still splits across range partitions (the
+    composite (v, id) boundary cut) and ranks purely by the tie column."""
+    from relation_extraction_ray.functions.relational import global_rank
+
+    n = 2000
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([f"k{i:04d}" for i in range(n)]),
+                "v": pa.array([7] * n, pa.int64()),
+            }
+        )
+    ).repartition(8)
+    got = sorted(global_rank(ds, "v", "id", rows_per_part=256).take_all(),
+                 key=lambda r: r["rnk"])
+    assert [r["id"] for r in got] == [f"k{i:04d}" for i in range(n)]
+
+
+def test_quantiles_radix_vs_numpy(ray_session):
+    """Byte-radix selection equals the sorted-array percentile_disc rule
+    on high-cardinality values spanning sign and byte boundaries, at any
+    block layout, including the degenerate all-equal column."""
+    import numpy as np
+
+    from relation_extraction_ray.functions.relational import quantiles_radix
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**40), 2**40, 3000),
+            rng.integers(-3, 3, 500),  # a dense tie cluster around zero
+            np.array([2**62, -(2**62), 0, 0, 255, 256, 65535, 65536]),
+        ]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(13)
+    qs = (1, 10, 50, 90, 99)
+    got = {r["q_pct"]: (r["value"], r["n"]) for r in
+           quantiles_radix(ds, "v", qs=qs, local_cut=64).take_all()}
+    s = np.sort(vals)
+    n = len(s)
+    want = {q: (int(s[(q * n + 99) // 100 - 1]), n) for q in qs}
+    assert got == want
+    # all-equal column: every quantile is the value
+    ds2 = ray.data.from_arrow(pa.table({"v": pa.array([42] * 777, pa.int64())}))
+    got2 = {r["q_pct"]: r["value"] for r in quantiles_radix(ds2, "v", qs=qs).take_all()}
+    assert got2 == {q: 42 for q in qs}
