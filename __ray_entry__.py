@@ -273,6 +273,29 @@ def _q_quantiles_radix(sf_dir: str):
     return quantiles_radix(li, "cents", qs=(1, 25, 50, 75, 99))
 
 
+def _q_cube(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets from
+    ONE fact pass — coarser sets re-aggregate the ≤6-row fine result."""
+    from relation_extraction_ray.functions.relational import lineitem_cube
+
+    return lineitem_cube(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+    )
+
+
+def _q_events_pivot(sf_dir: str):
+    """Crosstab: day × event-type counts as a WIDE table (one column per
+    type) — type vocabulary from a tiny distinct pass, facts folded to
+    (day, type) counters per batch, vectorized per-partition widening."""
+    from relation_extraction_ray.functions.relational import events_pivot
+
+    return events_pivot(_read(sf_dir, "events", columns=["ts", "event_type"]))
+
+
 def _q_column_stats(sf_dir: str):
     """ANALYZE-style catalog stats for orders: counts/nulls/min/max fold
     to one row per column per batch; exact distinct via the standard
@@ -1783,6 +1806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q_q3_top,
         "global_rank": _q_global_rank,
         "price_quantiles_radix": _q_quantiles_radix,
+        "lineitem_cube": _q_cube,
+        "events_pivot": _q_events_pivot,
         "corr_price_qty": _q_corr,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
@@ -2506,6 +2531,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (CAST(1 AS BIGINT)), (25), (50), (75), (99)) q(q_pct), nn, r
             WHERE r.rn = (q.q_pct * nn.n + 99) // 100
             ORDER BY q.q_pct
+        """,
+        "lineitem_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        # events_pivot: the engine discovers the type vocabulary from the
+        # data; the testdata type set is stable, so the oracle spells the
+        # same five FILTER columns
+        "events_pivot": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS evt_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS evt_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS evt_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS evt_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS evt_view,
+                   CAST(count(*) AS BIGINT) AS total
+            FROM events GROUP BY day ORDER BY day
         """,
         # table_diff: the derivation is shared, so the oracle classifies
         # from the key predicates directly (changed = %7 price bump)

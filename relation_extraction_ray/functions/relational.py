@@ -2435,3 +2435,151 @@ def quantiles_radix(
             }
         )
     )
+
+
+def lineitem_cube(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus) over quantity and
+    revenue: all four grouping sets — (flag, status), (flag), (status)
+    and the grand total — in one result, rolled-up keys as the literal
+    ``'ALL'`` (the :func:`revenue_rollup` sentinel convention).
+
+    Scale shape: the only fact-sized work is the FINE aggregate (per-batch
+    partial sums over ≤ |flags|·|status| groups → one tiny combine-fed
+    groupby); the three coarser sets re-aggregate the ≤6-row RESULT as a
+    union of small groupbys — CUBE costs one fact pass regardless of how
+    many grouping sets it expands to."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        pre = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n_items": pa.array(np.ones(len(qty), np.int64)),
+                "sum_qty": pa.array(qty),
+                "revenue_cents": pa.array(cents),
+            }
+        )
+        g = pre.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n_items", "sum"), ("sum_qty", "sum"), ("revenue_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_items", "sum_qty", "revenue_cents"]
+        )
+
+    fine = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .materialize()  # ≤ |flags|·|status| rows — so the three coarser
+        # grouping sets below re-aggregate this tiny result instead of
+        # re-running the fact scan once per set
+    )
+
+    def coarsen(keep_flag: bool, keep_status: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            alls = pa.array(["ALL"] * n, pa.string())
+            return pa.table(
+                {
+                    "l_returnflag": batch.column("l_returnflag") if keep_flag else alls,
+                    "l_linestatus": batch.column("l_linestatus") if keep_status else alls,
+                    "n_items": batch.column("n_items"),
+                    "sum_qty": batch.column("sum_qty"),
+                    "revenue_cents": batch.column("revenue_cents"),
+                }
+            )
+
+        return f
+
+    sets = [fine.map_batches(coarsen(True, True), batch_format="pyarrow")]
+    for kf, ks in ((True, False), (False, True), (False, False)):
+        sets.append(
+            fine.map_batches(coarsen(kf, ks), batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                Sum("n_items", alias_name="n_items"),
+                Sum("sum_qty", alias_name="sum_qty"),
+                Sum("revenue_cents", alias_name="revenue_cents"),
+            )
+            # block-format normalizer: aggregate outputs must match the
+            # arrow blocks of sets[0] or the union asserts/warns
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+    out = sets[0]
+    for s in sets[1:]:
+        out = out.union(s)
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def events_pivot(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Crosstab / PIVOT: one row per calendar day, one count column per
+    event type (``evt_<type>``), plus the day total — the wide dashboard
+    layout of :func:`events_by_day`.
+
+    Scale shape: the column set comes from a tiny distinct pass over
+    per-batch type partials (bounded by the type vocabulary); the fact
+    pass folds to ≤ |days|·|types| (day, type) counter rows per batch;
+    after the one combine-fed groupby, each day's row is assembled with
+    a vectorized per-partition scatter into the fixed column order —
+    nothing row-wise, nothing fact-sized past the first fold."""
+    from ray.data.aggregate import Sum
+
+    def day_type_partial(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        g = (
+            pa.table({"day": days, "event_type": batch.column("event_type")})
+            .group_by(["day", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "event_type": g.column("event_type"),
+                "c": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(day_type_partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # ≤ days·types rows — aggregate-sized, never facts
+    )
+    types = sorted(
+        {
+            r["event_type"]
+            for r in pairs.map_batches(
+                lambda t: pa.table({"event_type": t.column("event_type").unique()}),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+    )
+
+    def widen(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        days = part.column("day").to_numpy(zero_copy_only=False)
+        tps = part.column("event_type").to_numpy(zero_copy_only=False)
+        cs = part.column("c").to_numpy(zero_copy_only=False)
+        uniq_days, day_code = np.unique(days, return_inverse=True)
+        mat = np.zeros((len(uniq_days), len(types)), np.int64)
+        t_code = np.searchsorted(np.array(types), tps)
+        mat[day_code, t_code] = cs
+        cols = {"day": pa.array(uniq_days, pa.string())}
+        for j, t in enumerate(types):
+            cols[f"evt_{t}"] = pa.array(mat[:, j])
+        cols["total"] = pa.array(mat.sum(axis=1))
+        return pa.table(cols)
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    n_parts = derive_n_parts(pairs.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pairs, ["day"], widen, n_parts)

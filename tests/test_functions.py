@@ -2271,3 +2271,67 @@ def test_quantiles_radix_vs_numpy(ray_session):
     ds2 = ray.data.from_arrow(pa.table({"v": pa.array([42] * 777, pa.int64())}))
     got2 = {r["q_pct"]: r["value"] for r in quantiles_radix(ds2, "v", qs=qs).take_all()}
     assert got2 == {q: 42 for q in qs}
+
+
+def test_lineitem_cube_vs_duckdb(ray_session):
+    """All four CUBE grouping sets from one fact pass equal DuckDB's
+    GROUP BY CUBE on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import lineitem_cube
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = lineitem_cube(
+        ray.data.read_parquet(
+            path,
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+    ).to_pandas()
+    want = duckdb.connect().execute(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM read_parquet('{path}')
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # subtotal consistency: grand total == sum of fine rows
+    fine = got[(got.l_returnflag != "ALL") & (got.l_linestatus != "ALL")]
+    grand = got[(got.l_returnflag == "ALL") & (got.l_linestatus == "ALL")]
+    assert int(grand.n_items.iloc[0]) == int(fine.n_items.sum())
+
+
+def test_events_pivot_vs_pandas(ray_session):
+    """Wide day × type crosstab equals the pandas pivot_table on the
+    same events, including zero cells and the row total."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import events_pivot
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = (
+        events_pivot(ray.data.read_parquet(path, columns=["ts", "event_type"]))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(path, columns=["ts", "event_type"])
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    pt = (
+        df.pivot_table(index="day", columns="event_type", aggfunc="size", fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+    assert list(got.columns) == ["day"] + [f"evt_{t}" for t in pt.columns] + ["total"]
+    for t in pt.columns:
+        assert got[f"evt_{t}"].tolist() == pt[t].tolist()
+    assert got["total"].tolist() == pt.sum(axis=1).tolist()
+    assert got["day"].tolist() == list(pt.index)
