@@ -273,6 +273,37 @@ def _q_quantiles_radix(sf_dir: str):
     return quantiles_radix(li, "cents", qs=(1, 25, 50, 75, 99))
 
 
+def _q_delta_dedup(sf_dir: str):
+    """Incremental-ingest dedup: documents split by the deterministic
+    md5 bucket into a BASE half (already in the lake, summarized once
+    into the 8 KiB Bloom sketch) and a DELTA half (tonight's crawl);
+    delta docs already in base — including the sketch's deterministic,
+    SQL-replayable false positives — are dropped shuffle-free, then the
+    survivors keep-first dedup within the delta."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.clean import delta_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_base: bool):
+        def f(batch: "pa.Table") -> "pa.Table":
+            mask = [
+                (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100 < 50)
+                == want_base
+                for k in batch.column("doc_id").to_pylist()
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        return f
+
+    base = docs.map_batches(split(True), batch_format="pyarrow")
+    delta = docs.map_batches(split(False), batch_format="pyarrow")
+    return delta_dedup(base, delta).sort("doc_id")
+
+
 def _q_cube(sf_dir: str):
     """GROUP BY CUBE(returnflag, linestatus): all four grouping sets from
     ONE fact pass — coarser sets re-aggregate the ≤6-row fine result."""
@@ -1808,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_radix": _q_quantiles_radix,
         "lineitem_cube": _q_cube,
         "events_pivot": _q_events_pivot,
+        "delta_dedup": _q_delta_dedup,
         "corr_price_qty": _q_corr,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
@@ -2531,6 +2563,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (CAST(1 AS BIGINT)), (25), (50), (75), (99)) q(q_pct), nn, r
             WHERE r.rn = (q.q_pct * nn.n + 99) // 100
             ORDER BY q.q_pct
+        """,
+        # delta_dedup: full bit replay of the base Bloom sketch (same
+        # md5 position rule as bloom_members), applied to the delta fps;
+        # a delta doc survives iff at least one of its 4 positions is
+        # missing from the base set (no false negatives by construction,
+        # false positives deterministic), then keep-first within delta
+        "delta_dedup": """
+            WITH base AS (
+              SELECT md5(text) AS fp FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 50
+            ), bh AS (
+              SELECT DISTINCT
+                     CAST(CAST(('0x' || substr(md5('bloom:' || fp), 1, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS m1,
+                     CAST(CAST(('0x' || substr(md5('bloom:' || fp), 17, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS m2
+              FROM base
+            ), setpos AS (
+              SELECT DISTINCT (m1 + j.j * m2) % 65536 AS pos
+              FROM bh, LATERAL (SELECT unnest(range(4)) AS j) j
+            ), delta AS (
+              SELECT doc_id, md5(text) AS fp FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 >= 50
+            ), dp AS (
+              SELECT doc_id, fp,
+                     (CAST(CAST(('0x' || substr(md5('bloom:' || fp), 1, 16)) AS UBIGINT)
+                           % 65536 AS BIGINT)
+                      + j.j *
+                      CAST(CAST(('0x' || substr(md5('bloom:' || fp), 17, 16)) AS UBIGINT)
+                           % 65536 AS BIGINT)) % 65536 AS pos
+              FROM delta, LATERAL (SELECT unnest(range(4)) AS j) j
+            ), gated AS (
+              SELECT doc_id, fp
+              FROM dp LEFT JOIN setpos s USING (pos)
+              GROUP BY doc_id, fp
+              HAVING count(*) > sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+            )
+            SELECT min(doc_id) AS doc_id, fp FROM gated GROUP BY fp
+            ORDER BY doc_id
         """,
         "lineitem_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

@@ -108,3 +108,64 @@ def clean_corpus(
 
     n_parts = derive_n_parts(docs.count(), rows_per_part=65536)
     return hash_partitioned_groups(screened, ["h"], keep_first, n_parts).sort("doc_id")
+
+
+def delta_dedup(
+    base: ray.data.Dataset, delta: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Incremental-ingest dedup: given a BASE corpus already in the lake
+    and a new DELTA batch, keep only delta documents whose content is
+    (a) not already in the base and (b) unique within the delta (exact
+    keep-first by min doc_id).  This is the nightly-crawl-append shape:
+    the base is summarized ONCE into an 8 KiB mergeable Bloom sketch
+    (``sketch.bloom_sketch`` — no false negatives, so nothing new is
+    ever wrongly dropped), and each delta batch probes the broadcast
+    sketch in one shuffle-free pass; only the *survivors'*
+    (md5-fingerprint, doc_id) pairs reach the single within-delta dedup
+    exchange.
+
+    Because every Bloom bit is md5-derived, the sketch's false positives
+    — delta docs dropped as "probably in base" without being there — are
+    DETERMINISTIC and SQL-replayable, so the whole operator has an exact
+    cross-engine oracle (the persisted-base scale path: keep per-shard
+    sketches and OR-merge, 8 KiB each regardless of shard size).
+    Output: (doc_id, fp) of kept delta docs.  Base text never crosses
+    the exchange; delta text never leaves its batch."""
+    from ray.data.aggregate import Min
+
+    from .sketch import bloom_contains, bloom_sketch
+
+    def fp_col(batch: pa.Table) -> pa.Table:
+        fp = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({"fp": pa.array(fp, pa.string())})
+
+    base_fps = base.select_columns([text_col]).map_batches(
+        fp_col, batch_format="pyarrow"
+    )
+    words = bloom_sketch(base_fps, "fp")
+    ref = ray.put(words)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        fp = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in batch.column(text_col).to_pylist()
+        ]
+        in_base = bloom_contains(ray.get(ref), fp)
+        t = pa.table(
+            {"doc_id": batch.column("doc_id"), "fp": pa.array(fp, pa.string())}
+        )
+        return t.filter(pa.array(~in_base))
+
+    survivors = delta.select_columns(["doc_id", text_col]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    return (
+        survivors.groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .map_batches(
+            lambda t: t.select(["doc_id", "fp"]), batch_format="pyarrow"
+        )
+    )

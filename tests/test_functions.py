@@ -1129,6 +1129,39 @@ def test_clean_corpus_gates_and_keep_first(ray_session):
     assert list(got.n_tokens) == [11, 5, 6]
 
 
+def test_delta_dedup_gates_and_keep_first(ray_session):
+    """Bloom-gated incremental dedup: every delta doc whose text IS in
+    the base is dropped (no false negatives in the sketch means no
+    base dup can survive), genuinely-new texts survive modulo the
+    sketch's deterministic false positives (none at this tiny scale),
+    and within-delta exact dups keep the min doc_id."""
+    import hashlib
+
+    from relation_extraction_ray.functions.clean import delta_dedup
+
+    base_rows = [{"doc_id": i, "text": f"base document number {i}"} for i in range(50)]
+    delta_rows = (
+        [{"doc_id": 100 + i, "text": f"base document number {i}"} for i in range(10)]
+        + [{"doc_id": 200, "text": "fresh delta text alpha"},
+           {"doc_id": 201, "text": "fresh delta text alpha"},   # within-delta dup
+           {"doc_id": 202, "text": "fresh delta text beta"}]
+    )
+    got = (
+        delta_dedup(_docs_ds(base_rows).repartition(3), _docs_ds(delta_rows).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # 8 KiB sketch / 52 distinct keys: zero false positives here, so the
+    # survivors are exactly the non-base texts, keep-first within delta.
+    assert list(got.doc_id) == [200, 202]
+    assert list(got.fp) == [
+        hashlib.md5(b"fresh delta text alpha").hexdigest(),
+        hashlib.md5(b"fresh delta text beta").hexdigest(),
+    ]
+    # empty delta and delta-all-in-base both yield zero rows
+    assert delta_dedup(_docs_ds(base_rows), _docs_ds(base_rows[:5])).count() == 0
+
+
 # --- bm25_search + dup_passages ---------------------------------------------
 
 
