@@ -327,6 +327,52 @@ def _q_events_pivot(sf_dir: str):
     return events_pivot(_read(sf_dir, "events", columns=["ts", "event_type"]))
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by epoch-week of first
+    event; each cell counts the cohort's distinct users active at that
+    week offset.  Fact pass folds to distinct (user, week) pairs; one
+    user-keyed exchange computes cohorts locally."""
+    from relation_extraction_ray.functions.relational import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase: a user reaches stage k iff a
+    stage-k event is STRICTLY later than their earliest qualifying
+    stage-(k-1) event; one user-keyed exchange, per-partition numpy
+    reduceat stage mins, len(stages) counter rows per partition."""
+    from relation_extraction_ray.functions.relational import funnel_counts
+
+    return funnel_counts(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        stages=("view", "click", "purchase"),
+    )
+
+
+def _q_events_unpivot(sf_dir: str):
+    """UNPIVOT/melt of the day×type crosstab back to long (day,
+    event_type, n) INCLUDING zero cells — the reshape inverse of
+    events_pivot; one streaming Arrow-take scan, no exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from relation_extraction_ray.functions.relational import events_pivot, unpivot
+
+    wide = events_pivot(_read(sf_dir, "events", columns=["ts", "event_type"]))
+    vcols = [c for c in wide.schema().names if c.startswith("evt_")]
+    long = unpivot(wide, ["day"], vcols, var_name="event_type", value_name="n")
+
+    def strip(batch: "pa.Table") -> "pa.Table":
+        return batch.set_column(
+            batch.column_names.index("event_type"),
+            "event_type",
+            pc.utf8_replace_slice(batch.column("event_type"), 0, 4, ""),
+        )
+
+    return long.map_batches(strip, batch_format="pyarrow").sort(["day", "event_type"])
+
+
 def _q_column_stats(sf_dir: str):
     """ANALYZE-style catalog stats for orders: counts/nulls/min/max fold
     to one row per column per batch; exact distinct via the standard
@@ -1839,6 +1885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_radix": _q_quantiles_radix,
         "lineitem_cube": _q_cube,
         "events_pivot": _q_events_pivot,
+        "events_unpivot": _q_events_unpivot,
+        "cohort_retention": _q_cohort_retention,
+        "funnel": _q_funnel,
         "delta_dedup": _q_delta_dedup,
         "corr_price_qty": _q_corr,
         "mode_event_type": _q_mode,
@@ -2626,6 +2675,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS evt_view,
                    CAST(count(*) AS BIGINT) AS total
             FROM events GROUP BY day ORDER BY day
+        """,
+        # events_unpivot: melt of the crosstab including zero cells —
+        # distinct days × distinct types with COALESCEd counts
+        "events_unpivot": """
+            WITH d AS (
+              SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+              FROM events
+            ), t AS (
+              SELECT DISTINCT event_type FROM events
+            ), c AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+            FROM d CROSS JOIN t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+            ORDER BY d.day, t.event_type
+        """,
+        # cohort_retention: epoch-week cohorts (days since 1970-01-01
+        # integer-divided by 7), distinct active users per offset
+        "cohort_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                       AS week
+              FROM events
+            ), c AS (
+              SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+            )
+            SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+                   CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # funnel: strictly-later stage rule — t_k = min ts of a stage-k
+        # event with ts > t_{k-1}
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+            )
+            SELECT * FROM (
+              SELECT 1 AS stage_idx, 'view' AS stage,
+                     CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+            ) ORDER BY stage_idx
         """,
         # table_diff: the derivation is shared, so the oracle classifies
         # from the key predicates directly (changed = %7 price bump)

@@ -2583,3 +2583,203 @@ def events_pivot(events: ray.data.Dataset) -> ray.data.Dataset:
 
     n_parts = derive_n_parts(pairs.count(), rows_per_part=65536)
     return hash_partitioned_groups(pairs, ["day"], widen, n_parts)
+
+
+def cohort_retention(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by the epoch-week of their FIRST event, and each cell counts
+    how many of a cohort's users were active ``week_offset`` weeks later.
+    Output: (cohort_week, week_offset, n_users), week = epoch_days // 7.
+
+    Scale shape: the fact pass folds each batch to its DISTINCT
+    (user_id, week) pairs (bounded by users·weeks per batch, not events);
+    ONE user-keyed exchange lands every pair of a user in one partition,
+    where the cohort (per-user min week) and the offset rows are computed
+    with numpy reduceat — no second shuffle for the argmin.  Each
+    partition then pre-counts its (cohort, offset) cells so the final
+    exchange is aggregate-sized (≤ weeks² rows per partition)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def week_pairs(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()).cast(pa.int32()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": pa.array(days // 7, pa.int64()),
+            }
+        )
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.schema(
+                [("cohort_week", pa.int64()), ("week_offset", pa.int64()), ("n_users", pa.int64())]
+            ).empty_table()
+        # dedup pairs across batches, order by (user, week): each user's
+        # first row is their cohort week
+        g = part.select(["user_id", "week"]).group_by(["user_id", "week"]).aggregate([])
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("week", "ascending")]
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy()
+        weeks = g.column("week").to_numpy()
+        first = np.concatenate([[True], users[1:] != users[:-1]])
+        cohort = np.repeat(
+            weeks[first],
+            np.diff(np.concatenate([np.flatnonzero(first), [len(users)]])),
+        )
+        cells = (
+            pa.table(
+                {
+                    "cohort_week": pa.array(cohort, pa.int64()),
+                    "week_offset": pa.array(weeks - cohort, pa.int64()),
+                }
+            )
+            .group_by(["cohort_week", "week_offset"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cohort_week": cells.column("cohort_week"),
+                "week_offset": cells.column("week_offset"),
+                "n_users": cells.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = events.select_columns(["user_id", "ts"]).map_batches(
+        week_pairs, batch_format="pyarrow"
+    )
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    cells = hash_partitioned_groups(pairs, ["user_id"], per_part, n_parts)
+    return (
+        cells.groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["cohort_week", "week_offset"])
+    )
+
+
+def funnel_counts(
+    events: ray.data.Dataset, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> ray.data.Dataset:
+    """Ordered funnel: how many users reached stage k IN ORDER — a user
+    counts for stage k iff they have a stage-k event STRICTLY LATER (by
+    ts) than their earliest qualifying stage-(k-1) event; t_k is the
+    earliest such event (the standard strictly-increasing funnel rule,
+    identical in the SQL replay).  Output: (stage_idx, stage, n_users).
+
+    Scale shape: the read keeps only funnel-typed rows and 3 columns;
+    ONE user-keyed exchange co-locates each user's funnel events; within
+    a partition each stage is a vectorized per-user min over the rows
+    beating the previous stage's threshold (numpy reduceat over the
+    user-sorted frame — no Python per-user loop), and only
+    ``len(stages)`` counter rows per partition reach the final fold."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    stages = tuple(stages)
+    stage_set = set(stages)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"), value_set=pa.array(list(stage_set)))
+        return batch.select(["user_id", "ts", "event_type"]).filter(mask)
+
+    def per_part(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("stage_idx", pa.int64()), ("n_users", pa.int64())])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            part, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = part.take(order)
+        users = t.column("user_id").to_numpy()
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(users, return_inverse=True)
+        n_users = len(uniq)
+        INF = np.int64(2**62)
+        prev = np.full(n_users, -INF, dtype=np.int64)  # stage-0 threshold
+        counts = []
+        for k, s in enumerate(stages):
+            # per-user min ts among stage-s rows strictly past prev[user]
+            cand = np.where((types == s) & (ts > prev[codes]), ts, INF)
+            cur = np.minimum.reduceat(
+                cand, np.searchsorted(codes, np.arange(n_users))
+            ) if len(cand) else np.full(n_users, INF, np.int64)
+            counts.append(int((cur < INF).sum()))
+            prev = cur
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(1, len(stages) + 1, dtype=np.int64)),
+                "n_users": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+
+    pruned = events.map_batches(prune, batch_format="pyarrow")
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    partials = hash_partitioned_groups(pruned, ["user_id"], per_part, n_parts)
+    folded = (
+        partials.groupby("stage_idx")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("stage_idx")
+    )
+    name = pa.array(list(stages), pa.string())
+
+    def attach(batch: pa.Table) -> pa.Table:
+        idx = batch.column("stage_idx").to_numpy().astype(np.int64) - 1
+        return pa.table(
+            {
+                "stage_idx": batch.column("stage_idx"),
+                "stage": name.take(pa.array(idx)),
+                "n_users": batch.column("n_users"),
+            }
+        )
+
+    return folded.map_batches(attach, batch_format="pyarrow")
+
+
+def unpivot(
+    wide: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT / melt: turn each wide row into ``len(value_cols)`` long
+    rows (id_cols…, var_name, value_name) — the inverse reshape of
+    :func:`events_pivot`.  One streaming scan: per batch the id columns
+    are repeated with Arrow ``take`` and the value columns concatenated
+    — no exchange, no Python row loop; output is value_cols× the input
+    rows, produced block-local so it streams at any width."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), len(value_cols)))
+        ids = batch.select(id_cols).take(idx)
+        var = pa.array(
+            np.repeat(np.array(value_cols, dtype=object), n), pa.string()
+        )
+        vals = pa.array(
+            np.concatenate(
+                [
+                    batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+                    for c in value_cols
+                ]
+            )
+            if n
+            else np.empty(0, np.int64)
+        )
+        return ids.append_column(var_name, var).append_column(value_name, vals)
+
+    return wide.map_batches(melt, batch_format="pyarrow")

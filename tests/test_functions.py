@@ -843,6 +843,112 @@ def test_sessionize_vs_pandas(ray_session):
     assert (got["n_events"] > 1).any()
 
 
+def test_cohort_retention_handcrafted(ray_session):
+    """Epoch-week cohorts: user 1 starts week w0 and returns w0+2; user 2
+    starts w0; user 3 starts w0+1 — offsets count distinct users, and a
+    user active twice in one week counts once."""
+    import datetime as dt
+
+    from relation_extraction_ray.functions.relational import cohort_retention
+
+    def ts(day, hour=0):
+        # 2024-01-01 is a Monday; epoch-week boundary is Thursday-based
+        # (1970-01-01 was a Thursday) but the rule is just days//7.
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=hour)
+
+    w0 = (dt.date(2024, 1, 4) - dt.date(1970, 1, 1)).days // 7  # week of Jan 4
+    rows = [
+        {"user_id": 1, "ts": ts(3)},        # Jan 4  -> w0
+        {"user_id": 1, "ts": ts(3, 5)},     # same week, dup
+        {"user_id": 1, "ts": ts(17)},       # w0+2
+        {"user_id": 2, "ts": ts(4)},        # w0
+        {"user_id": 3, "ts": ts(10)},       # w0+1
+    ]
+    got = cohort_retention(_docs_ds(rows).repartition(2)).to_pandas()
+    want = [
+        (w0, 0, 2),       # users 1,2 in their cohort week
+        (w0, 2, 1),       # user 1 back two weeks later
+        (w0 + 1, 0, 1),   # user 3's cohort
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_funnel_counts_order_matters(ray_session):
+    """A user only reaches stage k with a STRICTLY later stage-k event:
+    click-before-view doesn't count, equal-ts doesn't count, and the
+    earliest qualifying event is the next threshold."""
+    import datetime as dt
+
+    from relation_extraction_ray.functions.relational import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, minutes, typ):
+        return {"user_id": u, "ts": t0 + dt.timedelta(minutes=minutes), "event_type": typ}
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        # user 2: click BEFORE view -> stops at view
+        ev(2, 0, "click"), ev(2, 1, "view"),
+        # user 3: click at the SAME ts as view -> not strictly later
+        ev(3, 0, "view"), ev(3, 0, "click"),
+        # user 4: view only
+        ev(4, 0, "view"),
+        # user 5: purchase before click: v@0, p@1, c@2 -> no purchase after click
+        ev(5, 0, "view"), ev(5, 1, "purchase"), ev(5, 2, "click"),
+        # user 6: second, later click qualifies the purchase between them?
+        # c@-1 (pre-view, ignored), v@0, c@1, p@2 -> full funnel
+        ev(6, -1, "click"), ev(6, 0, "view"), ev(6, 1, "click"), ev(6, 2, "purchase"),
+        # user 7: never views
+        ev(7, 0, "click"), ev(7, 1, "purchase"),
+        # noise type
+        ev(1, 5, "error"),
+    ]
+    got = funnel_counts(_docs_ds(rows).repartition(3)).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (1, "view", 6),      # users 1-6
+        (2, "click", 3),     # users 1,5,6 (2 clicked before viewing, 3 tied)
+        (3, "purchase", 2),  # users 1,6 (5's purchase precedes their click)
+    ]
+
+
+def test_unpivot_inverts_pivot(ray_session):
+    """unpivot(events_pivot(x)) over the evt_ columns reproduces the long
+    (day, type, n) counts including explicit zero cells."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import events_pivot, unpivot
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]
+    )
+    wide = events_pivot(ds)
+    vcols = [c for c in wide.schema().names if c.startswith("evt_")]
+    got = (
+        unpivot(wide, ["day"], vcols, var_name="event_type", value_name="n")
+        .to_pandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]
+    )
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    counts = df.groupby(["day", "event_type"]).size()
+    days = sorted(df["day"].unique())
+    types = sorted(df["event_type"].unique())
+    want = pd.DataFrame(
+        [
+            {"day": d, "event_type": f"evt_{t}", "n": int(counts.get((d, t), 0))}
+            for d in days
+            for t in types
+        ]
+    ).sort_values(["day", "event_type"]).reset_index(drop=True)
+    assert len(got) == len(days) * len(types)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_tfidf_top_terms_vs_python(ray_session):
     """tf-idf top-k must equal a brute-force python replay: raw-ratio idf,
     milli-int score floor(1000*tf*N/df+0.5), ties by token asc."""
