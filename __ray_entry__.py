@@ -1383,6 +1383,19 @@ def _q_dup_clusters(sf_dir: str):
     return connected_components(pairs).sort("doc_id")
 
 
+def _q_split_leakage(sf_dir: str):
+    """Leakage-safe train/valid/test split: every doc bucketed by the
+    md5 of its ngram-Jaccard dup-cluster CANONICAL id (singletons =
+    self), so near-dups never straddle splits; labels broadcast below a
+    byte bound, one side-tagged doc-id exchange above it."""
+    from relation_extraction_ray.functions.curation import leakage_safe_split
+    from relation_extraction_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return leakage_safe_split(docs, pairs)
+
+
 def _q_dedup_embed(sf_dir: str):
     """Embedding-cosine near-dup pairs.  The synthetic embeddings have no
     true near-dups (max cos ≈ 0.51), so the query runs at threshold 0.4 to
@@ -1931,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": _q_knn_ivfpq,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
+        "split_leakage": _q_split_leakage,
         "lm_perplexity": _q_lm_perplexity,
         "dedup_keep_one": _q_dedup_keep_one,
         "decontam": _q_decontam,
@@ -3888,6 +3902,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canonical_id,
                    CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
             FROM comp ORDER BY doc_id
+        """,
+        # split_leakage: same component CTE, then every doc (singletons
+        # = self-canonical) bucketed by md5('split:'||canonical) % 100
+        "split_leakage": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            prs AS (
+              SELECT doc_a, doc_b FROM jac WHERE sim >= 0.8
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM prs
+            ), reach(node, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ), comp AS (
+              SELECT node AS doc_id, MIN(root) AS canonical_id FROM reach GROUP BY node
+            ), allc AS (
+              SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            )
+            SELECT doc_id, canonical_id,
+                   CASE WHEN b < 10 THEN 'test'
+                        WHEN b < 20 THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id, canonical_id,
+                     CAST(('0x' || substr(md5('split:' || CAST(canonical_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 100 AS b
+              FROM allc
+            ) ORDER BY doc_id
         """,
         "dedup_embed": f"""
             WITH planes AS (

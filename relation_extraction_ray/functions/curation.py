@@ -321,3 +321,103 @@ def budget_select(
         return batch.filter(pa.array(keep)).select(out_cols)
 
     return f.map_batches(final_filter, batch_format="pyarrow").sort("doc_id")
+
+
+def leakage_safe_split(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    key_col: str = "doc_id",
+    pcts: tuple[int, int] = (10, 10),
+    broadcast_bytes: int = 256 << 20,
+) -> ray.data.Dataset:
+    """Cluster-aware train/valid/test assignment — the leakage-safe
+    split an LLM data pipeline runs after near-dup detection: every
+    document is bucketed by the md5 of its dup-cluster CANONICAL id
+    (component-min over ``pairs``; singletons are their own canonical),
+    so near-duplicates can never straddle splits and contaminate
+    held-out sets.  bucket = md5('split:'||canonical)[:8] % 100;
+    bucket < pcts[0] → 'test', < pcts[0]+pcts[1] → 'valid', else
+    'train'.  Output: (doc_id, canonical_id, split).
+
+    Scale shape: the label table is O(|dup pairs|) ≪ corpus (components
+    never emits singletons).  Below ``broadcast_bytes`` it ships ONCE
+    via ``ray.put`` and the corpus takes a single shuffle-free scan;
+    above the bound docs and labels flow through ONE side-tagged
+    doc-id-keyed exchange and join reduce-side (same planner split as
+    ``state/linker.py`` / ``verify_jaccard``) — bit-identical outputs,
+    pytest-asserted."""
+    from .components import connected_components
+
+    lo, hi = int(pcts[0]), int(pcts[0]) + int(pcts[1])
+
+    def assign(ids: np.ndarray, cids: np.ndarray) -> pa.Table:
+        bucket = np.fromiter(
+            (
+                int(hashlib.md5(f"split:{c}".encode()).hexdigest()[:8], 16) % 100
+                for c in cids
+            ),
+            dtype=np.int64,
+            count=len(cids),
+        )
+        split = np.where(bucket < lo, "test", np.where(bucket < hi, "valid", "train"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(cids, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    labels = connected_components(pairs).materialize()
+    ids_only = docs.select_columns([key_col])
+
+    if labels.count() * 64 <= broadcast_bytes:
+        lab = {
+            r["doc_id"]: r["canonical_id"]
+            for b in labels.iter_batches(batch_format="pyarrow")
+            for r in b.select(["doc_id", "canonical_id"]).to_pylist()
+        }
+        ref = ray.put(lab)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ids = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            cids = np.array([m.get(int(i), int(i)) for i in ids], np.int64)
+            return assign(ids, cids)
+
+        return ids_only.map_batches(attach, batch_format="pyarrow").sort("doc_id")
+
+    # partitioned reduce-side join: one side-tagged doc-id-keyed exchange
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).cast(pa.int64())
+        return pa.table(
+            {"doc_id": ids, "canonical_id": pa.nulls(len(ids), pa.int64())}
+        )
+
+    tagged = ids_only.map_batches(tag_docs, batch_format="pyarrow").union(
+        labels.map_batches(
+            lambda t: t.select(["doc_id", "canonical_id"]), batch_format="pyarrow"
+        )
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        cid_col = part.column("canonical_id")
+        is_lab = pc.is_valid(cid_col).to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_ids = ids[is_lab]
+        lab_cids = cid_col.to_numpy(zero_copy_only=False)[is_lab].astype(np.int64)
+        order = np.argsort(lab_ids, kind="stable")
+        lab_ids, lab_cids = lab_ids[order], lab_cids[order]
+        d_ids = ids[~is_lab]
+        if len(lab_ids) == 0:
+            return assign(d_ids, d_ids)
+        pos = np.searchsorted(lab_ids, d_ids)
+        pos_c = np.clip(pos, 0, len(lab_ids) - 1)
+        hit = (pos < len(lab_ids)) & (lab_ids[pos_c] == d_ids)
+        cids = np.where(hit, lab_cids[pos_c], d_ids)
+        return assign(d_ids, cids)
+
+    n_parts = derive_n_parts(docs.count(), rows_per_part=65536)
+    return hash_partitioned_groups(tagged, ["doc_id"], per_part, n_parts).sort(
+        "doc_id"
+    )

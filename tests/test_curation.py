@@ -113,3 +113,42 @@ def test_budget_select_exact_fit_boundary(ray_session):
     got = budget_select(ray.data.from_arrow(tab), budget).take_all()
     assert len(got) == 10
     assert sum(r["n_tokens"] for r in got) == budget
+
+
+def test_leakage_safe_split_cluster_atomic_and_paths_identical(ray_session):
+    """(a) every dup cluster lands entirely in ONE split, (b) the split
+    rule is the documented md5 bucket of the canonical id, (c) the
+    partitioned reduce-side path is bit-identical to broadcast, (d)
+    singleton docs are their own canonical."""
+    from relation_extraction_ray.functions.curation import leakage_safe_split
+
+    # 3 clusters (sizes 3, 2, 2) + 93 singletons, ids shuffled across blocks
+    rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(100)]
+    pair_rows = [
+        {"doc_a": 7, "doc_b": 42}, {"doc_a": 42, "doc_b": 99},  # {7,42,99}
+        {"doc_a": 3, "doc_b": 55},                              # {3,55}
+        {"doc_a": 10, "doc_b": 11},                             # {10,11}
+    ]
+    docs = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    pairs = ray.data.from_arrow(pa.Table.from_pylist(pair_rows))
+
+    bro = leakage_safe_split(docs, pairs).to_pandas()
+    part = leakage_safe_split(docs, pairs, broadcast_bytes=0).to_pandas()
+    assert bro.equals(part)
+
+    got = bro.set_index("doc_id")
+    assert len(got) == 100
+    for cluster in [(7, 42, 99), (3, 55), (10, 11)]:
+        canon = min(cluster)
+        assert {got.loc[i, "canonical_id"] for i in cluster} == {canon}
+        assert len({got.loc[i, "split"] for i in cluster}) == 1
+    # singletons: canonical = self, split from the same bucket rule
+    for i in (0, 1, 98):
+        assert got.loc[i, "canonical_id"] == i
+    for i in (0, 1, 98, 7):
+        c = got.loc[i, "canonical_id"]
+        b = int(hashlib.md5(f"split:{c}".encode()).hexdigest()[:8], 16) % 100
+        want = "test" if b < 10 else ("valid" if b < 20 else "train")
+        assert got.loc[i, "split"] == want
+    assert set(bro["split"].unique()) <= {"train", "valid", "test"}
+    assert (bro["split"] == "train").sum() > 50
