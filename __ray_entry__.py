@@ -373,6 +373,33 @@ def _q_events_unpivot(sf_dir: str):
     return long.map_batches(strip, batch_format="pyarrow").sort(["day", "event_type"])
 
 
+def _q_zorder_orders(sf_dir: str):
+    """Z-order layout diagnostic for orders on (custkey, order day):
+    Morton-interleave the normalized keys, bucket by the code's top 6
+    bits (the ZORDER-BY rewrite's write partitions) and emit per-bucket
+    zone maps — two aggregate-sized passes, nothing fact-sized shuffled."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.layout import zorder_zonemaps
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def daynum(batch: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_daynum": batch.column("o_orderdate")
+                .cast(pa.date32())
+                .cast(pa.int32())
+                .cast(pa.int64()),
+            }
+        )
+
+    return zorder_zonemaps(
+        orders.map_batches(daynum, batch_format="pyarrow"), "o_custkey", "o_daynum"
+    )
+
+
 def _q_column_stats(sf_dir: str):
     """ANALYZE-style catalog stats for orders: counts/nulls/min/max fold
     to one row per column per batch; exact distinct via the standard
@@ -1899,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": _q_cube,
         "events_pivot": _q_events_pivot,
         "events_unpivot": _q_events_unpivot,
+        "zorder_orders": _q_zorder_orders,
         "cohort_retention": _q_cohort_retention,
         "funnel": _q_funnel,
         "delta_dedup": _q_delta_dedup,
@@ -2689,6 +2717,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS evt_view,
                    CAST(count(*) AS BIGINT) AS total
             FROM events GROUP BY day ORDER BY day
+        """,
+        # zorder_orders: exact replay of the Morton layout — integer
+        # affine scale to [0, 2^16), bit interleave as a sum over
+        # unnest(range(16)) gathers, bucket = top 6 bits (z >> 26)
+        "zorder_orders": """
+            WITH b AS (
+              SELECT min(o_custkey) AS lx, max(o_custkey) AS hx,
+                     min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ly,
+                     max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS hy
+              FROM orders
+            ), s AS (
+              SELECT o_orderkey, o_custkey AS x,
+                     datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y,
+                     (o_custkey - b.lx) * 65535 // greatest(b.hx - b.lx, 1) AS sx,
+                     (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - b.ly)
+                       * 65535 // greatest(b.hy - b.ly, 1) AS sy
+              FROM orders, b
+            ), z AS (
+              SELECT s.o_orderkey, s.x, s.y,
+                     CAST(sum(((s.sx >> i.i) & 1) * (CAST(1 AS BIGINT) << (2 * i.i))
+                         + ((s.sy >> i.i) & 1) * (CAST(1 AS BIGINT) << (2 * i.i + 1)))
+                          AS BIGINT) AS zv
+              FROM s, LATERAL (SELECT unnest(range(16)) AS i) i
+              GROUP BY s.o_orderkey, s.x, s.y
+            )
+            SELECT zv >> 26 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y
+            FROM z GROUP BY bucket ORDER BY bucket
         """,
         # events_unpivot: melt of the crosstab including zero cells —
         # distinct days × distinct types with COALESCEd counts
