@@ -550,6 +550,19 @@ def _q_corr(sf_dir: str):
     )
 
 
+def _q_spearman(sf_dir: str):
+    """Tie-aware Spearman rank correlation quantity↔discount: pair-count
+    exchange bounded by distinct_x·distinct_y, driver-exact doubled-rank
+    integer sufficient stats, one fixed IEEE final form."""
+    from relation_extraction_ray.functions.relational import spearman_rank_corr
+
+    return spearman_rank_corr(
+        _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"]),
+        "l_quantity",
+        "l_discount",
+    )
+
+
 def _q_top_orders(sf_dir: str):
     from relation_extraction_ray.functions.relational import top_orders
 
@@ -1931,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "delta_dedup": _q_delta_dedup,
         "corr_price_qty": _q_corr,
+        "spearman_qty_disc": _q_spearman,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
         "balance_deciles": _q_deciles,
@@ -3053,6 +3067,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corr_price_qty: the same integer sufficient stats in HUGEINT,
         # final r in the identical IEEE order (cast, divide, scale, floor)
+        # spearman_qty_disc: tie-averaged doubled ranks from the marginal
+        # count tables (doubling keeps .5-averages integral and cancels
+        # in rho), exact HUGEINT sufficient stats, the corr_price_qty
+        # final IEEE form
+        "spearman_qty_disc": """
+            WITH j AS (
+              SELECT CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_discount * 100) AS BIGINT) AS y,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), mx AS (
+              SELECT x, sum(w) AS c FROM j GROUP BY x
+            ), rx AS (
+              SELECT x, 2 * COALESCE(sum(c) OVER (ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + c + 1 AS r
+              FROM mx
+            ), my AS (
+              SELECT y, sum(w) AS c FROM j GROUP BY y
+            ), ry AS (
+              SELECT y, 2 * COALESCE(sum(c) OVER (ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + c + 1 AS r
+              FROM my
+            ), s AS (
+              SELECT CAST(sum(w) AS HUGEINT) AS n,
+                     sum(CAST(w AS HUGEINT) * rx.r) AS sx,
+                     sum(CAST(w AS HUGEINT) * ry.r) AS sy,
+                     sum(CAST(w AS HUGEINT) * rx.r * rx.r) AS sxx,
+                     sum(CAST(w AS HUGEINT) * ry.r * ry.r) AS syy,
+                     sum(CAST(w AS HUGEINT) * rx.r * ry.r) AS sxy
+              FROM j JOIN rx USING (x) JOIN ry USING (y)
+            ), f AS (
+              SELECT n, n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS a, n * syy - sy * sy AS b
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN a > 0 AND b > 0 THEN
+                     CAST(floor(CAST(num AS DOUBLE)
+                           / (sqrt(CAST(a AS DOUBLE)) * sqrt(CAST(b AS DOUBLE)))
+                           * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS spearman_nano
+            FROM f
+        """,
         "corr_price_qty": """
             WITH s AS (
               SELECT CAST(count(*) AS BIGINT) AS n,

@@ -2783,3 +2783,94 @@ def unpivot(
         return ids.append_column(var_name, var).append_column(value_name, vals)
 
     return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def spearman_rank_corr(
+    ds: ray.data.Dataset,
+    col_x: str,
+    col_y: str,
+    scale_x: int = 1,
+    scale_y: int = 100,
+) -> ray.data.Dataset:
+    """Spearman rank correlation between two BOUNDED-DISTINCT numeric
+    columns (tie-aware: average ranks), exactly — no global sort.
+    Values are fixed-point-scaled to integers, the fact pass folds each
+    batch to its (x, y) pair counts (combine-fed groupby bounded by
+    distinct_x·distinct_y rows, NOT facts), and the driver computes
+    tie-averaged ranks and Pearson-over-ranks from the pair-count table
+    with arbitrary-precision integer sufficient statistics — doubled
+    ranks keep the .5-averages integral, and the doubling cancels in
+    rho.  One fixed IEEE final form (floor(num/(sqrt(a)·sqrt(b))·1e9 +
+    0.5), the :func:`corr_price_qty` convention) makes the hash exact
+    cross-engine.  Output: one row (n, spearman_nano).
+
+    Scale shape: the only exchange is the aggregate-sized pair-count
+    groupby; the driver holds O(distinct²) — the documented bound (for
+    high-cardinality columns, rank via the byte-radix order-statistic
+    machinery of ``quantiles_radix`` first)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(
+            batch.column(col_x).to_numpy(zero_copy_only=False).astype(np.float64)
+            * scale_x
+        ).astype(np.int64)
+        y = np.rint(
+            batch.column(col_y).to_numpy(zero_copy_only=False).astype(np.float64)
+            * scale_y
+        ).astype(np.int64)
+        g = (
+            pa.table({"x": pa.array(x), "y": pa.array(y)})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "x": g.column("x"),
+                "y": g.column("y"),
+                "w": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    joint = (
+        ds.select_columns([col_x, col_y])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("w", alias_name="w"))
+        .take_all()
+    )
+
+    def doubled_ranks(axis: str) -> dict[int, int]:
+        marg: dict[int, int] = {}
+        for r in joint:
+            marg[r[axis]] = marg.get(r[axis], 0) + r["w"]
+        out, cum = {}, 0
+        for v in sorted(marg):
+            out[v] = 2 * cum + marg[v] + 1  # 2 × tie-averaged 1-based rank
+            cum += marg[v]
+        return out
+
+    rx, ry = doubled_ranks("x"), doubled_ranks("y")
+    n = sx = sy = sxx = syy = sxy = 0
+    for r in joint:
+        w, a, b = r["w"], rx[r["x"]], ry[r["y"]]
+        n += w
+        sx += w * a
+        sy += w * b
+        sxx += w * a * a
+        syy += w * b * b
+        sxy += w * a * b
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    if va > 0 and vb > 0:
+        nano = int(math.floor(num / (math.sqrt(va) * math.sqrt(vb)) * 1e9 + 0.5))
+    else:
+        nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {"n": pa.array([n], pa.int64()), "spearman_nano": pa.array([nano], pa.int64())}
+        )
+    )

@@ -2474,3 +2474,42 @@ def test_events_pivot_vs_pandas(ray_session):
         assert got[f"evt_{t}"].tolist() == pt[t].tolist()
     assert got["total"].tolist() == pt.sum(axis=1).tolist()
     assert got["day"].tolist() == list(pt.index)
+
+
+def test_spearman_rank_corr_vs_numpy(ray_session):
+    """Tie-aware Spearman must match a direct average-rank Pearson
+    replay (numpy, float) to nano precision, on tie-heavy data and on a
+    perfectly monotone column pair (rho = 1)."""
+    from relation_extraction_ray.functions.relational import spearman_rank_corr
+
+    def avg_ranks(v):
+        import numpy as _np
+
+        order = _np.argsort(v, kind="mergesort")
+        ranks = _np.empty(len(v), float)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2  # 1-based average rank
+            i = j
+        return ranks
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(1, 8, 400).astype(np.int64)        # heavy ties
+    y = (x * 3 + rng.randint(0, 10, 400)) / 100.0      # correlated, scaled
+    ds = ray.data.from_arrow(
+        pa.table({"x": x, "y": y})
+    ).repartition(7)
+    got = spearman_rank_corr(ds, "x", "y", scale_x=1, scale_y=100).take_all()[0]
+    rx, ry = avg_ranks(x), avg_ranks(np.rint(y * 100).astype(np.int64))
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert got["n"] == 400
+    assert abs(got["spearman_nano"] - int(np.floor(want * 1e9 + 0.5))) <= 1
+
+    mono = ray.data.from_arrow(
+        pa.table({"x": np.arange(50, dtype=np.int64), "y": np.arange(50) * 0.07})
+    )
+    assert spearman_rank_corr(mono, "x", "y").take_all()[0]["spearman_nano"] == 10**9
