@@ -550,6 +550,18 @@ def _q_corr(sf_dir: str):
     )
 
 
+def _q_rolling_wau(sf_dir: str):
+    """7-day rolling active users for every calendar day: distinct
+    (user, day) fold, ONE user-keyed exchange emitting ±1 interval
+    deltas (a year-long user costs 2 rows), day-keyed counter fold,
+    driver prefix-sum over the ≤ span-many rows."""
+    from relation_extraction_ray.functions.relational import rolling_active_users
+
+    return rolling_active_users(
+        _read(sf_dir, "events", columns=["user_id", "ts"]), window=7
+    )
+
+
 def _q_spearman(sf_dir: str):
     """Tie-aware Spearman rank correlation quantity↔discount: pair-count
     exchange bounded by distinct_x·distinct_y, driver-exact doubled-rank
@@ -1945,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_dedup": _q_delta_dedup,
         "corr_price_qty": _q_corr,
         "spearman_qty_disc": _q_spearman,
+        "rolling_wau": _q_rolling_wau,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
         "balance_deciles": _q_deciles,
@@ -3067,6 +3080,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corr_price_qty: the same integer sufficient stats in HUGEINT,
         # final r in the identical IEEE order (cast, divide, scale, floor)
+        # rolling_wau: sliding 7-day COUNT DISTINCT users for every
+        # calendar day in span (a no-event day still reports its window)
+        "rolling_wau": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+              FROM events
+            ), b AS (
+              SELECT min(d) AS lo, max(d) AS hi FROM ud
+            ), days AS (
+              SELECT unnest(range(b.lo, b.hi + 1)) AS day_num FROM b
+            )
+            SELECT CAST(day_num AS BIGINT) AS day_num,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days LEFT JOIN ud u ON u.d BETWEEN day_num - 6 AND day_num
+            GROUP BY day_num ORDER BY day_num
+        """,
         # spearman_qty_disc: tie-averaged doubled ranks from the marginal
         # count tables (doubling keeps .5-averages integral and cancels
         # in rho), exact HUGEINT sufficient stats, the corr_price_qty

@@ -2874,3 +2874,104 @@ def spearman_rank_corr(
             {"n": pa.array([n], pa.int64()), "spearman_nano": pa.array([nano], pa.int64())}
         )
     )
+
+
+def rolling_active_users(
+    events: ray.data.Dataset, window: int = 7
+) -> ray.data.Dataset:
+    """Sliding-window COUNT DISTINCT — W-day active users (WAU) for
+    EVERY calendar day in the data's span: day e counts users with any
+    event in [e-W+1, e].  Exact, and nothing fact-sized or
+    user-day-sized ever reaches the driver.
+
+    Scale shape: the fact pass folds each batch to its distinct
+    (user, day) pairs; ONE user-keyed exchange lands each user's days
+    in one partition, where their [d, d+W-1] coverage intervals are
+    merged with a vectorized gap sweep and emitted as ±1 DELTA rows at
+    interval starts/ends — a user active all year costs 2 rows, not
+    365.  Deltas pre-aggregate per partition, fold in one day-keyed
+    aggregate-sized groupby, and the driver prefix-sums the ≤ span-many
+    counter rows into the daily series."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    W = int(window)
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column("ts").cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
+        )
+        return (
+            pa.table({"user_id": batch.column("user_id"), "d": days})
+            .group_by(["user_id", "d"])
+            .aggregate([])
+        )
+
+    pairs = events.select_columns(["user_id", "ts"]).map_batches(
+        day_pairs, batch_format="pyarrow"
+    ).materialize()  # distinct-pair-sized, reused by bounds + exchange
+    bounds = pairs.aggregate(Min("d", alias_name="lo"), Max("d", alias_name="hi"))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.schema([("d", pa.int64()), ("delta", pa.int64())]).empty_table()
+        g = part.select(["user_id", "d"]).group_by(["user_id", "d"]).aggregate([])
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("d", "ascending")]
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy()
+        days = g.column("d").to_numpy().astype(np.int64)
+        brk = np.ones(len(users), dtype=bool)
+        if len(users) > 1:
+            brk[1:] = (users[1:] != users[:-1]) | (days[1:] - days[:-1] >= W)
+        seg_start = np.flatnonzero(brk)
+        seg_end = np.concatenate([seg_start[1:], [len(users)]]) - 1
+        starts = days[seg_start]                              # interval first day
+        ends = np.minimum(days[seg_end] + (W - 1), hi) + 1    # exclusive end, clipped
+        deltas = (
+            pa.table(
+                {
+                    "d": pa.array(np.concatenate([starts, ends])),
+                    "delta": pa.array(
+                        np.concatenate(
+                            [
+                                np.ones(len(starts), np.int64),
+                                -np.ones(len(ends), np.int64),
+                            ]
+                        )
+                    ),
+                }
+            )
+            .group_by("d")
+            .aggregate([("delta", "sum")])
+        )
+        return pa.table(
+            {
+                "d": deltas.column("d"),
+                "delta": deltas.column("delta_sum").cast(pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    folded = (
+        hash_partitioned_groups(pairs, ["user_id"], per_part, n_parts)
+        .groupby("d")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .take_all()
+    )  # ≤ 2·span counter rows — aggregate-sized by construction
+    series = np.zeros(hi - lo + 2, np.int64)
+    for r in folded:
+        if lo <= r["d"] <= hi + 1:
+            series[r["d"] - lo] += r["delta"]
+    wau = np.cumsum(series)[: hi - lo + 1]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day_num": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+                "wau": pa.array(wau),
+            }
+        )
+    )

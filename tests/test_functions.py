@@ -2513,3 +2513,35 @@ def test_spearman_rank_corr_vs_numpy(ray_session):
         pa.table({"x": np.arange(50, dtype=np.int64), "y": np.arange(50) * 0.07})
     )
     assert spearman_rank_corr(mono, "x", "y").take_all()[0]["spearman_nano"] == 10**9
+
+
+def test_rolling_active_users_gaps_and_merges(ray_session):
+    """WAU with engineered edges: gap exactly == window (delta rows must
+    cancel, not double-count), a dead stretch with ZERO active users,
+    multiple same-day events, and the window clipping at the data's
+    last day — vs a brute-force day loop."""
+    import datetime as dt
+
+    from relation_extraction_ray.functions.relational import rolling_active_users
+
+    base = dt.datetime(2024, 3, 1)
+
+    def ev(u, day, hour=1):
+        return {"user_id": u, "ts": base + dt.timedelta(days=day, hours=hour)}
+
+    rows = (
+        [ev(1, 0), ev(1, 0, 9), ev(1, 7)]      # gap exactly 7 = window
+        + [ev(2, 0), ev(2, 3)]                  # overlapping intervals merge
+        + [ev(3, 25)]                           # isolated tail after dead zone
+        + [ev(4, 1), ev(4, 26)]
+    )
+    got = rolling_active_users(_docs_ds(rows).repartition(3), window=7).to_pandas()
+    lo = (base.date() - dt.date(1970, 1, 1)).days
+    active = {1: {0, 7}, 2: {0, 3}, 3: {25}, 4: {1, 26}}
+    want = []
+    for e in range(0, 27):
+        n = sum(1 for u, ds_ in active.items() if any(e - 6 <= d <= e for d in ds_))
+        want.append((lo + e, n))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # the dead stretch really hits zero
+    assert 0 in got["wau"].tolist()
