@@ -550,6 +550,17 @@ def _q_corr(sf_dir: str):
     )
 
 
+def _q_basket_rules(sf_dir: str):
+    """Association rules over session baskets: support/confidence/lift
+    of directional event-type pairs within 30-min gap sessions — one
+    user-keyed exchange, ≤ types²+types+1 counter rows per partition."""
+    from relation_extraction_ray.functions.relational import basket_rules
+
+    return basket_rules(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    )
+
+
 def _q_rolling_wau(sf_dir: str):
     """7-day rolling active users for every calendar day: distinct
     (user, day) fold, ONE user-keyed exchange emitting ±1 interval
@@ -1958,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_price_qty": _q_corr,
         "spearman_qty_disc": _q_spearman,
         "rolling_wau": _q_rolling_wau,
+        "basket_rules": _q_basket_rules,
         "mode_event_type": _q_mode,
         "nation_customer_stats": _q_nation_stats,
         "balance_deciles": _q_deciles,
@@ -3080,6 +3092,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corr_price_qty: the same integer sufficient stats in HUGEINT,
         # final r in the identical IEEE order (cast, divide, scale, floor)
+        # basket_rules: association rules over the same 30-min gap
+        # sessions as the sessions query; exact integer-milli metrics
+        "basket_rules": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_type,
+                sum(brk) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM e
+            ), bask AS (
+              SELECT DISTINCT user_id, session_idx, event_type FROM s
+            ), ns AS (
+              SELECT CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT DISTINCT user_id, session_idx FROM bask)
+            ), it AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM bask GROUP BY event_type
+            ), pr AS (
+              SELECT a.event_type AS ante, b.event_type AS conseq,
+                     CAST(count(*) AS BIGINT) AS both_n
+              FROM bask a
+              JOIN bask b ON a.user_id = b.user_id
+                AND a.session_idx = b.session_idx
+                AND a.event_type <> b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT pr.ante, pr.conseq, pr.both_n,
+                   CAST(1000 * pr.both_n // ia.n AS BIGINT) AS conf_milli,
+                   CAST(1000 * pr.both_n * ns.n // (ia.n * ib.n) AS BIGINT)
+                     AS lift_milli
+            FROM pr, ns
+            JOIN it ia ON ia.event_type = pr.ante
+            JOIN it ib ON ib.event_type = pr.conseq
+            ORDER BY pr.ante, pr.conseq
+        """,
         # rolling_wau: sliding 7-day COUNT DISTINCT users for every
         # calendar day in span (a no-event day still reports its window)
         "rolling_wau": """

@@ -2975,3 +2975,119 @@ def rolling_active_users(
             }
         )
     )
+
+
+def basket_rules(
+    events: ray.data.Dataset, gap_minutes: int = 30
+) -> ray.data.Dataset:
+    """Market-basket association rules over session baskets: sessions
+    are the :func:`sessionize` gap windows, items the distinct event
+    types within a session, and every directional pair (ante → conseq)
+    reports support count, confidence and lift in exact milli-integers
+    (conf_milli = 1000·both // n_ante; lift_milli = 1000·both·n_sessions
+    // (n_ante·n_conseq)).
+
+    Scale shape: ONE user-keyed exchange (sessions are per-user, so
+    baskets are partition-local); per partition the session split is
+    the sessionize numpy sweep, baskets fold to distinct (session,
+    type) rows, and pair/item/session counts leave each partition
+    pre-aggregated — ≤ types² + types + 1 counter rows per partition
+    regardless of event volume.  The driver assembles the ≤ types²
+    rule table from three tiny folds."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def per_part(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("kind", pa.string()), ("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+        )
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            part,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = part.take(order)
+        users = t.column("user_id").to_numpy()
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        brk = np.ones(len(users), dtype=np.int64)
+        if len(users) > 1:
+            brk[1:] = (
+                ~((users[1:] == users[:-1]) & (ts[1:] - ts[:-1] <= gap_us))
+            ).astype(np.int64)
+        sess = np.cumsum(brk)  # partition-local session id
+        import pandas as pd
+
+        bask = pd.DataFrame(
+            {"sess": sess, "type": t.column("event_type").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        n_sessions = int(bask["sess"].nunique())
+        singles = bask.groupby("type").size()
+        prs = bask.merge(bask, on="sess")
+        prs = prs[prs["type_x"] != prs["type_y"]]
+        pair_counts = prs.groupby(["type_x", "type_y"]).size()
+        rows = (
+            [{"kind": "sess", "a": "", "b": "", "n": n_sessions}]
+            + [{"kind": "item", "a": str(k), "b": "", "n": int(v)} for k, v in singles.items()]
+            + [
+                {"kind": "pair", "a": str(k[0]), "b": str(k[1]), "n": int(v)}
+                for k, v in pair_counts.items()
+            ]
+        )
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    folded = (
+        hash_partitioned_groups(
+            events.select_columns(["user_id", "event_id", "ts", "event_type"]),
+            ["user_id"],
+            per_part,
+            n_parts,
+        )
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ types² + types + 1 rows
+    n_sessions = sum(r["n"] for r in folded if r["kind"] == "sess")
+    item = {r["a"]: r["n"] for r in folded if r["kind"] == "item"}
+    out = []
+    for r in sorted(
+        (r for r in folded if r["kind"] == "pair"), key=lambda r: (r["a"], r["b"])
+    ):
+        a, b, both = r["a"], r["b"], r["n"]
+        out.append(
+            {
+                "ante": a,
+                "conseq": b,
+                "both_n": both,
+                "conf_milli": 1000 * both // item[a],
+                "lift_milli": 1000 * both * n_sessions // (item[a] * item[b]),
+            }
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [
+                    ("ante", pa.string()),
+                    ("conseq", pa.string()),
+                    ("both_n", pa.int64()),
+                    ("conf_milli", pa.int64()),
+                    ("lift_milli", pa.int64()),
+                ]
+            ),
+        )
+    )

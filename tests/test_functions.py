@@ -2545,3 +2545,39 @@ def test_rolling_active_users_gaps_and_merges(ray_session):
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     # the dead stretch really hits zero
     assert 0 in got["wau"].tolist()
+
+
+def test_basket_rules_handcrafted(ray_session):
+    """Two users, engineered sessions: u1 has {view,click} then {view};
+    u2 has {click}.  n_sessions=4... verify exact support/conf/lift and
+    that the session split (not the user) is the basket."""
+    import datetime as dt
+
+    from relation_extraction_ray.functions.relational import basket_rules
+
+    t0 = dt.datetime(2024, 5, 1)
+
+    def ev(i, u, minutes, typ):
+        return {
+            "user_id": u,
+            "event_id": i,
+            "ts": t0 + dt.timedelta(minutes=minutes),
+            "event_type": typ,
+        }
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "view"),  # sess A {view,click}
+        ev(4, 1, 120, "view"),                                             # sess B {view}
+        ev(5, 2, 0, "click"),                                              # sess C {click}
+        ev(6, 2, 240, "view"), ev(7, 2, 250, "purchase"),                  # sess D {view,purchase}
+    ]
+    got = basket_rules(_docs_ds(rows).repartition(3)).to_pandas()
+    # n_sessions=4; n_view=3, n_click=2, n_purchase=1
+    # pairs: (view,click)=1, (click,view)=1, (view,purchase)=1, (purchase,view)=1
+    want = [
+        ("click", "view", 1, 1000 * 1 // 2, 1000 * 1 * 4 // (2 * 3)),
+        ("purchase", "view", 1, 1000, 1000 * 4 // 3),
+        ("view", "click", 1, 1000 // 3, 1000 * 4 // (3 * 2)),
+        ("view", "purchase", 1, 1000 // 3, 1000 * 4 // 3),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
