@@ -1606,6 +1606,17 @@ def _q_label_prop(sf_dir: str):
     return label_propagation(_kg_run()["adjacency"], rounds=3)
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the 3-round LPA communities over the KG
+    entity graph — exact integer sufficient stats, one IEEE final form;
+    edges labeled via two side-tagged node-keyed exchanges, driver sees
+    only per-community counters."""
+    from relation_extraction_ray.functions.graph import label_propagation, modularity
+
+    adjacency = _kg_run()["adjacency"]
+    return modularity(adjacency, label_propagation(adjacency, rounds=3))
+
+
 def _q_random_walks(sf_dir: str):
     """Deterministic DeepWalk corpus over the directed KG: one walk per
     source node, md5-chosen neighbors — the graph-embedding sentence
@@ -2050,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hops": _q_sssp,
         "kg_incremental": _q_kg_incremental,
         "label_prop": _q_label_prop,
+        "modularity": _q_modularity,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -2373,6 +2385,35 @@ def _label_prop_sql(adj_path: str, rounds: int = 3) -> str:
     return (
         "WITH " + cte
         + f"\n    SELECT node, label AS community FROM l{rounds} ORDER BY node"
+    )
+
+
+def _modularity_sql(adj_path: str, rounds: int = 3) -> str:
+    """Newman modularity of the label_propagation assignment: the same
+    unrolled LPA CTE chain, then Q from exact integer sufficient stats
+    — (4·m·Σm_c − ΣD_c²)/(4m²) — with the engine's IEEE final form."""
+    lp = _label_prop_sql(adj_path, rounds)
+    head, _, _ = lp.rpartition("SELECT node, label AS community")
+    return (
+        head.rstrip()
+        + f""",
+    comm AS (SELECT node, label AS community FROM l{rounds}),
+    j AS (SELECT eu.a, eu.b, ca.community AS ca, cb.community AS cb
+          FROM eu JOIN comm ca ON ca.node = eu.a
+                  JOIN comm cb ON cb.node = eu.b),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS mc
+            FROM j),
+    dc AS (SELECT community, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT ca AS community FROM j UNION ALL SELECT cb FROM j)
+           GROUP BY community),
+    sq AS (SELECT sum(CAST(d AS HUGEINT) * d) AS sd2,
+                  CAST(count(*) AS BIGINT) AS n_comm FROM dc)
+    SELECT agg.m AS n_edges, sq.n_comm AS n_communities,
+           CAST(floor(CAST(4 * CAST(agg.m AS HUGEINT) * agg.mc - sq.sd2 AS DOUBLE)
+                 / CAST(4 * CAST(agg.m AS HUGEINT) * agg.m AS DOUBLE)
+                 * 1000000000.0 + 0.5) AS BIGINT) AS q_nano
+    FROM agg, sq"""
     )
 
 
@@ -4190,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src_id, pred, dst_id
         """,
         "label_prop": _label_prop_sql(kg_paths["kg_adjacency"], rounds=3),
+        "modularity": _modularity_sql(kg_paths["kg_adjacency"], rounds=3),
         "random_walks": _walks_sql(kg_paths["kg_adjacency"], walk_len=4),
         # walk_pairs: self-join over the identical walk replay;
         # kg_embeddings: parquet-materialized single-process DeepWalk

@@ -1975,3 +1975,145 @@ def fanout_sample(
     for d in sampled_hops[1:]:
         out = out.union(d)
     return out.sort(["hop", "src", "dst"])
+
+
+def modularity(
+    adjacency: ray.data.Dataset, communities: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Newman modularity Q of a community assignment over the undirected
+    simple KG entity graph — the partition-quality number that tells you
+    whether :func:`label_propagation` found structure or noise:
+    Q = Σ_c (m_c/m − (D_c/2m)²) with m the undirected edge count, m_c
+    the intra-community edges and D_c the community's degree sum.
+    Computed EXACTLY as the rational (4·m·Σm_c − ΣD_c²) / (4m²) from
+    integer sufficient statistics, one fixed IEEE final form
+    (floor(num/den·1e9 + 0.5)).  Output one row:
+    (n_edges, n_communities, q_nano).
+
+    Scale shape: distinct canonical (a,b) edges flow through one keyed
+    dedup exchange; community labels attach with TWO side-tagged
+    node-keyed exchanges (searchsorted probe per partition — the
+    label_propagation join shape, never a broadcast of the label
+    table); per-batch partials fold every labeled edge to ≤ |C| (c,
+    m_c, D_c) counter rows before the final aggregate-sized groupby.
+    The driver sees only community counters, never edges."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_partitioned_groups
+
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        t = pa.table({"a": pc.min_element_wise(u, v), "b": pc.max_element_wise(u, v)})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    def dedup(part: pa.Table) -> pa.Table:
+        return part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    edges = hash_partitioned_groups(
+        adjacency.map_batches(canon, batch_format="pyarrow"), ["a", "b"], dedup, n_parts
+    )
+
+    def attach_label(
+        keyed: ray.data.Dataset, cols: list[str], key: str, out: str
+    ) -> ray.data.Dataset:
+        """One side-tagged exchange keyed on ``key``: label rows carry
+        (node → community), edge rows pick their key's label via a
+        per-partition searchsorted probe (self-label fallback).
+        ``cols`` is the edge side's payload schema (all string)."""
+
+        def tag_lab(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    **{c: pa.nulls(batch.num_rows, pa.string()) for c in cols},
+                    key: batch.column("node"),
+                    "_lab": batch.column("community"),
+                }
+            )
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            if "part" in batch.column_names:
+                batch = batch.drop_columns(["part"])
+            return batch.append_column("_lab", pa.nulls(batch.num_rows, pa.string()))
+
+        tagged = keyed.map_batches(tag_edge, batch_format="pyarrow").union(
+            communities.map_batches(tag_lab, batch_format="pyarrow")
+        )
+
+        def probe(part: pa.Table) -> pa.Table:
+            lab_mask = pc.is_valid(part.column("_lab")).to_numpy(zero_copy_only=False)
+            keys = part.column(key).to_numpy(zero_copy_only=False).astype(str)
+            labs = part.column("_lab").to_numpy(zero_copy_only=False)
+            ln, lv = keys[lab_mask], labs[lab_mask].astype(str)
+            order = np.argsort(ln, kind="mergesort")
+            ln, lv = ln[order], lv[order]
+            epart = part.filter(pa.array(~lab_mask)).drop_columns(["_lab"])
+            ek = keys[~lab_mask]
+            if len(ln):
+                pos = np.minimum(np.searchsorted(ln, ek), len(ln) - 1)
+                hit = ln[pos] == ek
+                got = np.where(hit, lv[pos], ek)  # self-label fallback
+            else:
+                got = ek
+            if "part" in epart.column_names:
+                epart = epart.drop_columns(["part"])
+            return epart.append_column(out, pa.array(got, pa.string()))
+
+        return hash_partitioned_groups(tagged, [key], probe, n_parts)
+
+    labeled = attach_label(
+        attach_label(edges, ["a", "b"], "a", "ca"), ["a", "b", "ca"], "b", "cb"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").to_numpy(zero_copy_only=False).astype(str)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False).astype(str)
+        same = ca == cb
+        t = pa.table(
+            {
+                "c": pa.array(np.concatenate([ca, cb]), pa.string()),
+                "d": pa.array(np.ones(2 * len(ca), np.int64)),
+                "mc": pa.array(
+                    np.concatenate([same.astype(np.int64), np.zeros(len(cb), np.int64)])
+                ),
+            }
+        )
+        g = t.group_by("c").aggregate([("d", "sum"), ("mc", "sum")])
+        return pa.table(
+            {
+                "c": g.column("c"),
+                "d": g.column("d_sum").cast(pa.int64()),
+                "mc": g.column("mc_sum").cast(pa.int64()),
+            }
+        )
+
+    folded = (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("d", alias_name="d"), Sum("mc", alias_name="mc"))
+        .take_all()
+    )  # ≤ |communities| counter rows
+    m = sum(r["d"] for r in folded) // 2
+    sum_mc = sum(r["mc"] for r in folded)
+    sd2 = sum(r["d"] * r["d"] for r in folded)
+    n_comm = len(folded)
+    if m > 0:
+        num = 4 * m * sum_mc - sd2
+        den = 4 * m * m
+        q_nano = int(math.floor(num / den * 1e9 + 0.5))
+    else:
+        q_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([m], pa.int64()),
+                "n_communities": pa.array([n_comm], pa.int64()),
+                "q_nano": pa.array([q_nano], pa.int64()),
+            }
+        )
+    )

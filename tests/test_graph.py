@@ -659,3 +659,76 @@ def test_fanout_sample_vs_bruteforce(ray_session):
 
     per = Counter((h, u) for h, u, _ in exp)
     assert all(c <= (3 if h == 0 else 2) for (h, _), c in per.items())
+
+
+def test_modularity_two_triangles_exact(ray_session):
+    """Two triangles joined by one bridge: with triangle communities
+    Q = (4·7·6 − (7²+7²)) / (4·7²) = 70/196; with everything in one
+    community Q = 0; duplicate/reversed adjacency rows must not change
+    the edge set."""
+    from relation_extraction_ray.functions.graph import modularity
+
+    tri = [("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
+           ("y1", "y2"), ("y2", "y3"), ("y1", "y3"),
+           ("x1", "y1")]
+    # duplicates + reversed direction + self loop: all collapse away
+    rows = tri + [("x2", "x1"), ("x1", "x2"), ("x1", "x1")]
+    adj = pa.table(
+        {
+            "src_id": [r[0] for r in rows],
+            "dst_id": [r[1] for r in rows],
+            "pred": ["p"] * len(rows),
+            "weight": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    comm = pa.table(
+        {
+            "node": ["x1", "x2", "x3", "y1", "y2", "y3"],
+            "community": ["X", "X", "X", "Y", "Y", "Y"],
+        }
+    )
+    got = modularity(
+        ray.data.from_arrow(adj).repartition(3), ray.data.from_arrow(comm)
+    ).take_all()[0]
+    assert got["n_edges"] == 7
+    assert got["n_communities"] == 2
+    import math
+
+    assert got["q_nano"] == int(math.floor(70 / 196 * 1e9 + 0.5))
+
+    one = pa.table(
+        {"node": comm.column("node"), "community": ["Z"] * 6}
+    )
+    got1 = modularity(ray.data.from_arrow(adj), ray.data.from_arrow(one)).take_all()[0]
+    assert got1["q_nano"] == 0 and got1["n_communities"] == 1
+
+
+def test_modularity_vs_bruteforce_lpa(ray_session):
+    """Q of the LPA assignment on a random graph equals a plain-python
+    replay (edges deduped, self-label fallback for unlabeled nodes)."""
+    import math
+
+    from relation_extraction_ray.functions.graph import label_propagation, modularity
+
+    names, src, dst, adj = _rand_adj(seed=23)
+    ds = ray.data.from_arrow(adj).repartition(4)
+    comm_ds = label_propagation(ds, rounds=2)
+    comm = {r["node"]: r["community"] for r in comm_ds.take_all()}
+    edges = {
+        (min(a, b), max(a, b)) for a, b in zip(names[src], names[dst]) if a != b
+    }
+    m = len(edges)
+    lab = lambda n: comm.get(n, n)
+    mc = {}
+    deg = {}
+    for a, b in edges:
+        ca, cb = lab(a), lab(b)
+        deg[ca] = deg.get(ca, 0) + 1
+        deg[cb] = deg.get(cb, 0) + 1
+        if ca == cb:
+            mc[ca] = mc.get(ca, 0) + 1
+    num = 4 * m * sum(mc.values()) - sum(d * d for d in deg.values())
+    want = int(math.floor(num / (4 * m * m) * 1e9 + 0.5))
+    got = modularity(ds, label_propagation(ds, rounds=2)).take_all()[0]
+    assert got["n_edges"] == m
+    assert got["q_nano"] == want
