@@ -1617,6 +1617,17 @@ def _q_modularity(sf_dir: str):
     return modularity(adjacency, label_propagation(adjacency, rounds=3))
 
 
+def _q_assortativity(sf_dir: str):
+    """Newman degree assortativity of the KG entity graph — Pearson r of
+    endpoint degrees over both orientations of every undirected edge,
+    exact integer sufficient stats in the corr_price_qty IEEE final form;
+    degrees attach via two side-tagged node-keyed exchanges and each
+    batch folds to one 4-tuple, so the driver sees four numbers."""
+    from relation_extraction_ray.functions.graph import degree_assortativity
+
+    return degree_assortativity(_kg_run()["adjacency"])
+
+
 def _q_random_walks(sf_dir: str):
     """Deterministic DeepWalk corpus over the directed KG: one walk per
     source node, md5-chosen neighbors — the graph-embedding sentence
@@ -2062,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,
         "label_prop": _q_label_prop,
         "modularity": _q_modularity,
+        "assortativity": _q_assortativity,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -4232,6 +4244,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_prop": _label_prop_sql(kg_paths["kg_adjacency"], rounds=3),
         "modularity": _modularity_sql(kg_paths["kg_adjacency"], rounds=3),
+        # assortativity: degrees over the deduped undirected edge set of
+        # the ORACLE adjacency, both orientations of each edge, HUGEINT
+        # sufficient stats, the corr_price_qty IEEE final form verbatim
+        "assortativity": f"""
+            WITH e AS (
+              SELECT DISTINCT least(src_id, dst_id) AS a,
+                              greatest(src_id, dst_id) AS b
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id),
+            nb AS (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL SELECT b AS node, a AS nbr FROM e),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY node),
+            de AS (
+              SELECT da.deg AS x, db.deg AS y
+              FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+            s AS (
+              SELECT CAST(2 * count(*) AS BIGINT) AS n,
+                     CAST(coalesce(sum(x + y), 0) AS BIGINT) AS sx,
+                     coalesce(sum(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y),
+                              CAST(0 AS HUGEINT)) AS sxx,
+                     coalesce(sum(2 * CAST(x AS HUGEINT) * y),
+                              CAST(0 AS HUGEINT)) AS sxy
+              FROM de
+            ), f AS (
+              SELECT n,
+                     CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS num,
+                     CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS a2
+              FROM s
+            )
+            SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   CASE WHEN a2 > 0 THEN
+                     CAST(floor(CAST(num AS DOUBLE)
+                           / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(a2 AS DOUBLE)))
+                           * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS r_nano
+            FROM f
+        """,
         "random_walks": _walks_sql(kg_paths["kg_adjacency"], walk_len=4),
         # walk_pairs: self-join over the identical walk replay;
         # kg_embeddings: parquet-materialized single-process DeepWalk

@@ -2117,3 +2117,176 @@ def modularity(
             }
         )
     )
+
+
+def degree_assortativity(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Newman degree assortativity r of the undirected simple KG entity
+    graph — the hub-mixing diagnostic (do high-degree entities link to
+    other hubs, r > 0, or to leaves, r < 0?) that predicts whether the
+    canonicalize/groupby stages face correlated or dispersed skew.
+    r is the Pearson correlation of (deg u, deg v) over the DIRECTED
+    pair multiset containing both orientations of every undirected
+    edge; that multiset is symmetric, so Σx = Σy and Σx² = Σy² and the
+    whole statistic reduces to three integer sufficient sums over the
+    canonical (a < b) edge set:
+    n = 2m, sx = Σ(da+db), sxx = Σ(da²+db²), sxy = 2Σ(da·db),
+    finished once on the driver with arbitrary-precision ints in the
+    corr_price_qty fixed IEEE form — floor(num/(√a·√b)·1e9+0.5) — so
+    the result is bit-exact against the HUGEINT SQL replay.  Output one
+    row: (n_edges, n_nodes, r_nano); a degree-regular graph (zero
+    variance) reports r_nano = 0 by convention.
+
+    Scale shape: distinct canonical edges flow through one keyed dedup
+    exchange; degrees are a combine-fed endpoint value_counts groupby
+    (≤ distinct nodes per batch cross the wire); degrees attach to the
+    two endpoints via TWO side-tagged node-keyed exchanges with a
+    per-partition searchsorted probe (the modularity label-join shape —
+    the degree table is never broadcast); each labeled batch then folds
+    to ONE integer 4-tuple, so the final exchange is four numbers per
+    block at any graph size."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_partitioned_groups
+
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("src_id"), batch.column("dst_id")
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        t = pa.table({"a": pc.min_element_wise(u, v), "b": pc.max_element_wise(u, v)})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    def dedup(part: pa.Table) -> pa.Table:
+        return part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    edges = hash_partitioned_groups(
+        adjacency.map_batches(canon, batch_format="pyarrow"), ["a", "b"], dedup, n_parts
+    ).materialize()
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [
+                batch.column("a").combine_chunks().cast(pa.string()),
+                batch.column("b").combine_chunks().cast(pa.string()),
+            ]
+        )
+        vc = pc.value_counts(both)
+        return pa.table(
+            {"node": vc.field("values"), "d": vc.field("counts").cast(pa.int64())}
+        )
+
+    deg = (
+        edges.map_batches(degree_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+        .materialize()
+    )
+    n_nodes = deg.count()
+
+    def attach_deg(
+        keyed: ray.data.Dataset, payload: list[tuple[str, pa.DataType]], key: str, out: str
+    ) -> ray.data.Dataset:
+        """One side-tagged exchange keyed on ``key``: degree rows carry
+        (node → deg), edge rows pick their key's degree via a
+        per-partition searchsorted probe.  ``payload`` is the edge
+        side's (name, type) schema."""
+
+        def tag_deg(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    **{
+                        c: (
+                            batch.column("node")
+                            if c == key
+                            else pa.nulls(batch.num_rows, t)
+                        )
+                        for c, t in payload
+                    },
+                    "_deg": batch.column("deg").cast(pa.int64()),
+                }
+            )
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            if "part" in batch.column_names:
+                batch = batch.drop_columns(["part"])
+            return batch.append_column("_deg", pa.nulls(batch.num_rows, pa.int64()))
+
+        tagged = keyed.map_batches(tag_edge, batch_format="pyarrow").union(
+            deg.map_batches(tag_deg, batch_format="pyarrow")
+        )
+
+        def probe(part: pa.Table) -> pa.Table:
+            lab_mask = pc.is_valid(part.column("_deg")).to_numpy(zero_copy_only=False)
+            keys = part.column(key).to_numpy(zero_copy_only=False).astype(str)
+            vals = part.column("_deg").to_numpy(zero_copy_only=False)
+            ln = keys[lab_mask]
+            lv = vals[lab_mask].astype(np.int64)
+            order = np.argsort(ln, kind="mergesort")
+            ln, lv = ln[order], lv[order]
+            epart = part.filter(pa.array(~lab_mask)).drop_columns(["_deg"])
+            ek = keys[~lab_mask]
+            if len(ln):
+                pos = np.minimum(np.searchsorted(ln, ek), len(ln) - 1)
+                hit = ln[pos] == ek
+                got = np.where(hit, lv[pos], 0).astype(np.int64)
+            else:
+                got = np.zeros(len(ek), np.int64)
+            if "part" in epart.column_names:
+                epart = epart.drop_columns(["part"])
+            return epart.append_column(out, pa.array(got, pa.int64()))
+
+        return hash_partitioned_groups(tagged, [key], probe, n_parts)
+
+    labeled = attach_deg(
+        attach_deg(edges, [("a", pa.string()), ("b", pa.string())], "a", "da"),
+        [("a", pa.string()), ("b", pa.string()), ("da", pa.int64())],
+        "b",
+        "db",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum()) + int(y.sum())], pa.int64()),
+                "sxx": pa.array(
+                    [int((x * x).sum()) + int((y * y).sum())], pa.int64()
+                ),
+                "sxy": pa.array([2 * int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    stats = (
+        labeled.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        or {}
+    )
+    n = int(stats.get("n") or 0)
+    sx = int(stats.get("sx") or 0)
+    sxx = int(stats.get("sxx") or 0)
+    sxy = int(stats.get("sxy") or 0)
+    num = n * sxy - sx * sx  # exact python ints
+    a = n * sxx - sx * sx  # = b (symmetric multiset)
+    if a > 0:
+        r = float(num) / (np.sqrt(float(a)) * np.sqrt(float(a)))
+        r_nano = int(math.floor(r * 1e9 + 0.5))
+    else:
+        r_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n // 2], pa.int64()),
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "r_nano": pa.array([r_nano], pa.int64()),
+            }
+        )
+    )

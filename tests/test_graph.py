@@ -732,3 +732,64 @@ def test_modularity_vs_bruteforce_lpa(ray_session):
     got = modularity(ds, label_propagation(ds, rounds=2)).take_all()[0]
     assert got["n_edges"] == m
     assert got["q_nano"] == want
+
+
+def test_assortativity_star_and_regular(ray_session):
+    """Star graph: every edge joins the hub (deg n-1) to a leaf (deg 1),
+    all pair points sit on the line x + y = n → r = −1 exactly.
+    Degree-regular graph (triangle): zero variance → r_nano = 0 by
+    convention.  Duplicate/reversed rows and self loops collapse away."""
+    from relation_extraction_ray.functions.graph import degree_assortativity
+
+    rows = [("h", "p", "l1", 1), ("h", "p", "l2", 1), ("h", "p", "l3", 1),
+            ("h", "p", "l4", 1), ("l1", "p", "h", 2), ("h", "p", "h", 1)]
+    got = degree_assortativity(
+        ray.data.from_arrow(_adj(rows)).repartition(3)
+    ).take_all()[0]
+    assert got["n_edges"] == 4 and got["n_nodes"] == 5
+    assert got["r_nano"] == -1000000000
+
+    tri = [("a", "p", "b", 1), ("b", "p", "c", 1), ("a", "p", "c", 1)]
+    got = degree_assortativity(ray.data.from_arrow(_adj(tri))).take_all()[0]
+    assert got["n_edges"] == 3 and got["r_nano"] == 0
+
+
+def test_assortativity_vs_bruteforce(ray_session):
+    """Random graph: r equals a plain-python replay of the definition
+    (Pearson corr over both orientations of every deduped undirected
+    edge), and the result is invariant to input partitioning."""
+    import hashlib
+    import math
+
+    from relation_extraction_ray.functions.graph import degree_assortativity
+
+    rng_nodes = [f"n{i}" for i in range(40)]
+    rows = []
+    for i, u in enumerate(rng_nodes):
+        for j, v in enumerate(rng_nodes):
+            if i < j and int(hashlib.md5(f"{u}|{v}".encode()).hexdigest(), 16) % 7 == 0:
+                rows.append((u, "p", v, 1))
+    # brute force
+    edges = sorted({(min(u, v), max(u, v)) for u, _, v, _ in rows if u != v})
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = 2 * len(edges)
+    sx = sum(deg[a] + deg[b] for a, b in edges)
+    sxx = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    sxy = sum(2 * deg[a] * deg[b] for a, b in edges)
+    num = n * sxy - sx * sx
+    a2 = n * sxx - sx * sx
+    want = (
+        int(math.floor(float(num) / (np.sqrt(float(a2)) * np.sqrt(float(a2))) * 1e9 + 0.5))
+        if a2 > 0
+        else 0
+    )
+    for nb in (1, 5):
+        got = degree_assortativity(
+            ray.data.from_arrow(_adj(rows)).repartition(nb)
+        ).take_all()[0]
+        assert got["n_edges"] == len(edges)
+        assert got["n_nodes"] == len(deg)
+        assert got["r_nano"] == want
