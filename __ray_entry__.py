@@ -229,6 +229,55 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_merge_apply(sf_dir: str):
+    """MERGE / CDC-apply: the next orders version from a deterministic
+    changeset — base drops keys %11, upserts bump keys %5 by 777 cents
+    (inserting the %55 keys the base dropped), deletes drop keys %13;
+    delta wins over deletes.  Adaptive broadcast-vs-partitioned planner;
+    this table size takes the broadcast-keys fast path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import _cents, merge_upsert
+
+    src = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def derive_base(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = k % 11 != 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))[keep]
+                ),
+            }
+        )
+
+    def derive_delta(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = k % 5 == 0
+        cents = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False)) + 777
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    def derive_dels(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(k[k % 13 == 0], pa.int64())})
+
+    return merge_upsert(
+        src.map_batches(derive_base, batch_format="pyarrow"),
+        src.map_batches(derive_delta, batch_format="pyarrow"),
+        "o_orderkey",
+        ["cents"],
+        deletes=src.map_batches(derive_dels, batch_format="pyarrow"),
+    )
+
+
 def _q_global_rank(sf_dir: str):
     """Global ROW_NUMBER over orders by (price cents DESC, orderkey ASC)
     — the sample-split range-exchange external-sort primitive: one
@@ -2004,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audit_orders": _q_audit,
         "column_stats": _q_column_stats,
         "table_diff": _q_table_diff,
+        "merge_apply": _q_merge_apply,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -2917,6 +2967,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM s GROUP BY status ORDER BY status
+        """,
+        # merge_apply: MERGE semantics spelled out — delta rows, then base
+        # rows blocked by neither the delta keys nor the delete keys
+        "merge_apply": """
+            WITH b AS (
+              SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey % 11 <> 0
+            ), d AS (
+              SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) + 777 AS cents
+              FROM orders WHERE o_orderkey % 5 = 0
+            ), del AS (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT o_orderkey, cents FROM d
+            UNION ALL
+            SELECT o_orderkey, cents FROM b
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+            ORDER BY o_orderkey
         """,
         "column_stats": """
             SELECT col_name, n, n_null, n_distinct, min_int, max_int, min_str, max_str

@@ -3091,3 +3091,136 @@ def basket_rules(
             ),
         )
     )
+
+
+def merge_upsert(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    key_col: str,
+    payload_cols: list[str],
+    deletes: ray.data.Dataset | None = None,
+    broadcast_bound: int = 64 << 20,
+    path: str | None = None,
+) -> ray.data.Dataset:
+    """MERGE / CDC-apply: produce the next version of a keyed table from
+    a changeset — every ``delta`` row upserts (replaces the base row
+    with its key, or inserts if the key is new) and every ``deletes``
+    key removes its base row; delta rows win over deletes.  The output
+    is exactly ``delta ∪ {base rows whose key is in neither delta nor
+    deletes}`` — the complement operator to :func:`table_diff`
+    (``table_diff(base, merge_upsert(base, d, …))`` reports precisely
+    the changeset).  Keys must be unique within each side (delta
+    duplicates raise — an ambiguous upsert is a pipeline bug).
+
+    Scale shape — adaptive like the linker/verify-join planners, both
+    paths bit-identical (pytest-asserted): below ``broadcast_bound``
+    bytes of changeset KEYS, the sorted key block ships once via
+    ``ray.put`` and base filters per batch with one searchsorted probe
+    (zero exchange — the nightly-delta fast path, like delta_dedup's
+    Bloom gate but exact); above it, ONE side-tagged hash exchange on
+    key co-locates base/delta/delete rows and each partition keeps
+    delta rows plus unblocked base rows with a vectorized probe.  Rows
+    stream out of partitions; the driver never holds the table."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    cols = [key_col] + payload_cols
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch.column(key_col).cast(pa.int64())})
+
+    n_delta_keys = delta.count()
+    n_del_keys = deletes.count() if deletes is not None else 0
+    use_broadcast = (
+        path == "broadcast"
+        if path
+        else (n_delta_keys + n_del_keys) * 8 <= broadcast_bound
+    )
+
+    if use_broadcast:
+        # collect changeset keys (bounded by broadcast_bound by construction)
+        dk = np.array(
+            [r[key_col] for r in delta.map_batches(keys_only, batch_format="pyarrow").take_all()],
+            np.int64,
+        )
+        if len(np.unique(dk)) != len(dk):
+            raise ValueError("merge_upsert requires unique delta keys")
+        delk = (
+            np.array(
+                [
+                    r[key_col]
+                    for r in deletes.map_batches(keys_only, batch_format="pyarrow").take_all()
+                ],
+                np.int64,
+            )
+            if deletes is not None
+            else np.zeros(0, np.int64)
+        )
+        block = np.unique(np.concatenate([dk, delk]))
+        ref = ray.put(block)
+
+        def keep_base(batch: pa.Table) -> pa.Table:
+            blk = ray.get(ref)
+            k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(blk):
+                pos = np.minimum(np.searchsorted(blk, k), len(blk) - 1)
+                keep = blk[pos] != k
+            else:
+                keep = np.ones(len(k), bool)
+            return batch.select(cols).filter(pa.array(keep))
+
+        return delta.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        ).union(base.map_batches(keep_base, batch_format="pyarrow"))
+
+    # partitioned path: one side-tagged key exchange
+    schema = base.schema()
+    ptypes = {c: schema.base_schema.field(c).type for c in payload_cols}
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols) if side != 2 else pa.table(
+                {
+                    key_col: batch.column(key_col).cast(pa.int64()),
+                    **{c: pa.nulls(batch.num_rows, ptypes[c]) for c in payload_cols},
+                }
+            )
+            if side != 2:
+                t = t.set_column(
+                    t.schema.get_field_index(key_col),
+                    key_col,
+                    t.column(key_col).cast(pa.int64()),
+                )
+            return t.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    tagged = base.map_batches(tag(0), batch_format="pyarrow").union(
+        delta.map_batches(tag(1), batch_format="pyarrow")
+    )
+    if deletes is not None:
+        tagged = tagged.union(deletes.map_batches(tag(2), batch_format="pyarrow"))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        keys = part.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dmask, delmask, bmask = side == 1, side == 2, side == 0
+        dk = keys[dmask]
+        if len(np.unique(dk)) != len(dk):
+            raise ValueError("merge_upsert requires unique delta keys")
+        block = np.unique(np.concatenate([dk, keys[delmask]]))
+        bidx = np.flatnonzero(bmask)
+        bk = keys[bidx]
+        full = dmask.copy()
+        if len(block) and len(bk):
+            pos = np.minimum(np.searchsorted(block, bk), len(block) - 1)
+            full[bidx[block[pos] != bk]] = True
+        else:
+            full[bidx] = True
+        return part.filter(pa.array(full)).drop_columns(["side"])
+
+    n_parts = derive_n_parts(base.count(), rows_per_part=65536)
+    return hash_partitioned_groups(tagged, [key_col], per_part, n_parts)

@@ -2581,3 +2581,74 @@ def test_basket_rules_handcrafted(ray_session):
         ("view", "purchase", 1, 1000 // 3, 1000 * 4 // 3),
     ]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_merge_upsert_paths_identical(ray_session):
+    """CDC apply: insert/update/delete semantics, delta wins over a
+    delete of the same key, and the broadcast and partitioned planner
+    paths return the identical row set."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import merge_upsert
+
+    base = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "v": pa.array([10, 20, 30, 40, 50], pa.int64())}
+    )
+    delta = pa.table(
+        {"k": pa.array([2, 6], pa.int64()), "v": pa.array([99, 60], pa.int64())}
+    )
+    dels = pa.table({"k": pa.array([4, 2], pa.int64())})  # 2 also upserted
+    want = [(1, 10), (2, 99), (3, 30), (5, 50), (6, 60)]
+    for path in ("broadcast", "partitioned"):
+        got = merge_upsert(
+            ray.data.from_arrow(base).repartition(3),
+            ray.data.from_arrow(delta),
+            "k",
+            ["v"],
+            deletes=ray.data.from_arrow(dels),
+            path=path,
+        ).take_all()
+        assert sorted((r["k"], r["v"]) for r in got) == want, path
+
+
+def test_merge_upsert_diff_roundtrip(ray_session):
+    """table_diff(base, merge_upsert(base, delta, deletes)) reports
+    exactly the changeset: upserted-existing keys 'changed', inserted
+    keys 'added', deleted keys 'removed'."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import merge_upsert, table_diff
+
+    base = pa.table(
+        {"k": pa.array(list(range(1, 21)), pa.int64()),
+         "v": pa.array([i * 10 for i in range(1, 21)], pa.int64())}
+    )
+    delta = pa.table(
+        {"k": pa.array([3, 7, 25], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())}
+    )
+    dels = pa.table({"k": pa.array([11, 12], pa.int64())})
+    merged = merge_upsert(
+        ray.data.from_arrow(base), ray.data.from_arrow(delta), "k", ["v"],
+        deletes=ray.data.from_arrow(dels), path="partitioned",
+    ).materialize()
+    diff = {
+        r["status"]: r["n"]
+        for r in table_diff(ray.data.from_arrow(base), merged, "k", ["v"]).take_all()
+    }
+    assert diff == {"added": 1, "changed": 2, "removed": 2, "unchanged": 16}
+
+
+def test_merge_upsert_duplicate_delta_raises(ray_session):
+    import pyarrow as pa
+    import pytest as _pt
+
+    from relation_extraction_ray.functions.relational import merge_upsert
+
+    base = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+    dup = pa.table({"k": pa.array([2, 2], pa.int64()), "v": pa.array([1, 1], pa.int64())})
+    for path in ("broadcast", "partitioned"):
+        with _pt.raises(Exception):
+            merge_upsert(
+                ray.data.from_arrow(base), ray.data.from_arrow(dup), "k", ["v"], path=path
+            ).take_all()
