@@ -126,6 +126,17 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join over customer names (the typo /
+    surface-form candidate generator entity resolution runs before
+    canonicalization): deletion-neighborhood keys, one key-hash
+    exchange, one canonical-pair dedup exchange, per-length vectorized
+    substitution verify."""
+    from relation_extraction_ray.functions.dedup import fuzzy_ed1_pairs
+
+    return fuzzy_ed1_pairs(_read(sf_dir, "customer", columns=["c_name"]), "c_name")
+
+
 def _q_knn(sf_dir: str):
     from relation_extraction_ray.functions.ann import knn_brute_force
 
@@ -2023,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "rolling_fps": _q_rolling_fps,
         "dedup_exact": _q_dedup_exact,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "knn_top10": _q_knn,
         "pricing_summary": _q_pricing,
         "revenue_by_segment": _q_revenue,
@@ -2628,6 +2640,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY md5(text)
+        """,
+        # fuzzy_pairs: brute-force levenshtein self-join — the oracle pays
+        # the O(n²) the deletion-neighborhood index exists to avoid
+        "fuzzy_pairs": """
+            WITH s AS (SELECT DISTINCT c_name AS v FROM customer)
+            SELECT a.v AS a, b.v AS b,
+                   CASE WHEN length(a.v) = length(b.v) THEN 'sub' ELSE 'indel' END AS kind
+            FROM s a JOIN s b ON a.v < b.v
+            WHERE levenshtein(a.v, b.v) = 1
+            ORDER BY a, b
         """,
         # rolling_fps: winnowing fingerprints — the HUGEINT polynomial
         # replays the engine's Rabin-Karp hash exactly (parity verified on

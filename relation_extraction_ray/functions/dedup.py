@@ -612,3 +612,136 @@ def ngram_jaccard_pairs(
         ray.data.aggregate.Count(alias_name="n_keys")
     ).select_columns(["doc_a", "doc_b"])
     return verify_jaccard(distinct, docs, threshold=threshold, shingle_n=shingle_n)
+
+
+def fuzzy_ed1_pairs(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """All pairs of DISTINCT values of ``col`` within Levenshtein
+    distance exactly 1 — the surface-form typo join that entity
+    resolution runs before canonicalization (``Customer#…01`` vs
+    ``Customer#…07``, ``acme corp`` vs ``acme corp.``).  Output one row
+    per unordered pair: (a, b, kind) with ``a < b`` lexicographically
+    and kind ``sub`` (equal length, one substitution) or ``indel``
+    (lengths differ by 1, one insertion/deletion).
+
+    Deletion-neighborhood candidate generation (Mor & Fraenkel's
+    spelling-index trick, the FastSS shape): every value emits its
+    identity key plus one key per single-codepoint deletion, so two
+    values can be ed-1 ONLY by sharing a key — an indel pair shares a
+    (shorter-identity = longer-deletion) key, which *proves* distance 1
+    with no further check, while an equal-length candidate shares a
+    (deletion, deletion) key and needs the one-substitution verify
+    (shared-key-but-ed-2 impostors like ``ab``/``ba`` are filtered).
+
+    Scale shape: key explosion is a position loop over Arrow slice
+    kernels (≤ max_len vectorized passes, never a row loop); candidates
+    co-locate via ONE key-hash exchange whose per-key run sizes are
+    bounded by the alphabet (values collapsing to one key differ in a
+    single position); pairs dedup through one canonical-pair exchange;
+    the substitution verify is a per-length uint32 codepoint-matrix
+    compare (one numpy pass per distinct length per batch).  The driver
+    never sees values, only the final pair stream."""
+    import pyarrow.compute as pc
+
+    n_vals = ds.count()
+    n_parts = derive_n_parts(n_vals, rows_per_part=65536)
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).combine_chunks().cast(pa.string())
+        vals = pc.unique(vals)
+        lens = pc.utf8_length(vals)
+        max_len = pc.max(lens).as_py() if len(vals) else 0
+        keys = [vals]  # identity key
+        vouts = [vals]
+        for i in range(int(max_len or 0)):
+            mask = pc.greater(lens, i)
+            sub = vals.filter(mask)
+            pre = pc.utf8_slice_codeunits(sub, 0, i)
+            post = pc.utf8_slice_codeunits(sub, i + 1, 2**30)
+            keys.append(pc.binary_join_element_wise(pre, post, ""))
+            vouts.append(sub)
+        t = pa.table(
+            {
+                "k": pa.concat_arrays([pa.concat_arrays(a.chunks) if isinstance(a, pa.ChunkedArray) else a for a in keys]),
+                "v": pa.concat_arrays([pa.concat_arrays(a.chunks) if isinstance(a, pa.ChunkedArray) else a for a in vouts]),
+            }
+        )
+        return t.group_by(["k", "v"]).aggregate([])
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def candidates(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        # global (k, v) dedup within the co-located partition, then
+        # enumerate unordered value pairs inside each key run
+        part = part.group_by(["k", "v"]).aggregate([])
+        k = part.column("k").to_numpy(zero_copy_only=False).astype(str)
+        v = part.column("v").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts, ends = group_runs(k)
+        outs_a, outs_b = [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            outs_a.append(v[s + ii])
+            outs_b.append(v[s + jj])
+        if not outs_a:
+            return pair_schema.empty_table()
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        swap = a > b
+        lo, hi = np.where(swap, b, a), np.where(swap, a, b)
+        t = pa.table({"a": pa.array(lo, pa.string()), "b": pa.array(hi, pa.string())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    cands = hash_partitioned_groups(
+        ds.map_batches(explode_keys, batch_format="pyarrow"), ["k"], candidates, n_parts
+    )
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        return part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    distinct = hash_partitioned_groups(cands, ["a", "b"], dedup_pairs, n_parts)
+
+    out_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("kind", pa.string())]
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(str)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(str)
+        la = np.char.str_len(a.astype(np.str_))
+        lb = np.char.str_len(b.astype(np.str_))
+        keep = np.zeros(len(a), bool)
+        kind = np.where(la == lb, "sub", "indel")
+        # indel candidates are proven by the shared key; self pairs gone
+        keep[la != lb] = True
+        eq = np.flatnonzero(la == lb)
+        for L in np.unique(la[eq]):
+            idx = eq[la[eq] == L]
+            A = np.frombuffer(
+                np.ascontiguousarray(a[idx].astype(f"<U{L}")).tobytes(), np.uint32
+            ).reshape(len(idx), L)
+            B = np.frombuffer(
+                np.ascontiguousarray(b[idx].astype(f"<U{L}")).tobytes(), np.uint32
+            ).reshape(len(idx), L)
+            keep[idx] = (A != B).sum(axis=1) == 1
+        t = pa.table(
+            {
+                "a": pa.array(a[keep], pa.string()),
+                "b": pa.array(b[keep], pa.string()),
+                "kind": pa.array(kind[keep], pa.string()),
+            }
+        )
+        return t
+
+    return distinct.map_batches(verify, batch_format="pyarrow")

@@ -2652,3 +2652,42 @@ def test_merge_upsert_duplicate_delta_raises(ray_session):
             merge_upsert(
                 ray.data.from_arrow(base), ray.data.from_arrow(dup), "k", ["v"], path=path
             ).take_all()
+
+
+def test_fuzzy_ed1_pairs_bruteforce(ray_session):
+    """Deletion-neighborhood ed-1 join equals a plain-python levenshtein
+    brute force (substitutions, indels, ed-2 impostors like ab/ba
+    filtered, duplicates collapsed), invariant to input partitioning,
+    and codepoint-correct on non-ASCII."""
+    import itertools
+
+    from relation_extraction_ray.functions.dedup import fuzzy_ed1_pairs
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    import hashlib
+
+    vals = ["héllo", "hallo", "héllos", "hllo", "ab", "ba", ""]
+    for i in range(60):  # short random-ish strings over a tiny alphabet
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        vals.append("".join("abc"[int(c, 16) % 3] for c in h[: 3 + int(h[0], 16) % 4]))
+    uniq = sorted(set(vals))
+    want = sorted(
+        (a, b, "sub" if len(a) == len(b) else "indel")
+        for a, b in itertools.combinations(uniq, 2)
+        if ed(a, b) == 1
+    )
+    import pyarrow as pa
+
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(pa.table({"s": vals})).repartition(nb)
+        got = sorted(
+            (r["a"], r["b"], r["kind"]) for r in fuzzy_ed1_pairs(ds, "s").take_all()
+        )
+        assert got == want, nb
