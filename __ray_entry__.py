@@ -240,6 +240,41 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_skyline(sf_dir: str):
+    """2-d Pareto frontier of orders (maximize price cents AND order
+    epoch-day): per-batch local-frontier prune (a batch-dominated point
+    can never be globally non-dominated), only local frontiers travel,
+    one final kernel pass; ties survive together."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import _cents, pareto_skyline
+
+    src = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("s"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+
+    return pareto_skyline(
+        src.map_batches(derive, batch_format="pyarrow"), "cents", "day"
+    )
+
+
 def _q_merge_apply(sf_dir: str):
     """MERGE / CDC-apply: the next orders version from a deterministic
     changeset — base drops keys %11, upserts bump keys %5 by 777 cents
@@ -2066,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats": _q_column_stats,
         "table_diff": _q_table_diff,
         "merge_apply": _q_merge_apply,
+        "skyline_orders": _q_skyline,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -2989,6 +3025,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM s GROUP BY status ORDER BY status
+        """,
+        # skyline_orders: dominance spelled out — the O(n²) NOT EXISTS the
+        # local-frontier combiner exists to avoid
+        "skyline_orders": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day
+              FROM orders)
+            SELECT p.o_orderkey, p.cents, p.day FROM o p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM o q
+              WHERE q.cents >= p.cents AND q.day >= p.day
+                AND (q.cents > p.cents OR q.day > p.day))
+            ORDER BY p.o_orderkey
         """,
         # merge_apply: MERGE semantics spelled out — delta rows, then base
         # rows blocked by neither the delta keys nor the delete keys

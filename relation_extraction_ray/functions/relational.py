@@ -3224,3 +3224,54 @@ def merge_upsert(
 
     n_parts = derive_n_parts(base.count(), rows_per_part=65536)
     return hash_partitioned_groups(tagged, [key_col], per_part, n_parts)
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for maximize-both 2-d skyline: p survives iff
+    no q has (qx ≥ px ∧ qy ≥ py) with strict in one.  One lexsort
+    (x desc, y desc) + per-x-group head + prefix max over strictly
+    greater x groups; duplicate (x, y) points all survive together."""
+    if len(x) == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.r_[True, xs[1:] != xs[:-1]]
+    gid = np.cumsum(new_x) - 1
+    gmax = ys[np.flatnonzero(new_x)]  # max y per x group (y desc within group)
+    prev = np.r_[np.int64(-(2**62)), np.maximum.accumulate(gmax)[:-1]]
+    keep_sorted = (ys == gmax[gid]) & (ys > prev[gid])
+    mask = np.zeros(len(x), bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_skyline(
+    ds: ray.data.Dataset, x_col: str, y_col: str
+) -> ray.data.Dataset:
+    """2-d Pareto frontier (skyline, maximize both columns): every row
+    not dominated by another row — q dominates p when q is ≥ p in both
+    coordinates and > in at least one; exact ties all survive.  The
+    multi-objective "best tradeoffs" query (latest AND most expensive
+    orders, longest AND highest-quality documents).
+
+    Scale shape: the textbook distributed-skyline combiner — a point
+    dominated within its own batch can never be globally non-dominated,
+    and a globally non-dominated point survives every local prune, so
+    each batch filters to its LOCAL frontier with one vectorized
+    lexsort+prefix-max kernel (no exchange, no per-row loop) and only
+    local frontiers travel; the final global prune runs the same kernel
+    once over their union on one partition.  Local frontier size is
+    bounded by the batch's distinct x values (expected O(log n) for
+    independent dims); the pathological anti-correlated worst case —
+    every point on the frontier — degrades to a repartition(1) of the
+    input and is the caller's data-shape responsibility."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_skyline_mask(x, y)))
+
+    local = ds.map_batches(prune, batch_format="pyarrow")
+    return local.repartition(1).map_batches(prune, batch_format="pyarrow")

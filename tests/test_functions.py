@@ -2691,3 +2691,43 @@ def test_fuzzy_ed1_pairs_bruteforce(ray_session):
             (r["a"], r["b"], r["kind"]) for r in fuzzy_ed1_pairs(ds, "s").take_all()
         )
         assert got == want, nb
+
+
+def test_pareto_skyline_bruteforce(ray_session):
+    """Skyline equals the O(n²) dominance brute force on hash-derived
+    points with engineered exact ties and duplicate points, at any
+    partitioning."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import pareto_skyline
+
+    pts = []
+    for i in range(120):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        pts.append((i, int(h[:4], 16) % 50, int(h[4:8], 16) % 50))
+    pts += [(900, 49, 49), (901, 49, 49), (902, 60, 0), (903, 0, 60)]  # dups + corners
+    want = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y) for _, qx, qy in pts
+        )
+    )
+    t = pa.table(
+        {
+            "id": pa.array([p[0] for p in pts], pa.int64()),
+            "x": pa.array([p[1] for p in pts], pa.int64()),
+            "y": pa.array([p[2] for p in pts], pa.int64()),
+        }
+    )
+    for nb in (1, 6):
+        got = sorted(
+            r["id"]
+            for r in pareto_skyline(
+                ray.data.from_arrow(t).repartition(nb), "x", "y"
+            ).take_all()
+        )
+        assert got == want, (nb, got, want)
+    assert 900 in want and 901 in want  # duplicate frontier points both kept
