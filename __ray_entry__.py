@@ -240,6 +240,17 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_scd2(sf_dir: str):
+    """SCD Type-2 state history over the event log: per-user validity
+    intervals of consecutive equal event_type runs (gaps-and-islands) —
+    one user-keyed exchange, fully vectorized run kernel."""
+    from relation_extraction_ray.functions.relational import scd2_history
+
+    return scd2_history(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 def _q_skyline(sf_dir: str):
     """2-d Pareto frontier of orders (maximize price cents AND order
     epoch-day): per-batch local-frontier prune (a batch-dominated point
@@ -2102,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff": _q_table_diff,
         "merge_apply": _q_merge_apply,
         "skyline_orders": _q_skyline,
+        "scd2_history": _q_scd2,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3025,6 +3037,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM s GROUP BY status ORDER BY status
+        """,
+        # scd2_history: lag-window break marks + windowed run cumsum +
+        # per-run group, lead for valid_to (0 = still-open current state)
+        "scd2_history": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                     CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY t, event_id
+                ROWS UNBOUNDED PRECEDING) AS run
+              FROM e
+            ), g AS (
+              SELECT user_id, event_type AS state, run,
+                     CAST(min(t) AS BIGINT) AS valid_from_us,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM r GROUP BY user_id, event_type, run
+            )
+            SELECT user_id, state, valid_from_us,
+                   CAST(coalesce(lead(valid_from_us) OVER (
+                     PARTITION BY user_id ORDER BY run), 0) AS BIGINT) AS valid_to_us,
+                   n_events
+            FROM g ORDER BY user_id, valid_from_us
         """,
         # skyline_orders: dominance spelled out — the O(n²) NOT EXISTS the
         # local-frontier combiner exists to avoid

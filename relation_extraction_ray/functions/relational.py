@@ -3275,3 +3275,79 @@ def pareto_skyline(
 
     local = ds.map_batches(prune, batch_format="pyarrow")
     return local.repartition(1).map_batches(prune, batch_format="pyarrow")
+
+
+def scd2_history(events: ray.data.Dataset) -> ray.data.Dataset:
+    """SCD Type-2 state history (the dimension-table build): collapse
+    each user's event stream — ordered by (ts, event_id) — into
+    validity intervals, one row per maximal run of consecutive equal
+    ``event_type``: (user_id, state, valid_from_us, valid_to_us,
+    n_events), where valid_to_us is the NEXT run's valid_from and 0
+    marks the still-open current state.  The gaps-and-islands operator
+    every slowly-changing-dimension load runs.
+
+    Scale shape: ONE user-keyed hash exchange co-locates each user's
+    events; the partition kernel is fully vectorized — one lexsort
+    (user, ts, event_id), a boundary mask (new user OR state change),
+    a run-id cumsum, ``reduceat`` for per-run min-ts/count, and a
+    shifted gather for valid_to — so a partition does O(rows log rows)
+    work with no per-run Python.  Output is runs-many rows (≤ input),
+    and only interval rows leave the partition."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("state", pa.string()),
+            ("valid_from_us", pa.int64()),
+            ("valid_to_us", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "state": batch.column("event_type").cast(pa.string()),
+                "t": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        s = part.column("state").to_numpy(zero_copy_only=False).astype(str)
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, u))
+        u, s, t = u[order], s[order], t[order]
+        brk = np.r_[True, (u[1:] != u[:-1]) | (s[1:] != s[:-1])]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, len(u)])
+        ru, rs, rfrom = u[starts], s[starts], t[starts]
+        # valid_to = next run's valid_from when same user, else 0 (open)
+        nxt_from = np.r_[rfrom[1:], np.int64(0)]
+        same_user = np.r_[ru[1:] == ru[:-1], False]
+        rto = np.where(same_user, nxt_from, np.int64(0))
+        return pa.table(
+            {
+                "user_id": pa.array(ru, pa.int64()),
+                "state": pa.array(rs, pa.string()),
+                "valid_from_us": pa.array(rfrom, pa.int64()),
+                "valid_to_us": pa.array(rto, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    return hash_partitioned_groups(
+        events.map_batches(project, batch_format="pyarrow"),
+        ["user_id"],
+        per_part,
+        n_parts,
+    )

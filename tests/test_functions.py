@@ -2731,3 +2731,42 @@ def test_pareto_skyline_bruteforce(ray_session):
         )
         assert got == want, (nb, got, want)
     assert 900 in want and 901 in want  # duplicate frontier points both kept
+
+
+def test_scd2_history_handcrafted(ray_session):
+    """Gaps-and-islands: A,A,B,A runs → 3 intervals with exact
+    boundaries; ts ties break by event_id; last run open (valid_to 0);
+    single-event user; partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import scd2_history
+
+    rows = [
+        # user 1: A(10),A(20),B(30),A(40) — tie at 30 broken by event_id
+        (1, 10, 1, "A"), (2, 20, 1, "A"), (4, 30, 1, "A"), (3, 30, 1, "B"),
+        (5, 40, 1, "A"),
+        (6, 99, 2, "Z"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    M = 1_000_000
+    want = sorted(
+        [
+            (1, "A", 10 * M, 30 * M, 2),
+            (1, "B", 30 * M, 30 * M, 1),  # B at (30,id3) precedes A at (30,id4)
+            (1, "A", 30 * M, 0, 2),
+            (2, "Z", 99 * M, 0, 1),
+        ]
+    )
+    for nb in (1, 3):
+        got = sorted(
+            (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"], r["n_events"])
+            for r in scd2_history(ray.data.from_arrow(t).repartition(nb)).take_all()
+        )
+        assert got == want, (nb, got)
