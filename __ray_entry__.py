@@ -1723,6 +1723,15 @@ def _q_modularity(sf_dir: str):
     return modularity(adjacency, label_propagation(adjacency, rounds=3))
 
 
+def _q_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the KG graph — exact
+    integer milli-units, composed from edge_jaccard's per-edge
+    common-neighbor counts (Σ incident cn = 2·triangles(v))."""
+    from relation_extraction_ray.functions.graph import clustering_coefficient
+
+    return clustering_coefficient(_kg_run()["adjacency"])
+
+
 def _q_assortativity(sf_dir: str):
     """Newman degree assortativity of the KG entity graph — Pearson r of
     endpoint degrees over both orientations of every undirected edge,
@@ -2184,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": _q_label_prop,
         "modularity": _q_modularity,
         "assortativity": _q_assortativity,
+        "clustering_coef": _q_clustering,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -4424,6 +4434,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_prop": _label_prop_sql(kg_paths["kg_adjacency"], rounds=3),
         "modularity": _modularity_sql(kg_paths["kg_adjacency"], rounds=3),
+        # clustering_coef: per-node Σ incident-edge common-neighbor counts
+        # (= 2·triangles) over the same edge/deg/cn CTEs as edge_jaccard;
+        # integer-milli (2000·cn + d) // (2d) exactly as the engine
+        "clustering_coef": f"""
+            WITH e AS (
+              SELECT DISTINCT least(src_id, dst_id) AS a,
+                              greatest(src_id, dst_id) AS b
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id),
+            nb AS (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL SELECT b AS node, a AS nbr FROM e),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY node),
+            cn AS (
+              SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n_common
+              FROM nb x
+              JOIN nb y ON y.nbr = x.nbr AND x.node < y.node
+              JOIN e   ON e.a = x.node AND e.b = y.node
+              GROUP BY x.node, y.node),
+            pern AS (
+              SELECT node, CAST(sum(c) AS BIGINT) AS cn2 FROM (
+                SELECT e.a AS node, COALESCE(cn.n_common, 0) AS c
+                FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+                UNION ALL
+                SELECT e.b AS node, COALESCE(cn.n_common, 0) AS c
+                FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+              ) GROUP BY node)
+            SELECT d.node, d.deg,
+                   CAST(p.cn2 // 2 AS BIGINT) AS n_tri,
+                   CAST(CASE WHEN d.deg > 1
+                     THEN (2000 * p.cn2 + d.deg * (d.deg - 1))
+                          // (2 * d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS coef_milli
+            FROM deg d JOIN pern p ON p.node = d.node
+            ORDER BY d.node
+        """,
         # assortativity: degrees over the deduped undirected edge set of
         # the ORACLE adjacency, both orientations of each edge, HUGEINT
         # sufficient stats, the corr_price_qty IEEE final form verbatim

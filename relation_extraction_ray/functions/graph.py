@@ -2290,3 +2290,71 @@ def degree_assortativity(adjacency: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def clustering_coefficient(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-node local clustering coefficient of the undirected simple
+    KG entity graph — for each node its degree, triangle count and
+    ``C(v) = 2·t(v) / (deg·(deg−1))`` in exact integer milli-units (the
+    neighborhood-density score that separates tight entity communities
+    from hub spokes; deg ≤ 1 reports 0 by convention).
+
+    Composition, not new machinery: :func:`edge_jaccard` already emits
+    per-edge common-neighbor counts (= triangles through the edge) via
+    the degree-ordered wedge exchange; each triangle through v is
+    counted by exactly its TWO incident edges at v, so
+    Σ_{u∈N(v)} cn(v,u) = 2·t(v).  Each edge row explodes to its two
+    endpoints, per-batch Arrow partials fold (node → Σcn, deg) before
+    ONE node-keyed aggregate, and the milli rounding is pure integer
+    arithmetic — ``(2000·Σcn + d) // (2d)``, d = deg·(deg−1) — so the
+    SQL replay is value-exact.  Exchange volume ≤ distinct nodes per
+    batch; isolated nodes never appear (no edges)."""
+    from ray.data.aggregate import Max, Sum
+
+    ej = edge_jaccard(adjacency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [
+                batch.column("node_a").combine_chunks().cast(pa.string()),
+                batch.column("node_b").combine_chunks().cast(pa.string()),
+            ]
+        )
+        deg = pa.concat_arrays(
+            [
+                batch.column("deg_a").combine_chunks().cast(pa.int64()),
+                batch.column("deg_b").combine_chunks().cast(pa.int64()),
+            ]
+        )
+        cn = batch.column("n_common").combine_chunks().cast(pa.int64())
+        t = pa.table({"node": node, "deg": deg, "cn": pa.concat_arrays([cn, cn])})
+        g = t.group_by("node").aggregate([("cn", "sum"), ("deg", "max")])
+        return pa.table(
+            {
+                "node": g.column("node"),
+                "cn": g.column("cn_sum").cast(pa.int64()),
+                "deg": g.column("deg_max").cast(pa.int64()),
+            }
+        )
+
+    folded = (
+        ej.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("cn", alias_name="cn"), Max("deg", alias_name="deg"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn = batch.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = deg * (deg - 1)
+        coef = np.where(d > 0, (2000 * cn + d) // np.maximum(2 * d, 1), 0)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "deg": pa.array(deg, pa.int64()),
+                "n_tri": pa.array(cn // 2, pa.int64()),
+                "coef_milli": pa.array(coef.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -793,3 +793,51 @@ def test_assortativity_vs_bruteforce(ray_session):
         assert got["n_edges"] == len(edges)
         assert got["n_nodes"] == len(deg)
         assert got["r_nano"] == want
+
+
+def test_clustering_coefficient_bruteforce(ray_session):
+    """Per-node C(v) equals a plain-python triangle enumeration on a
+    random graph (+ a triangle-with-tail fixture: tail node deg 1 → 0,
+    apex deg 3 with 1 triangle → 2/6), at any partitioning."""
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import clustering_coefficient
+
+    tri_tail = [("a", "p", "b", 1), ("b", "p", "c", 1), ("a", "p", "c", 1),
+                ("a", "p", "t", 1)]
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["coef_milli"])
+        for r in clustering_coefficient(
+            ray.data.from_arrow(_adj(tri_tail)).repartition(2)
+        ).take_all()
+    }
+    assert got["t"] == (1, 0, 0)
+    assert got["b"] == (2, 1, 1000) and got["c"] == (2, 1, 1000)
+    assert got["a"] == (3, 1, (2000 * 2 + 6) // 12)  # 2/6 → 333
+
+    nodes = [f"n{i}" for i in range(25)]
+    rows = []
+    for i, u in enumerate(nodes):
+        for j, v in enumerate(nodes):
+            if i < j and int(hashlib.md5(f"{u}|{v}".encode()).hexdigest(), 16) % 4 == 0:
+                rows.append((u, "p", v, 1))
+    edges = sorted({(min(u, v), max(u, v)) for u, _, v, _ in rows})
+    eset = set(edges)
+    adjm: dict = {}
+    for a, b in edges:
+        adjm.setdefault(a, set()).add(b)
+        adjm.setdefault(b, set()).add(a)
+    want = {}
+    for v, nbrs in adjm.items():
+        d = len(nbrs)
+        t = sum(1 for x in nbrs for y in nbrs if x < y and (x, y) in eset)
+        dd = d * (d - 1)
+        want[v] = (d, t, (2000 * 2 * t + dd) // (2 * dd) if dd else 0)
+    for nb in (1, 5):
+        got = {
+            r["node"]: (r["deg"], r["n_tri"], r["coef_milli"])
+            for r in clustering_coefficient(
+                ray.data.from_arrow(_adj(rows)).repartition(nb)
+            ).take_all()
+        }
+        assert got == want, nb
