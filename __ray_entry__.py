@@ -240,6 +240,21 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_regression(sf_dir: str):
+    """Per-returnflag OLS of price on quantity — grouped integer
+    sufficient statistics (7 numbers per group per block), IEEE-fixed
+    slope/intercept/r² nano finalize, HUGEINT SQL replay."""
+    from relation_extraction_ray.functions.relational import _cents, grouped_regression
+
+    return grouped_regression(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        y_to_int=_cents,
+    )
+
+
 def _q_scd2(sf_dir: str):
     """SCD Type-2 state history over the event log: per-user validity
     intervals of consecutive equal event_type runs (gaps-and-islands) —
@@ -2123,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_apply": _q_merge_apply,
         "skyline_orders": _q_skyline,
         "scd2_history": _q_scd2,
+        "regression_by_flag": _q_regression,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3047,6 +3063,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM s GROUP BY status ORDER BY status
+        """,
+        # regression_by_flag: grouped OLS from HUGEINT sufficient stats,
+        # slope/intercept/r² in the engine's exact IEEE order
+        "regression_by_flag": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+                     sum(CAST(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+                     sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy,
+                     sum(CAST(CAST(l_quantity AS BIGINT)
+                              * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy
+              FROM lineitem GROUP BY l_returnflag
+            ), f AS (
+              SELECT l_returnflag, n, sx, sy,
+                     CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+                     CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+                     CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS deny
+              FROM s
+            ), g AS (
+              SELECT *,
+                     CASE WHEN den > 0
+                          THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          ELSE 0 END AS sl,
+                     CASE WHEN den > 0 AND deny > 0
+                          THEN CAST(num AS DOUBLE)
+                               / (sqrt(CAST(den AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+                          ELSE 0 END AS r
+              FROM f
+            )
+            SELECT l_returnflag, n,
+                   CASE WHEN den > 0
+                        THEN CAST(floor(sl * 1000000000.0 + 0.5) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS slope_nano,
+                   CASE WHEN den > 0
+                        THEN CAST(floor((CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE))
+                               / CAST(n AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS intercept_nano,
+                   CASE WHEN den > 0 AND deny > 0
+                        THEN CAST(floor(r * r * 1000000000.0 + 0.5) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS r2_nano
+            FROM g ORDER BY l_returnflag
         """,
         # scd2_history: lag-window break marks + windowed run cumsum +
         # per-run group, lead for valid_to (0 = still-open current state)

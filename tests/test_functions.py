@@ -2770,3 +2770,68 @@ def test_scd2_history_handcrafted(ray_session):
             for r in scd2_history(ray.data.from_arrow(t).repartition(nb)).take_all()
         )
         assert got == want, (nb, got)
+
+
+def test_grouped_regression_numpy_replay(ray_session):
+    """Grouped OLS equals a numpy lstsq-free replay of the closed form
+    on exact integers (perfect-line group → r²=1e9 and exact slope;
+    constant-x group → all zeros), at any partitioning."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import grouped_regression
+
+    rows = []
+    # group L: y = 3x + 7 exactly
+    for x in range(1, 11):
+        rows.append(("L", x, 3 * x + 7))
+    # group C: constant x (den = 0)
+    for y in (5, 9, 13):
+        rows.append(("C", 4, y))
+    # group R: hash-noise points
+    import hashlib
+
+    for i in range(50):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        rows.append(("R", i, (h % 200) + 2 * i))
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "x": pa.array([r[1] for r in rows], pa.int64()),
+            "y": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+    def replay(sub):
+        import numpy as np
+
+        n = len(sub)
+        sx = sum(x for x, _ in sub); sy = sum(y for _, y in sub)
+        sxx = sum(x * x for x, _ in sub); syy = sum(y * y for _, y in sub)
+        sxy = sum(x * y for x, y in sub)
+        num, den, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        if den > 0:
+            s = float(num) / float(den)
+            sl = int(np.floor(s * 1e9 + 0.5))
+            ic = int(np.floor((float(sy) - s * float(sx)) / float(n) * 1e9 + 0.5))
+        else:
+            sl = ic = 0
+        if den > 0 and deny > 0:
+            r = float(num) / (np.sqrt(float(den)) * np.sqrt(float(deny)))
+            r2 = int(np.floor(r * r * 1e9 + 0.5))
+        else:
+            r2 = 0
+        return n, sl, ic, r2
+
+    want = {
+        g: replay([(x, y) for gg, x, y in rows if gg == g]) for g in ("L", "C", "R")
+    }
+    assert want["L"][1] == 3_000_000_000 and want["L"][2] == 7_000_000_000
+    assert want["L"][3] == 1_000_000_000 and want["C"] == (3, 0, 0, 0)
+    for nb in (1, 4):
+        got = {
+            r["g"]: (r["n"], r["slope_nano"], r["intercept_nano"], r["r2_nano"])
+            for r in grouped_regression(
+                ray.data.from_arrow(t).repartition(nb), "g", "x", "y"
+            ).take_all()
+        }
+        assert got == want, (nb, got, want)
