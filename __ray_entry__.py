@@ -240,6 +240,20 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_mad(sf_dir: str):
+    """Grouped MAD of account balances per market segment — two exact
+    distinct-value-histogram median passes in scaled integers (half- and
+    quarter-cent units), deviations never leave integer arithmetic."""
+    from relation_extraction_ray.functions.relational import _cents, grouped_mad
+
+    return grouped_mad(
+        _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"]),
+        "c_mktsegment",
+        "c_acctbal",
+        to_int=_cents,
+    )
+
+
 def _q_regression(sf_dir: str):
     """Per-returnflag OLS of price on quantity — grouped integer
     sufficient statistics (7 numbers per group per block), IEEE-fixed
@@ -2139,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline,
         "scd2_history": _q_scd2,
         "regression_by_flag": _q_regression,
+        "segment_mad": _q_mad,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3063,6 +3078,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM s GROUP BY status ORDER BY status
+        """,
+        # segment_mad: med2 = the two middle order statistics summed
+        # (2·median, no floats); deviations |2·cents − med2| stay integer
+        # half-cents; their med2 is the MAD in quarter-cents
+        "segment_mad": """
+            WITH v AS (
+              SELECT c_mktsegment AS g,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer
+            ), r AS (
+              SELECT g, cents,
+                     row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM v
+            ), m AS (
+              SELECT g, CAST(max(n) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents ELSE 0 END)
+                          + sum(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
+                          AS BIGINT) AS med2
+              FROM r GROUP BY g
+            ), d AS (
+              SELECT v.g, abs(2 * v.cents - m.med2) AS dev
+              FROM v JOIN m ON m.g = v.g
+            ), rd AS (
+              SELECT g, dev,
+                     row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM d
+            ), md AS (
+              SELECT g,
+                     CAST(sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev ELSE 0 END)
+                          + sum(CASE WHEN rn = n // 2 + 1 THEN dev ELSE 0 END)
+                          AS BIGINT) AS mad2
+              FROM rd GROUP BY g
+            )
+            SELECT m.g AS c_mktsegment, m.n,
+                   m.med2 AS median_halfunits,
+                   md.mad2 AS mad_quarterunits
+            FROM m JOIN md ON md.g = m.g
+            ORDER BY c_mktsegment
         """,
         # regression_by_flag: grouped OLS from HUGEINT sufficient stats,
         # slope/intercept/r² in the engine's exact IEEE order

@@ -2835,3 +2835,48 @@ def test_grouped_regression_numpy_replay(ray_session):
             ).take_all()
         }
         assert got == want, (nb, got, want)
+
+
+def test_grouped_mad_numpy_replay(ray_session):
+    """Grouped MAD equals a numpy replay of the scaled-integer order
+    statistics (odd and even group sizes, exact .5-median groups), at
+    any partitioning."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import grouped_mad
+
+    rows = []
+    for i in range(37):  # odd group
+        h = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:6], 16)
+        rows.append(("A", h % 100))
+    for i in range(24):  # even group (half-unit median)
+        h = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:6], 16)
+        rows.append(("B", h % 50))
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "x": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+    def replay(vals):
+        v = sorted(vals)
+        n = len(v)
+        med2 = v[(n - 1) // 2] + v[n // 2]
+        dev = sorted(abs(2 * x - med2) for x in v)
+        mad2 = dev[(n - 1) // 2] + dev[n // 2]
+        return n, med2, mad2
+
+    want = {
+        g: replay([x for gg, x in rows if gg == g]) for g in ("A", "B")
+    }
+    for nb in (1, 4):
+        got = {
+            r["g"]: (r["n"], r["median_halfunits"], r["mad_quarterunits"])
+            for r in grouped_mad(
+                ray.data.from_arrow(t).repartition(nb), "g", "x"
+            ).take_all()
+        }
+        assert got == want, (nb, got, want)
