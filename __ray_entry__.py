@@ -254,6 +254,20 @@ def _q_mad(sf_dir: str):
     )
 
 
+def _q_mad_outliers(sf_dir: str):
+    """MAD-rule robust outliers (|x − median| > 3·MAD) of balances per
+    segment — integer-exact 2000·|2x − med2| > 3000·mad2 gate over the
+    grouped_mad stats, one extra combine-fed counting scan."""
+    from relation_extraction_ray.functions.relational import _cents, mad_outliers
+
+    return mad_outliers(
+        _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"]),
+        "c_mktsegment",
+        "c_acctbal",
+        to_int=_cents,
+    )
+
+
 def _q_regression(sf_dir: str):
     """Per-returnflag OLS of price on quantity — grouped integer
     sufficient statistics (7 numbers per group per block), IEEE-fixed
@@ -2154,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2,
         "regression_by_flag": _q_regression,
         "segment_mad": _q_mad,
+        "segment_outliers": _q_mad_outliers,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3118,6 +3133,50 @@ def oracle_sql() -> dict[str, str]:
                    md.mad2 AS mad_quarterunits
             FROM m JOIN md ON md.g = m.g
             ORDER BY c_mktsegment
+        """,
+        # segment_outliers: the segment_mad CTE chain + the integer MAD
+        # gate 2000·|2·cents − med2| > 3000·mad2, zero sentinels when none
+        "segment_outliers": """
+            WITH v AS (
+              SELECT c_mktsegment AS g,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer
+            ), r AS (
+              SELECT g, cents,
+                     row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM v
+            ), m AS (
+              SELECT g, CAST(max(n) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents ELSE 0 END)
+                          + sum(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
+                          AS BIGINT) AS med2
+              FROM r GROUP BY g
+            ), d AS (
+              SELECT v.g, abs(2 * v.cents - m.med2) AS dev
+              FROM v JOIN m ON m.g = v.g
+            ), rd AS (
+              SELECT g, dev,
+                     row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM d
+            ), md AS (
+              SELECT g,
+                     CAST(sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev ELSE 0 END)
+                          + sum(CASE WHEN rn = n // 2 + 1 THEN dev ELSE 0 END)
+                          AS BIGINT) AS mad2
+              FROM rd GROUP BY g
+            ), o AS (
+              SELECT v.g, v.cents,
+                     (2000 * abs(2 * v.cents - m.med2) > 3000 * md.mad2) AS is_out
+              FROM v JOIN m ON m.g = v.g JOIN md ON md.g = v.g
+            )
+            SELECT g AS c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST(coalesce(min(CASE WHEN is_out THEN cents END), 0) AS BIGINT) AS min_outlier,
+                   CAST(coalesce(max(CASE WHEN is_out THEN cents END), 0) AS BIGINT) AS max_outlier
+            FROM o GROUP BY g ORDER BY c_mktsegment
         """,
         # regression_by_flag: grouped OLS from HUGEINT sufficient stats,
         # slope/intercept/r² in the engine's exact IEEE order

@@ -2880,3 +2880,36 @@ def test_grouped_mad_numpy_replay(ray_session):
             ).take_all()
         }
         assert got == want, (nb, got, want)
+
+
+def test_mad_outliers_handcrafted(ray_session):
+    """MAD gate: a tight cluster plus two far points → exactly those
+    flagged with correct min/max; a zero-MAD group flags every value off
+    the median; all-inlier group reports 0 sentinels."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import mad_outliers
+
+    rows = (
+        [("A", v) for v in (10, 11, 12, 13, 14, 500, -400)]
+        + [("B", 7)] * 5 + [("B", 9)]          # MAD 0 → 9 is an outlier
+        + [("C", v) for v in (1, 2, 3)]         # no outliers
+    )
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "x": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["g"]: (r["n"], r["n_outliers"], r["min_outlier"], r["max_outlier"])
+            for r in mad_outliers(
+                ray.data.from_arrow(t).repartition(nb), "g", "x"
+            ).take_all()
+        }
+        # A: median 12, MAD 1 → |x-12|>3 flags 500 and -400
+        assert got["A"] == (7, 2, -400, 500)
+        # B: median 7, MAD 0 → any deviation is infinite in MAD units
+        assert got["B"] == (6, 1, 9, 9)
+        assert got["C"] == (3, 0, 0, 0)
