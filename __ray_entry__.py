@@ -254,6 +254,18 @@ def _q_mad(sf_dir: str):
     )
 
 
+def _q_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase credits the user's most
+    recent click/view/signup within 24 h (or none) — one user-keyed
+    exchange, vectorized last-seen-index sweep, ≤ |sources|+1 counter
+    rows per partition."""
+    from relation_extraction_ray.functions.relational import last_touch_attribution
+
+    return last_touch_attribution(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 def _q_mad_outliers(sf_dir: str):
     """MAD-rule robust outliers (|x − median| > 3·MAD) of balances per
     segment — integer-exact 2000·|2x − med2| > 3000·mad2 gate over the
@@ -2169,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_by_flag": _q_regression,
         "segment_mad": _q_mad,
         "segment_outliers": _q_mad_outliers,
+        "attribution": _q_attribution,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3133,6 +3146,30 @@ def oracle_sql() -> dict[str, str]:
                    md.mad2 AS mad_quarterunits
             FROM m JOIN md ON md.g = m.g
             ORDER BY c_mktsegment
+        """,
+        # attribution: per purchase the last preceding touch by rn within
+        # the 24 h window (correlated ORDER BY rn DESC LIMIT 1 — the
+        # per-conversion scan the vectorized sweep replaces)
+        "attribution": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ), p AS (
+              SELECT * FROM e WHERE event_type = 'purchase'
+            ), att AS (
+              SELECT p.event_id,
+                     (SELECT s.event_type FROM e s
+                      WHERE s.user_id = p.user_id
+                        AND s.event_type IN ('click', 'view', 'signup')
+                        AND s.rn < p.rn AND p.t - s.t <= 86400000000
+                      ORDER BY s.rn DESC LIMIT 1) AS touch
+              FROM p
+            )
+            SELECT coalesce(touch, 'none') AS touch,
+                   CAST(count(*) AS BIGINT) AS n_conversions
+            FROM att GROUP BY 1 ORDER BY 1
         """,
         # segment_outliers: the segment_mad CTE chain + the integer MAD
         # gate 2000·|2·cents − med2| > 3000·mad2, zero sentinels when none

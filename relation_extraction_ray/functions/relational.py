@@ -3644,3 +3644,86 @@ def mad_outliers(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def last_touch_attribution(
+    events: ray.data.Dataset,
+    sources: tuple = ("click", "view", "signup"),
+    conversion: str = "purchase",
+    window_us: int = 86_400_000_000,
+) -> ray.data.Dataset:
+    """Last-touch marketing attribution: every conversion event credits
+    the user's most recent preceding touch event — strictly earlier in
+    (ts, event_id) order and within ``window_us`` — or ``none`` when no
+    touch qualifies; output is the (touch, n_conversions) credit table
+    the campaign dashboard reads.
+
+    Scale shape: ONE user-keyed hash exchange; the partition kernel is
+    a lexsort + the vectorized last-seen-index sweep
+    (``np.maximum.accumulate`` over touch positions, per-user carryover
+    rejected by a segment-start compare — no reset pass needed because
+    earlier users' indices are always below the segment start) + one
+    window subtraction; each partition folds to ≤ |sources|+1 counter
+    rows, so the final exchange is a handful of integers per partition
+    at any event volume."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    src_set = set(sources)
+    out_schema = pa.schema([("touch", pa.string()), ("n_conversions", pa.int64())])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "event_type": batch.column("event_type").cast(pa.string()),
+                "t": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        ty = part.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, u))
+        u, ty, t = u[order], ty[order], t[order]
+        n = len(u)
+        is_src = np.isin(ty, list(src_set))
+        idx = np.arange(n)
+        last_src = np.maximum.accumulate(np.where(is_src, idx, -1))
+        # segment start index of each row's user run
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        seg_start = idx[new_u][np.cumsum(new_u) - 1]
+        conv = np.flatnonzero(ty == conversion)
+        if len(conv) == 0:
+            return out_schema.empty_table()
+        j = last_src[conv]
+        ok = (j >= seg_start[conv]) & (j >= 0)
+        ok &= np.where(ok, t[conv] - t[np.maximum(j, 0)] <= window_us, False)
+        touch = np.where(ok, ty[np.maximum(j, 0)], "none")
+        vals, counts = np.unique(touch, return_counts=True)
+        return pa.table(
+            {
+                "touch": pa.array(vals.astype(str), pa.string()),
+                "n_conversions": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    partials = hash_partitioned_groups(
+        events.map_batches(project, batch_format="pyarrow"),
+        ["user_id"],
+        per_part,
+        n_parts,
+    )
+    return (
+        partials.groupby("touch")
+        .aggregate(Sum("n_conversions", alias_name="n_conversions"))
+    )

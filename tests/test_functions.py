@@ -2913,3 +2913,43 @@ def test_mad_outliers_handcrafted(ray_session):
         # B: median 7, MAD 0 → any deviation is infinite in MAD units
         assert got["B"] == (6, 1, 9, 9)
         assert got["C"] == (3, 0, 0, 0)
+
+
+def test_last_touch_attribution_handcrafted(ray_session):
+    """Last touch wins over earlier touches; window excludes stale
+    touches; conversion with no touch → none; a touch AFTER the
+    conversion never credits; partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import last_touch_attribution
+
+    S = 1_000_000
+    rows = [
+        # user 1: view(10) click(20) purchase(25) → click
+        (1, 10, 1, "view"), (2, 20, 1, "click"), (3, 25, 1, "purchase"),
+        # user 1 second purchase at 200000: click at 20 is > 24h stale → none
+        (4, 200_000, 1, "purchase"),
+        # user 2: touch after conversion only → none
+        (5, 50, 2, "purchase"), (6, 60, 2, "click"),
+        # user 2: second conversion now has click(60) → click
+        (7, 70, 2, "purchase"),
+        # user 3: signup then error then purchase → signup (error not a touch)
+        (8, 5, 3, "signup"), (9, 6, 3, "error"), (10, 7, 3, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * S for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    want = {"click": 2, "none": 2, "signup": 1}
+    for nb in (1, 3):
+        got = {
+            r["touch"]: r["n_conversions"]
+            for r in last_touch_attribution(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert got == want, (nb, got)
