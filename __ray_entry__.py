@@ -1778,6 +1778,14 @@ def _q_modularity(sf_dir: str):
     return modularity(adjacency, label_propagation(adjacency, rounds=3))
 
 
+def _q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the KG graph — one pair-keyed
+    exchange ORing direction bits, two counter rows per partition."""
+    from relation_extraction_ray.functions.graph import reciprocity
+
+    return reciprocity(_kg_run()["adjacency"])
+
+
 def _q_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the KG graph — exact
     integer milli-units, composed from edge_jaccard's per-edge
@@ -2253,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": _q_modularity,
         "assortativity": _q_assortativity,
         "clustering_coef": _q_clustering,
+        "reciprocity": _q_reciprocity,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -4646,6 +4655,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_prop": _label_prop_sql(kg_paths["kg_adjacency"], rounds=3),
         "modularity": _modularity_sql(kg_paths["kg_adjacency"], rounds=3),
+        # reciprocity: distinct directed edges vs pairs present both ways
+        "reciprocity": f"""
+            WITH de AS (
+              SELECT DISTINCT src_id, dst_id
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS d,
+                     CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM de r
+                       WHERE r.src_id = de.dst_id AND r.dst_id = de.src_id)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r
+              FROM de)
+            SELECT d AS n_directed, r AS n_reciprocated,
+                   CAST(CASE WHEN d > 0 THEN (2000 * r + d) // (2 * d)
+                        ELSE 0 END AS BIGINT) AS reciprocity_milli
+            FROM s
+        """,
         # clustering_coef: per-node Σ incident-edge common-neighbor counts
         # (= 2·triangles) over the same edge/deg/cn CTEs as edge_jaccard;
         # integer-milli (2000·cn + d) // (2d) exactly as the engine

@@ -2358,3 +2358,84 @@ def clustering_coefficient(adjacency: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def reciprocity(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Edge reciprocity of the directed simple KG graph (self-loops
+    dropped, predicates collapsed): the fraction of distinct directed
+    edges whose reverse edge also exists — the does-linking-run-both-ways
+    diagnostic that separates citation-shaped KGs from social-shaped
+    ones.  One row: (n_directed, n_reciprocated, reciprocity_milli) with
+    the exact integer rounding floor(1000·r/d + 0.5) = (2000·r + d) //
+    (2d).
+
+    Scale shape: each batch dedups its directed edges and folds them to
+    canonical (a, b, fwd, rev) bit rows (Arrow group_by max — ≤ distinct
+    pairs per batch cross the wire); ONE pair-keyed exchange ORs the
+    direction bits per pair and emits TWO integer counter rows per
+    partition (directed count = Σ fwd+rev, reciprocated = 2·Σ fwd∧rev);
+    the driver folds a partitions-sized table."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_partitioned_groups
+
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("src_id").cast(pa.string())
+        v = batch.column("dst_id").cast(pa.string())
+        keep = pc.invert(pc.equal(u, v))
+        u, v = u.filter(keep), v.filter(keep)
+        fwd = pc.less(u, v)
+        t = pa.table(
+            {
+                "a": pc.min_element_wise(u, v),
+                "b": pc.max_element_wise(u, v),
+                "fwd": fwd.cast(pa.int64()),
+                "rev": pc.invert(fwd).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["a", "b"]).aggregate([("fwd", "max"), ("rev", "max")])
+        return g.rename_columns(["a", "b", "fwd", "rev"])
+
+    cnt_schema = pa.schema([("n_directed", pa.int64()), ("n_recip", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return cnt_schema.empty_table()
+        g = part.group_by(["a", "b"]).aggregate([("fwd", "max"), ("rev", "max")])
+        fwd = g.column("fwd_max").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = g.column("rev_max").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_directed": pa.array([int((fwd + rev).sum())], pa.int64()),
+                "n_recip": pa.array([2 * int((fwd & rev).sum())], pa.int64()),
+            }
+        )
+
+    folded = (
+        hash_partitioned_groups(
+            adjacency.map_batches(partial, batch_format="pyarrow"),
+            ["a", "b"],
+            per_part,
+            n_parts,
+        ).aggregate(
+            Sum("n_directed", alias_name="n_directed"),
+            Sum("n_recip", alias_name="n_recip"),
+        )
+        or {}
+    )
+    d = int(folded.get("n_directed") or 0)
+    r = int(folded.get("n_recip") or 0)
+    milli = (2000 * r + d) // (2 * d) if d > 0 else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_directed": pa.array([d], pa.int64()),
+                "n_reciprocated": pa.array([r], pa.int64()),
+                "reciprocity_milli": pa.array([milli], pa.int64()),
+            }
+        )
+    )

@@ -841,3 +841,22 @@ def test_clustering_coefficient_bruteforce(ray_session):
             ).take_all()
         }
         assert got == want, nb
+
+
+def test_reciprocity(ray_session):
+    """a→b & b→a reciprocated; a→c one-way; self loops and duplicate
+    (multi-predicate) rows collapse; partitioning invariant."""
+    from relation_extraction_ray.functions.graph import reciprocity
+
+    rows = [("a", "p1", "b", 1), ("b", "p2", "a", 1), ("a", "p1", "c", 1),
+            ("a", "p2", "b", 1), ("c", "p1", "c", 1)]
+    for nb in (1, 3):
+        got = reciprocity(
+            ray.data.from_arrow(_adj(rows)).repartition(nb)
+        ).take_all()[0]
+        assert got["n_directed"] == 3
+        assert got["n_reciprocated"] == 2
+        assert got["reciprocity_milli"] == (2000 * 2 + 3) // 6  # 667
+    # empty / no-reciprocation
+    got = reciprocity(ray.data.from_arrow(_adj([("x", "p", "y", 1)]))).take_all()[0]
+    assert (got["n_directed"], got["n_reciprocated"], got["reciprocity_milli"]) == (1, 0, 0)
