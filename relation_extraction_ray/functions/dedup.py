@@ -677,21 +677,40 @@ def fuzzy_ed1_pairs(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
         # global (k, v) dedup within the co-located partition, then
         # enumerate unordered value pairs inside each key run
         part = part.group_by(["k", "v"]).aggregate([])
-        k = part.column("k").to_numpy(zero_copy_only=False).astype(str)
+        # grouping needs equal keys ADJACENT, not lexicographic order —
+        # sort int32 dictionary codes (Arrow C++ encode) instead of
+        # numpy unicode arrays (the string compares dominate otherwise)
+        import pyarrow.compute as _pc
+
+        kcode = (
+            _pc.dictionary_encode(part.column("k").combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         v = part.column("v").to_numpy(zero_copy_only=False).astype(str)
-        order = np.lexsort((v, k))
-        k, v = k[order], v[order]
+        order = np.argsort(kcode, kind="mergesort")
+        k, v = kcode[order], v[order]
         starts, ends = group_runs(k)
-        outs_a, outs_b = [], []
-        for s, e in zip(starts, ends):
-            g = e - s
-            if g < 2:
-                continue
-            ii, jj = np.triu_indices(g, 1)
-            outs_a.append(v[s + ii])
-            outs_b.append(v[s + jj])
-        if not outs_a:
+        sizes = ends - starts
+        sel = sizes >= 2
+        st2, g2 = starts[sel], sizes[sel]
+        if not len(st2):
             return pair_schema.empty_table()
+        # pair enumeration vectorized over runs, looping only on the
+        # within-run OFFSET d = j - i (bounded by the largest run — the
+        # alphabet-sized collision bound, never the row count)
+        outs_a, outs_b = [], []
+        for d in range(1, int(g2.max())):
+            rsel = g2 > d
+            cnt = g2[rsel] - d
+            tot = int(cnt.sum())
+            base = np.repeat(st2[rsel], cnt)
+            within = np.arange(tot) - np.repeat(
+                np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt
+            )
+            ai = base + within
+            outs_a.append(v[ai])
+            outs_b.append(v[ai + d])
         a = np.concatenate(outs_a)
         b = np.concatenate(outs_b)
         swap = a > b
