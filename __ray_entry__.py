@@ -254,6 +254,15 @@ def _q_mad(sf_dir: str):
     )
 
 
+def _q_spikes(sf_dir: str):
+    """Daily event-rate spike flags (count > 2× the trailing-7-day
+    average, integer gate 1000·n·7 > 2000·S): one combine-fed day fold,
+    calendar-bounded driver cumsum (rolling_wau precedent)."""
+    from relation_extraction_ray.functions.relational import spike_days
+
+    return spike_days(_read(sf_dir, "events", columns=["ts"]))
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2190,6 +2199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_mad": _q_mad,
         "segment_outliers": _q_mad_outliers,
         "attribution": _q_attribution,
+        "spike_days": _q_spikes,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3155,6 +3165,33 @@ def oracle_sql() -> dict[str, str]:
                    md.mad2 AS mad_quarterunits
             FROM m JOIN md ON md.g = m.g
             ORDER BY c_mktsegment
+        """,
+        # spike_days: dense day grid via generate_series, trailing window
+        # by BETWEEN self-join (prior days only), the same integer gate
+        "spike_days": """
+            WITH dc AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), span AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM dc
+            ), grid AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM span
+            ), g AS (
+              SELECT grid.day, coalesce(dc.n, 0) AS n
+              FROM grid LEFT JOIN dc ON dc.day = grid.day
+            ), tr AS (
+              SELECT g.day, g.n,
+                     CAST(coalesce(sum(p.n), 0) AS BIGINT) AS trail_n
+              FROM g LEFT JOIN g p
+                ON p.day BETWEEN g.day - 7 AND g.day - 1
+              GROUP BY g.day, g.n
+            )
+            SELECT day, n, trail_n,
+                   CAST(CASE WHEN trail_n > 0
+                        THEN CASE WHEN 1000 * n * 7 > 2000 * trail_n THEN 1 ELSE 0 END
+                        ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
+            FROM tr ORDER BY day
         """,
         # attribution: per purchase the last preceding touch by rn within
         # the 24 h window (correlated ORDER BY rn DESC LIMIT 1 — the

@@ -3727,3 +3727,80 @@ def last_touch_attribution(
         partials.groupby("touch")
         .aggregate(Sum("n_conversions", alias_name="n_conversions"))
     )
+
+
+def spike_days(
+    events: ray.data.Dataset, window_days: int = 7, k_milli: int = 2000
+) -> ray.data.Dataset:
+    """Event-rate spike detection: for EVERY calendar day in the data's
+    span, the event count, the trailing-``window_days`` total (prior
+    days only, missing days count 0) and a spike flag — day d spikes
+    when its count exceeds ``k_milli``/1000 × the trailing daily average,
+    tested in integers as ``1000·n·W > k_milli·S`` (S = trailing sum);
+    a day with events but an all-zero history spikes by convention.
+    The ops alert every ingestion pipeline runs.
+
+    Scale shape: one combine-fed (day → count) fold — exchange volume ≤
+    distinct days per batch — then the trailing sums run on the driver
+    over the ≤ span-many day rows with one cumsum (the rolling_wau
+    driver-fold precedent: day cardinality is calendar-bounded, not
+    data-bounded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        vals, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ span-many rows (calendar-bounded)
+    if not rows:
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("day", pa.int64()),
+                    ("n", pa.int64()),
+                    ("trail_n", pa.int64()),
+                    ("is_spike", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    days = np.array([r["day"] for r in rows], np.int64)
+    ns = np.array([r["n"] for r in rows], np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    grid = np.zeros(hi - lo + 1, np.int64)
+    grid[days - lo] = ns
+    csum = np.concatenate([[0], np.cumsum(grid)])  # csum[i] = Σ grid[:i]
+    idx = np.arange(len(grid))
+    start = np.maximum(idx - window_days, 0)
+    trailing = csum[idx] - csum[start]
+    spike = np.where(
+        trailing > 0,
+        1000 * grid * window_days > k_milli * trailing,
+        grid > 0,
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(idx + lo, pa.int64()),
+                "n": pa.array(grid, pa.int64()),
+                "trail_n": pa.array(trailing.astype(np.int64), pa.int64()),
+                "is_spike": pa.array(spike.astype(np.int64), pa.int64()),
+            }
+        )
+    )

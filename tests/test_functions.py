@@ -2953,3 +2953,42 @@ def test_last_touch_attribution_handcrafted(ray_session):
             ).take_all()
         }
         assert got == want, (nb, got)
+
+
+def test_spike_days_handcrafted(ray_session):
+    """Trailing-window spike gate (window average counts missing history
+    as zero, so the warm-up days of a new stream flag — the cold-start
+    alert is intentional): after a full flat window a flat day never
+    spikes, a 3× day does, gap days appear with n=0 and never spike;
+    partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import spike_days
+
+    DAY = 86_400_000_000
+    counts = {d: 10 for d in range(8)}  # flat warm-up
+    counts[8] = 30                       # 3× the trailing average
+    counts[10] = 10                      # day 9 missing
+    rows = []
+    eid = 0
+    for d, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, d * DAY + eid))
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["day"]: (r["n"], r["trail_n"], r["is_spike"])
+            for r in spike_days(ray.data.from_arrow(t).repartition(nb)).take_all()
+        }
+        assert got[0] == (10, 0, 1)    # zero history, events → spike
+        assert got[1] == (10, 10, 1)   # warm-up: window mostly empty
+        assert got[7] == (10, 70, 0)   # full flat window → no spike
+        assert got[8] == (30, 70, 1)   # 30 > 2 × 10 avg
+        assert got[9] == (0, 90, 0)    # gap day (window: days 2-8)
+        assert got[10] == (10, 80, 0)  # window: days 3-9
