@@ -1787,6 +1787,14 @@ def _q_modularity(sf_dir: str):
     return modularity(adjacency, label_propagation(adjacency, rounds=3))
 
 
+def _q_harmonic(sf_dir: str):
+    """Landmark-approximated harmonic centrality (per-landmark BFS on
+    the composite (node, seed) key, order-free integer 1/d sum)."""
+    from relation_extraction_ray.functions.graph import harmonic_centrality
+
+    return harmonic_centrality(_kg_run()["adjacency"], seed_pct=5, max_hops=4)
+
+
 def _q_reciprocity(sf_dir: str):
     """Directed-edge reciprocity of the KG graph — one pair-keyed
     exchange ORing direction bits, two counter rows per partition."""
@@ -2272,6 +2280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "clustering_coef": _q_clustering,
         "reciprocity": _q_reciprocity,
+        "harmonic": _q_harmonic,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -2545,6 +2554,34 @@ def _bfs_sql(adj_path: str, seed_pct: int = 5, hops: int = 6) -> str:
              SELECT e.v AS node, d.dist + 1 FROM e JOIN d{i} d ON d.node = e.u
            ) GROUP BY node)"""
     return "WITH " + cte + f"\n    SELECT node, dist FROM d{hops} ORDER BY node"
+
+
+def _harmonic_sql(adj_path: str, seed_pct: int = 5, hops: int = 4) -> str:
+    """Unroll the per-landmark BFS (functions/graph.py harmonic_centrality)
+    keyed by (node, seed), then fold Σ (2·10⁶ + d) // (2d) over dist > 0.
+    Monotone min — the fixed unroll depth compares exactly."""
+    cte = f"""
+    eu AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a,
+                               greatest(src_id, dst_id) AS b
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id),
+    e AS MATERIALIZED (SELECT a AS u, b AS v FROM eu UNION ALL SELECT b, a FROM eu),
+    d0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS seed, CAST(0 AS BIGINT) AS dist FROM e
+           WHERE CAST(('0x' || substr(md5('seed:' || u), 1, 8)) AS UBIGINT) % 100 < {seed_pct})"""
+    for i in range(hops):
+        cte += f""",
+    d{i + 1} AS MATERIALIZED (SELECT node, seed, min(dist) AS dist FROM (
+             SELECT node, seed, dist FROM d{i}
+             UNION ALL
+             SELECT e.v AS node, d.seed, d.dist + 1 FROM e JOIN d{i} d ON d.node = e.u
+           ) GROUP BY node, seed)"""
+    return (
+        "WITH "
+        + cte
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum((2000000 + dist) // (2 * dist)) AS BIGINT) AS h_micro
+    FROM d{hops} WHERE dist > 0 GROUP BY node ORDER BY node"""
+    )
 
 
 def _sssp_sql(adj_path: str, seed_pct: int = 5, rounds: int = 6) -> str:
@@ -4682,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         # hop count; label_prop: exactly-3-round synchronous LPA replay;
         # random_walks: the md5-mod neighbor draw joined per step
         "bfs_hops": _bfs_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=6),
+        "harmonic": _harmonic_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=4),
         "sssp_hops": _sssp_sql(kg_paths["kg_adjacency"], seed_pct=5, rounds=6),
         # kg_incremental: merge(adj(docs_A), adj(docs_B)) over a doc-
         # disjoint split must equal the single full-run adjacency — the

