@@ -137,6 +137,36 @@ def _q_fuzzy_pairs(sf_dir: str):
     return fuzzy_ed1_pairs(_read(sf_dir, "customer", columns=["c_name"]), "c_name")
 
 
+def _q_alias_clusters(sf_dir: str):
+    """Entity-alias resolution: connected components over the
+    edit-distance-1 fuzzy pair graph of customer names — every alias
+    maps to its component-min canonical surface (the deterministic
+    keep-one rule entity canonicalization applies before linking)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from relation_extraction_ray.functions.components import connected_components
+    from relation_extraction_ray.functions.dedup import fuzzy_ed1_pairs
+
+    pairs = fuzzy_ed1_pairs(
+        _read(sf_dir, "customer", columns=["c_name"]), "c_name"
+    )
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        # 'Customer#%09d' → the embedded key; the numeric min IS the
+        # lexicographic-min name, so component canonicals agree
+        return pa.table(
+            {
+                "a": pc.cast(pc.utf8_slice_codeunits(batch.column("a"), 9, 2**30), pa.int64()),
+                "b": pc.cast(pc.utf8_slice_codeunits(batch.column("b"), 9, 2**30), pa.int64()),
+            }
+        )
+
+    return connected_components(
+        pairs.map_batches(to_keys, batch_format="pyarrow"), "a", "b"
+    )
+
+
 def _q_knn(sf_dir: str):
     from relation_extraction_ray.functions.ann import knn_brute_force
 
@@ -2170,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fps": _q_rolling_fps,
         "dedup_exact": _q_dedup_exact,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "alias_clusters": _q_alias_clusters,
         "knn_top10": _q_knn,
         "pricing_summary": _q_pricing,
         "revenue_by_segment": _q_revenue,
@@ -2813,6 +2844,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY md5(text)
+        """,
+        # alias_clusters: transitive-closure-min recursive CTE over the
+        # brute-force levenshtein pair graph (the dedup_keep_one shape)
+        "alias_clusters": """
+            WITH RECURSIVE s AS (SELECT DISTINCT c_name AS v FROM customer),
+            prs AS (
+              SELECT a.v AS pa, b.v AS pb FROM s a JOIN s b ON a.v < b.v
+              WHERE levenshtein(a.v, b.v) = 1
+            ), prk AS (
+              SELECT CAST(substr(pa, 10) AS BIGINT) AS pa,
+                     CAST(substr(pb, 10) AS BIGINT) AS pb
+              FROM prs
+            ), edges AS (
+              SELECT pa AS a, pb AS b FROM prk UNION SELECT pb, pa FROM prk
+            ), reach(node, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ), comp AS (
+              SELECT node AS doc_id, MIN(root) AS canonical_id
+              FROM reach GROUP BY node
+            ), sz AS (
+              SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY canonical_id
+            )
+            SELECT c.doc_id, c.canonical_id, s2.cluster_size
+            FROM comp c JOIN sz s2 ON s2.canonical_id = c.canonical_id
+            ORDER BY c.doc_id
         """,
         # fuzzy_pairs: brute-force levenshtein self-join — the oracle pays
         # the O(n²) the deletion-neighborhood index exists to avoid
