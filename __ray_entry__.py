@@ -1828,6 +1828,14 @@ def _q_modularity(sf_dir: str):
     return modularity(adjacency, label_propagation(adjacency, rounds=3))
 
 
+def _q_ktruss(sf_dir: str):
+    """3-truss of the KG entity graph: synchronized edge peeling on
+    per-round recomputed triangle support (edge_jaccard machinery)."""
+    from relation_extraction_ray.functions.graph import ktruss
+
+    return ktruss(_kg_run()["adjacency"], k=3, max_rounds=3)
+
+
 def _q_harmonic(sf_dir: str):
     """Landmark-approximated harmonic centrality (per-landmark BFS on
     the composite (node, seed) key, order-free integer 1/d sum)."""
@@ -2324,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coef": _q_clustering,
         "reciprocity": _q_reciprocity,
         "harmonic": _q_harmonic,
+        "ktruss": _q_ktruss,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -2597,6 +2606,41 @@ def _bfs_sql(adj_path: str, seed_pct: int = 5, hops: int = 6) -> str:
              SELECT e.v AS node, d.dist + 1 FROM e JOIN d{i} d ON d.node = e.u
            ) GROUP BY node)"""
     return "WITH " + cte + f"\n    SELECT node, dist FROM d{hops} ORDER BY node"
+
+
+def _ktruss_sql(adj_path: str, k: int = 3, rounds: int = 5) -> str:
+    """Unroll the k-truss synchronized peel (functions/graph.py ktruss):
+    per round one common-neighbor count over the surviving edges and a
+    LEFT-join support filter; support is monotone under removal, so the
+    fixed depth compares exactly.  Final support recomputed over the
+    last edge set (no further filter — the engine's contract)."""
+    cte = f"""
+    e0 AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a,
+                               greatest(src_id, dst_id) AS b
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id)"""
+    for i in range(rounds + 1):
+        cte += f""",
+    nb{i} AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e{i}
+           UNION ALL SELECT b, a FROM e{i}),
+    cn{i} AS MATERIALIZED (
+      SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n
+      FROM nb{i} x JOIN nb{i} y ON y.nbr = x.nbr AND x.node < y.node
+      JOIN e{i} e ON e.a = x.node AND e.b = y.node GROUP BY 1, 2)"""
+        if i < rounds:
+            cte += f""",
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i} e
+      LEFT JOIN cn{i} c ON c.a = e.a AND c.b = e.b
+      WHERE coalesce(c.n, 0) >= {k - 2})"""
+    return (
+        "WITH "
+        + cte
+        + f"""
+    SELECT e.a AS node_a, e.b AS node_b,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN cn{rounds} c ON c.a = e.a AND c.b = e.b
+    ORDER BY node_a, node_b"""
+    )
 
 
 def _harmonic_sql(adj_path: str, seed_pct: int = 5, hops: int = 4) -> str:
@@ -4803,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         # random_walks: the md5-mod neighbor draw joined per step
         "bfs_hops": _bfs_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=6),
         "harmonic": _harmonic_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=4),
+        "ktruss": _ktruss_sql(kg_paths["kg_adjacency"], k=3, rounds=3),
         "sssp_hops": _sssp_sql(kg_paths["kg_adjacency"], seed_pct=5, rounds=6),
         # kg_incremental: merge(adj(docs_A), adj(docs_B)) over a doc-
         # disjoint split must equal the single full-run adjacency — the

@@ -2584,3 +2584,65 @@ def harmonic_centrality(
         )
         .sort("node")
     )
+
+
+def ktruss(adjacency: ray.data.Dataset, k: int = 3, max_rounds: int = 5) -> ray.data.Dataset:
+    """``k``-truss of the undirected simple KG entity graph: the maximal
+    subgraph where EVERY edge sits in ≥ k−2 triangles *of the subgraph*
+    — the cohesion filter that keeps tightly-corroborated relation
+    clusters and sheds spurious one-off links (strictly stronger than
+    k-core).  Synchronized peeling: each round recomputes per-edge
+    triangle support over the SURVIVING edges (reusing
+    :func:`edge_jaccard`'s degree-ordered wedge machinery wholesale)
+    and drops every under-supported edge at once; support is monotone
+    non-increasing under edge removal, so the fixpoint is exact and
+    rounds past it are no-ops — which lets a fixed-depth SQL unroll
+    compare exactly (the kcore discipline).  Output: surviving
+    (node_a, node_b, support) edges.
+
+    Scale shape per round: exactly edge_jaccard's exchanges (out-degree
+    bounded O(√m) wedge keys, co-partitioned credit/degree attach,
+    nothing graph-sized on the driver) plus one streaming filter; the
+    early-exit count check is a safe optimization because post-fixpoint
+    rounds cannot change the edge set at any partitioning."""
+    n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
+    surviving = adjacency
+    prev_n = -1
+    ej = None
+    for _ in range(max_rounds):
+        # repartition BEFORE materializing: edge_jaccard's exchanges emit
+        # blocks ∝ input blocks, so an unbounded loop compounds block
+        # count ~9× per round (measured 27 → 243 → …; the BASELINE.md
+        # iterative-loop gotcha) and round wall-time with it
+        ej = edge_jaccard(surviving).repartition(n_parts).materialize()
+        kept = ej.filter(expr=f"n_common >= {k - 2}").materialize()
+        n = kept.count()
+
+        def to_adj(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_id": batch.column("node_a"),
+                    "dst_id": batch.column("node_b"),
+                }
+            )
+
+        surviving = kept.map_batches(to_adj, batch_format="pyarrow")
+        if n == prev_n:  # fixpoint: further rounds are no-ops
+            break
+        prev_n = n
+
+    # support reported over the FINAL edge set (no further filter —
+    # exactly max_rounds peel rounds, matching the SQL unroll depth;
+    # post-fixpoint early exit is a no-op so the sets agree)
+    final = edge_jaccard(surviving)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_a": batch.column("node_a"),
+                "node_b": batch.column("node_b"),
+                "support": batch.column("n_common").cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(out, batch_format="pyarrow").sort(["node_a", "node_b"])

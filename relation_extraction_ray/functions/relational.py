@@ -3820,10 +3820,9 @@ def copurchase_pairs(
     lineitems never travel); within a partition baskets enumerate pairs
     with the offset loop (bounded by the largest basket, never row
     count) and pre-aggregate to distinct (pa, pb, n) counter rows; one
-    pair-keyed groupby sums supports and the min_support filter prunes
-    the long tail before anything reaches the driver."""
-    from ray.data.aggregate import Sum
-
+    pair-keyed exchange folds supports and the min_support filter prunes
+    the long tail inside the partition, before anything reaches the
+    driver."""
     from .joins import derive_n_parts, group_runs, hash_partitioned_groups
 
     def project(batch: pa.Table) -> pa.Table:

@@ -915,3 +915,64 @@ def test_harmonic_centrality_bruteforce(ray_session):
             ).take_all()
         }
         assert got == want, nb
+
+
+def test_ktruss(ray_session):
+    """3-truss keeps the two bridged triangles and sheds the bridge and
+    the tail (bridge/tail edges sit in 0 triangles); 4-truss of a
+    4-clique keeps all 6 edges (every edge in 2 triangles); a brute
+    force peel replay agrees on a random graph; partitioning
+    invariant."""
+    import hashlib
+
+    from relation_extraction_ray.functions.graph import ktruss
+
+    rows = [("x1", "p", "x2", 1), ("x2", "p", "x3", 1), ("x1", "p", "x3", 1),
+            ("y1", "p", "y2", 1), ("y2", "p", "y3", 1), ("y1", "p", "y3", 1),
+            ("x1", "p", "y1", 1), ("x3", "p", "t", 1)]
+    got = [
+        (r["node_a"], r["node_b"], r["support"])
+        for r in ktruss(ray.data.from_arrow(_adj(rows)).repartition(3), k=3).take_all()
+    ]
+    assert got == [("x1", "x2", 1), ("x1", "x3", 1), ("x2", "x3", 1),
+                   ("y1", "y2", 1), ("y1", "y3", 1), ("y2", "y3", 1)]
+
+    clique = [(a, "p", b, 1) for a in "abcd" for b in "abcd" if a < b]
+    got4 = [
+        (r["node_a"], r["node_b"], r["support"])
+        for r in ktruss(ray.data.from_arrow(_adj(clique)), k=4).take_all()
+    ]
+    assert len(got4) == 6 and all(s == 2 for _, _, s in got4)
+
+    # brute-force synchronized peel replay (fixed rounds, final support)
+    nodes = [f"n{i}" for i in range(20)]
+    rows2 = []
+    for i, u in enumerate(nodes):
+        for j, v in enumerate(nodes):
+            if i < j and int(hashlib.md5(f"{u}|{v}".encode()).hexdigest(), 16) % 3 == 0:
+                rows2.append((u, "p", v, 1))
+    edges = sorted({(min(u, v), max(u, v)) for u, _, v, _ in rows2})  # string canon
+    K, R = 3, 3
+
+    def supports(es):
+        eset = set(es)
+        nbrs: dict = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(nbrs[a] & nbrs[b]) for a, b in es
+        }
+
+    cur = list(edges)
+    for _ in range(R):
+        sup = supports(cur)
+        cur = [e for e in cur if sup[e] >= K - 2]
+    want = sorted((a, b, supports(cur)[(a, b)]) for a, b in cur)
+    got2 = [
+        (r["node_a"], r["node_b"], r["support"])
+        for r in ktruss(
+            ray.data.from_arrow(_adj(rows2)).repartition(4), k=K, max_rounds=R
+        ).take_all()
+    ]
+    assert got2 == want
