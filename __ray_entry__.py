@@ -330,6 +330,33 @@ def _q_mad_outliers(sf_dir: str):
     )
 
 
+def _q_auc(sf_dir: str):
+    """Exact ROC-AUC of price predicting urgent/high order priority —
+    Mann-Whitney with ties from the (score → pos, neg) histogram."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from relation_extraction_ray.functions.relational import _cents, roc_auc
+
+    src = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderpriority"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        y = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "score": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+                "label": y.cast(pa.int64()),
+            }
+        )
+
+    return roc_auc(src.map_batches(derive, batch_format="pyarrow"), "score", "label")
+
+
 def _q_regression(sf_dir: str):
     """Per-returnflag OLS of price on quantity — grouped integer
     sufficient statistics (7 numbers per group per block), IEEE-fixed
@@ -2254,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline,
         "scd2_history": _q_scd2,
         "regression_by_flag": _q_regression,
+        "priority_auc": _q_auc,
         "segment_mad": _q_mad,
         "segment_outliers": _q_mad_outliers,
         "copurchase": _q_copurchase,
@@ -3424,6 +3452,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(min(CASE WHEN is_out THEN cents END), 0) AS BIGINT) AS min_outlier,
                    CAST(coalesce(max(CASE WHEN is_out THEN cents END), 0) AS BIGINT) AS max_outlier
             FROM o GROUP BY g ORDER BY c_mktsegment
+        """,
+        # priority_auc: Mann-Whitney 2U over the score histogram with a
+        # prior-rows window for negatives-below, HUGEINT exact
+        "priority_auc": """
+            WITH v AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+                     CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+            ), h AS (
+              SELECT s, CAST(sum(y) AS BIGINT) AS p,
+                     CAST(sum(1 - y) AS BIGINT) AS ng
+              FROM v GROUP BY s
+            ), c AS (
+              SELECT s, p, ng,
+                     CAST(coalesce(sum(ng) OVER (
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS HUGEINT) AS nb
+              FROM h
+            ), t AS (
+              SELECT CAST(coalesce(sum(2 * nb * p + CAST(ng AS HUGEINT) * p), 0) AS HUGEINT) AS u2,
+                     (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) FROM h) AS np_,
+                     (SELECT CAST(coalesce(sum(ng), 0) AS BIGINT) FROM h) AS nn_
+              FROM c
+            )
+            SELECT np_ AS n_pos, nn_ AS n_neg,
+                   CASE WHEN np_ > 0 AND nn_ > 0 THEN
+                     CAST(floor(CAST(u2 AS DOUBLE)
+                           / CAST(2 * CAST(np_ AS HUGEINT) * nn_ AS DOUBLE)
+                           * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS auc_nano
+            FROM t
         """,
         # regression_by_flag: grouped OLS from HUGEINT sufficient stats,
         # slope/intercept/r² in the engine's exact IEEE order

@@ -3902,3 +3902,65 @@ def copurchase_pairs(
         return g.filter(pc.greater_equal(g.column("n_orders"), min_support))
 
     return hash_partitioned_groups(pair_counts, ["pa", "pb"], fold, n_parts)
+
+
+def roc_auc(ds: ray.data.Dataset, score_col: str, label_col: str) -> ray.data.Dataset:
+    """Exact ROC-AUC of an integer score against a binary label — the
+    Mann-Whitney U statistic with proper tie handling, the model-eval
+    primitive every ranking/filter pipeline gates on.  Computed from
+    integer sufficient statistics only: fold to the (score → n_pos,
+    n_neg) histogram, one ascending prefix pass gives
+    ``2U = Σ_s (2·neg_below(s)·pos(s) + neg(s)·pos(s))`` exactly, and
+    ``auc_nano = floor(2U / (2·P·N) · 1e9 + 0.5)`` in one fixed IEEE
+    form (degenerate single-class data reports 0).  Output one row:
+    (n_pos, n_neg, auc_nano).
+
+    Scale shape: per-batch Arrow hash-aggregate partials bound the
+    exchange at distinct scores per batch; the summed histogram folds
+    on the driver over ≤ distinct-score rows (the spearman precedent —
+    value cardinality, not row count; for unbounded-cardinality scores
+    quantize first, as every AUC implementation does)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "s": pa.array(s),
+                "p": pa.array((y != 0).astype(np.int64)),
+                "ng": pa.array((y == 0).astype(np.int64)),
+            }
+        )
+        g = t.group_by("s").aggregate([("p", "sum"), ("ng", "sum")])
+        return g.rename_columns(["s", "p", "ng"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("p", alias_name="p"), Sum("ng", alias_name="ng"))
+        .take_all()
+    )  # ≤ distinct scores
+    rows.sort(key=lambda r: r["s"])
+    P = sum(int(r["p"]) for r in rows)
+    N = sum(int(r["ng"]) for r in rows)
+    u2 = 0
+    neg_below = 0
+    for r in rows:  # loop over DISTINCT scores, exact python ints
+        p, ng = int(r["p"]), int(r["ng"])
+        u2 += 2 * neg_below * p + ng * p
+        neg_below += ng
+    if P > 0 and N > 0:
+        auc = float(u2) / float(2 * P * N)
+        auc_nano = int(np.floor(auc * 1e9 + 0.5))
+    else:
+        auc_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_pos": pa.array([P], pa.int64()),
+                "n_neg": pa.array([N], pa.int64()),
+                "auc_nano": pa.array([auc_nano], pa.int64()),
+            }
+        )
+    )

@@ -3034,3 +3034,47 @@ def test_copurchase_pairs_bruteforce(ray_session):
                 ).take_all()
             )
             assert got == want, (ms, nb, got, want)
+
+
+def test_roc_auc_replay(ray_session):
+    """AUC equals sklearn-formula replay on hash-derived scores with
+    heavy ties (perfect separation → 1e9, reversed → 0, single class →
+    0 convention), at any partitioning."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import roc_auc
+
+    def run(pairs, nb=3):
+        t = pa.table(
+            {
+                "score": pa.array([p[0] for p in pairs], pa.int64()),
+                "label": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+        return roc_auc(
+            ray.data.from_arrow(t).repartition(nb), "score", "label"
+        ).take_all()[0]
+
+    # perfect / reversed / single-class
+    assert run([(1, 0), (2, 0), (3, 1), (4, 1)])["auc_nano"] == 1_000_000_000
+    assert run([(4, 0), (5, 0), (1, 1), (2, 1)])["auc_nano"] == 0
+    assert run([(1, 1), (2, 1)])["auc_nano"] == 0
+
+    # ties: U replay
+    pairs = []
+    for i in range(300):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        pairs.append((h % 7, 1 if (h >> 8) % 3 == 0 else 0))
+    pos = sorted(s for s, y in pairs if y)
+    neg = sorted(s for s, y in pairs if not y)
+    u2 = sum(
+        sum(2 if sp > sn else (1 if sp == sn else 0) for sn in neg) for sp in pos
+    )
+    import numpy as np
+
+    want = int(np.floor(float(u2) / float(2 * len(pos) * len(neg)) * 1e9 + 0.5))
+    got = run(pairs, nb=4)
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert got["auc_nano"] == want
