@@ -357,6 +357,36 @@ def _q_auc(sf_dir: str):
     return roc_auc(src.map_batches(derive, batch_format="pyarrow"), "score", "label")
 
 
+def _q_calibration(sf_dir: str):
+    """Reliability-diagram bins for price → urgent/high priority: 10
+    equi-width integer score bins, per-bin positive rate in exact
+    milli; dense bin axis with zero rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from relation_extraction_ray.functions.relational import _cents, calibration_bins
+
+    src = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderpriority"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        y = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "score": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+                "label": y.cast(pa.int64()),
+            }
+        )
+
+    return calibration_bins(
+        src.map_batches(derive, batch_format="pyarrow"), "score", "label", n_bins=10
+    )
+
+
 def _q_regression(sf_dir: str):
     """Per-returnflag OLS of price on quantity — grouped integer
     sufficient statistics (7 numbers per group per block), IEEE-fixed
@@ -2282,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2,
         "regression_by_flag": _q_regression,
         "priority_auc": _q_auc,
+        "calibration": _q_calibration,
         "segment_mad": _q_mad,
         "segment_outliers": _q_mad_outliers,
         "copurchase": _q_copurchase,
@@ -3452,6 +3483,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(min(CASE WHEN is_out THEN cents END), 0) AS BIGINT) AS min_outlier,
                    CAST(coalesce(max(CASE WHEN is_out THEN cents END), 0) AS BIGINT) AS max_outlier
             FROM o GROUP BY g ORDER BY c_mktsegment
+        """,
+        # calibration: price_histogram's integer bin rule + dense bin grid
+        "calibration": """
+            WITH v AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+                     CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+            ), mm AS (
+              SELECT min(s) AS lo, max(s) - min(s) + 1 AS span FROM v
+            ), b AS (
+              SELECT (s - lo) * 10 // span AS bin, y FROM v, mm
+            ), g AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS n_pos
+              FROM b GROUP BY bin
+            ), grid AS (
+              SELECT unnest(generate_series(0, 9)) AS bin
+            )
+            SELECT CAST(grid.bin AS BIGINT) AS bin,
+                   CAST((SELECT lo FROM mm) + grid.bin * (SELECT span FROM mm) // 10
+                        AS BIGINT) AS lo_edge,
+                   CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+                   CAST(coalesce(g.n_pos, 0) AS BIGINT) AS n_pos,
+                   CAST(CASE WHEN coalesce(g.n, 0) > 0
+                        THEN (2000 * g.n_pos + g.n) // (2 * g.n)
+                        ELSE 0 END AS BIGINT) AS rate_milli
+            FROM grid LEFT JOIN g ON g.bin = grid.bin ORDER BY bin
         """,
         # priority_auc: Mann-Whitney 2U over the score histogram with a
         # prior-rows window for negatives-below, HUGEINT exact

@@ -3964,3 +3964,70 @@ def roc_auc(ds: ray.data.Dataset, score_col: str, label_col: str) -> ray.data.Da
             }
         )
     )
+
+
+def calibration_bins(
+    ds: ray.data.Dataset, score_col: str, label_col: str, n_bins: int = 10
+) -> ray.data.Dataset:
+    """Score-calibration table (the reliability-diagram input that pairs
+    with :func:`roc_auc`): equi-width bins over the integer score range,
+    per bin the row count, positive count and positive rate in exact
+    integer milli — ``rate_milli = (2000·pos + n) // (2n)``.  Bin rule
+    identical to price_histogram's integer form
+    ``bin = (s − lo) · n_bins // (hi − lo + 1)``; empty bins are emitted
+    with zeros so the diagram's x-axis is dense.
+
+    Scale shape: one global min/max aggregate pass, then per-batch
+    vectorized double-bincount partials — ≤ n_bins rows per batch cross
+    the exchange at any data size."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.map_batches(
+        lambda b: pa.table(
+            {"s": b.column(score_col).combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Min("s", alias_name="lo"), Max("s", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            != 0
+        ).astype(np.int64)
+        b = (s - lo) * n_bins // span
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                "n": pa.array(np.bincount(b, minlength=n_bins).astype(np.int64)),
+                "n_pos": pa.array(
+                    np.bincount(b, weights=y, minlength=n_bins).astype(np.int64)
+                ),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch.column("n_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.where(n > 0, (2000 * p + n) // np.maximum(2 * n, 1), 0)
+        edge = lo + b * span // n_bins  # matches SQL integer arithmetic
+        return pa.table(
+            {
+                "bin": pa.array(b, pa.int64()),
+                "lo_edge": pa.array(edge, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "n_pos": pa.array(p, pa.int64()),
+                "rate_milli": pa.array(rate.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("bin")

@@ -3078,3 +3078,41 @@ def test_roc_auc_replay(ray_session):
     got = run(pairs, nb=4)
     assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
     assert got["auc_nano"] == want
+
+
+def test_calibration_bins_handcrafted(ray_session):
+    """Bin rule, dense zero bins, exact milli rates, and a perfectly
+    calibrated ramp reproduces its own rates; partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import calibration_bins
+
+    # scores 0..99, label 1 iff score >= 50 → bins 0-4 rate 0, 5-9 rate 1000
+    pairs = [(s, 1 if s >= 50 else 0) for s in range(100)]
+    t = pa.table(
+        {
+            "score": pa.array([p[0] for p in pairs], pa.int64()),
+            "label": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    for nb in (1, 4):
+        got = calibration_bins(
+            ray.data.from_arrow(t).repartition(nb), "score", "label", n_bins=10
+        ).take_all()
+        assert [r["bin"] for r in got] == list(range(10))
+        assert all(r["n"] == 10 for r in got)
+        assert [r["rate_milli"] for r in got] == [0] * 5 + [1000] * 5
+        assert [r["lo_edge"] for r in got] == [i * 10 for i in range(10)]
+
+    # sparse scores leave empty bins, rate rounds half-up
+    pairs2 = [(0, 1), (0, 0), (0, 0), (99, 1)]
+    t2 = pa.table(
+        {
+            "score": pa.array([p[0] for p in pairs2], pa.int64()),
+            "label": pa.array([p[1] for p in pairs2], pa.int64()),
+        }
+    )
+    got2 = calibration_bins(ray.data.from_arrow(t2), "score", "label", n_bins=10).take_all()
+    assert got2[0]["n"] == 3 and got2[0]["rate_milli"] == 333
+    assert all(got2[i]["n"] == 0 and got2[i]["rate_milli"] == 0 for i in range(1, 9))
+    assert got2[9]["n"] == 1 and got2[9]["rate_milli"] == 1000
