@@ -1885,6 +1885,14 @@ def _q_modularity(sf_dir: str):
     return modularity(adjacency, label_propagation(adjacency, rounds=3))
 
 
+def _q_power_law(sf_dir: str):
+    """Degree-distribution power-law exponent MLE (per-term nano-rounded
+    ln so the sum is order-free; pure-integer final form)."""
+    from relation_extraction_ray.functions.graph import power_law_alpha
+
+    return power_law_alpha(_kg_run()["adjacency"])
+
+
 def _q_ktruss(sf_dir: str):
     """3-truss of the KG entity graph: synchronized edge peeling on
     per-round recomputed triangle support (edge_jaccard machinery)."""
@@ -2392,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "harmonic": _q_harmonic,
         "ktruss": _q_ktruss,
+        "power_law": _q_power_law,
         "random_walks": _q_random_walks,
         "walk_pairs": _q_walk_pairs,
         "fanout_sample": _q_fanout_sample,
@@ -4967,6 +4976,34 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _bfs_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=6),
         "harmonic": _harmonic_sql(kg_paths["kg_adjacency"], seed_pct=5, hops=4),
         "ktruss": _ktruss_sql(kg_paths["kg_adjacency"], k=3, rounds=3),
+        # power_law: degree_hist CTEs + per-term nano-rounded ln + the
+        # identical integer final form in HUGEINT
+        "power_law": f"""
+            WITH e AS (
+              SELECT DISTINCT least(src_id, dst_id) AS a,
+                              greatest(src_id, dst_id) AS b
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id),
+            d AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+              (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+            h AS (
+              SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM d GROUP BY deg),
+            s AS (
+              SELECT CAST(sum(n_nodes) AS BIGINT) AS n,
+                     CAST(max(deg) AS BIGINT) AS max_deg,
+                     CAST(sum(CAST(n_nodes AS HUGEINT)
+                          * CAST(floor(ln(2.0 * deg) * 1000000000.0 + 0.5) AS HUGEINT))
+                          AS HUGEINT) AS s_nano
+              FROM h WHERE deg >= 1)
+            SELECT n AS n_nodes, max_deg,
+                   CASE WHEN s_nano > 0 THEN
+                     CAST(1000000000 + (2 * CAST(n AS HUGEINT) * 1000000000000000000
+                          + s_nano) // (2 * s_nano) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS alpha_nano
+            FROM s
+        """,
         "sssp_hops": _sssp_sql(kg_paths["kg_adjacency"], seed_pct=5, rounds=6),
         # kg_incremental: merge(adj(docs_A), adj(docs_B)) over a doc-
         # disjoint split must equal the single full-run adjacency — the

@@ -2646,3 +2646,41 @@ def ktruss(adjacency: ray.data.Dataset, k: int = 3, max_rounds: int = 5) -> ray.
         )
 
     return final.map_batches(out, batch_format="pyarrow").sort(["node_a", "node_b"])
+
+
+def power_law_alpha(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Power-law exponent MLE of the KG degree distribution (the
+    Clauset-Shalizi-Newman continuous approximation at d_min = 1:
+    α = 1 + n / Σ_d c_d·ln(2d)) — the one-number hub-heaviness summary
+    that decides whether skew salting is worth wiring for a corpus.
+    Exact cross-engine despite the logarithm: every ln term rounds to
+    integer nano BEFORE the sum (the corpus-drift per-term-rounding
+    precedent — libm doubles agree, sum order no longer matters), and
+    the final α is pure integer arithmetic:
+    ``alpha_nano = 1e9 + (2·n·10¹⁸ + S) // (2·S)``.  Output one row:
+    (n_nodes, max_deg, alpha_nano).
+
+    Scale shape: rides :func:`degree_histogram` (two combine-fed
+    exchanges, output ≤ max-degree rows); the driver folds only the
+    histogram."""
+    rows = degree_histogram(adjacency).take_all()  # ≤ max-degree rows
+    n = sum(int(r["n_nodes"]) for r in rows)
+    max_deg = max((int(r["deg"]) for r in rows), default=0)
+    s_nano = sum(
+        int(r["n_nodes"]) * int(np.floor(np.log(2.0 * float(r["deg"])) * 1e9 + 0.5))
+        for r in rows
+        if int(r["deg"]) >= 1
+    )
+    if s_nano > 0:
+        alpha_nano = 1_000_000_000 + (2 * n * 10**18 + s_nano) // (2 * s_nano)
+    else:
+        alpha_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n], pa.int64()),
+                "max_deg": pa.array([max_deg], pa.int64()),
+                "alpha_nano": pa.array([alpha_nano], pa.int64()),
+            }
+        )
+    )

@@ -976,3 +976,47 @@ def test_ktruss(ray_session):
         ).take_all()
     ]
     assert got2 == want
+
+
+def test_power_law_alpha_replay(ray_session):
+    """Alpha equals the python histogram replay (per-term nano-rounded
+    ln, integer final form); a star graph (n−1 leaves at deg 1, hub at
+    n−1) gets a concrete closed-form check."""
+    import hashlib
+    import math
+
+    from relation_extraction_ray.functions.graph import power_law_alpha
+
+    rows = [("h", "p", f"l{i}", 1) for i in range(9)]
+    got = power_law_alpha(ray.data.from_arrow(_adj(rows)).repartition(3)).take_all()[0]
+    # hist: deg 1 × 9, deg 9 × 1
+    s = 9 * int(math.floor(math.log(2.0) * 1e9 + 0.5)) + 1 * int(
+        math.floor(math.log(18.0) * 1e9 + 0.5)
+    )
+    want = 1_000_000_000 + (2 * 10 * 10**18 + s) // (2 * s)
+    assert got["n_nodes"] == 10 and got["max_deg"] == 9
+    assert got["alpha_nano"] == want
+
+    nodes = [f"n{i}" for i in range(25)]
+    rows2 = []
+    for i, u in enumerate(nodes):
+        for j, v in enumerate(nodes):
+            if i < j and int(hashlib.md5(f"{u}|{v}".encode()).hexdigest(), 16) % 5 == 0:
+                rows2.append((u, "p", v, 1))
+    edges = sorted({(min(u, v), max(u, v)) for u, _, v, _ in rows2})
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    from collections import Counter
+
+    hist = Counter(deg.values())
+    n = sum(hist.values())
+    s2 = sum(c * int(math.floor(math.log(2.0 * d) * 1e9 + 0.5)) for d, c in hist.items())
+    want2 = 1_000_000_000 + (2 * n * 10**18 + s2) // (2 * s2)
+    got2 = power_law_alpha(ray.data.from_arrow(_adj(rows2)).repartition(4)).take_all()[0]
+    assert (got2["n_nodes"], got2["max_deg"], got2["alpha_nano"]) == (
+        n,
+        max(hist),
+        want2,
+    )
