@@ -295,6 +295,16 @@ def _q_mad(sf_dir: str):
     )
 
 
+def _q_conversion_latency(sf_dir: str):
+    """Signup → first-purchase latency p50/p90 (exact percentile_disc
+    order statistics over the per-user latency histogram)."""
+    from relation_extraction_ray.functions.relational import conversion_latency
+
+    return conversion_latency(
+        _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    )
+
+
 def _q_spikes(sf_dir: str):
     """Daily event-rate spike flags (count > 2× the trailing-7-day
     average, integer gate 1000·n·7 > 2000·S): one combine-fed day fold,
@@ -2326,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase": _q_copurchase,
         "attribution": _q_attribution,
         "spike_days": _q_spikes,
+        "conversion_latency": _q_conversion_latency,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3397,6 +3408,33 @@ def oracle_sql() -> dict[str, str]:
                    md.mad2 AS mad_quarterunits
             FROM m JOIN md ON md.g = m.g
             ORDER BY c_mktsegment
+        """,
+        # conversion_latency: first signup per user, first purchase at or
+        # after it, explicit ceil-rank order statistics (no engine-specific
+        # percentile_disc semantics)
+        "conversion_latency": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
+              FROM events GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id,
+                     (min(epoch_us(e.ts)) - max(f.t0)) // 1000000 AS lat_s
+              FROM events e JOIN f ON f.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND f.t0 IS NOT NULL
+                AND epoch_us(e.ts) >= f.t0
+              GROUP BY e.user_id
+            ), r AS (
+              SELECT lat_s, row_number() OVER (ORDER BY lat_s) AS rn FROM c
+            ), q AS (
+              SELECT 50 AS pct UNION ALL SELECT 90
+            )
+            SELECT CAST(q.pct AS BIGINT) AS pct,
+                   CAST(coalesce((SELECT lat_s FROM r
+                     WHERE rn = (q.pct * (SELECT count(*) FROM c) + 99) // 100), 0)
+                     AS BIGINT) AS latency_s,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_converted
+            FROM q ORDER BY pct
         """,
         # spike_days: dense day grid via generate_series, trailing window
         # by BETWEEN self-join (prior days only), the same integer gate

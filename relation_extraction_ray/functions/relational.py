@@ -4031,3 +4031,123 @@ def calibration_bins(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("bin")
+
+
+def conversion_latency(
+    events: ray.data.Dataset,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    quantiles: tuple = (50, 90),
+) -> ray.data.Dataset:
+    """Funnel latency report: per user the seconds from their FIRST
+    ``from_type`` event to their first ``to_type`` event at-or-after it,
+    folded to exact percentile_disc order statistics (one output row per
+    requested percentile plus the converted-user count) — the
+    time-to-convert metric growth dashboards track.
+
+    Scale shape: ONE user-keyed exchange; the partition kernel reduces
+    each user to at most one integer latency with two vectorized
+    reduceat mins (no per-user Python), then folds to a (latency_s →
+    count) histogram so the second exchange carries ≤ distinct
+    latencies per partition; the percentile targets resolve with the
+    segment_median integer-rank rule over the summed histogram
+    (driver folds ≤ distinct-latency rows — quantize coarser if
+    latencies are unbounded)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def project(batch: pa.Table) -> pa.Table:
+        ty = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        keep = (ty == from_type) | (ty == to_type)
+        t = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch.column("user_id").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "is_to": pa.array((ty[keep] == to_type).astype(np.int8)),
+                "t": pa.array(t[keep], pa.int64()),
+            }
+        )
+
+    hist_schema = pa.schema([("lat_s", pa.int64()), ("n", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return hist_schema.empty_table()
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        is_to = part.column("is_to").to_numpy(zero_copy_only=False).astype(bool)
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, is_to, t = u[order], is_to[order], t[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        BIG = np.int64(2**62)
+        # first from_type ts per user
+        tf = np.where(~is_to, t, BIG)
+        first_from = np.minimum.reduceat(tf, starts)
+        has_from = first_from < BIG
+        # first to_type ts AT-OR-AFTER first_from: min over to-events ≥ it
+        tt = np.where(
+            is_to & (t >= np.repeat(first_from, ends - starts)), t, BIG
+        )
+        first_to = np.minimum.reduceat(tt, starts)
+        conv = has_from & (first_to < BIG)
+        lat = (first_to[conv] - first_from[conv]) // 1_000_000
+        vals, counts = np.unique(lat, return_counts=True)
+        return pa.table(
+            {
+                "lat_s": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    rows = (
+        hash_partitioned_groups(
+            events.map_batches(project, batch_format="pyarrow"),
+            ["user_id"],
+            per_part,
+            n_parts,
+        )
+        .groupby("lat_s")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ distinct latencies
+    rows.sort(key=lambda r: r["lat_s"])
+    total = sum(int(r["n"]) for r in rows)
+    vals = [int(r["lat_s"]) for r in rows]
+    cum = []
+    c = 0
+    for r in rows:
+        c += int(r["n"])
+        cum.append(c)
+    out_p, out_v = [], []
+    for p in quantiles:
+        if total == 0:
+            out_p.append(int(p))
+            out_v.append(0)
+            continue
+        # percentile_disc: smallest value with cum ≥ ceil(p/100 · total)
+        target = -(-p * total // 100)  # ceil
+        idx = next(i for i, cv in enumerate(cum) if cv >= target)
+        out_p.append(int(p))
+        out_v.append(vals[idx])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pct": pa.array(out_p, pa.int64()),
+                "latency_s": pa.array(out_v, pa.int64()),
+                "n_converted": pa.array([total] * len(out_p), pa.int64()),
+            }
+        )
+    )

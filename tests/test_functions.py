@@ -3116,3 +3116,44 @@ def test_calibration_bins_handcrafted(ray_session):
     assert got2[0]["n"] == 3 and got2[0]["rate_milli"] == 333
     assert all(got2[i]["n"] == 0 and got2[i]["rate_milli"] == 0 for i in range(1, 9))
     assert got2[9]["n"] == 1 and got2[9]["rate_milli"] == 1000
+
+
+def test_conversion_latency_handcrafted(ray_session):
+    """First-signup → first-purchase-at-or-after semantics: purchase
+    before signup ignored, same-ts purchase counts (latency 0),
+    non-converters excluded, exact ceil-rank percentiles; partitioning
+    invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import conversion_latency
+
+    S = 1_000_000
+    rows = [
+        # user 1: signup@10, purchase@30 → 20s
+        (10, 1, "signup"), (30, 1, "purchase"),
+        # user 2: purchase@5 BEFORE signup@10, then purchase@110 → 100s
+        (5, 2, "purchase"), (10, 2, "signup"), (110, 2, "purchase"),
+        # user 3: same-ts purchase → 0s
+        (50, 3, "signup"), (50, 3, "purchase"),
+        # user 4: signup only; user 5: purchase only → neither converts
+        (7, 4, "signup"), (8, 5, "purchase"),
+        # user 6: two signups — FIRST one counts → 90s (not 10)
+        (10, 6, "signup"), (90, 6, "signup"), (100, 6, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array([r[0] * S for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    # latencies: [20, 100, 0, 90] sorted → [0, 20, 90, 100]
+    # p50: ceil(0.5·4)=2 → 20; p90: ceil(0.9·4)=4 → 100
+    for nb in (1, 3):
+        got = {
+            r["pct"]: (r["latency_s"], r["n_converted"])
+            for r in conversion_latency(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert got == {50: (20, 4), 90: (100, 4)}, (nb, got)
