@@ -314,6 +314,34 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_autocorr(sf_dir: str):
+    """Lag-1/lag-7 autocorrelation of the daily revenue series
+    (weekly-seasonality detector): one combine-fed (day → cents) fold,
+    exact integer ACF sufficient stats on the calendar-bounded driver
+    series, corr-family fixed IEEE final form."""
+    from relation_extraction_ray.functions.relational import autocorr_daily
+
+    return autocorr_daily(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]),
+        lags=(1, 7),
+    )
+
+
+def _q_cat_dependence(sf_dir: str):
+    """Mutual information + chi-squared between o_orderstatus and
+    o_orderpriority: per-batch cell-count partials bound the one
+    exchange at |X|·|Y| rows; per-term nano-rounded math.log (bit-equal
+    to DuckDB ln) and pure-integer chi² terms make both statistics
+    exact cross-engine."""
+    from relation_extraction_ray.functions.relational import categorical_dependence
+
+    return categorical_dependence(
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"]),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2337,6 +2365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": _q_attribution,
         "spike_days": _q_spikes,
         "conversion_latency": _q_conversion_latency,
+        "autocorr_daily": _q_autocorr,
+        "cat_dependence": _q_cat_dependence,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3408,6 +3438,81 @@ def oracle_sql() -> dict[str, str]:
                    md.mad2 AS mad_quarterunits
             FROM m JOIN md ON md.g = m.g
             ORDER BY c_mktsegment
+        """,
+        # autocorr_daily: the daily-revenue series over the full calendar
+        # span (missing days are true zeros), exact integer ACF sufficient
+        # stats in HUGEINT — num = n²·Σx_t·x_{t+k} − n·S·A_k + (n−k)·S²,
+        # den = n·(n·Σx² − S²) — one corr-family IEEE final form
+        "autocorr_daily": """
+            WITH dc AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), span AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM dc
+            ), grid AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM span
+            ), g AS (
+              SELECT grid.day, CAST(coalesce(dc.cents, 0) AS HUGEINT) AS x
+              FROM grid LEFT JOIN dc ON dc.day = grid.day
+            ), stats AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS s,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx
+              FROM g
+            ), lagk AS (
+              SELECT k.lag,
+                     CAST(sum(a.x * b.x) AS HUGEINT) AS sxy,
+                     CAST(sum(a.x + b.x) AS HUGEINT) AS ak
+              FROM (SELECT unnest([1, 7]) AS lag) k
+              JOIN g a ON TRUE
+              JOIN g b ON b.day = a.day + k.lag
+              GROUP BY k.lag
+            )
+            SELECT l.lag AS lag, CAST(s.n AS BIGINT) AS n_days,
+                   CAST(floor(
+                     CAST(s.n*s.n*l.sxy - s.n*s.s*l.ak + (s.n - l.lag)*s.s*s.s AS DOUBLE)
+                     / CAST(s.n*(s.n*s.sxx - s.s*s.s) AS DOUBLE) * 1e9 + 0.5
+                   ) AS BIGINT) AS r_nano
+            FROM lagk l, stats s
+            WHERE l.lag < s.n AND s.n*(s.n*s.sxx - s.s*s.s) > 0
+            ORDER BY lag
+        """,
+        # cat_dependence: per-cell nano-rounded ln terms (ln over the same
+        # exact integer-to-double casts; CPython math.log is bit-identical
+        # to DuckDB ln on this libm) summed exactly, truncating // on both
+        # engines; chi² terms are pure integer floor divisions
+        "cat_dependence": """
+            WITH cells AS (
+              SELECT o_orderstatus AS x, o_orderpriority AS y,
+                     CAST(count(*) AS HUGEINT) AS c
+              FROM orders GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(sum(c) AS HUGEINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_cells
+              FROM cells
+            ), mx AS (
+              SELECT x, CAST(sum(c) AS HUGEINT) AS cx FROM cells GROUP BY x
+            ), my AS (
+              SELECT y, CAST(sum(c) AS HUGEINT) AS cy FROM cells GROUP BY y
+            ), terms AS (
+              SELECT cells.c,
+                     CAST(floor(ln(CAST(tot.n * cells.c AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)
+                     - CAST(floor(ln(CAST(mx.cx * my.cy AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS lterm,
+                     tot.n * cells.c - mx.cx * my.cy AS d,
+                     mx.cx * my.cy AS m,
+                     tot.n AS n, tot.n_cells AS n_cells
+              FROM cells
+              JOIN mx ON mx.x = cells.x
+              JOIN my ON my.y = cells.y
+              CROSS JOIN tot
+            )
+            SELECT CAST(n AS BIGINT) AS n, n_cells,
+                   CAST((2 * sum(c * lterm) + n) // (2 * n) AS BIGINT) AS mi_nano,
+                   CAST(sum((d * d * CAST(1000000000 AS HUGEINT)) // (n * m))
+                        + ((n * n - sum(m)) * CAST(1000000000 AS HUGEINT)) // n
+                        AS BIGINT) AS chi2_nano
+            FROM terms GROUP BY n, n_cells
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific

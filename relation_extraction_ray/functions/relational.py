@@ -4151,3 +4151,181 @@ def conversion_latency(
             }
         )
     )
+
+
+def autocorr_daily(
+    orders: ray.data.Dataset, lags: tuple[int, ...] = (1, 7)
+) -> ray.data.Dataset:
+    """Lag-k autocorrelation of the daily revenue series (seasonality /
+    trend diagnostic — lag-7 is the weekly-cycle detector every
+    ingestion dashboard wants): the series is total ``o_totalprice``
+    cents per calendar day over the FULL day span (missing days are
+    true zeros), and for each lag k the estimator is the standard ACF
+
+        r_k = Σ_{t≤n-k}(x_t − x̄)(x_{t+k} − x̄) / Σ_t(x_t − x̄)²
+
+    with the overall mean x̄.  Multiplying through by n² clears the
+    rational mean, so both sides are EXACT python ints:
+
+        num_k = n²·Σ x_t·x_{t+k} − n·S·A_k + (n−k)·S²
+        den   = n·(n·Σx² − S²)            (A_k = Σ_{t≤n-k}(x_t + x_{t+k}))
+
+    and the single float op is the corr_price_qty fixed IEEE final form
+    ``r_nano = floor(num/den · 1e9 + 0.5)`` — bit-exact vs the HUGEINT
+    SQL replay.  Output one row per lag: (lag, n_days, r_nano).
+
+    Scale shape: one combine-fed (day → cents) fold — per-batch Arrow
+    partials bound the exchange at distinct-days-per-batch — then the
+    lag products run on the driver over the ≤ span-many day rows
+    (calendar-bounded, the spike_days precedent)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        cents = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.argsort(d, kind="mergesort")
+        d, cents = d[order], cents[order]
+        vals, starts = np.unique(d, return_index=True)
+        sums = np.add.reduceat(cents, starts)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.int64()),
+                "cents": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()
+    )  # ≤ span-many rows (calendar-bounded)
+    out_lag, out_n, out_r = [], [], []
+    if rows:
+        days = np.array([r["day"] for r in rows], np.int64)
+        cents = np.array([r["cents"] for r in rows], np.int64)
+        lo, hi = int(days.min()), int(days.max())
+        grid = np.zeros(hi - lo + 1, np.int64)
+        grid[days - lo] = cents
+        n = len(grid)
+        xs = [int(v) for v in grid]  # python ints: exact products below
+        s = sum(xs)
+        sxx = sum(v * v for v in xs)
+        den = n * (n * sxx - s * s)
+        for k in lags:
+            if k >= n or den <= 0:
+                continue
+            sxy = sum(xs[t] * xs[t + k] for t in range(n - k))
+            a_k = sum(xs[t] + xs[t + k] for t in range(n - k))
+            num = n * n * sxy - n * s * a_k + (n - k) * s * s
+            r = float(num) / float(den)
+            out_lag.append(k)
+            out_n.append(n)
+            out_r.append(int(np.floor(r * 1e9 + 0.5)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(out_lag, pa.int64()),
+                "n_days": pa.array(out_n, pa.int64()),
+                "r_nano": pa.array(out_r, pa.int64()),
+            }
+        )
+    )
+
+
+def categorical_dependence(
+    ds: ray.data.Dataset, col_x: str, col_y: str
+) -> ray.data.Dataset:
+    """Mutual information AND chi-squared independence statistic between
+    two categorical columns — the feature-redundancy / drift-dependence
+    probe (is o_orderstatus just o_orderpriority in disguise?).  Exact
+    cross-engine despite the logarithm:
+
+      MI  = (1/n)·Σ_xy c_xy·ln(n·c_xy / (c_x·c_y)) — every ln term
+            rounds to integer nano BEFORE the sum (the corpus-drift /
+            power-law per-term-rounding precedent, hardened: CPython's
+            ``math.log`` is bit-identical to DuckDB's ``ln`` on this
+            libm, where numpy's SIMD log differs at 1 ulp on ~20 % of
+            inputs — measured on 2000 draws), then
+            mi_nano = (2·T + n) // (2·n) with TRUNCATING division on
+            both engines (DuckDB ``//`` truncates toward zero where
+            python floors, so the python side mirrors the truncation);
+      χ²  = Σ_xy (n·c_xy − c_x·c_y)² / (n·c_x·c_y) — each observed
+            cell is an exact INTEGER floor-division in nano units (no
+            floats at all) and the UNOBSERVED cells of the X×Y grid
+            (whose Pearson contribution is their expectation E_xy)
+            fold into one closed-form correction
+            ``((n² − Σ_observed c_x·c_y)·10⁹) // n`` — Σ_all E_xy = n,
+            so zero cells never need enumerating.
+
+    Output one row: (n, n_cells, mi_nano, chi2_nano).
+
+    Scale shape: per-batch (x, y) Arrow hash-aggregate partials bound
+    the one exchange at distinct-pairs-per-batch; marginals fold from
+    the ≤ |X|·|Y| summed cells on the driver."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([col_x, col_y])
+            .group_by([col_x, col_y])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "x": t.column(col_x),
+                "y": t.column(col_y),
+                "c": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # ≤ |X|·|Y| cells
+    n = sum(int(r["c"]) for r in rows)
+    cx: dict = {}
+    cy: dict = {}
+    for r in rows:
+        cx[r["x"]] = cx.get(r["x"], 0) + int(r["c"])
+        cy[r["y"]] = cy.get(r["y"], 0) + int(r["c"])
+    import math
+
+    t_nano = 0
+    chi2_nano = 0
+    m_sum = 0
+    for r in rows:
+        c = int(r["c"])
+        m = cx[r["x"]] * cy[r["y"]]
+        m_sum += m
+        t_nano += c * (
+            int(math.floor(math.log(float(n * c)) * 1e9 + 0.5))
+            - int(math.floor(math.log(float(m)) * 1e9 + 0.5))
+        )
+        d = n * c - m
+        chi2_nano += (d * d * 10**9) // (n * m)
+    if n > 0:
+        chi2_nano += ((n * n - m_sum) * 10**9) // n  # zero-cell expectation mass
+    if n > 0:
+        q = 2 * t_nano + n
+        mi_nano = abs(q) // (2 * n) * (1 if q >= 0 else -1)  # trunc, like SQL //
+    else:
+        mi_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_cells": pa.array([len(rows)], pa.int64()),
+                "mi_nano": pa.array([mi_nano], pa.int64()),
+                "chi2_nano": pa.array([chi2_nano], pa.int64()),
+            }
+        )
+    )

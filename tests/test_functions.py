@@ -3157,3 +3157,114 @@ def test_conversion_latency_handcrafted(ray_session):
             ).take_all()
         }
         assert got == {50: (20, 4), 90: (100, 4)}, (nb, got)
+
+
+def test_autocorr_daily_handcrafted(ray_session):
+    """ACF of the daily revenue series: a perfect period-2 alternation
+    has lag-1 r < 0 and lag-2 r = +1 (numpy replay equality on both),
+    missing days count as zero revenue, a constant series (den = 0)
+    emits no rows; partitioning invariant."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import autocorr_daily
+
+    DAY = 86_400_000_000
+
+    def mk(day_cents: dict[int, int]) -> pa.Table:
+        days, cents = [], []
+        for d, c in day_cents.items():
+            days.append(d * DAY)
+            cents.append(c / 100.0)
+        return pa.table(
+            {
+                "o_orderdate": pa.array(days, pa.timestamp("us")),
+                "o_totalprice": pa.array(cents, pa.float64()),
+            }
+        )
+
+    def replay(xs: list[int], k: int) -> int:
+        x = np.array(xs, dtype=np.float64)
+        n = len(x)
+        num = float(((x[: n - k] - x.mean()) * (x[k:] - x.mean())).sum())
+        den = float(((x - x.mean()) ** 2).sum())
+        return int(np.floor(num / den * 1e9 + 0.5))
+
+    # period-2 alternation over 10 days (day 3 missing → true zero)
+    series = {0: 100, 1: 0, 2: 100, 4: 100, 5: 0, 6: 100, 7: 0, 8: 100, 9: 0}
+    xs = [series.get(d, 0) for d in range(10)]
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(mk(series)).repartition(nb)
+        got = {r["lag"]: r["r_nano"] for r in autocorr_daily(ds, lags=(1, 2)).take_all()}
+        assert set(got) == {1, 2}
+        assert got[1] < 0 < got[2]
+        # exact integer form agrees with the float replay to 1 nano
+        for k in (1, 2):
+            assert abs(got[k] - replay(xs, k)) <= 1
+        # period-2 copy: num has n-2 of the n squared deviations -> 8/10
+        assert got[2] == 800_000_000
+
+    # constant series: zero variance → no rows (den = 0 guard)
+    flat = {d: 500 for d in range(6)}
+    assert autocorr_daily(ray.data.from_arrow(mk(flat)), lags=(1,)).take_all() == []
+
+    # lag >= span emits nothing
+    two = {0: 100, 1: 200}
+    got = autocorr_daily(ray.data.from_arrow(mk(two)), lags=(5,)).take_all()
+    assert got == []
+
+
+def test_categorical_dependence_handcrafted(ray_session):
+    """MI + chi² over two categorical columns: exact zero on perfectly
+    independent columns, ln(2) nano on a perfect 2×2 correspondence,
+    and equality with a float brute-force replay within per-term
+    rounding; partitioning invariant."""
+    import math
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import categorical_dependence
+
+    def mk(pairs: list[tuple[str, str]]) -> pa.Table:
+        return pa.table(
+            {
+                "x": pa.array([p[0] for p in pairs], pa.string()),
+                "y": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+
+    # perfectly independent 2×2 (uniform product measure)
+    ind = [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")] * 5
+    for nb in (1, 4):
+        row = categorical_dependence(
+            ray.data.from_arrow(mk(ind)).repartition(nb), "x", "y"
+        ).take_all()[0]
+        assert row["n"] == 20 and row["n_cells"] == 4
+        assert row["mi_nano"] == 0 and row["chi2_nano"] == 0
+
+    # perfect correspondence: MI = ln(2), chi² = n
+    dep = [("a", "u"), ("b", "v")] * 8
+    row = categorical_dependence(ray.data.from_arrow(mk(dep)), "x", "y").take_all()[0]
+    assert abs(row["mi_nano"] - int(math.log(2.0) * 1e9)) <= 1
+    assert row["chi2_nano"] == 16 * 10**9  # full Pearson chi2 = n (zero cells count)
+
+    # skewed 2×3: float brute-force replay within rounding slack
+    skew = (
+        [("a", "u")] * 7 + [("a", "v")] * 2 + [("a", "w")] * 1
+        + [("b", "u")] * 1 + [("b", "v")] * 5 + [("b", "w")] * 4
+    )
+    row = categorical_dependence(ray.data.from_arrow(mk(skew)), "x", "y").take_all()[0]
+    from collections import Counter
+
+    cc = Counter(skew)
+    cx = Counter(p[0] for p in skew)
+    cy = Counter(p[1] for p in skew)
+    n = len(skew)
+    mi = sum(
+        c / n * math.log(n * c / (cx[x] * cy[y])) for (x, y), c in cc.items()
+    )
+    chi2 = sum(
+        (n * c - cx[x] * cy[y]) ** 2 / (n * cx[x] * cy[y]) for (x, y), c in cc.items()
+    )
+    assert abs(row["mi_nano"] - mi * 1e9) <= len(cc)  # per-term half-nano slack
+    assert abs(row["chi2_nano"] - chi2 * 1e9) <= len(cc)
