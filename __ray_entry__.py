@@ -342,6 +342,29 @@ def _q_cat_dependence(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Length-weighted sample without replacement (Efraimidis–Spirakis,
+    md5-derived Exp(1) draws, pure-integer rank keys): one streaming
+    scan with per-batch local top-k prune — the final sort sees
+    ≤ blocks·k rows."""
+    from relation_extraction_ray.functions.curation import weighted_sample
+
+    return weighted_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=100
+    )
+
+
+def _q_revenue_gini(sf_dir: str):
+    """Per-priority Gini of order values: distinct-value-histogram
+    exchange, group-partitioned exact python-int rank identity, one row
+    per group."""
+    from relation_extraction_ray.functions.relational import grouped_gini
+
+    return grouped_gini(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    )
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2367,6 +2390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": _q_conversion_latency,
         "autocorr_daily": _q_autocorr,
         "cat_dependence": _q_cat_dependence,
+        "weighted_sample": _q_weighted_sample,
+        "revenue_gini": _q_revenue_gini,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3513,6 +3538,50 @@ def oracle_sql() -> dict[str, str]:
                         + ((n * n - sum(m)) * CAST(1000000000 AS HUGEINT)) // n
                         AS BIGINT) AS chi2_nano
             FROM terms GROUP BY n, n_cells
+        """,
+        # weighted_sample: the same md5-derived Exp(1)/w integer rank key —
+        # identical IEEE ops (cast, +0.5, divide, ln, *1e15, floor) then
+        # pure-integer (L*100)//w, ties by doc_id
+        "weighted_sample": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(greatest(coalesce(length(text), 0), 1) AS HUGEINT) AS w,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, CAST(w AS BIGINT) AS weight,
+                     CAST(((0 - CAST(floor(
+                         ln((CAST(h AS DOUBLE) + 0.5) / 18446744073709551616.0) * 1e15
+                       ) AS HUGEINT)) * 100) // w AS BIGINT) AS score
+              FROM s
+            )
+            SELECT doc_id, weight, score FROM sc
+            ORDER BY score, doc_id LIMIT 100
+        """,
+        # revenue_gini: distinct-value histogram + the per-run collapsed
+        # sorted-rank identity num = Σ v·c·(2p + c − n), all HUGEINT
+        "revenue_gini": """
+            WITH h AS (
+              SELECT o_orderpriority AS g,
+                     CAST(round(o_totalprice * 100) AS HUGEINT) AS v,
+                     CAST(count(*) AS HUGEINT) AS c
+              FROM orders GROUP BY 1, 2
+            ), w AS (
+              SELECT g, v, c,
+                     sum(c) OVER (PARTITION BY g ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) - c AS p,
+                     sum(c) OVER (PARTITION BY g) AS n,
+                     sum(v * c) OVER (PARTITION BY g) AS sx
+              FROM h
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(sx) AS BIGINT) AS sum_cents,
+                   CAST(CASE WHEN max(n) * max(sx) > 0
+                        THEN (sum(v * c * (2 * p + c - n)) * CAST(1000000000 AS HUGEINT))
+                             // (max(n) * max(sx))
+                        ELSE 0 END AS BIGINT) AS gini_nano
+            FROM w GROUP BY g ORDER BY g
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific

@@ -421,3 +421,62 @@ def leakage_safe_split(
     return hash_partitioned_groups(tagged, ["doc_id"], per_part, n_parts).sort(
         "doc_id"
     )
+
+
+def weighted_sample(
+    docs: ray.data.Dataset,
+    k: int = 100,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement, k docs with inclusion odds
+    ∝ length(text) (Efraimidis–Spirakis A-ES: rank by Exp(1)-draw / w,
+    keep the k smallest) — the length-weighted corpus draw that makes a
+    token-budget pilot sample match the full corpus's token mass.
+
+    Deterministic and EXACT cross-engine: the Exp(1) draw per doc is
+    ``L = −floor(ln(u)·10¹⁵)`` with ``u = (float(md5₆₄(id)) + 0.5)/2⁶⁴``
+    (CPython ``math.log`` is bit-identical to DuckDB ``ln`` on this libm;
+    float(h)+0.5 and the divide are the same IEEE ops both sides; L ≥ 0
+    always — for u marginally above 1 at the h = 2⁶⁴−1 edge the floor of
+    the tiny positive product is 0), and the rank key is the pure-integer
+    ``score = (L·100) // w`` (≤ 4.5×10¹⁸, int64-safe; nonneg so floor
+    and SQL's truncating ``//`` agree), ties broken by id.
+
+    Scale shape: one streaming scan; each batch locally prunes to its k
+    smallest scores (a batch row outside its OWN top-k can never be in
+    the global top-k), so the final sort sees ≤ blocks·k rows.  The
+    per-row md5+ln loop is the portable-hash price every md5-keyed
+    oracle pays (see :func:`_md5_u64_col`)."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        n = len(ids)
+        scores = np.empty(n, np.int64)
+        weights = np.empty(n, np.int64)
+        for i, (s, t) in enumerate(zip(ids, texts)):
+            h = int(hashlib.md5(str(s).encode()).hexdigest()[:16], 16)
+            u = (float(h) + 0.5) / 18446744073709551616.0
+            ln_fifteen = math.floor(math.log(u) * 1e15)
+            w = max(len(t) if t is not None else 0, 1)
+            weights[i] = w
+            scores[i] = ((-int(ln_fifteen)) * 100) // w
+        # local prune must use the GLOBAL (score, id) order or a boundary
+        # tie could drop the id that wins the final sort (ids keep their
+        # native type so int ids order numerically, like the Ray sort)
+        keep = np.lexsort((np.asarray(ids), scores))[:k]
+        return pa.table(
+            {
+                key_col: pa.array([ids[i] for i in keep]),
+                "weight": pa.array(weights[keep], pa.int64()),
+                "score": pa.array(scores[keep], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .sort(["score", key_col])
+        .limit(k)
+    )

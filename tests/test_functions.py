@@ -3268,3 +3268,92 @@ def test_categorical_dependence_handcrafted(ray_session):
     )
     assert abs(row["mi_nano"] - mi * 1e9) <= len(cc)  # per-term half-nano slack
     assert abs(row["chi2_nano"] - chi2 * 1e9) <= len(cc)
+
+
+def test_weighted_sample_bruteforce(ray_session):
+    """A-ES length-weighted sample equals the brute-force (score, id)
+    top-k computed from the same md5/ln/integer rank key, at any
+    partitioning; k ≥ n returns everything; empty/missing text gets
+    weight 1."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.curation import weighted_sample
+
+    texts = ["x" * (10 * (i % 7 + 1)) if i % 11 else "" for i in range(60)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(60)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def brute(k: int):
+        rows = []
+        for i, txt in enumerate(texts):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+            u = (float(h) + 0.5) / 18446744073709551616.0
+            w = max(len(txt), 1)
+            rows.append((((-math.floor(math.log(u) * 1e15)) * 100) // w, i, w))
+        rows.sort()
+        return [(i, w, s) for s, i, w in rows[:k]]
+
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        got = [
+            (r["doc_id"], r["weight"], r["score"])
+            for r in weighted_sample(ds, k=10).take_all()
+        ]
+        assert got == brute(10)
+        assert len(weighted_sample(ds, k=500).take_all()) == 60
+
+    # weight-1 rows (empty text) are present with weight 1
+    all_rows = {r["doc_id"]: r["weight"] for r in weighted_sample(
+        ray.data.from_arrow(t), k=500
+    ).take_all()}
+    assert all_rows[0] == 1 and all_rows[11] == 1
+
+
+def test_grouped_gini_closed_forms(ray_session):
+    """Per-group Gini: 0 for equal values, 0.75 for [0,0,0,100] (the
+    sorted-rank closed form), numpy replay on a mixed group, exact at
+    any partitioning; tie runs collapse identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import grouped_gini
+
+    def mk(groups_vals):
+        g, v = [], []
+        for grp, vals in groups_vals.items():
+            for x in vals:
+                g.append(grp)
+                v.append(x / 100.0)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g, pa.string()),
+                "o_totalprice": pa.array(v, pa.float64()),
+            }
+        )
+
+    def replay(vals):
+        x = np.sort(np.array(vals, np.float64))
+        n = len(x)
+        num = float(((2 * np.arange(1, n + 1) - n - 1) * x).sum())
+        den = float(n * x.sum())
+        return int((num / den) * 1e9) if den else 0
+
+    data = {
+        "EQ": [500] * 6,                     # perfect equality
+        "HOT": [0, 0, 0, 100],               # closed form 3/4
+        "MIX": [10, 10, 30, 50, 200, 200],   # tie runs + spread
+    }
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(mk(data)).repartition(nb)
+        got = {r["o_orderpriority"]: r for r in grouped_gini(ds).take_all()}
+        assert got["EQ"]["gini_nano"] == 0
+        assert got["HOT"]["gini_nano"] == 750_000_000
+        assert got["MIX"]["n"] == 6 and got["MIX"]["sum_cents"] == 500
+        assert abs(got["MIX"]["gini_nano"] - replay(data["MIX"])) <= 1
