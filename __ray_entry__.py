@@ -365,6 +365,26 @@ def _q_revenue_gini(sf_dir: str):
     )
 
 
+def _q_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the language mix (nats, nano):
+    per-batch cell partials bound the exchange at |sources|·|langs|;
+    per-term nano-rounded math.log both engines."""
+    from relation_extraction_ray.functions.relational import grouped_entropy
+
+    return grouped_entropy(
+        _read(sf_dir, "documents", columns=["source", "lang"]), "source", "lang"
+    )
+
+
+def _q_audience_overlap(sf_dir: str):
+    """Pairwise audience Jaccard between event types: distinct
+    (user, type) fold, ONE user-keyed exchange, offset-bounded bincount
+    pair enumeration, ≤ |T|²+|T| counter rows per partition."""
+    from relation_extraction_ray.functions.relational import audience_overlap
+
+    return audience_overlap(_read(sf_dir, "events", columns=["user_id", "event_type"]))
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2392,6 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_dependence": _q_cat_dependence,
         "weighted_sample": _q_weighted_sample,
         "revenue_gini": _q_revenue_gini,
+        "lang_entropy": _q_lang_entropy,
+        "audience_overlap": _q_audience_overlap,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3582,6 +3604,47 @@ def oracle_sql() -> dict[str, str]:
                              // (max(n) * max(sx))
                         ELSE 0 END AS BIGINT) AS gini_nano
             FROM w GROUP BY g ORDER BY g
+        """,
+        # lang_entropy: H = ln(n) − (1/n)Σc·ln(c), both ln's nano-rounded
+        # per term, truncating // (S ≥ 0 so floor agrees)
+        "lang_entropy": """
+            WITH cells AS (
+              SELECT source AS g, lang AS v, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ), gs AS (
+              SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_values,
+                     CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                          AS HUGEINT) AS s
+              FROM cells GROUP BY g
+            )
+            SELECT g AS source, n, n_values,
+                   CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)
+                        - (2 * s + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS entropy_nano
+            FROM gs ORDER BY source
+        """,
+        # audience_overlap: distinct-user sets per event type, pairwise
+        # intersection via self-join, Jaccard in integer milli
+        "audience_overlap": """
+            WITH d AS (
+              SELECT DISTINCT user_id AS u, event_type AS t FROM events
+            ), m AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY t
+            ), p AS (
+              SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_inter
+              FROM d a JOIN d b ON a.u = b.u AND a.t < b.t
+              GROUP BY 1, 2
+            )
+            SELECT ma.t AS type_a, mb.t AS type_b,
+                   coalesce(p.n_inter, 0) AS n_inter,
+                   ma.c + mb.c - coalesce(p.n_inter, 0) AS n_union,
+                   CAST((2000 * coalesce(p.n_inter, 0)
+                         + (ma.c + mb.c - coalesce(p.n_inter, 0)))
+                        // (2 * (ma.c + mb.c - coalesce(p.n_inter, 0)))
+                        AS BIGINT) AS jaccard_milli
+            FROM m ma JOIN m mb ON ma.t < mb.t
+            LEFT JOIN p ON p.ta = ma.t AND p.tb = mb.t
+            ORDER BY type_a, type_b
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific

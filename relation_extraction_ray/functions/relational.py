@@ -4428,3 +4428,185 @@ def grouped_gini(
 
     n_parts = derive_n_parts(orders.count(), rows_per_part=65536)
     return hash_partitioned_groups(pairs, ["g"], per_part, n_parts).sort(group_col)
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> ray.data.Dataset:
+    """Shannon entropy of the ``value_col`` distribution per
+    ``group_col`` (the mixture-diversity index — "is src7 a monolingual
+    crawl or a balanced multilingual one?"), in nats.  Exact
+    cross-engine via the per-term ln discipline:
+
+        H = ln(n) − (1/n)·Σ_v c_v·ln(c_v)
+
+    with BOTH ln's nano-rounded through ``math.log`` (bit-identical to
+    DuckDB ``ln``) before any arithmetic, the Σ exact in python ints,
+    and the division ``(2·S + n) // (2·n)`` — S ≥ 0 so floor and SQL's
+    truncating ``//`` agree.  Output per group:
+    (group, n, n_values, entropy_nano).
+
+    Scale shape: per-batch (group, value) Arrow hash-aggregate partials
+    bound the ONE exchange at distinct-pairs-per-batch; the driver folds
+    only the ≤ |G|·|V| summed cells."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "g": t.column(group_col),
+                "v": t.column(value_col),
+                "c": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # ≤ |G|·|V| cells
+    per_g: dict = {}
+    for r in rows:
+        n, k, s = per_g.get(r["g"], (0, 0, 0))
+        c = int(r["c"])
+        per_g[r["g"]] = (
+            n + c,
+            k + 1,
+            s + c * int(math.floor(math.log(float(c)) * 1e9 + 0.5)),
+        )
+    out_g = sorted(per_g)
+    ent = []
+    for g in out_g:
+        n, k, s = per_g[g]
+        ln_n = int(math.floor(math.log(float(n)) * 1e9 + 0.5))
+        ent.append(ln_n - (2 * s + n) // (2 * n))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g),
+                "n": pa.array([per_g[g][0] for g in out_g], pa.int64()),
+                "n_values": pa.array([per_g[g][1] for g in out_g], pa.int64()),
+                "entropy_nano": pa.array(ent, pa.int64()),
+            }
+        )
+    )
+
+
+def audience_overlap(
+    events: ray.data.Dataset, type_col: str = "event_type", user_col: str = "user_id"
+) -> ray.data.Dataset:
+    """Pairwise audience Jaccard between event types (do the users who
+    `purchase` overlap the users who hit `error`? — the
+    cohort-similarity matrix behind funnel and campaign design): for
+    every unordered type pair (a < b), |users(a) ∩ users(b)|,
+    |users(a) ∪ users(b)| and the exact integer-milli Jaccard
+    (2000·inter + union) // (2·union).
+
+    Scale shape: per-batch DISTINCT (user, type) Arrow partials, one
+    user-keyed exchange; each partition enumerates per-user type pairs
+    with an offset-bounded loop (≤ |T|² per user, |T| the type
+    vocabulary — never row count) and folds to ≤ |T|² + |T| counter
+    rows; the driver assembles the matrix from two tiny folds (the
+    copurchase shape with a closed type vocabulary)."""
+    from ray.data.aggregate import Count
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([user_col, type_col]).group_by([user_col, type_col]).aggregate([])
+        return t.rename_columns(["u", "t"])
+
+    distinct = (
+        events.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["u", "t"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        s = part.take(
+            pc.sort_indices(part, sort_keys=[("u", "ascending"), ("t", "ascending")])
+        )
+        u = s.column("u").to_numpy(zero_copy_only=False)
+        t = s.column("t").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[True], u[1:] != u[:-1]])
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        run_len = np.diff(np.concatenate([run_start, [len(u)]]))
+        tv, inv = np.unique(t, return_inverse=True)  # partition-local vocab
+        n_t = len(tv)
+        pair_counts = np.zeros(n_t * n_t, np.int64)
+        max_len = int(run_len.max()) if len(run_len) else 0
+        # offset-bounded enumeration (copurchase discipline): ≤ |T|²
+        # vectorized bincount passes, never a per-user python loop
+        for off_a in range(max_len):
+            for off_b in range(off_a + 1, max_len):
+                ok = run_len > off_b
+                ia = run_start[ok] + off_a
+                ib = run_start[ok] + off_b
+                pair_counts += np.bincount(
+                    inv[ia] * n_t + inv[ib], minlength=n_t * n_t
+                )
+        nz = np.flatnonzero(pair_counts)
+        out_a = [str(tv[i // n_t]) for i in nz]
+        out_b = [str(tv[i % n_t]) for i in nz]
+        out_n = [int(pair_counts[i]) for i in nz]
+        # membership counters ride as (type, "") rows ("" sorts first,
+        # never collides with a real second type)
+        _, tc = np.unique(inv, return_counts=True)
+        out_a += [str(x) for x in tv]
+        out_b += [""] * n_t
+        out_n += [int(c) for c in tc]
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    rows = hash_partitioned_groups(distinct, ["u"], per_part, n_parts).take_all()
+    member: dict = {}
+    inter: dict = {}
+    for r in rows:
+        if r["b"] == "":
+            member[r["a"]] = member.get(r["a"], 0) + int(r["n"])
+        else:
+            k = (r["a"], r["b"])
+            inter[k] = inter.get(k, 0) + int(r["n"])
+    types = sorted(member)
+    out_a, out_b, out_i, out_u, out_j = [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            iv = inter.get((a, b), 0)
+            uv = member[a] + member[b] - iv
+            out_a.append(a)
+            out_b.append(b)
+            out_i.append(iv)
+            out_u.append(uv)
+            out_j.append((2000 * iv + uv) // (2 * uv) if uv > 0 else 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "n_inter": pa.array(out_i, pa.int64()),
+                "n_union": pa.array(out_u, pa.int64()),
+                "jaccard_milli": pa.array(out_j, pa.int64()),
+            }
+        )
+    )

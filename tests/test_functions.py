@@ -3357,3 +3357,79 @@ def test_grouped_gini_closed_forms(ray_session):
         assert got["HOT"]["gini_nano"] == 750_000_000
         assert got["MIX"]["n"] == 6 and got["MIX"]["sum_cents"] == 500
         assert abs(got["MIX"]["gini_nano"] - replay(data["MIX"])) <= 1
+
+
+def test_grouped_entropy_closed_forms(ray_session):
+    """Per-group Shannon entropy: ln(k) for a uniform k-way mix, 0 for a
+    single value, float replay within per-term rounding; partitioning
+    invariant."""
+    import math
+
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import grouped_entropy
+
+    rows = (
+        [("UNI", v) for v in ("a", "b", "c", "d")] * 5
+        + [("MONO", "x")] * 7
+        + [("MIX", "a")] * 6 + [("MIX", "b")] * 3 + [("MIX", "c")] * 1
+    )
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["g"]: r
+            for r in grouped_entropy(
+                ray.data.from_arrow(t).repartition(nb), "g", "v"
+            ).take_all()
+        }
+        assert abs(got["UNI"]["entropy_nano"] - int(math.log(4.0) * 1e9)) <= 1
+        assert got["MONO"]["entropy_nano"] == 0 and got["MONO"]["n_values"] == 1
+        n = 10
+        h = math.log(n) - sum(c * math.log(c) for c in (6, 3, 1)) / n
+        assert abs(got["MIX"]["entropy_nano"] - h * 1e9) <= 3  # per-term slack
+        assert got["MIX"]["n"] == 10 and got["MIX"]["n_values"] == 3
+
+
+def test_audience_overlap_handcrafted(ray_session):
+    """Pairwise audience Jaccard: identical sets → 1000, disjoint → 0,
+    duplicate events collapse to distinct users, the integer-milli
+    rounding is (2000i+u)//(2u); all type pairs appear; partitioning
+    invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import audience_overlap
+
+    ev = (
+        [(u, "A") for u in (1, 2, 3)]
+        + [(u, "B") for u in (1, 2, 3)]          # B == A's audience
+        + [(u, "C") for u in (4, 5)]             # disjoint from A/B
+        + [(u, "D") for u in (1, 4)]             # half-in-half-out
+        + [(1, "A"), (1, "A")]                   # duplicates collapse
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([e[0] for e in ev], pa.int64()),
+            "event_type": pa.array([e[1] for e in ev], pa.string()),
+        }
+    )
+    for nb in (1, 4):
+        got = {
+            (r["type_a"], r["type_b"]): r
+            for r in audience_overlap(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert len(got) == 6  # all C(4,2) pairs, zero-overlap included
+        assert got[("A", "B")]["jaccard_milli"] == 1000
+        assert got[("A", "C")]["n_inter"] == 0
+        assert got[("A", "C")]["jaccard_milli"] == 0
+        # A={1,2,3}, D={1,4}: i=1, u=4 → (2000+4)//8 = 250
+        r = got[("A", "D")]
+        assert (r["n_inter"], r["n_union"], r["jaccard_milli"]) == (1, 4, 250)
+        # C={4,5}, D={1,4}: i=1, u=3 → (2000+3)//6 = 333
+        assert got[("C", "D")]["jaccard_milli"] == 333
