@@ -385,6 +385,17 @@ def _q_audience_overlap(sf_dir: str):
     return audience_overlap(_read(sf_dir, "events", columns=["user_id", "event_type"]))
 
 
+def _q_priority_anova(sf_dir: str):
+    """One-way ANOVA F of order value across priorities: |G|-row
+    integer-sufficient-stats exchange (Σx² as split 2³⁰-limbs), per-term
+    integer-division nano rounding, corr-family fixed IEEE F."""
+    from relation_extraction_ray.functions.relational import grouped_anova
+
+    return grouped_anova(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    )
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2414,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": _q_revenue_gini,
         "lang_entropy": _q_lang_entropy,
         "audience_overlap": _q_audience_overlap,
+        "priority_anova": _q_priority_anova,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3645,6 +3657,43 @@ def oracle_sql() -> dict[str, str]:
             FROM m ma JOIN m mb ON ma.t < mb.t
             LEFT JOIN p ON p.ta = ma.t AND p.tb = mb.t
             ORDER BY type_a, type_b
+        """,
+        # priority_anova: per-group rationals S_g²/n_g floor to integer
+        # nano BEFORE the sum (aggregate order irrelevant), HUGEINT
+        # assembly, one fixed IEEE F
+        "priority_anova": """
+            WITH gstat AS (
+              SELECT o_orderpriority AS g,
+                     CAST(count(*) AS HUGEINT) AS n_g,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS s_g,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                              * CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT) AS ss_g
+              FROM orders GROUP BY 1
+            ), agg AS (
+              SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+                     CAST(count(*) AS HUGEINT) AS k,
+                     CAST(sum(s_g) AS HUGEINT) AS s,
+                     CAST(sum(ss_g) AS HUGEINT) AS sxx,
+                     CAST(sum((s_g * s_g * CAST(1000000000 AS HUGEINT)) // n_g) AS HUGEINT) AS t_sum
+              FROM gstat
+            )
+            SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                   CAST(CASE WHEN k > 1 AND n > k
+                              AND sxx * CAST(1000000000 AS HUGEINT) - t_sum > 0
+                        THEN CASE WHEN
+                          CAST((t_sum - (s * s * CAST(1000000000 AS HUGEINT)) // n)
+                               * (n - k) AS DOUBLE)
+                          / CAST((sxx * CAST(1000000000 AS HUGEINT) - t_sum)
+                                 * (k - 1) AS DOUBLE) * 1e9 + 0.5
+                            > CAST(4611686018427387904 AS DOUBLE)
+                          THEN 4611686018427387904
+                          ELSE CAST(floor(
+                            CAST((t_sum - (s * s * CAST(1000000000 AS HUGEINT)) // n)
+                                 * (n - k) AS DOUBLE)
+                            / CAST((sxx * CAST(1000000000 AS HUGEINT) - t_sum)
+                                   * (k - 1) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END
+                        ELSE 0 END AS BIGINT) AS f_nano
+            FROM agg
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific

@@ -4610,3 +4610,100 @@ def audience_overlap(
             }
         )
     )
+
+
+def grouped_anova(
+    orders: ray.data.Dataset,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+) -> ray.data.Dataset:
+    """One-way ANOVA F-statistic of order value across groups (the A/B
+    experiment gate: does priority class actually move the money?).
+    From the textbook integer sufficient statistics (n_g, S_g, SS_g per
+    group, cents):
+
+        SSB = Σ_g S_g²/n_g − S²/n      SSW = Σx² − Σ_g S_g²/n_g
+        F   = (SSB/(k−1)) / (SSW/(n−k))
+
+    Exact cross-engine: every per-group rational S_g²/n_g floors to
+    integer NANO via pure integer division ``(S_g²·10⁹) // n_g`` before
+    the sum (so aggregate order is irrelevant — the per-term-rounding
+    discipline applied to division instead of ln), the assembled
+    SSB/SSW nano terms are exact python ints, and the single float op
+    is the corr-family fixed IEEE form
+    ``f_nano = floor(SSB_nano·(n−k) / (SSW_nano·(k−1)) · 1e9 + 0.5)``.
+    Output one row: (n, k, f_nano) — the SS terms themselves exceed
+    int64 at sf0.1 (≈10²⁸ nano-cents²) so only the bounded F ships.
+
+    Scale shape: per-batch Arrow partials fold to ≤ |G| integer rows
+    (Σx² as split 2³⁰-limbs — it overflows a single int64 at sf0.1
+    already); one aggregate-sized groupby; driver finalizes |G| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        uniq, code = np.unique(g, return_inverse=True)
+        n = np.bincount(code).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, code, v)
+        # Σx² OVERFLOWS int64 here (o_totalprice cents² sums to ~10²⁰ at
+        # sf0.1) — ship it as split 2³⁰-limbs: per-element v² fits int64,
+        # hi/lo partial sums and their groupby Sums stay far inside int64
+        # (Σlo ≤ n·2³⁰ — exact to ~8·10⁹ rows; re-split rounds extend it),
+        # and the driver reconstructs hi·2³⁰ + lo in exact python ints
+        q = v * v
+        hi = np.zeros(len(uniq), np.int64)
+        lo = np.zeros(len(uniq), np.int64)
+        np.add.at(hi, code, q >> 30)
+        np.add.at(lo, code, q & ((1 << 30) - 1))
+        return pa.table(
+            {
+                "g": pa.array(uniq),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "ss_hi": pa.array(hi, pa.int64()),
+                "ss_lo": pa.array(lo, pa.int64()),
+            }
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss_hi", alias_name="ss_hi"),
+            Sum("ss_lo", alias_name="ss_lo"),
+        )
+        .take_all()
+    )  # ≤ |G| rows
+    if not rows:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("n", pa.int64()), ("k", pa.int64()), ("f_nano", pa.int64())]
+            ).empty_table()
+        )
+    n = sum(int(r["n"]) for r in rows)
+    k = len(rows)
+    s_tot = sum(int(r["s"]) for r in rows)
+    sxx = sum((int(r["ss_hi"]) << 30) + int(r["ss_lo"]) for r in rows)
+    t_sum = sum((int(r["s"]) ** 2 * 10**9) // int(r["n"]) for r in rows)
+    ssb_nano = t_sum - (s_tot**2 * 10**9) // n
+    ssw_nano = sxx * 10**9 - t_sum
+    if k > 1 and n > k and ssw_nano > 0:
+        f = float(ssb_nano * (n - k)) / float(ssw_nano * (k - 1))
+        # near-zero within-variance sends F to 10²⁰+; clamp keeps the
+        # column int64 (mirrored with the same double compare in SQL)
+        f_nano = (1 << 62) if f * 1e9 + 0.5 > float(1 << 62) else int(np.floor(f * 1e9 + 0.5))
+    else:
+        f_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "f_nano": pa.array([f_nano], pa.int64()),
+            }
+        )
+    )

@@ -3433,3 +3433,67 @@ def test_audience_overlap_handcrafted(ray_session):
         assert (r["n_inter"], r["n_union"], r["jaccard_milli"]) == (1, 4, 250)
         # C={4,5}, D={1,4}: i=1, u=3 → (2000+3)//6 = 333
         assert got[("C", "D")]["jaccard_milli"] == 333
+
+
+def test_grouped_anova_closed_forms(ray_session):
+    """One-way ANOVA F: 0 when group means coincide, the textbook
+    closed form on a two-group shift, numpy replay within nano slack;
+    split-limb Σx² reconstruction is exact at any partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import grouped_anova
+
+    def mk(groups_vals):
+        g, v = [], []
+        for grp, vals in groups_vals.items():
+            for x in vals:
+                g.append(grp)
+                v.append(x / 100.0)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g, pa.string()),
+                "o_totalprice": pa.array(v, pa.float64()),
+            }
+        )
+
+    def replay(groups_vals):
+        all_v = np.concatenate([np.array(v, np.float64) for v in groups_vals.values()])
+        n, k = len(all_v), len(groups_vals)
+        ssb = sum(
+            len(v) * (np.mean(v) - all_v.mean()) ** 2 for v in groups_vals.values()
+        )
+        ssw = sum(
+            ((np.array(v, np.float64) - np.mean(v)) ** 2).sum()
+            for v in groups_vals.values()
+        )
+        return (ssb / (k - 1)) / (ssw / (n - k))
+
+    # identical means, nonzero within-variance → F = 0
+    same = {"A": [90, 110, 100], "B": [80, 120, 100]}
+    got = grouped_anova(ray.data.from_arrow(mk(same))).take_all()[0]
+    assert got["n"] == 6 and got["k"] == 2 and got["f_nano"] == 0
+
+    # two-group mean shift, replayed
+    shift = {"A": [100, 200, 300, 400], "B": [500, 600, 700, 800]}
+    for nb in (1, 3):
+        got = grouped_anova(
+            ray.data.from_arrow(mk(shift)).repartition(nb)
+        ).take_all()[0]
+        assert abs(got["f_nano"] - replay(shift) * 1e9) <= 10
+        assert got["n"] == 8 and got["k"] == 2
+
+    # values at the real o_totalprice ceiling (cents ~ 5·10⁷, per-group
+    # Σx² ~ 10¹⁶ ≫ 2³⁰ — the split limbs carry it exactly)
+    big = {
+        "A": [49_000_000 + 1000 * i for i in range(5)],
+        "B": [48_000_000 - 1000 * i for i in range(5)],
+    }
+    got = grouped_anova(ray.data.from_arrow(mk(big)).repartition(2)).take_all()[0]
+    assert abs(got["f_nano"] - replay(big) * 1e9) <= max(1, int(replay(big) * 1e9) // 10**6)
+
+    # degenerate near-zero within-variance clamps to 2^62 instead of
+    # overflowing the int64 column
+    deg = {"A": [49_000_000] * 5, "B": [48_000_000] * 4 + [48_000_001]}
+    got = grouped_anova(ray.data.from_arrow(mk(deg))).take_all()[0]
+    assert got["f_nano"] == 1 << 62
