@@ -396,6 +396,15 @@ def _q_priority_anova(sf_dir: str):
     )
 
 
+def _q_cusum(sf_dir: str):
+    """CUSUM drift alarm over daily event counts: one combine-fed day
+    fold, prefix-sum-minus-running-min driver pass in span-scaled
+    integers, gate 1000·S > k·total."""
+    from relation_extraction_ray.functions.relational import cusum_days
+
+    return cusum_days(_read(sf_dir, "events", columns=["ts"]))
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -1926,6 +1935,15 @@ def _q_pagerank_personal(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5, seed_pct=5)
 
 
+def _q_pred_cardinality(sf_dir: str):
+    """Per-predicate cardinality / PARIS functionality profile of the
+    KG: one combine-fed pred fold + the distinct-(pred,role,id) pair
+    exchange; driver merges ≤ |preds| rows."""
+    from relation_extraction_ray.functions.graph import predicate_cardinality
+
+    return predicate_cardinality(_kg_run()["adjacency"])
+
+
 def _q_pred_bigrams(sf_dir: str):
     """Two-hop predicate metapath counts over the KG — per-node in×out
     pred-tally cross products, never path enumeration."""
@@ -2426,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_entropy": _q_lang_entropy,
         "audience_overlap": _q_audience_overlap,
         "priority_anova": _q_priority_anova,
+        "cusum_days": _q_cusum,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -2507,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_embeddings": _q_kg_embeddings,
         "degree_hist": _q_degree_hist,
         "pred_bigrams": _q_pred_bigrams,
+        "pred_cardinality": _q_pred_cardinality,
         "triple_provenance": _q_provenance,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
@@ -3694,6 +3714,40 @@ def oracle_sql() -> dict[str, str]:
                                    * (k - 1) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END
                         ELSE 0 END AS BIGINT) AS f_nano
             FROM agg
+        """,
+        # cusum_days: S_t = P_t − min_{j≤t} P_j in span-scaled integers
+        # (two window functions replace the max-recurrence), same gate
+        "cusum_days": """
+            WITH dc AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), span AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM dc
+            ), grid AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM span
+            ), g AS (
+              SELECT grid.day, coalesce(dc.n, 0) AS n
+              FROM grid LEFT JOIN dc ON dc.day = grid.day
+            ), st AS (
+              SELECT CAST(count(*) AS HUGEINT) AS span_len,
+                     CAST(sum(n) AS HUGEINT) AS total
+              FROM g
+            ), pp AS (
+              SELECT g.day, g.n,
+                     sum(g.n * st.span_len - st.total)
+                       OVER (ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS p
+              FROM g, st
+            ), ss AS (
+              SELECT day, n,
+                     p - least(CAST(0 AS HUGEINT),
+                               min(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS s
+              FROM pp
+            )
+            SELECT day, n, CAST(s AS BIGINT) AS cusum_scaled,
+                   CAST(CASE WHEN 1000 * s > 3000 * (SELECT total FROM st)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+            FROM ss ORDER BY day
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific
@@ -5453,6 +5507,18 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_doc
             FROM read_parquet('{kg_paths["kg_triples"]}')
             GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+        """,
+        "pred_cardinality": f"""
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(count(DISTINCT src_id) AS BIGINT) AS n_src,
+                   CAST(count(DISTINCT dst_id) AS BIGINT) AS n_dst,
+                   CAST((2000 * count(DISTINCT src_id) + count(*))
+                        // (2 * count(*)) AS BIGINT) AS func_milli,
+                   CAST((2000 * count(DISTINCT dst_id) + count(*))
+                        // (2 * count(*)) AS BIGINT) AS inv_func_milli
+            FROM read_parquet('{kg_paths["kg_adjacency"]}')
+            GROUP BY pred ORDER BY pred
         """,
         "pred_bigrams": f"""
             SELECT e1.pred AS p1, e2.pred AS p2, CAST(count(*) AS BIGINT) AS n_paths

@@ -2684,3 +2684,90 @@ def power_law_alpha(adjacency: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def predicate_cardinality(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-predicate cardinality profile of the KG — edge count, exact
+    distinct subjects/objects and the PARIS-style functionality /
+    inverse-functionality in integer milli (func = n_src/n_edges: 1000
+    means each subject asserts the relation once — a good key; low
+    means hub subjects).  The KB-quality screen that decides which
+    predicates are safe join keys for entity resolution.
+
+    Scale shape: edge counts ride one combine-fed pred fold (≤ |preds|
+    rows per batch); distinct endpoint counts ride the standard
+    distinct-pair exchange — per-batch DISTINCT (pred, role, id) rows
+    bound the shuffle at distinct-per-batch, the groupby dedups
+    globally, and a second combine-fed fold counts per (pred, role).
+    The driver merges ≤ |preds| rows from two folds."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("pred").combine_chunks())
+        return pa.table(
+            {
+                "pred": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    edge_counts = (
+        adjacency.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ |preds| rows
+
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("pred")
+        parts = []
+        for role, col in (("s", "src_id"), ("o", "dst_id")):
+            t = pa.table(
+                {"pred": p, "role": pa.array([role] * batch.num_rows), "id": batch.column(col)}
+            )
+            parts.append(t.group_by(["pred", "role", "id"]).aggregate([]))
+        return pa.concat_tables(parts)
+
+    def pair_count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["pred", "role"]).group_by(["pred", "role"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "role": t.column("role"),
+                "n": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    distinct_counts = (
+        adjacency.map_batches(endpoint_partial, batch_format="pyarrow")
+        .groupby(["pred", "role", "id"])
+        .count()
+        .map_batches(pair_count_partial, batch_format="pyarrow")
+        .groupby(["pred", "role"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ 2·|preds| rows
+    n_src = {r["pred"]: int(r["n"]) for r in distinct_counts if r["role"] == "s"}
+    n_dst = {r["pred"]: int(r["n"]) for r in distinct_counts if r["role"] == "o"}
+    preds = sorted(r["pred"] for r in edge_counts)
+    ne = {r["pred"]: int(r["n"]) for r in edge_counts}
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pred": pa.array(preds, pa.string()),
+                "n_edges": pa.array([ne[p] for p in preds], pa.int64()),
+                "n_src": pa.array([n_src.get(p, 0) for p in preds], pa.int64()),
+                "n_dst": pa.array([n_dst.get(p, 0) for p in preds], pa.int64()),
+                "func_milli": pa.array(
+                    [(2000 * n_src.get(p, 0) + ne[p]) // (2 * ne[p]) for p in preds],
+                    pa.int64(),
+                ),
+                "inv_func_milli": pa.array(
+                    [(2000 * n_dst.get(p, 0) + ne[p]) // (2 * ne[p]) for p in preds],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

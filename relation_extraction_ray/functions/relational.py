@@ -4707,3 +4707,84 @@ def grouped_anova(
             }
         )
     )
+
+
+def cusum_days(
+    events: ray.data.Dataset, k_milli: int = 3000
+) -> ray.data.Dataset:
+    """CUSUM change-point detection over the daily event-count series
+    (the sustained-drift alarm that complements spike_days' single-day
+    gate: a 20 % rate shift no single day trips accumulates until it
+    does).  Zero-slack upper CUSUM against the whole-span mean μ:
+
+        S_t = max(0, S_{t-1} + (x_t − μ))  ⇔  S_t = P_t − min_{j≤t} P_j
+
+    where P is the prefix sum of (x_t − μ) — the max-recurrence
+    collapses to prefix-sum-minus-running-min, which keeps everything
+    ONE vectorized pass AND makes the SQL replay two window functions
+    instead of a recursive CTE.  Exact integers throughout: work in
+    span-scaled units y_t = x_t·span − n_total (so μ = n_total/span
+    never becomes a float) and alarm when 1000·S_t > k_milli·n_total
+    (i.e. S_t in day-units exceeds k·μ).  Missing days are true zeros.
+    Output per day: (day, n, cusum_scaled, is_alarm).
+
+    Scale shape: the spike_days shape — one combine-fed (day → count)
+    fold bounded by distinct days per batch, then a calendar-bounded
+    driver pass (cumsum + running min) over ≤ span-many rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        vals, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ span-many rows (calendar-bounded)
+    if not rows:
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("day", pa.int64()),
+                    ("n", pa.int64()),
+                    ("cusum_scaled", pa.int64()),
+                    ("is_alarm", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    days = np.array([r["day"] for r in rows], np.int64)
+    ns = np.array([r["n"] for r in rows], np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    grid = np.zeros(hi - lo + 1, np.int64)
+    grid[days - lo] = ns
+    span = len(grid)
+    total = int(grid.sum())
+    y = grid * span - total                       # span-scaled deviations
+    p = np.cumsum(y)
+    run_min = np.minimum(0, np.minimum.accumulate(p))  # P_0 = 0 sentinel
+    s = p - run_min                                # span-scaled CUSUM ≥ 0
+    alarm = (1000 * s > k_milli * total).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(np.arange(span) + lo, pa.int64()),
+                "n": pa.array(grid, pa.int64()),
+                "cusum_scaled": pa.array(s, pa.int64()),
+                "is_alarm": pa.array(alarm, pa.int64()),
+            }
+        )
+    )

@@ -3497,3 +3497,76 @@ def test_grouped_anova_closed_forms(ray_session):
     deg = {"A": [49_000_000] * 5, "B": [48_000_000] * 4 + [48_000_001]}
     got = grouped_anova(ray.data.from_arrow(mk(deg))).take_all()[0]
     assert got["f_nano"] == 1 << 62
+
+
+def test_cusum_days_level_shift(ray_session):
+    """CUSUM drift alarm: a flat series never alarms (S = 0), a level
+    shift accumulates S linearly and crosses the k·μ gate days before
+    any single-day spike rule would; closed-form replay; partitioning
+    invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import cusum_days
+
+    DAY = 86_400_000_000
+
+    def mk(counts: dict[int, int]) -> pa.Table:
+        ts = []
+        for d, n in counts.items():
+            ts.extend(d * DAY + i for i in range(n))
+        return pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+
+    flat = {d: 10 for d in range(10)}
+    got = cusum_days(ray.data.from_arrow(mk(flat)), k_milli=1000).take_all()
+    assert all(r["cusum_scaled"] == 0 and r["is_alarm"] == 0 for r in got)
+
+    # 10/day for 5 days then 20/day: span 10, total 150, y = ±50·span
+    shift = {d: (10 if d < 5 else 20) for d in range(10)}
+    for nb in (1, 3):
+        got = {
+            r["day"]: r
+            for r in cusum_days(
+                ray.data.from_arrow(mk(shift)).repartition(nb), k_milli=1000
+            ).take_all()
+        }
+        # P walks to −250 then back; S = 50·(days since shift)
+        assert [got[d]["cusum_scaled"] for d in range(10)] == [
+            0, 0, 0, 0, 0, 50, 100, 150, 200, 250
+        ]
+        # gate 1000·S > 1000·150 → S > 150 → days 8, 9
+        assert [got[d]["is_alarm"] for d in range(10)] == [0] * 8 + [1, 1]
+
+
+def test_predicate_cardinality_handcrafted(ray_session):
+    """PARIS functionality profile: a key-like predicate scores 1000
+    milli, a hub subject halves it; exact distinct endpoint counts;
+    partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.graph import predicate_cardinality
+
+    edges = [
+        ("a", "P1", "b"),
+        ("a", "P1", "c"),   # hub subject: func 1/2
+        ("x", "P2", "y"),   # key-like both ways
+        ("u", "P3", "w"),
+        ("v", "P3", "w"),   # hub object: inv 1/2
+    ]
+    t = pa.table(
+        {
+            "src_id": pa.array([e[0] for e in edges], pa.string()),
+            "pred": pa.array([e[1] for e in edges], pa.string()),
+            "dst_id": pa.array([e[2] for e in edges], pa.string()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["pred"]: r
+            for r in predicate_cardinality(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert (got["P1"]["n_edges"], got["P1"]["n_src"], got["P1"]["n_dst"]) == (2, 1, 2)
+        assert got["P1"]["func_milli"] == 500 and got["P1"]["inv_func_milli"] == 1000
+        assert got["P2"]["func_milli"] == 1000 and got["P2"]["inv_func_milli"] == 1000
+        assert got["P3"]["func_milli"] == 1000 and got["P3"]["inv_func_milli"] == 500
