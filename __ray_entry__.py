@@ -405,6 +405,29 @@ def _q_cusum(sf_dir: str):
     return cusum_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_debounce(sf_dir: str):
+    """Telemetry debounce counters: one (user,type)-keyed exchange,
+    vectorized lag-gap rule, ≤ |T| counter rows per partition."""
+    from relation_extraction_ray.functions.relational import debounce_events
+
+    return debounce_events(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    )
+
+
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit of customers under the (nation, segment) QI:
+    combo-count exchange + class-size histogram fold; driver sees only
+    the histogram."""
+    from relation_extraction_ray.functions.relational import k_anonymity
+
+    return k_anonymity(
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"]),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2445,6 +2468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": _q_audience_overlap,
         "priority_anova": _q_priority_anova,
         "cusum_days": _q_cusum,
+        "debounce": _q_debounce,
+        "k_anonymity": _q_k_anonymity,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3748,6 +3773,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN 1000 * s > 3000 * (SELECT total FROM st)
                         THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
             FROM ss ORDER BY day
+        """,
+        # debounce: the lag rule spelled out as a window function
+        "debounce": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), kc AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN prev IS NULL
+                               OR date_diff('microsecond', prev, ts) >= 60 * 1000000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM o GROUP BY event_type
+            )
+            SELECT event_type, n_total, n_kept,
+                   n_total - n_kept AS n_dropped
+            FROM kc ORDER BY event_type
+        """,
+        # k_anonymity: class sizes then a size histogram, FILTER folds
+        "k_anonymity": """
+            WITH cls AS (
+              SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+              FROM customer GROUP BY 1, 2
+            ), h AS (
+              SELECT n AS size, CAST(count(*) AS BIGINT) AS n_classes
+              FROM cls GROUP BY n
+            )
+            SELECT CAST(sum(size * n_classes) AS BIGINT) AS n_rows,
+                   CAST(sum(n_classes) AS BIGINT) AS n_classes,
+                   CAST(coalesce(sum(n_classes) FILTER (size < 5), 0) AS BIGINT)
+                     AS n_classes_below_k,
+                   CAST(coalesce(sum(size * n_classes) FILTER (size < 5), 0) AS BIGINT)
+                     AS n_rows_at_risk,
+                   CAST(coalesce(min(size), 0) AS BIGINT) AS min_class_size
+            FROM h
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific

@@ -4788,3 +4788,161 @@ def cusum_days(
             }
         )
     )
+
+
+def debounce_events(
+    events: ray.data.Dataset, window_s: int = 60
+) -> ray.data.Dataset:
+    """Telemetry debounce: per (user, event_type), an event is NOISE
+    when it fires within ``window_s`` seconds of the PREVIOUS same-type
+    event ((ts, event_id) order — the lag rule, so a long burst keeps
+    only beats ≥ the window apart from their predecessor event, the
+    standard double-fire/retry-storm cleaner).  Output one row per
+    event type: total events, kept events, dropped events.
+
+    Scale shape: ONE (user, type)-keyed exchange of (user, type, ts,
+    event_id) projections; each partition sorts once and computes every
+    gap with one vectorized diff (segment starts always kept), folding
+    to ≤ |T| counter rows — only type-level counters leave."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column("user_id"),
+                "t": batch.column("event_type"),
+                "ts": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "eid": batch.column("event_id"),
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_total", pa.int64()),
+                    ("n_kept", pa.int64()),
+                ]
+            ).empty_table()
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[
+                    ("u", "ascending"),
+                    ("t", "ascending"),
+                    ("ts", "ascending"),
+                    ("eid", "ascending"),
+                ],
+            )
+        )
+        u = s.column("u").to_numpy(zero_copy_only=False)
+        t = s.column("t").to_numpy(zero_copy_only=False)
+        ts = s.column("ts").to_numpy(zero_copy_only=False)
+        starts = np.r_[True, (u[1:] != u[:-1]) | (t[1:] != t[:-1])]
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = starts | (gap >= window_s * 1_000_000)
+        tv, inv = np.unique(t, return_inverse=True)
+        total = np.bincount(inv, minlength=len(tv))
+        kept = np.bincount(inv[keep], minlength=len(tv))
+        return pa.table(
+            {
+                "event_type": pa.array([str(x) for x in tv], pa.string()),
+                "n_total": pa.array(total.astype(np.int64), pa.int64()),
+                "n_kept": pa.array(kept.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    folded = (
+        hash_partitioned_groups(
+            events.map_batches(proj, batch_format="pyarrow"), ["u", "t"], per_part, n_parts
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n_total", alias_name="n_total"), Sum("n_kept", alias_name="n_kept"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_total": batch.column("n_total").cast(pa.int64()),
+                "n_kept": batch.column("n_kept").cast(pa.int64()),
+                "n_dropped": pc.subtract(
+                    batch.column("n_total").cast(pa.int64()),
+                    batch.column("n_kept").cast(pa.int64()),
+                ),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+def k_anonymity(
+    ds: ray.data.Dataset, qi_cols: list[str], k: int = 5
+) -> ray.data.Dataset:
+    """k-anonymity audit over a quasi-identifier column set (the privacy
+    gate before a table ships: how many rows sit in an equivalence
+    class smaller than k — i.e. are re-identifiable by the QI combo?).
+    Output one row: (n_rows, n_classes, n_classes_below_k,
+    n_rows_at_risk, min_class_size).
+
+    Scale shape: per-batch QI-combo Arrow hash-aggregate partials bound
+    the ONE exchange at distinct-combos-per-batch; a second combine-fed
+    fold reduces the summed class sizes to size-histogram rows
+    (≤ distinct sizes per batch), and the driver folds only the
+    histogram — class cardinality never reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def combo_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(qi_cols).group_by(qi_cols).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                **{c: t.column(c) for c in qi_cols},
+                "n": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    classes = (
+        ds.map_batches(combo_partial, batch_format="pyarrow")
+        .groupby(qi_cols)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n").combine_chunks())
+        return pa.table(
+            {
+                "size": vc.field("values").cast(pa.int64()),
+                "n_classes": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        classes.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("size")
+        .aggregate(Sum("n_classes", alias_name="n_classes"))
+        .take_all()
+    )  # ≤ distinct class sizes
+    n_rows = sum(int(r["size"]) * int(r["n_classes"]) for r in hist)
+    n_classes = sum(int(r["n_classes"]) for r in hist)
+    below = [(int(r["size"]), int(r["n_classes"])) for r in hist if int(r["size"]) < k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "n_classes": pa.array([n_classes], pa.int64()),
+                "n_classes_below_k": pa.array([sum(c for _, c in below)], pa.int64()),
+                "n_rows_at_risk": pa.array([sum(s * c for s, c in below)], pa.int64()),
+                "min_class_size": pa.array(
+                    [min((int(r["size"]) for r in hist), default=0)], pa.int64()
+                ),
+            }
+        )
+    )

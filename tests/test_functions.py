@@ -3570,3 +3570,73 @@ def test_predicate_cardinality_handcrafted(ray_session):
         assert got["P1"]["func_milli"] == 500 and got["P1"]["inv_func_milli"] == 1000
         assert got["P2"]["func_milli"] == 1000 and got["P2"]["inv_func_milli"] == 1000
         assert got["P3"]["func_milli"] == 1000 and got["P3"]["inv_func_milli"] == 500
+
+
+def test_debounce_events_handcrafted(ray_session):
+    """Lag-rule debounce: first event always kept, sub-window repeats
+    drop, an exactly-window gap keeps, per-(user,type) isolation (one
+    user's burst never debounces another's); partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import debounce_events
+
+    S = 1_000_000
+    ev = [
+        # user 1 type A: burst at 0, 10s, 59s, 130s — lag rule: keep 0
+        # (start) and 130 (71s after its predecessor); 10 and 59 drop
+        (1, "A", 0), (1, "A", 10 * S), (1, "A", 59 * S), (1, "A", 130 * S),
+        # user 2 type A: single event inside user 1's burst window
+        (2, "A", 5 * S),
+        # user 1 type B: same timestamps as A — types are independent
+        (1, "B", 0), (1, "B", 30 * S),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([e[0] for e in ev], pa.int64()),
+            "event_type": pa.array([e[1] for e in ev], pa.string()),
+            "ts": pa.array([e[2] for e in ev], pa.timestamp("us")),
+            "event_id": pa.array(list(range(len(ev))), pa.int64()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["event_type"]: r
+            for r in debounce_events(
+                ray.data.from_arrow(t).repartition(nb), window_s=60
+            ).take_all()
+        }
+        a = got["A"]
+        assert (a["n_total"], a["n_kept"], a["n_dropped"]) == (5, 3, 2)
+        b = got["B"]
+        assert (b["n_total"], b["n_kept"], b["n_dropped"]) == (2, 1, 1)
+
+
+def test_k_anonymity_handcrafted(ray_session):
+    """k-anonymity audit: class sizes, at-risk rows and min size match
+    the hand count; k boundary is strict (<); partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import k_anonymity
+
+    rows = (
+        [(1, "A")] * 5      # size 5: NOT below k=5 (strict)
+        + [(1, "B")] * 2    # size 2: at risk
+        + [(2, "A")] * 1    # size 1: at risk
+        + [(2, "B")] * 7    # size 7: safe
+    )
+    t = pa.table(
+        {
+            "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_mktsegment": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    for nb in (1, 4):
+        got = k_anonymity(
+            ray.data.from_arrow(t).repartition(nb),
+            ["c_nationkey", "c_mktsegment"],
+            k=5,
+        ).take_all()[0]
+        assert got["n_rows"] == 15 and got["n_classes"] == 4
+        assert got["n_classes_below_k"] == 2
+        assert got["n_rows_at_risk"] == 3
+        assert got["min_class_size"] == 1
