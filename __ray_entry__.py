@@ -1967,6 +1967,14 @@ def _q_pred_cardinality(sf_dir: str):
     return predicate_cardinality(_kg_run()["adjacency"])
 
 
+def _q_kg_components(sf_dir: str):
+    """Component-size histogram of the KG entity graph: canonical-edge
+    dedup partials, adaptive pointer-jumping CC, size-histogram fold."""
+    from relation_extraction_ray.functions.graph import component_size_hist
+
+    return component_size_hist(_kg_run()["adjacency"])
+
+
 def _q_pred_bigrams(sf_dir: str):
     """Two-hop predicate metapath counts over the KG — per-node in×out
     pred-tally cross products, never path enumeration."""
@@ -2552,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": _q_degree_hist,
         "pred_bigrams": _q_pred_bigrams,
         "pred_cardinality": _q_pred_cardinality,
+        "kg_components": _q_kg_components,
         "triple_provenance": _q_provenance,
         "media_features": _q_media_features,
         "supervised_eval": _q_supervised_eval,
@@ -5569,6 +5578,27 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_doc
             FROM read_parquet('{kg_paths["kg_triples"]}')
             GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+        """,
+        "kg_components": f"""
+            WITH RECURSIVE prk AS (
+              SELECT DISTINCT least(src_id, dst_id) AS pa,
+                              greatest(src_id, dst_id) AS pb
+              FROM read_parquet('{kg_paths["kg_adjacency"]}')
+              WHERE src_id <> dst_id
+            ), edges AS (
+              SELECT pa AS a, pb AS b FROM prk UNION SELECT pb, pa FROM prk
+            ), reach(node, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ), comp AS (
+              SELECT node, MIN(root) AS canonical_id FROM reach GROUP BY node
+            ), sz AS (
+              SELECT canonical_id, CAST(count(*) AS BIGINT) AS size
+              FROM comp GROUP BY canonical_id
+            )
+            SELECT size, CAST(count(*) AS BIGINT) AS n_components
+            FROM sz GROUP BY size ORDER BY size
         """,
         "pred_cardinality": f"""
             SELECT pred,

@@ -2771,3 +2771,81 @@ def predicate_cardinality(adjacency: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def component_size_hist(adjacency: ray.data.Dataset) -> ray.data.Dataset:
+    """Connected-component size histogram of the KG entity graph (the
+    fragmentation diagnostic: one giant component means the corpus
+    cross-links; thousands of small ones mean isolated fact islands —
+    and the giant-component size bounds any per-component algorithm's
+    worst partition).  Components over the deduped undirected simple
+    edge set; singleton (edge-free) entities are deliberately excluded
+    (output stays O(|edges|), the connected_components contract).
+    Output per size: (size, n_components), ascending.
+
+    Scale shape: per-batch canonical-edge Arrow dedup partials, the
+    engine's adaptive-pointer-jumping :func:`..components.connected_components`
+    (O(log n) rounds, broadcast labels below a byte bound, keyed
+    exchanges above), then a combine-fed (size → node count) fold whose
+    output is bounded by distinct sizes; the driver divides node counts
+    by size — n_components·size == n_nodes is asserted."""
+    from ray.data.aggregate import Sum
+
+    from .components import connected_components
+
+    def hex16_to_i64(ids: np.ndarray) -> np.ndarray:
+        """'e_<16 lowercase hex>' → order-preserving int64 (uint64 value
+        xor-shifted by 2⁶³): fixed-width lowercase hex is monotone with
+        its numeric value, so integer min == lexicographic min — the CC
+        needs integer labels (alias_clusters precedent).  Vectorized: a
+        16-step nibble fold over the ASCII byte matrix, no per-row
+        parse."""
+        raw = np.asarray(ids, dtype="U18").view(np.uint32).reshape(-1, 18)[:, 2:]
+        nib = raw - 48 - 39 * (raw >= 97)
+        acc = np.zeros(len(raw), np.uint64)
+        for i in range(16):
+            acc = acc * np.uint64(16) + nib[:, i].astype(np.uint64)
+        return (acc ^ np.uint64(1 << 63)).view(np.int64)
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_id").to_numpy(zero_copy_only=False)
+        d = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = s != d
+        si = hex16_to_i64(s[keep])
+        di = hex16_to_i64(d[keep])
+        a = np.minimum(si, di)
+        b = np.maximum(si, di)
+        t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    pairs = adjacency.map_batches(edge_partial, batch_format="pyarrow")
+    comp = connected_components(pairs, id_a="a", id_b="b")
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("cluster_size").combine_chunks())
+        return pa.table(
+            {
+                "size": vc.field("values").cast(pa.int64()),
+                "n_nodes": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        comp.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("size")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+        .take_all()
+    )  # ≤ distinct sizes
+    sizes = sorted(int(r["size"]) for r in hist)
+    nn = {int(r["size"]): int(r["n_nodes"]) for r in hist}
+    for s in sizes:
+        if nn[s] % s != 0:
+            raise AssertionError(f"component bookkeeping broken at size {s}")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "size": pa.array(sizes, pa.int64()),
+                "n_components": pa.array([nn[s] // s for s in sizes], pa.int64()),
+            }
+        )
+    )

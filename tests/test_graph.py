@@ -1020,3 +1020,40 @@ def test_power_law_alpha_replay(ray_session):
         max(hist),
         want2,
     )
+
+
+def test_component_size_hist_handcrafted(ray_session):
+    """Component-size histogram: a 3-chain, a 2-pair and a 4-star fold
+    to {2:1, 3:1, 4:1}; duplicate/self-loop edges collapse; the hex16
+    id → int64 mapping is order-preserving including the top-bit ids;
+    partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.graph import component_size_hist
+
+    def eid(n: int) -> str:
+        return f"e_{n:016x}"
+
+    big = (1 << 63) + 5  # top-bit-set uint64 → exercises the xor shift
+    edges = [
+        (eid(1), eid(2)), (eid(2), eid(3)),          # chain of 3
+        (eid(10), eid(11)),                           # pair
+        (eid(big), eid(big + 1)), (eid(big), eid(big + 2)), (eid(big), eid(big + 3)),  # star of 4
+        (eid(1), eid(2)),                             # duplicate edge
+        (eid(10), eid(10)),                           # self loop (dropped)
+    ]
+    t = pa.table(
+        {
+            "src_id": pa.array([e[0] for e in edges], pa.string()),
+            "pred": pa.array(["P"] * len(edges), pa.string()),
+            "dst_id": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["size"]: r["n_components"]
+            for r in component_size_hist(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert got == {2: 1, 3: 1, 4: 1}
