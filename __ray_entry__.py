@@ -365,6 +365,15 @@ def _q_revenue_gini(sf_dir: str):
     )
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Per-source TTR + hapax share: (source, token) value-count
+    partials → summed pair fold → |sources|-row combine; integer-milli
+    ratios."""
+    from relation_extraction_ray.functions.text import lexical_diversity
+
+    return lexical_diversity(_read(sf_dir, "documents", columns=["source", "text"]))
+
+
 def _q_lang_entropy(sf_dir: str):
     """Per-source Shannon entropy of the language mix (nats, nano):
     per-batch cell partials bound the exchange at |sources|·|langs|;
@@ -2472,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_dependence": _q_cat_dependence,
         "weighted_sample": _q_weighted_sample,
         "revenue_gini": _q_revenue_gini,
+        "lexical_diversity": _q_lexical_diversity,
         "lang_entropy": _q_lang_entropy,
         "audience_overlap": _q_audience_overlap,
         "priority_anova": _q_priority_anova,
@@ -3670,6 +3680,26 @@ def oracle_sql() -> dict[str, str]:
                              // (max(n) * max(sx))
                         ELSE 0 END AS BIGINT) AS gini_nano
             FROM w GROUP BY g ORDER BY g
+        """,
+        # lexical_diversity: the vocab_top100 tokenization per source,
+        # hapax = count-1 types, ratios in round-half-up integer milli
+        "lexical_diversity": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM tok WHERE token <> '' GROUP BY 1, 2
+            ), s AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+              FROM tc GROUP BY source
+            )
+            SELECT source, n_tokens, n_types,
+                   CAST((2000 * n_types + n_tokens) // (2 * n_tokens) AS BIGINT) AS ttr_milli,
+                   CAST((2000 * n_hapax + n_types) // (2 * n_types) AS BIGINT) AS hapax_milli
+            FROM s ORDER BY source
         """,
         # lang_entropy: H = ln(n) − (1/n)Σc·ln(c), both ln's nano-rounded
         # per term, truncating // (S ≥ 0 so floor agrees)

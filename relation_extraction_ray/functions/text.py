@@ -1569,3 +1569,104 @@ def top_terms_by_source(
     return hash_partitioned_groups(pairs, [group_col], per_part, n_parts).sort(
         [group_col, "rank"]
     )
+
+
+def lexical_diversity(
+    docs: ray.data.Dataset, source_col: str = "source", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Per-source lexical diversity: token count, type (distinct-token)
+    count, type-token ratio and hapax-legomenon share — the
+    repetitiveness signal that separates boilerplate-heavy crawls from
+    natural prose (a low TTR source is a dedup/boilerplate suspect
+    before any n-gram pass runs).  Ratios in exact integer milli,
+    round-half-up: ttr = (2000·types + tokens) // (2·tokens), hapax
+    share likewise over types.
+
+    Scale shape: per-batch (source, token) Arrow value-count partials
+    (the vocab_top_k split, with the source repeated by list length —
+    no per-row loop) bound the first exchange at distinct pairs per
+    batch; after the summed pair fold a second combine-fed partial
+    reduces each batch to ≤ |sources| (tokens, types, hapax) triples;
+    the driver folds |sources| rows."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lists = _split_lower(batch.column(text_col)).combine_chunks()
+        toks = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        rep = pa.array(np.repeat(src, lens))
+        t = pa.table({"source": rep, "token": toks})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        g = t.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "token": g.column("token"),
+                "c": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pair_counts = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def source_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        tokens = np.zeros(len(uniq), np.int64)
+        np.add.at(tokens, inv, c)
+        types = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        hapax = np.bincount(inv[c == 1], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array([str(x) for x in uniq], pa.string()),
+                "n_tokens": pa.array(tokens, pa.int64()),
+                "n_types": pa.array(types, pa.int64()),
+                "n_hapax": pa.array(hapax, pa.int64()),
+            }
+        )
+
+    rows = (
+        pair_counts.map_batches(source_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_types", alias_name="n_types"),
+            Sum("n_hapax", alias_name="n_hapax"),
+        )
+        .take_all()
+    )  # ≤ |sources| rows
+    rows.sort(key=lambda r: r["source"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r["source"] for r in rows], pa.string()),
+                "n_tokens": pa.array([int(r["n_tokens"]) for r in rows], pa.int64()),
+                "n_types": pa.array([int(r["n_types"]) for r in rows], pa.int64()),
+                "ttr_milli": pa.array(
+                    [
+                        (2000 * int(r["n_types"]) + int(r["n_tokens"]))
+                        // (2 * int(r["n_tokens"]))
+                        if int(r["n_tokens"]) > 0
+                        else 0
+                        for r in rows
+                    ],
+                    pa.int64(),
+                ),
+                "hapax_milli": pa.array(
+                    [
+                        (2000 * int(r["n_hapax"]) + int(r["n_types"]))
+                        // (2 * int(r["n_types"]))
+                        if int(r["n_types"]) > 0
+                        else 0
+                        for r in rows
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

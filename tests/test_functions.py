@@ -3640,3 +3640,45 @@ def test_k_anonymity_handcrafted(ray_session):
         assert got["n_classes_below_k"] == 2
         assert got["n_rows_at_risk"] == 3
         assert got["min_class_size"] == 1
+
+
+def test_lexical_diversity_handcrafted(ray_session):
+    """Per-source TTR/hapax: all-distinct prose scores 1000/1000, pure
+    repetition collapses both, the mixed source matches the hand count
+    (round-half-up milli); empty tokens drop; partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.text import lexical_diversity
+
+    docs = [
+        ("fresh", "alpha beta gamma delta"),        # 4 tokens, 4 types, 4 hapax
+        ("loop", "spam spam spam spam spam spam"),  # 6 tokens, 1 type, 0 hapax
+        ("mix", "a a b  c"),                        # double space → empty drops
+        ("mix", "b d"),                             # source totals: 6 tok, 4 types
+    ]
+    t = pa.table(
+        {
+            "source": pa.array([d[0] for d in docs], pa.string()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["source"]: r
+            for r in lexical_diversity(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        f = got["fresh"]
+        assert (f["n_tokens"], f["n_types"], f["ttr_milli"], f["hapax_milli"]) == (
+            4, 4, 1000, 1000
+        )
+        l = got["loop"]
+        assert (l["n_tokens"], l["n_types"], l["ttr_milli"], l["hapax_milli"]) == (
+            6, 1, 167, 0
+        )
+        m = got["mix"]  # tokens: a a b c b d → 6 tokens, types {a,b,c,d},
+        # hapax {c,d}; ttr = (8000+6)//12 = 667, hapax = (4000+4)//8 = 500
+        assert (m["n_tokens"], m["n_types"], m["ttr_milli"], m["hapax_milli"]) == (
+            6, 4, 667, 500
+        )
