@@ -365,6 +365,16 @@ def _q_revenue_gini(sf_dir: str):
     )
 
 
+def _q_centroid_similarity(sf_dir: str):
+    """Pairwise class-centroid cosine matrix: labels·dim micro-int sum
+    exchange, C(labels,2) exact-IEEE cosines on the driver."""
+    from relation_extraction_ray.functions.ann import centroid_similarity
+
+    return centroid_similarity(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    )
+
+
 def _q_lexical_diversity(sf_dir: str):
     """Per-source TTR + hapax share: (source, token) value-count
     partials → summed pair fold → |sources|-row combine; integer-milli
@@ -2482,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "revenue_gini": _q_revenue_gini,
         "lexical_diversity": _q_lexical_diversity,
+        "centroid_similarity": _q_centroid_similarity,
         "lang_entropy": _q_lang_entropy,
         "audience_overlap": _q_audience_overlap,
         "priority_anova": _q_priority_anova,
@@ -3680,6 +3691,37 @@ def oracle_sql() -> dict[str, str]:
                              // (max(n) * max(sx))
                         ELSE 0 END AS BIGINT) AS gini_nano
             FROM w GROUP BY g ORDER BY g
+        """,
+        # centroid_similarity: cosine of the micro-int SUM vectors (n
+        # divides out), HUGEINT dot/norms, one fixed IEEE form per pair
+        "centroid_similarity": """
+            WITH x AS (
+              SELECT label,
+                     list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)) AS micro
+              FROM embeddings
+            ), e AS (
+              SELECT label, i.i AS pos, micro[i.i + 1] AS m
+              FROM x, LATERAL (SELECT unnest(range(len(micro))) AS i) i
+            ), c AS (
+              SELECT CAST(label AS BIGINT) AS label, pos,
+                     CAST(sum(m) AS HUGEINT) AS s
+              FROM e GROUP BY label, pos
+            ), d AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     CAST(sum(a.s * b.s) AS HUGEINT) AS dot,
+                     CAST(sum(a.s * a.s) AS HUGEINT) AS na,
+                     CAST(sum(b.s * b.s) AS HUGEINT) AS nb
+              FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+              GROUP BY 1, 2
+            )
+            SELECT label_a, label_b,
+                   CAST(CASE WHEN na > 0 AND nb > 0
+                        THEN floor(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                             * 1e9 + 0.5)
+                        ELSE 0 END AS BIGINT) AS cos_nano
+            FROM d ORDER BY label_a, label_b
         """,
         # lexical_diversity: the vocab_top100 tokenization per source,
         # hapax = count-1 types, ratios in round-half-up integer milli

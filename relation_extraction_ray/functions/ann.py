@@ -1212,3 +1212,74 @@ def knn_pq_over_codes(
 
     local = codes_ds.map_batches(scan, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(_topk_finalize(k), batch_format="pyarrow")
+
+
+def centroid_similarity(
+    embeddings: ray.data.Dataset, label_col: str = "label"
+) -> ray.data.Dataset:
+    """Pairwise cosine between class centroids (the embedding-space
+    drift/confusability matrix: which labels' prototypes crowd each
+    other — the screen before a prototype classifier or SemDeDup
+    clustering trusts its classes).  Rides :func:`label_centroids`'
+    exact micro-int component-sum fold; cosine of the SUM vectors
+    equals cosine of the means (n divides out), so no division happens
+    before the single fixed IEEE final form per pair:
+    ``cos_nano = floor(dot/(sqrt(na)·sqrt(nb)) · 1e9 + 0.5)`` with dot
+    and norms exact python ints — bit-exact vs the HUGEINT SQL replay.
+
+    Scale shape: the exchange ships labels·dim integer rows per batch
+    (row-count-free); the driver folds a labels·dim table and emits
+    C(labels,2) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        micro = np.floor(m * 1e6 + 0.5)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, code = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.int64)
+        np.add.at(sums, code, micro.astype(np.int64))
+        n_lab, dim = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+                "sum_micro": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    rows = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"))
+        .take_all()
+    )  # labels·dim rows
+    vecs: dict = {}
+    for r in rows:
+        vecs.setdefault(int(r["label"]), {})[int(r["pos"])] = int(r["sum_micro"])
+    labels = sorted(vecs)
+    out_a, out_b, out_c = [], [], []
+    for i, la in enumerate(labels):
+        va = vecs[la]
+        for lb in labels[i + 1 :]:
+            vb = vecs[lb]
+            dot = sum(va[p] * vb.get(p, 0) for p in va)
+            na = sum(v * v for v in va.values())
+            nb = sum(v * v for v in vb.values())
+            if na > 0 and nb > 0:
+                c = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+                cn = int(np.floor(c * 1e9 + 0.5))
+            else:
+                cn = 0
+            out_a.append(la)
+            out_b.append(lb)
+            out_c.append(cn)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array(out_a, pa.int64()),
+                "label_b": pa.array(out_b, pa.int64()),
+                "cos_nano": pa.array(out_c, pa.int64()),
+            }
+        )
+    )

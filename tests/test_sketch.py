@@ -171,3 +171,40 @@ def test_bloom_merge_idempotent_and_block_invariant(ray_session):
     # distinct-only: same sketch as the deduplicated key set
     c = bloom_sketch(ray.data.from_items([{"k": f"v{i}"} for i in range(211)]), "k")
     assert (a == c).all()
+
+
+def test_centroid_similarity_closed_forms(ray_session):
+    """Centroid-pair cosine: identical classes → 1, orthogonal → 0,
+    opposite → −1; scale invariance (cos of sums == cos of means);
+    partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.ann import centroid_similarity
+
+    def vec(*v):
+        return list(map(float, v))
+
+    rows = [
+        (0, vec(1, 0, 0, 0)), (0, vec(1, 0, 0, 0)),
+        (1, vec(2, 0, 0, 0)),                       # same direction, 2× scale
+        (2, vec(0, 1, 0, 0)),                       # orthogonal
+        (3, vec(-1, 0, 0, 0)),                      # opposite
+    ]
+    t = pa.table(
+        {
+            "label": pa.array([r[0] for r in rows], pa.int32()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            (r["label_a"], r["label_b"]): r["cos_nano"]
+            for r in centroid_similarity(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert got[(0, 1)] == 1_000_000_000   # scale cancels
+        assert got[(0, 2)] == 0
+        assert got[(0, 3)] == -1_000_000_000
+        assert got[(2, 3)] == 0
+        assert len(got) == 6
