@@ -375,6 +375,17 @@ def _q_centroid_similarity(sf_dir: str):
     )
 
 
+def _q_cluster_scatter(sf_dir: str):
+    """Per-label within-scatter + nearest-centroid separation (integer
+    Davies-Bouldin ingredients): one labels·dim exchange, |labels|
+    output rows."""
+    from relation_extraction_ray.functions.ann import cluster_scatter
+
+    return cluster_scatter(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    )
+
+
 def _q_lexical_diversity(sf_dir: str):
     """Per-source TTR + hapax share: (source, token) value-count
     partials → summed pair fold → |sources|-row combine; integer-milli
@@ -2493,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": _q_revenue_gini,
         "lexical_diversity": _q_lexical_diversity,
         "centroid_similarity": _q_centroid_similarity,
+        "cluster_scatter": _q_cluster_scatter,
         "lang_entropy": _q_lang_entropy,
         "audience_overlap": _q_audience_overlap,
         "priority_anova": _q_priority_anova,
@@ -3722,6 +3734,54 @@ def oracle_sql() -> dict[str, str]:
                              * 1e9 + 0.5)
                         ELSE 0 END AS BIGINT) AS cos_nano
             FROM d ORDER BY label_a, label_b
+        """,
+        # cluster_scatter: n·Σ|v|² − |s|² clears the centroid mean;
+        # separations compare cross-multiplied rationals — pure integer
+        "cluster_scatter": """
+            WITH x AS (
+              SELECT label,
+                     list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)) AS micro
+              FROM embeddings
+            ), e AS (
+              SELECT label, i.i AS pos, micro[i.i + 1] AS m
+              FROM x, LATERAL (SELECT unnest(range(len(micro))) AS i) i
+            ), c AS (
+              SELECT CAST(label AS BIGINT) AS label, pos,
+                     CAST(sum(m) AS HUGEINT) AS s
+              FROM e GROUP BY 1, 2
+            ), st AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(list_sum(list_transform(micro, v -> v * v))) AS HUGEINT) AS sq
+              FROM x GROUP BY 1
+            ), intra AS (
+              SELECT st.label, st.n,
+                     (st.n * st.sq
+                      - (SELECT sum(s * s) FROM c WHERE c.label = st.label))
+                     // (st.n * st.n) AS intra_scaled
+              FROM st
+            ), pairs AS (
+              SELECT a.label AS la, b.label AS lb,
+                     CAST(sum((bn.n * a.s - an.n * b.s) * (bn.n * a.s - an.n * b.s))
+                          AS HUGEINT)
+                     // (an.n * an.n * bn.n * bn.n) AS sep
+              FROM c a
+              JOIN c b ON a.pos = b.pos AND a.label <> b.label
+              JOIN st an ON an.label = a.label
+              JOIN st bn ON bn.label = b.label
+              GROUP BY a.label, b.label, an.n, bn.n
+            ), best AS (
+              SELECT la, lb, sep,
+                     row_number() OVER (PARTITION BY la ORDER BY sep, lb) AS rn
+              FROM pairs
+            )
+            SELECT i.label, CAST(i.n AS BIGINT) AS n_vecs,
+                   CAST(i.intra_scaled AS BIGINT) AS intra_scaled,
+                   b.lb AS nearest_label,
+                   CAST(b.sep AS BIGINT) AS sep_scaled
+            FROM intra i JOIN best b ON b.la = i.label AND b.rn = 1
+            ORDER BY i.label
         """,
         # lexical_diversity: the vocab_top100 tokenization per source,
         # hapax = count-1 types, ratios in round-half-up integer milli

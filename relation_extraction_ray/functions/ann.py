@@ -1283,3 +1283,100 @@ def centroid_similarity(
             }
         )
     )
+
+
+def cluster_scatter(
+    embeddings: ray.data.Dataset, label_col: str = "label"
+) -> ray.data.Dataset:
+    """Per-label cluster-quality report (Davies-Bouldin's ingredients):
+    within-cluster scatter (mean squared distance to the class
+    centroid) and the squared distance to the NEAREST other centroid —
+    the compactness-vs-separation screen for embedding labels.  Exact
+    integers end-to-end: with micro-int vectors, n·Σ|v−s/n|² =
+    n·Σ|v|² − |s|² (the mean never materializes), so
+    ``intra_scaled = (n·Σ|v|² − |s|²) // n²`` is one integer division,
+    and centroid separation compares rationals |s_a/n_a − s_b/n_b|²
+    by the cross-multiplied integer ``|n_b·s_a − n_a·s_b|² //
+    (n_a·n_b)²`` — no floats anywhere, trivially bit-exact in SQL.
+
+    Scale shape: ONE exchange of (label, pos) rows carrying component
+    sum + a shared per-label Σ|v|² (labels·dim rows per batch, row-count
+    free); the driver folds labels·dim rows and emits |labels| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        micro = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, code = np.unique(labels, return_inverse=True)
+        n_lab, dim = len(uniq), m.shape[1]
+        sums = np.zeros((n_lab, dim), np.int64)
+        np.add.at(sums, code, micro)
+        sq = np.zeros(n_lab, np.int64)
+        np.add.at(sq, code, (micro * micro).sum(axis=1))  # |v|² ≤ dim·(max µ)²
+        counts = np.bincount(code, minlength=n_lab).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+                "s": pa.array(sums.reshape(-1)),
+                # n and Σ|v|² repeat on every pos row of the label; the
+                # driver reads them from pos 0 (sums agree on any pos)
+                "n": pa.array(np.repeat(counts, dim)),
+                "sq": pa.array(np.repeat(sq, dim)),
+            }
+        )
+
+    rows = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("n", alias_name="n"),
+            Sum("sq", alias_name="sq"),
+        )
+        .take_all()
+    )  # labels·dim rows
+    per: dict = {}
+    for r in rows:
+        d = per.setdefault(int(r["label"]), {"s": {}, "n": 0, "sq": 0})
+        d["s"][int(r["pos"])] = int(r["s"])
+        if int(r["pos"]) == 0:
+            d["n"] = int(r["n"])
+            d["sq"] = int(r["sq"])
+    labels = sorted(per)
+    out = {"label": [], "n_vecs": [], "intra_scaled": [], "nearest_label": [], "sep_scaled": []}
+    for la in labels:
+        a = per[la]
+        n_a = a["n"]
+        s_norm = sum(v * v for v in a["s"].values())
+        intra = (n_a * a["sq"] - s_norm) // (n_a * n_a)
+        best_lb, best_sep = -1, None
+        for lb in labels:
+            if lb == la:
+                continue
+            b = per[lb]
+            n_b = b["n"]
+            diff = sum(
+                (n_b * a["s"].get(p, 0) - n_a * b["s"].get(p, 0)) ** 2
+                for p in range(len(a["s"]))
+            )
+            sep = diff // (n_a * n_a * n_b * n_b)
+            if best_sep is None or sep < best_sep or (sep == best_sep and lb < best_lb):
+                best_lb, best_sep = lb, sep
+        out["label"].append(la)
+        out["n_vecs"].append(n_a)
+        out["intra_scaled"].append(intra)
+        out["nearest_label"].append(best_lb)
+        out["sep_scaled"].append(best_sep if best_sep is not None else 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(out["label"], pa.int64()),
+                "n_vecs": pa.array(out["n_vecs"], pa.int64()),
+                "intra_scaled": pa.array(out["intra_scaled"], pa.int64()),
+                "nearest_label": pa.array(out["nearest_label"], pa.int64()),
+                "sep_scaled": pa.array(out["sep_scaled"], pa.int64()),
+            }
+        )
+    )

@@ -208,3 +208,41 @@ def test_centroid_similarity_closed_forms(ray_session):
         assert got[(0, 3)] == -1_000_000_000
         assert got[(2, 3)] == 0
         assert len(got) == 6
+
+
+def test_cluster_scatter_closed_forms(ray_session):
+    """Cluster scatter: a tight pair has intra 0 and a far singleton
+    intra 0; separation is the squared centroid distance in micro²
+    units; nearest picks the closer centroid with ties by label;
+    partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.ann import cluster_scatter
+
+    U = 1_000_000  # one unit in micro
+    rows = [
+        (0, [0.0, 0.0]), (0, [0.0, 0.0]),     # tight at origin
+        (1, [3.0, 0.0]),                       # 3 units right
+        (2, [0.0, 4.0]),                       # 4 units up
+        (3, [1.0, 0.0]), (3, [-1.0, 0.0]),     # centroid origin, intra 1
+    ]
+    t = pa.table(
+        {
+            "label": pa.array([r[0] for r in rows], pa.int32()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["label"]: r
+            for r in cluster_scatter(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        assert got[0]["intra_scaled"] == 0
+        assert got[3]["intra_scaled"] == U * U            # mean |v−c|² = 1²
+        # label 0 centroid origin: dists² 9, 16, 0 → nearest label 3
+        assert got[0]["nearest_label"] == 3 and got[0]["sep_scaled"] == 0
+        # label 1 (3,0): to 0 → 9; to 2 → 25; to 3 → 9 → tie, lower label
+        assert got[1]["nearest_label"] == 0
+        assert got[1]["sep_scaled"] == 9 * U * U
