@@ -4532,19 +4532,17 @@ def audience_overlap(
     vocabulary — never row count) and folds to ≤ |T|² + |T| counter
     rows; the driver assembles the matrix from two tiny folds (the
     copurchase shape with a closed type vocabulary)."""
-    from ray.data.aggregate import Count
-
     from .joins import derive_n_parts, hash_partitioned_groups
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         t = batch.select([user_col, type_col]).group_by([user_col, type_col]).aggregate([])
         return t.rename_columns(["u", "t"])
 
-    distinct = (
-        events.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["u", "t"])
-        .aggregate(Count(alias_name="_c"))
-    )
+    # no intermediate (u, t) dedup groupby — the user-keyed group
+    # exchange right after it would shuffle the same rows again (the
+    # grouped_gini double-shuffle lesson); per-batch partials collapse
+    # within-batch duplicates and the reduce side drops cross-batch ones
+    distinct = events.map_batches(pair_partial, batch_format="pyarrow")
 
     def per_part(part: pa.Table) -> pa.Table:
         if "part" in part.column_names:
@@ -4558,6 +4556,8 @@ def audience_overlap(
         )
         u = s.column("u").to_numpy(zero_copy_only=False)
         t = s.column("t").to_numpy(zero_copy_only=False)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (t[1:] != t[:-1])]  # cross-batch dedup
+        u, t = u[keep], t[keep]
         starts = np.concatenate([[True], u[1:] != u[:-1]])
         run_id = np.cumsum(starts) - 1
         run_start = np.flatnonzero(starts)
