@@ -458,6 +458,16 @@ def _q_k_anonymity(sf_dir: str):
     )
 
 
+def _q_twa(sf_dir: str):
+    """Per-user time-weighted average value: one user-keyed exchange,
+    vectorized shifted-diff weighting, exact integer milli."""
+    from relation_extraction_ray.functions.relational import time_weighted_avg
+
+    return time_weighted_avg(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"])
+    )
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: each purchase credits the user's most
     recent click/view/signup within 24 h (or none) — one user-keyed
@@ -2511,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_days": _q_cusum,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
+        "time_weighted_avg": _q_twa,
         "event_transitions": _q_transitions,
         "top_orders": _q_top_orders,
         "events_by_day": _q_events,
@@ -3951,6 +3962,34 @@ def oracle_sql() -> dict[str, str]:
                      AS n_rows_at_risk,
                    CAST(coalesce(min(size), 0) AS BIGINT) AS min_class_size
             FROM h
+        """,
+        # time_weighted_avg: lead-window durations in epoch seconds,
+        # zero-span users report their first value verbatim
+        "time_weighted_avg": """
+            WITH o AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) // 1000000 AS sec,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     lead(epoch_us(ts) // 1000000) OVER w AS nxt,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts) // 1000000, event_id)
+            ), g AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                              ELSE cents * (nxt - sec) END) AS BIGINT) AS vw,
+                     CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                              ELSE nxt - sec END) AS BIGINT) AS span_s,
+                     CAST(min(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS first_cents
+              FROM o GROUP BY user_id
+            )
+            SELECT user_id, n_events, span_s,
+                   CAST(CASE WHEN span_s > 0
+                        THEN (2000 * vw + span_s) // (2 * span_s)
+                        ELSE 1000 * first_cents END AS BIGINT) AS twa_milli
+            FROM g ORDER BY user_id
         """,
         # conversion_latency: first signup per user, first purchase at or
         # after it, explicit ceil-rank order statistics (no engine-specific

@@ -4962,3 +4962,92 @@ def k_anonymity(
             }
         )
     )
+
+
+def time_weighted_avg(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user TIME-weighted average of the event value (the
+    average-balance / average-position statistic: each value holds from
+    its event until the next one, so a value held for a month counts
+    30× one held a day — the plain mean the naive groupby gives is
+    wrong whenever sampling is irregular).  Piecewise-constant
+    step-function average over [first_ts, last_ts] with (ts, event_id)
+    ordering; the last event's value spans zero time by construction.
+    Exact integers: value in cents, duration in epoch SECONDS
+    (``µs // 10⁶`` — identical truncation both engines; cents·seconds
+    products stay far inside int64), result in round-half-up milli-cents
+    ``twa_milli = (2000·Σv·Δt + D) // (2·D)``.  Single-event users
+    (D = 0) report their value verbatim.
+
+    Scale shape: ONE user-keyed exchange of (user, sec, cents, eid)
+    projections; each partition sorts once, weights every value with a
+    vectorized shifted diff (segment boundaries masked), and emits one
+    row per user."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "u": batch.column("user_id"),
+                "sec": pc.divide(ts, 1_000_000),
+                "cents": pa.array(
+                    _cents(batch.column("value").to_numpy(zero_copy_only=False))
+                ),
+                "eid": batch.column("event_id"),
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("span_s", pa.int64()),
+                    ("twa_milli", pa.int64()),
+                ]
+            ).empty_table()
+        s = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[("u", "ascending"), ("sec", "ascending"), ("eid", "ascending")],
+            )
+        )
+        u = s.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        sec = s.column("sec").to_numpy(zero_copy_only=False)
+        cents = s.column("cents").to_numpy(zero_copy_only=False)
+        starts = np.r_[True, u[1:] != u[:-1]]
+        # Δt to the NEXT event within the user; last event of each user
+        # (next row is a new user or the end) weighs zero
+        nxt_gap = np.empty(len(sec), np.int64)
+        nxt_gap[:-1] = sec[1:] - sec[:-1]
+        nxt_gap[-1] = 0
+        ends = np.r_[starts[1:], True]
+        nxt_gap[ends] = 0
+        w = cents * nxt_gap                      # ≤ 6e6 cents · 3e7 s ✓
+        run_start = np.flatnonzero(starts)
+        run_len = np.diff(np.r_[run_start, len(u)])
+        vw = np.add.reduceat(w, run_start)
+        # reduceat over the durations gives each user's span exactly
+        span = np.add.reduceat(nxt_gap, run_start)
+        n_ev = run_len.astype(np.int64)
+        first_cents = cents[run_start]
+        twa = np.where(
+            span > 0,
+            (2000 * vw + span) // (2 * span),
+            1000 * first_cents,  # zero-span users: the value itself, in milli
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u[run_start], pa.int64()),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "span_s": pa.array(span.astype(np.int64), pa.int64()),
+                "twa_milli": pa.array(twa.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pr = events.map_batches(proj, batch_format="pyarrow")
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pr, ["u"], per_part, n_parts).sort("user_id")

@@ -3682,3 +3682,44 @@ def test_lexical_diversity_handcrafted(ray_session):
         assert (m["n_tokens"], m["n_types"], m["ttr_milli"], m["hapax_milli"]) == (
             6, 4, 667, 500
         )
+
+
+def test_time_weighted_avg_handcrafted(ray_session):
+    """Interval-weighted mean: value 100 held 3 s then 400 held 1 s →
+    175 (the plain mean says 250 — the statistic exists because they
+    differ); last value weighs zero; single-event and same-second users
+    report their first value; partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.relational import time_weighted_avg
+
+    S = 1_000_000
+    ev = [
+        # user 1: v=1.00 @t0, v=4.00 @t3, v=9.99 @t4 (last: zero weight)
+        (1, 0, 1.00), (1, 3 * S, 4.00), (1, 4 * S, 9.99),
+        # user 2: single event
+        (2, 10 * S, 7.50),
+        # user 3: two events same second → span 0, first by event_id wins
+        (3, 20 * S, 2.00), (3, 20 * S + 1, 5.00),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([e[0] for e in ev], pa.int64()),
+            "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+            "value": pa.array([e[2] for e in ev], pa.float64()),
+            "event_id": pa.array(list(range(len(ev))), pa.int64()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["user_id"]: r
+            for r in time_weighted_avg(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        u1 = got[1]  # (100·3 + 400·1)/4 = 175 cents → 175000 milli
+        assert (u1["n_events"], u1["span_s"], u1["twa_milli"]) == (3, 4, 175_000)
+        assert (got[2]["n_events"], got[2]["span_s"], got[2]["twa_milli"]) == (
+            1, 0, 750_000
+        )
+        assert (got[3]["span_s"], got[3]["twa_milli"]) == (0, 200_000)
