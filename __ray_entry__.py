@@ -386,6 +386,14 @@ def _q_cluster_scatter(sf_dir: str):
     )
 
 
+def _q_dup_rate(sf_dir: str):
+    """Per-source exact-duplicate rate: digest-only (source, fp)
+    exchange, ≤ |sources| counter rows per partition."""
+    from relation_extraction_ray.functions.text import dup_rate_by_source
+
+    return dup_rate_by_source(_read(sf_dir, "documents", columns=["source", "text"]))
+
+
 def _q_lexical_diversity(sf_dir: str):
     """Per-source TTR + hapax share: (source, token) value-count
     partials → summed pair fold → |sources|-row combine; integer-milli
@@ -2513,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "revenue_gini": _q_revenue_gini,
         "lexical_diversity": _q_lexical_diversity,
+        "dup_rate": _q_dup_rate,
         "centroid_similarity": _q_centroid_similarity,
         "cluster_scatter": _q_cluster_scatter,
         "lang_entropy": _q_lang_entropy,
@@ -3793,6 +3802,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.sep AS BIGINT) AS sep_scaled
             FROM intra i JOIN best b ON b.la = i.label AND b.rn = 1
             ORDER BY i.label
+        """,
+        # dup_rate: the fingerprints-query md5, multiplicity > 1 mass
+        "dup_rate": """
+            WITH f AS (
+              SELECT source, md5(lower(text)) AS fp FROM documents
+            ), tc AS (
+              SELECT source, fp, CAST(count(*) AS BIGINT) AS c
+              FROM f GROUP BY 1, 2
+            ), s AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+              FROM tc GROUP BY source
+            )
+            SELECT source, n_docs, n_dup_docs,
+                   CAST((2000 * n_dup_docs + n_docs) // (2 * n_docs) AS BIGINT) AS dup_milli
+            FROM s ORDER BY source
         """,
         # lexical_diversity: the vocab_top100 tokenization per source,
         # hapax = count-1 types, ratios in round-half-up integer milli

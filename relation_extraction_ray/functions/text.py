@@ -1670,3 +1670,111 @@ def lexical_diversity(
             }
         )
     )
+
+
+def dup_rate_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source exact-duplicate rate (which crawl is feeding the
+    pipeline copies: docs whose normalized text fingerprint appears
+    more than once WITHIN the source, in round-half-up integer milli).
+    Fingerprint = md5 of the lowercased text — the fingerprints-query
+    definition, so the two audits agree by construction.
+
+    Scale shape: per-batch (source, fp-digest) distinct partials (16-byte
+    digests travel, never text — the distinct_texts discipline), ONE
+    (source, fp) exchange whose per-partition fold counts each
+    fingerprint's multiplicity and emits ≤ |sources| (docs, dup_docs)
+    counter rows; a final aggregate-sized groupby folds cross-partition
+    counters.  A fingerprint's rows co-locate because the exchange keys
+    on (source, fp) itself."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch.column("text")).to_pylist()
+        fps = [hashlib.md5((t or "").encode()).digest() for t in texts]
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "fp": pa.array(fps, pa.binary(16)),
+            }
+        )
+        g = t.group_by(["source", "fp"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "fp": g.column("fp"),
+                "c": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_dup_docs", pa.int64()),
+                ]
+            ).empty_table()
+        s = part.take(
+            pc.sort_indices(part, sort_keys=[("source", "ascending"), ("fp", "ascending")])
+        )
+        src = s.column("source").to_numpy(zero_copy_only=False)
+        fp = s.column("fp").to_numpy(zero_copy_only=False)
+        c = s.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        # merge cross-batch runs of the same (source, fp)
+        first = np.r_[True, (src[1:] != src[:-1]) | (fp[1:] != fp[:-1])]
+        runs = np.flatnonzero(first)
+        c = np.add.reduceat(c, runs)
+        src = src[runs]
+        uniq, inv = np.unique(src, return_inverse=True)
+        docs = np.zeros(len(uniq), np.int64)
+        np.add.at(docs, inv, c)
+        dup = np.zeros(len(uniq), np.int64)
+        np.add.at(dup, inv, np.where(c > 1, c, 0))
+        return pa.table(
+            {
+                "source": pa.array([str(x) for x in uniq], pa.string()),
+                "n_docs": pa.array(docs, pa.int64()),
+                "n_dup_docs": pa.array(dup, pa.int64()),
+            }
+        )
+
+    pr = docs.map_batches(partial, batch_format="pyarrow")
+    n_parts = derive_n_parts(docs.count(), rows_per_part=65536)
+    folded = (
+        hash_partitioned_groups(pr, ["source", "fp"], per_part, n_parts)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+        .take_all()
+    )
+    folded.sort(key=lambda r: r["source"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r["source"] for r in folded], pa.string()),
+                "n_docs": pa.array([int(r["n_docs"]) for r in folded], pa.int64()),
+                "n_dup_docs": pa.array(
+                    [int(r["n_dup_docs"]) for r in folded], pa.int64()
+                ),
+                "dup_milli": pa.array(
+                    [
+                        (2000 * int(r["n_dup_docs"]) + int(r["n_docs"]))
+                        // (2 * int(r["n_docs"]))
+                        if int(r["n_docs"]) > 0
+                        else 0
+                        for r in folded
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

@@ -3723,3 +3723,37 @@ def test_time_weighted_avg_handcrafted(ray_session):
             1, 0, 750_000
         )
         assert (got[3]["span_s"], got[3]["twa_milli"]) == (0, 200_000)
+
+
+def test_dup_rate_by_source_handcrafted(ray_session):
+    """Per-source duplicate rate: a triple-copy counts all three rows as
+    duplicate mass, case-normalized texts collide, clean sources report
+    zero; within-source scoping (the same text in two sources is not a
+    dup); partitioning invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.text import dup_rate_by_source
+
+    docs = [
+        ("a", "Hello World"), ("a", "hello world"), ("a", "HELLO WORLD"),  # 3 copies
+        ("a", "unique one"),
+        ("b", "hello world"),     # same text, different source → clean
+        ("b", "fresh text"),
+    ]
+    t = pa.table(
+        {
+            "source": pa.array([d[0] for d in docs], pa.string()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    for nb in (1, 3):
+        got = {
+            r["source"]: r
+            for r in dup_rate_by_source(
+                ray.data.from_arrow(t).repartition(nb)
+            ).take_all()
+        }
+        a = got["a"]  # 3 of 4 docs are dup mass → (6000+4)//8 = 750
+        assert (a["n_docs"], a["n_dup_docs"], a["dup_milli"]) == (4, 3, 750)
+        b = got["b"]
+        assert (b["n_docs"], b["n_dup_docs"], b["dup_milli"]) == (2, 0, 0)
