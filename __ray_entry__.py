@@ -1741,6 +1741,93 @@ def _q_cms_counts(sf_dir: str):
     )
 
 
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate-distinct audit (p=12, 4 KiB registers)
+    beside the exact count for two integer keys: the 100-TB cardinality
+    path (one register array per block across the exchange, max-merge,
+    retry-safe) with its estimate in the cross-engine fixed-IEEE form —
+    the SQL oracle replays the splitmix64 double-mix hash, the register
+    fold AND the estimate bit-for-bit."""
+    from relation_extraction_ray.functions.sketch import hll_distinct_audit
+
+    return hll_distinct_audit(
+        [
+            (
+                "lineitem.l_orderkey",
+                _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+                "l_orderkey",
+            ),
+            (
+                "orders.o_custkey",
+                _read(sf_dir, "orders", columns=["o_custkey"]),
+                "o_custkey",
+            ),
+        ]
+    )
+
+
+def _hll_sql_side(tag: str, table: str, col: str) -> tuple[str, str]:
+    """(CTE chain, final-select) replaying the engine's HLL on an integer
+    key column: ``hash_columns`` is ``mix64(mix64(v))`` for one int col
+    (joins.py:157-164), each splitmix64 step written as its own CTE with
+    multiply-mod-2^64 done hi/lo-split so HUGEINT never overflows; then
+    bucket/rho register fold (sketch.py:hll_fold) and the exact-integer
+    harmonic denominator + one fixed IEEE op sequence
+    (sketch.py:hll_estimate_exact_form)."""
+    m64 = "18446744073709551616"
+    muls = ("13787848793156543929", "10723151780598845931")  # splitmix64 odd constants
+    shifts = ("1073741824", "134217728", "2147483648")  # 2^30, 2^27, 2^31
+    ctes = [f"v{tag} AS (SELECT CAST({col} AS HUGEINT) AS x FROM {table})"]
+    cur = f"v{tag}"
+    for r in range(2):  # hash_columns: h = mix64(0 + mix64(v))
+        for i, step in enumerate(("s0", "m0", "s1", "m1", "s2")):
+            nm = f"h{tag}{r}{i}"
+            if step.startswith("m"):
+                c = f"CAST({muls[int(step[1])]} AS HUGEINT)"
+                expr = (
+                    f"(((x // 4294967296 * {c}) % {m64}) * 4294967296"
+                    f" + (x % 4294967296) * {c}) % {m64}"
+                )
+            else:
+                expr = f"xor(x, x // {shifts[int(step[1])]})"
+            ctes.append(f"{nm} AS (SELECT {expr} AS x FROM {cur})")
+            cur = nm
+    ctes.append(
+        f"r{tag} AS (SELECT x // 4503599627370496 AS bucket,"
+        f" CASE WHEN x % 4503599627370496 = 0 THEN 53"
+        f" ELSE 53 - length(bin(CAST(x % 4503599627370496 AS BIGINT))) END AS rho"
+        f" FROM {cur})"
+    )
+    ctes.append(f"g{tag} AS (SELECT bucket, max(rho) AS rho FROM r{tag} GROUP BY bucket)")
+    ctes.append(
+        f"s{tag} AS (SELECT CAST(sum(CAST(CAST(1 AS BIGINT) << (63 - rho) AS HUGEINT))"
+        f" AS HUGEINT) + (4096 - count(*)) * CAST(9223372036854775808 AS HUGEINT) AS s,"
+        f" CAST(4096 - count(*) AS BIGINT) AS zeros FROM g{tag})"
+    )
+    ctes.append(
+        f"e{tag} AS (SELECT CASE WHEN raw <= 2.5e0 * 4096 AND zeros > 0"
+        f" THEN 4096 * ln(4096 / CAST(zeros AS DOUBLE)) ELSE raw END AS est, zeros"
+        f" FROM (SELECT 0.7213e0 / (1.0e0 + 1.079e0 / 4096) * 4096 * 4096"
+        f" * 9.223372036854775808e18 / CAST(s AS DOUBLE) AS raw, zeros FROM s{tag}))"
+    )
+    final = (
+        f"SELECT '{table}.{col}' AS source,"
+        f" CAST(floor(est * 1000.0e0) AS BIGINT) AS est_milli,"
+        f" zeros AS n_zero_regs,"
+        f" (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}) AS true_distinct"
+        f" FROM e{tag}"
+    )
+    return ", ".join(ctes), final
+
+
+def _hll_sql() -> str:
+    c1, f1 = _hll_sql_side("a", "lineitem", "l_orderkey")
+    c2, f2 = _hll_sql_side("b", "orders", "o_custkey")
+    return (
+        f"WITH {c1}, {c2} SELECT * FROM ({f1} UNION ALL {f2}) ORDER BY source"
+    )
+
+
 def _cms_sql() -> str:
     """Exact SQL replay of the count-min sketch: same md5-slice buckets,
     same cell sums, min over d LEFT-JOINed cells (absent cell = 0)."""
@@ -2572,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": _q_bm25,
         "semantic_dedup": _q_semantic_dedup,
         "cms_counts": _q_cms_counts,
+        "hll_distinct": _q_hll_distinct,
         "corpus_drift": _q_corpus_drift,
         "token_cooc": _q_token_cooc,
         "dup_passages": _q_dup_passages,
@@ -5132,6 +5220,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cms_counts: the count-min sketch replayed cell-for-cell in SQL
         "cms_counts": _cms_sql(),
+        # hll_distinct: full sketch replay — splitmix64 double-mix in
+        # hi/lo-split HUGEINT mulmod CTEs, register max-fold, exact
+        # integer harmonic denominator, one shared IEEE op sequence
+        "hll_distinct": _hll_sql(),
         # semantic_dedup: unrolled k-centers + assignment + keep-first
         # prune replay — every decision is an integer micro-cosine compare
         "semantic_dedup": _semantic_dedup_sql(k=8, tau=400000),

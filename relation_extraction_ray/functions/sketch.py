@@ -101,6 +101,64 @@ def approx_distinct(ds: ray.data.Dataset, cols: list[str], p: int = 12) -> int:
     return int(round(hll_estimate(hll_registers(ds, cols, p))))
 
 
+def hll_estimate_exact_form(regs: np.ndarray) -> tuple[int, int]:
+    """(est_milli, n_zero_regs) from a register array in the
+    cross-engine-replayable fixed form.
+
+    :func:`hll_estimate`'s ``np.sum(np.exp2(-regs))`` is a pairwise float
+    sum whose rounding depends on summation order — a SQL engine cannot
+    replay it bit-for-bit.  Here the harmonic-mean denominator is folded
+    EXACTLY in integers first (``S = Σ 2^(63-ρ)``, a Python int ≤ m·2^63;
+    every term is a power of two so nothing rounds), and only then does
+    ONE fixed sequence of IEEE-double ops produce the estimate — the same
+    sequence a DuckDB oracle writes literally.  The small-range branch
+    uses ``math.log`` (bit-identical to DuckDB ``ln`` on this libm, the
+    cat_dependence precedent; numpy's SIMD log is 1 ulp off ~20% of the
+    time)."""
+    import math
+
+    m = len(regs)
+    counts = np.bincount(np.asarray(regs, np.uint8), minlength=64)
+    S = sum(int(c) << (63 - r) for r, c in enumerate(counts.tolist()) if c)
+    zeros = int(counts[0])
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128 branch of hll_estimate
+    est = alpha * m * m * float(1 << 63) / float(S)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting, small range
+    return int(math.floor(est * 1000.0)), zeros
+
+
+def hll_distinct_audit(
+    sources: list[tuple[str, ray.data.Dataset, str]], p: int = 12
+) -> pa.Table:
+    """Approximate-vs-exact distinct audit: one row per (label, dataset,
+    key column) source with the HLL estimate (integer-milli, fixed
+    cross-engine form) beside the true distinct count.
+
+    Scale shape: the sketch side is the 100-TB path — one streaming pass
+    per source, a single 2^p-byte register array per block across the
+    exchange, elementwise-max reduce (``hll_registers``).  The exact side
+    is the audit column: a groupby whose exchange carries one row per
+    distinct key — fine for the integer keys audited here, and exactly
+    the cost the sketch exists to avoid on unbounded-cardinality columns."""
+    labels, est_milli, zero_regs, true_n = [], [], [], []
+    for label, ds, col in sources:
+        em, z = hll_estimate_exact_form(hll_registers(ds, [col], p))
+        tn = ds.select_columns([col]).groupby(col).count().count()
+        labels.append(label)
+        est_milli.append(em)
+        zero_regs.append(z)
+        true_n.append(int(tn))
+    return pa.table(
+        {
+            "source": pa.array(labels, pa.string()),
+            "est_milli": pa.array(est_milli, pa.int64()),
+            "n_zero_regs": pa.array(zero_regs, pa.int64()),
+            "true_distinct": pa.array(true_n, pa.int64()),
+        }
+    ).sort_by("source")
+
+
 def approx_distinct_by_group(
     ds: ray.data.Dataset,
     group_col: str,

@@ -246,3 +246,32 @@ def test_cluster_scatter_closed_forms(ray_session):
         # label 1 (3,0): to 0 → 9; to 2 → 25; to 3 → 9 → tie, lower label
         assert got[1]["nearest_label"] == 0
         assert got[1]["sep_scaled"] == 9 * U * U
+
+
+def test_hll_exact_form_matches_float_estimate(ray_session):
+    """The SQL-replayable fixed form (exact-integer harmonic denominator,
+    one IEEE op sequence) tracks hll_estimate within 1 milli across both
+    branches — the float np.sum it replaces is order-dependent but its
+    terms are powers of two, so the two totals differ by < 1 ulp-ish."""
+    from relation_extraction_ray.functions.sketch import (
+        hll_estimate_exact_form,
+    )
+
+    for n in (200, 30_000):  # linear-counting branch, raw-HLL branch
+        regs = hll_registers(_ints_ds(list(range(n))), ["v"], p=12)
+        est_milli, zeros = hll_estimate_exact_form(regs)
+        ref = hll_estimate(regs)
+        assert abs(est_milli / 1000.0 - ref) <= max(1e-6 * ref, 2e-3)
+        assert zeros == int(np.count_nonzero(regs == 0))
+
+
+def test_hll_audit_rows(ray_session):
+    """End-to-end audit table: labels, exact counts, estimate envelope."""
+    from relation_extraction_ray.functions.sketch import hll_distinct_audit
+
+    vals = list(range(2000)) * 3
+    t = hll_distinct_audit([("t.v", _ints_ds(vals), "v")])
+    assert t.column("source").to_pylist() == ["t.v"]
+    assert t.column("true_distinct").to_pylist() == [2000]
+    est = t.column("est_milli").to_pylist()[0] / 1000.0
+    assert abs(est - 2000) / 2000 < 5 * 1.04 / np.sqrt(4096)
