@@ -314,6 +314,22 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_survival_km(sf_dir: str):
+    """Kaplan-Meier churn curve over customer order-activity lifetimes
+    (customers still ordering in the final 90 days right-censored):
+    per-customer day-span fold over one key-partitioned exchange,
+    calendar-bounded (duration, churned) histogram, exact integer-micro
+    product-limit recursion replayed by a recursive-CTE SQL oracle."""
+    from relation_extraction_ray.functions.relational import survival_km
+
+    return survival_km(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_custkey"]),
+        user_col="o_custkey",
+        ts_col="o_orderdate",
+        censor_window_days=90,
+    )
+
+
 def _q_autocorr(sf_dir: str):
     """Lag-1/lag-7 autocorrelation of the daily revenue series
     (weekly-seasonality detector): one combine-fed (day → cents) fold,
@@ -2615,6 +2631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": _q_audience_overlap,
         "priority_anova": _q_priority_anova,
         "cusum_days": _q_cusum,
+        "survival_km": _q_survival_km,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -4157,6 +4174,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN CASE WHEN 1000 * n * 7 > 2000 * trail_n THEN 1 ELSE 0 END
                         ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
             FROM tr ORDER BY day
+        """,
+        # survival_km: per-user day-span, censor inside the last-7-day
+        # window, suffix-sum at-risk, and the SAME integer-micro floor
+        # recursion S_k = S_{k-1}·(n_k−d_k)//n_k via a recursive CTE
+        "survival_km": """
+            WITH RECURSIVE ev AS (
+              SELECT o_custkey AS user_id,
+                     datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+              FROM orders
+            ), mx AS (
+              SELECT max(day) AS m FROM ev
+            ), pu AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM ev GROUP BY user_id
+            ), du AS (
+              SELECT hi - lo AS dur,
+                     CASE WHEN hi <= (SELECT m FROM mx) - 90 THEN 1 ELSE 0 END AS churned
+              FROM pu
+            ), hist AS (
+              SELECT dur,
+                     CAST(sum(churned) AS BIGINT) AS deaths,
+                     CAST(count(*) AS BIGINT) AS total
+              FROM du GROUP BY dur
+            ), ar AS (
+              SELECT dur, deaths,
+                     CAST(sum(total) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk
+              FROM hist
+            ), dd AS (
+              SELECT row_number() OVER (ORDER BY dur) AS rn, dur, at_risk, deaths
+              FROM ar WHERE deaths > 0
+            ), km(rn, dur, at_risk, deaths, surv) AS (
+              SELECT rn, dur, at_risk, deaths,
+                     (1000000 * (at_risk - deaths)) // at_risk
+              FROM dd WHERE rn = 1
+              UNION ALL
+              SELECT d.rn, d.dur, d.at_risk, d.deaths,
+                     (km.surv * (d.at_risk - d.deaths)) // d.at_risk
+              FROM km JOIN dd d ON d.rn = km.rn + 1
+            )
+            SELECT dur AS duration_day, at_risk, deaths,
+                   CAST(surv AS BIGINT) AS surv_micro
+            FROM km ORDER BY duration_day
         """,
         # attribution: per purchase the last preceding touch by rn within
         # the 24 h window (correlated ORDER BY rn DESC LIMIT 1 — the

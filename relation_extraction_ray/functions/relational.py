@@ -5051,3 +5051,156 @@ def time_weighted_avg(events: ray.data.Dataset) -> ray.data.Dataset:
     pr = events.map_batches(proj, batch_format="pyarrow")
     n_parts = derive_n_parts(events.count(), rows_per_part=65536)
     return hash_partitioned_groups(pr, ["u"], per_part, n_parts).sort("user_id")
+
+
+def survival_km(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_days: int = 7,
+) -> ray.data.Dataset:
+    """Kaplan-Meier retention curve over user lifetimes — the product-
+    limit estimator churn dashboards plot.  A user's lifetime is the day
+    span from their first to their last event; users whose last event
+    falls inside the final ``censor_window_days`` of the corpus are
+    right-CENSORED (still active, they leave the at-risk set without a
+    churn event), everyone else churns at their observed duration.  One
+    row per churn duration with the at-risk count, churn count and the
+    stepwise survival estimate ``S(t) = Π (n_k − d_k)/n_k``.
+
+    The estimate is kept EXACT and cross-engine replayable by folding
+    the product recursively in integer micro-units with floor division
+    (``S_k = S_{k−1}·(n_k − d_k) // n_k``, S₀ = 10⁶) — an order-free
+    float product would round differently per engine; the SQL oracle
+    replays the same recursion with a recursive CTE over row-numbered
+    churn durations.
+
+    Scale shape: pass 1 is a streaming max for the corpus horizon (one
+    scalar); pass 2 reduces each batch to per-user (min_day, max_day)
+    partials, ONE user-keyed exchange folds them with two reduceats, and
+    each partition emits a (duration, churned) → count histogram, so the
+    final groupby carries ≤ 2·span rows.  The driver sees only the
+    calendar-bounded histogram (the spike_days/cusum_days precedent)."""
+    from ray.data.aggregate import Max, Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def to_days(batch: pa.Table) -> np.ndarray:
+        return (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+
+    def day_max_partial(batch: pa.Table) -> pa.Table:
+        d = to_days(batch)
+        return pa.table({"day": pa.array([int(d.max())] if len(d) else [], pa.int64())})
+
+    out_schema = pa.schema(
+        [
+            ("duration_day", pa.int64()),
+            ("at_risk", pa.int64()),
+            ("deaths", pa.int64()),
+            ("surv_micro", pa.int64()),
+        ]
+    )
+    horizon_rows = (
+        events.map_batches(day_max_partial, batch_format="pyarrow")
+        .aggregate(Max("day", alias_name="m"))
+    )
+    if not horizon_rows or horizon_rows.get("m") is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    horizon = int(horizon_rows["m"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        """Per-batch per-user (lo, hi) partials — lexsorted reduceat."""
+        u = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = to_days(batch)
+        order = np.argsort(u, kind="mergesort")
+        u, d = u[order], d[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pa.table(
+            {
+                "u": pa.array(u[starts], pa.int64()),
+                "lo": pa.array(np.minimum.reduceat(d, starts), pa.int64()),
+                "hi": pa.array(np.maximum.reduceat(d, starts), pa.int64()),
+            }
+        )
+
+    hist_schema = pa.schema(
+        [("dur", pa.int64()), ("churned", pa.int64()), ("n", pa.int64())]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return hist_schema.empty_table()
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        lo = part.column("lo").to_numpy(zero_copy_only=False)
+        hi = part.column("hi").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="mergesort")
+        u, lo, hi = u[order], lo[order], hi[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        glo = np.minimum.reduceat(lo, starts)
+        ghi = np.maximum.reduceat(hi, starts)
+        dur = ghi - glo
+        churned = (ghi <= horizon - censor_window_days).astype(np.int64)
+        key = dur * 2 + churned
+        vals, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "dur": pa.array(vals // 2, pa.int64()),
+                "churned": pa.array(vals % 2, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(events.count(), rows_per_part=65536)
+    rows = (
+        hash_partitioned_groups(
+            events.map_batches(project, batch_format="pyarrow"),
+            ["u"],
+            per_part,
+            n_parts,
+        )
+        .groupby(["dur", "churned"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # ≤ 2·span rows (calendar-bounded)
+    deaths: dict[int, int] = {}
+    totals: dict[int, int] = {}
+    for r in rows:
+        d, n = int(r["dur"]), int(r["n"])
+        totals[d] = totals.get(d, 0) + n
+        if int(r["churned"]):
+            deaths[d] = deaths.get(d, 0) + n
+    durs = sorted(totals)
+    suffix = 0
+    at_risk: dict[int, int] = {}
+    for d in reversed(durs):
+        suffix += totals[d]
+        at_risk[d] = suffix
+    out_d, out_r, out_k, out_s = [], [], [], []
+    surv = 1_000_000
+    for d in durs:
+        dk = deaths.get(d, 0)
+        if not dk:
+            continue  # S only steps at churn times
+        surv = surv * (at_risk[d] - dk) // at_risk[d]
+        out_d.append(d)
+        out_r.append(at_risk[d])
+        out_k.append(dk)
+        out_s.append(surv)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "duration_day": pa.array(out_d, pa.int64()),
+                "at_risk": pa.array(out_r, pa.int64()),
+                "deaths": pa.array(out_k, pa.int64()),
+                "surv_micro": pa.array(out_s, pa.int64()),
+            }
+        )
+    )

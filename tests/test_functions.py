@@ -3757,3 +3757,77 @@ def test_dup_rate_by_source_handcrafted(ray_session):
         assert (a["n_docs"], a["n_dup_docs"], a["dup_milli"]) == (4, 3, 750)
         b = got["b"]
         assert (b["n_docs"], b["n_dup_docs"], b["dup_milli"]) == (2, 0, 0)
+
+
+def _km_events(rows):
+    """rows: (user, day) — day as epoch-day int, emitted as timestamps."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], "datetime64[D]").astype(
+                        "datetime64[us]"
+                    )
+                ),
+            }
+        )
+    ).repartition(3)
+
+
+def test_survival_km_closed_form(ray_session):
+    """Hand-computed product-limit curve with censoring between steps.
+
+    Horizon = day 100; censor window 7 → churned iff last day ≤ 93.
+    users: A span 0-10 (churn, dur 10), B span 0-20 (churn, dur 20),
+    C span 5-20 (churn, dur 15), D span 0-96 (CENSORED, dur 96),
+    E span 90-100 (CENSORED, dur 10).
+    at_risk(10)=5, deaths=1 → S=1e6·4//5=800000
+    at_risk(15)=3 (A gone, E left at 10 censored... E dur 10 ≥ 10 counts
+    at 10; suffix at 15 = {B,C,D}) deaths=1 → S=800000·2//3=533333
+    at_risk(20)=2, deaths=1 → S=533333·1//2=266666
+    """
+    from relation_extraction_ray.functions.relational import survival_km
+
+    rows = (
+        [(1, 0), (1, 10)]
+        + [(2, 0), (2, 7), (2, 20)]
+        + [(3, 5), (3, 20)]
+        + [(4, 0), (4, 96)]
+        + [(5, 90), (5, 100)]
+    )
+    got = survival_km(_km_events(rows), censor_window_days=7).take_all()
+    assert [(r["duration_day"], r["at_risk"], r["deaths"], r["surv_micro"]) for r in got] == [
+        (10, 5, 1, 800000),
+        (15, 3, 1, 533333),
+        (20, 2, 1, 266666),
+    ]
+
+
+def test_survival_km_no_churn_and_empty(ray_session):
+    from relation_extraction_ray.functions.relational import survival_km
+
+    # every user active at the horizon → censored → empty curve
+    rows = [(1, 0), (1, 50), (2, 10), (2, 50)]
+    got = survival_km(_km_events(rows), censor_window_days=7)
+    assert got.count() == 0
+    empty = survival_km(_km_events([]).filter(lambda r: False))
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {
+        "duration_day", "at_risk", "deaths", "surv_micro",
+    }
+
+
+def test_survival_km_block_invariant(ray_session):
+    """Same curve at 1 and 6 blocks (exchange/fold determinism)."""
+    from relation_extraction_ray.functions.relational import survival_km
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for u in range(40):
+        lo = int(rng.integers(0, 50))
+        hi = lo + int(rng.integers(0, 60))
+        rows += [(u, lo), (u, hi), (u, (lo + hi) // 2)]
+    a = survival_km(_km_events(rows).repartition(1), censor_window_days=10).take_all()
+    b = survival_km(_km_events(rows).repartition(6), censor_window_days=10).take_all()
+    assert a == b and len(a) > 0
