@@ -330,6 +330,17 @@ def _q_survival_km(sf_dir: str):
     )
 
 
+def _q_ewma_daily(sf_dir: str):
+    """Binary-decay EWMA trend line over daily revenue (W=16 truncated
+    so numerator/denominator stay exact integer dot products): one
+    combine-fed day fold, calendar-bounded driver correlate."""
+    from relation_extraction_ray.functions.relational import ewma_daily
+
+    return ewma_daily(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    )
+
+
 def _q_autocorr(sf_dir: str):
     """Lag-1/lag-7 autocorrelation of the daily revenue series
     (weekly-seasonality detector): one combine-fed (day → cents) fold,
@@ -2632,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_anova": _q_priority_anova,
         "cusum_days": _q_cusum,
         "survival_km": _q_survival_km,
+        "ewma_daily": _q_ewma_daily,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -4174,6 +4186,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN CASE WHEN 1000 * n * 7 > 2000 * trail_n THEN 1 ELSE 0 END
                         ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
             FROM tr ORDER BY day
+        """,
+        # ewma_daily: windowed binary-decay weighted mean — integer dot
+        # products over the calendar grid, early days renormalize over
+        # the lags that exist (join bounded below by the span start)
+        "ewma_daily": """
+            WITH dc AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), span AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM dc
+            ), grid AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM span
+            ), g AS (
+              SELECT grid.day, coalesce(dc.cents, 0) AS cents
+              FROM grid LEFT JOIN dc ON dc.day = grid.day
+            ), w AS (
+              SELECT g.day, g.cents,
+                     CAST(sum(CAST(p.cents AS HUGEINT)
+                          * (CAST(1 AS BIGINT) << (15 - (g.day - p.day)))) AS HUGEINT) AS num,
+                     CAST(sum(CAST(1 AS BIGINT) << (15 - (g.day - p.day))) AS HUGEINT) AS den
+              FROM g JOIN g p ON p.day BETWEEN g.day - 15 AND g.day
+              GROUP BY g.day, g.cents
+            )
+            SELECT day, cents,
+                   CAST((1000 * num) // den AS BIGINT) AS ewma_milli
+            FROM w ORDER BY day
         """,
         # survival_km: per-user day-span, censor inside the last-7-day
         # window, suffix-sum at-risk, and the SAME integer-micro floor

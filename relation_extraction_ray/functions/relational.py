@@ -5204,3 +5204,87 @@ def survival_km(
             }
         )
     )
+
+
+def ewma_daily(
+    orders: ray.data.Dataset, window_days: int = 16
+) -> ray.data.Dataset:
+    """Exponentially-weighted moving average of the daily revenue series
+    (binary half-life smoothing, the trend line ops dashboards overlay
+    on the raw daily totals).  Day t's smoothed value is the weighted
+    mean of the trailing ``window_days`` revenues with weights
+    2^(W−1−k) for lag k — each day counts double its predecessor, and
+    truncating at W keeps the recursion-free windowed form EXACT in
+    integers: untruncated EWMA is an infinite recursion whose float
+    rounding no second engine replays, while here both numerator and
+    denominator are plain integer dot products (days before the span
+    start simply don't exist, so early days renormalize over the lags
+    that do).  Output per calendar day: (day, cents, ewma_milli) with
+    ewma_milli = (1000·Σ x_{t−k}·2^(W−1−k)) // Σ 2^(W−1−k) in
+    milli-cents.  Envelope: daily cents × 2^W must fit int64 — at
+    W=16 that is $1.4T/day, far past any corpus this reads.
+
+    Scale shape: the autocorr_daily/cusum_days shape — one combine-fed
+    (day → cents) fold bounded by distinct days per batch, then a
+    calendar-bounded driver pass (one int64 correlate) over ≤ span rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.argsort(d, kind="mergesort")
+        d, cents = d[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table(
+            {
+                "day": pa.array(d[starts], pa.int64()),
+                "cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+            }
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()
+    )  # ≤ span-many rows (calendar-bounded)
+    if not rows:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("day", pa.int64()), ("cents", pa.int64()), ("ewma_milli", pa.int64())]
+            ).empty_table()
+        )
+    days = np.array([r["day"] for r in rows], np.int64)
+    cs = np.array([r["cents"] for r in rows], np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    grid = np.zeros(hi - lo + 1, np.int64)
+    grid[days - lo] = cs
+    span = len(grid)
+    W = window_days
+    # num_t = Σ_{k=0..min(t,W-1)} grid[t-k]·2^(W-1-k): one int64 correlate
+    kernel = (np.int64(1) << np.arange(W - 1, -1, -1, dtype=np.int64))  # lag 0..W-1
+    padded = np.concatenate([np.zeros(W - 1, np.int64), grid])
+    num = np.zeros(span, np.int64)
+    for k in range(W):  # W (=16) shifted adds — O(W·span), span is calendar-bounded
+        num += padded[W - 1 - k : W - 1 - k + span] * kernel[k]
+    kcount = np.minimum(np.arange(span), W - 1)
+    full = np.int64((1 << W) - 1)
+    den = full - ((np.int64(1) << (W - 1 - kcount)) - 1)  # Σ_{k≤K} 2^(W-1-k)
+    ewma_milli = (1000 * num) // den
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(np.arange(span) + lo, pa.int64()),
+                "cents": pa.array(grid, pa.int64()),
+                "ewma_milli": pa.array(ewma_milli, pa.int64()),
+            }
+        )
+    )

@@ -3831,3 +3831,49 @@ def test_survival_km_block_invariant(ray_session):
     a = survival_km(_km_events(rows).repartition(1), censor_window_days=10).take_all()
     b = survival_km(_km_events(rows).repartition(6), censor_window_days=10).take_all()
     assert a == b and len(a) > 0
+
+
+def test_ewma_daily_closed_form(ray_session):
+    """3-day series, W=16: day0 = x0; day1 = (2·x1+x0)/3 renormalized
+    over existing lags; exact integer-milli floors."""
+    from relation_extraction_ray.functions.relational import ewma_daily
+
+    t = pa.table(
+        {
+            "o_orderdate": pa.array(
+                np.array([0, 1, 2], "datetime64[D]").astype("datetime64[us]")
+            ),
+            "o_totalprice": pa.array([1.00, 2.00, 4.00], pa.float64()),
+        }
+    )
+    got = ewma_daily(ray.data.from_arrow(t).repartition(2)).take_all()
+    # cents 100, 200, 400; weights (lag0,1,2) = 2^15, 2^14, 2^13
+    w0, w1, w2 = 1 << 15, 1 << 14, 1 << 13
+    exp = [
+        (0, 100, 1000 * (100 * w0) // w0),
+        (1, 200, 1000 * (200 * w0 + 100 * w1) // (w0 + w1)),
+        (2, 400, 1000 * (400 * w0 + 200 * w1 + 100 * w2) // (w0 + w1 + w2)),
+    ]
+    assert [(r["day"], r["cents"], r["ewma_milli"]) for r in got] == exp
+
+
+def test_ewma_daily_gap_and_block_invariance(ray_session):
+    """Missing calendar days are true zeros; result block-invariant."""
+    from relation_extraction_ray.functions.relational import ewma_daily
+
+    t = pa.table(
+        {
+            "o_orderdate": pa.array(
+                np.array([10, 13], "datetime64[D]").astype("datetime64[us]")
+            ),
+            "o_totalprice": pa.array([3.00, 6.00], pa.float64()),
+        }
+    )
+    a = ewma_daily(ray.data.from_arrow(t).repartition(1)).take_all()
+    b = ewma_daily(ray.data.from_arrow(t).repartition(2)).take_all()
+    assert a == b
+    assert [r["day"] for r in a] == [10, 11, 12, 13]
+    assert [r["cents"] for r in a] == [300, 0, 0, 600]
+    w = [1 << 15, 1 << 14, 1 << 13, 1 << 12]
+    # day 13: lags 0..3 present → (600·w0 + 0 + 0 + 300·w3)/(w0+w1+w2+w3)
+    assert a[3]["ewma_milli"] == 1000 * (600 * w[0] + 300 * w[3]) // sum(w)
