@@ -330,6 +330,20 @@ def _q_survival_km(sf_dir: str):
     )
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking over part names (window 5, Jaccard
+    ≥ 0.5): one range exchange (the sort), single-pass pair
+    enumeration with a tagged boundary strip stitching frames that
+    straddle batch splits."""
+    from relation_extraction_ray.functions.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _read(sf_dir, "part", columns=["p_name", "p_partkey"]),
+        key_col="p_name",
+        id_col="p_partkey",
+    )
+
+
 def _q_ewma_daily(sf_dir: str):
     """Binary-decay EWMA trend line over daily revenue (W=16 truncated
     so numerator/denominator stay exact integer dot products): one
@@ -2644,6 +2658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_days": _q_cusum,
         "survival_km": _q_survival_km,
         "ewma_daily": _q_ewma_daily,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -4186,6 +4201,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN CASE WHEN 1000 * n * 7 > 2000 * trail_n THEN 1 ELSE 0 END
                         ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
             FROM tr ORDER BY day
+        """,
+        # sorted_neighborhood: row_number over the blocking order, self
+        # join on rank distance ≤ w−1, integer token-set Jaccard gate
+        "sorted_neighborhood": """
+            WITH s AS (
+              SELECT p_partkey AS k, p_name AS name,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+              FROM part
+            ), tok AS (
+              SELECT k, rn, list_distinct(string_split(name, ' ')) AS toks FROM s
+            ), pr AS (
+              SELECT a.k AS a, b.k AS b,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS uni
+              FROM tok a JOIN tok b ON b.rn > a.rn AND b.rn <= a.rn + 4
+            )
+            SELECT a, b, CAST((1000 * inter) // uni AS BIGINT) AS jacc_milli
+            FROM pr WHERE uni > 0 AND 1000 * inter >= 500 * uni
+            ORDER BY a, b
         """,
         # ewma_daily: windowed binary-decay weighted mean — integer dot
         # products over the calendar grid, early days renormalize over

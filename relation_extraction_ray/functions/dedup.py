@@ -764,3 +764,161 @@ def fuzzy_ed1_pairs(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
         return t
 
     return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    tau_milli: int = 500,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood record-linkage blocking (Hernández &
+    Stolfo's SNM): sort by the blocking key, slide a ``window``-row
+    frame down the total order, and verify every in-frame pair with
+    token-set Jaccard ≥ ``tau_milli``/1000 — the classic cheap
+    alternative to all-pairs matching when near-duplicates sort near
+    each other.  Emits (a, b, jacc_milli) with ``a`` the lower-ranked
+    id under ``ORDER BY key, id``.
+
+    Scale shape: ONE range exchange (the sort — SNM's defining cost) of
+    the two projected columns, then a single pass over the sorted
+    blocks.  Cross-batch frames never re-shuffle: the SAME pass that
+    enumerates within-batch pairs also emits a tagged boundary strip —
+    each batch's first/last ``window−1`` rows plus its size and min
+    key — so the driver stitches frames that straddle batch splits
+    from ≤ 2·(window−1) rows per batch, exact regardless of how the
+    executor batches blocks.  The verify kernel is per-pair set ops on
+    whitespace token sets: bounded by window × rows, constant work per
+    pair (the copurchase basket-loop cost class), never all-pairs."""
+    w = window
+    strip_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("jacc_milli", pa.int64()),
+            ("is_strip", pa.int64()),
+            ("s_key", pa.string()),
+            ("s_id", pa.int64()),
+            ("s_pos", pa.int64()),
+            ("s_size", pa.int64()),
+        ]
+    )
+
+    def jacc_gate(names_a, names_b):
+        """(inter, union, pass) for two token-set lists — integer gate."""
+        out = []
+        for na, nb in zip(names_a, names_b):
+            A, B = set(na.split(" ")), set(nb.split(" "))
+            inter = len(A & B)
+            uni = len(A) + len(B) - inter
+            if uni and 1000 * inter >= tau_milli * uni:
+                out.append((1000 * inter) // uni)
+            else:
+                out.append(-1)
+        return out
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return strip_schema.empty_table()
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pa_, pb_, pj_ = [], [], []
+        for off in range(1, w):
+            if off >= n:
+                break
+            ja = jacc_gate(keys[:-off], keys[off:])
+            for i, j in enumerate(ja):
+                if j >= 0:
+                    pa_.append(int(ids[i]))
+                    pb_.append(int(ids[i + off]))
+                    pj_.append(j)
+        # boundary strip: first and last w-1 rows (dedup'd when n < 2(w-1))
+        pos = sorted(set(range(min(w - 1, n))) | set(range(max(0, n - w + 1), n)))
+        m = len(pa_)
+        return pa.table(
+            {
+                "a": pa.array(pa_ + [0] * len(pos), pa.int64()),
+                "b": pa.array(pb_ + [0] * len(pos), pa.int64()),
+                "jacc_milli": pa.array(pj_ + [0] * len(pos), pa.int64()),
+                "is_strip": pa.array([0] * m + [1] * len(pos), pa.int64()),
+                "s_key": pa.array([""] * m + [keys[p] for p in pos], pa.string()),
+                "s_id": pa.array([0] * m + [int(ids[p]) for p in pos], pa.int64()),
+                "s_pos": pa.array([0] * m + pos, pa.int64()),
+                "s_size": pa.array([0] * m + [n] * len(pos), pa.int64()),
+            }
+        )
+
+    srt = (
+        ds.select_columns([key_col, id_col])
+        .sort([key_col, id_col])
+        .map_batches(kernel, batch_format="pyarrow")
+        .materialize()
+    )
+    import pyarrow.compute as pc
+
+    def _only(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("is_strip"), tag))
+            return (
+                t.select(["s_key", "s_id", "s_pos", "s_size"])
+                if tag
+                else t.select(["a", "b", "jacc_milli"])
+            )
+
+        return f
+
+    strip_rows = srt.map_batches(_only(1), batch_format="pyarrow").take_all()
+    # order batches by their min composite key (strict: id unique)
+    batches: dict[tuple, list] = {}
+    for r in strip_rows:
+        batches.setdefault((r["s_key"], r["s_id"]), [])
+    # group rows by batch via (size, min-key): collect per batch using s_pos==0 row as anchor
+    # — instead, group by the batch's full strip: rows sharing s_size AND
+    # belonging together can't be told apart by size alone, so anchor on
+    # sorted order: strips from distinct batches occupy disjoint key
+    # ranges (the sort's range partition), so sorting ALL strip rows by
+    # (s_key, s_id) groups them; batch boundaries fall where s_pos resets
+    strip_rows.sort(key=lambda r: (r["s_key"], r["s_id"]))
+    groups: list[list] = []
+    prev_pos = None
+    for r in strip_rows:
+        if prev_pos is None or r["s_pos"] <= prev_pos:
+            groups.append([])
+        groups[-1].append(r)
+        prev_pos = r["s_pos"]
+    cross_a, cross_b, cross_j = [], [], []
+    offset = 0
+    ranked: list[tuple[int, str, int, int]] = []  # (global_rank, key, id, batch_idx)
+    for bi, g in enumerate(groups):
+        size = g[0]["s_size"]
+        for r in g:
+            ranked.append((offset + r["s_pos"], r["s_key"], r["s_id"], bi))
+        offset += size
+    ranked.sort()
+    for x in range(len(ranked)):
+        for y in range(x + 1, len(ranked)):
+            if ranked[y][0] - ranked[x][0] >= w:
+                break
+            if ranked[y][3] == ranked[x][3]:
+                continue  # same batch: already emitted by the kernel
+            j = jacc_gate([ranked[x][1]], [ranked[y][1]])[0]
+            if j >= 0:
+                cross_a.append(ranked[x][2])
+                cross_b.append(ranked[y][2])
+                cross_j.append(j)
+    pairs = srt.map_batches(_only(0), batch_format="pyarrow")
+    if cross_a:
+        pairs = pairs.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array(cross_a, pa.int64()),
+                        "b": pa.array(cross_b, pa.int64()),
+                        "jacc_milli": pa.array(cross_j, pa.int64()),
+                    }
+                )
+            )
+        )
+    return pairs.sort(["a", "b"])

@@ -3877,3 +3877,59 @@ def test_ewma_daily_gap_and_block_invariance(ray_session):
     w = [1 << 15, 1 << 14, 1 << 13, 1 << 12]
     # day 13: lags 0..3 present → (600·w0 + 0 + 0 + 300·w3)/(w0+w1+w2+w3)
     assert a[3]["ewma_milli"] == 1000 * (600 * w[0] + 300 * w[3]) // sum(w)
+
+
+def _snm_brute(rows, w=5, tau=500):
+    """Brute-force SNM replay: python sort, all rank pairs ≤ w−1."""
+    s = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = []
+    for i in range(len(s)):
+        for j in range(i + 1, min(i + w, len(s))):
+            A, B = set(s[i][1].split(" ")), set(s[j][1].split(" "))
+            inter = len(A & B)
+            uni = len(A) + len(B) - inter
+            if uni and 1000 * inter >= tau * uni:
+                out.append((s[i][0], s[j][0], (1000 * inter) // uni))
+    return sorted(out)
+
+
+def test_sorted_neighborhood_matches_brute_force_multiblock(ray_session):
+    """Many small input blocks → the sorted pass produces several
+    batches, so window frames straddle batch splits — the tagged
+    boundary strip must stitch them exactly."""
+    from relation_extraction_ray.functions.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(42)
+    vocab = ["red", "blue", "green", "small", "large", "widget", "bolt", "ring"]
+    rows = []
+    for i in range(300):
+        k = rng.choice(vocab, size=2, replace=False)
+        rows.append((i, " ".join(k)))
+    t = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_name": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    got = sorted_neighborhood_pairs(
+        ray.data.from_arrow(t).repartition(11), "p_name", "p_partkey"
+    ).take_all()
+    assert [(r["a"], r["b"], r["jacc_milli"]) for r in got] == _snm_brute(rows)
+
+
+def test_sorted_neighborhood_tiny_blocks_and_ties(ray_session):
+    """Blocks smaller than the window and heavy key ties: every strip
+    row participates, id breaks ties, cross-block pairs complete."""
+    from relation_extraction_ray.functions.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, "same name") for i in range(8)] + [(100 + i, "zed item") for i in range(3)]
+    t = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_name": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    got = sorted_neighborhood_pairs(
+        ray.data.from_arrow(t).repartition(6), "p_name", "p_partkey"
+    ).take_all()
+    assert [(r["a"], r["b"], r["jacc_milli"]) for r in got] == _snm_brute(rows)
