@@ -224,6 +224,28 @@ def main() -> None:
         rec.update(part_hist(exploded, ["s"], derived_num_parts()))
         record("ngram", rec)
 
+    if "snm" in want:
+        # sorted-neighborhood blocking: the one range exchange IS the
+        # cost model — probe the sort + single-pass window at 10^7 rows;
+        # driver strip burden is 2(w-1) rows per batch, recorded below
+        from relation_extraction_ray.functions.dedup import sorted_neighborhood_pairs
+
+        if docs is None:
+            t0 = time.time()
+            docs = gen_docs(n, args.blocks).materialize()
+            print(f"docs generated: {docs.count()} in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        out_rows = sorted_neighborhood_pairs(docs, "text", "doc_id").count()
+        wall = time.time() - t0
+        record(
+            "snm",
+            {
+                "wall_sec": round(wall, 1),
+                "out_rows": out_rows,
+                "driver_strip_rows_per_batch": 8,
+            },
+        )
+
     vecs = None
     if want & {"embed", "knn_lsh", "pq"}:
         t0 = time.time()
