@@ -330,6 +330,37 @@ def _q_survival_km(sf_dir: str):
     )
 
 
+def _q_fd_audit(sf_dir: str):
+    """Functional-dependency profiling of three candidate FDs (order →
+    returnflag, part → supplier, customer → priority): distinct-pair
+    partials, one det-keyed exchange folding to 3 counter rows per
+    partition."""
+    from relation_extraction_ray.functions.relational import fd_audit
+
+    return fd_audit(
+        [
+            (
+                "lineitem.l_orderkey->l_returnflag",
+                _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]),
+                "l_orderkey",
+                "l_returnflag",
+            ),
+            (
+                "lineitem.l_partkey->l_suppkey",
+                _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+                "l_partkey",
+                "l_suppkey",
+            ),
+            (
+                "orders.o_custkey->o_orderpriority",
+                _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+                "o_custkey",
+                "o_orderpriority",
+            ),
+        ]
+    )
+
+
 def _q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking over part names (window 5, Jaccard
     ≥ 0.5): one range exchange (the sort), single-pass pair
@@ -2659,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_km": _q_survival_km,
         "ewma_daily": _q_ewma_daily,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "fd_audit": _q_fd_audit,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -4201,6 +4233,38 @@ def oracle_sql() -> dict[str, str]:
                         THEN CASE WHEN 1000 * n * 7 > 2000 * trail_n THEN 1 ELSE 0 END
                         ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
             FROM tr ORDER BY day
+        """,
+        # fd_audit: per-FD distinct-dependent counts per key, violation
+        # and fan-out folds, integer-milli conformance
+        "fd_audit": """
+            WITH f1 AS (
+              SELECT 'lineitem.l_orderkey->l_returnflag' AS fd,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                     CAST(max(nd) AS BIGINT) AS max_fanout
+              FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+                    FROM lineitem GROUP BY l_orderkey)
+            ), f2 AS (
+              SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(max(nd) AS BIGINT)
+              FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+                    FROM lineitem GROUP BY l_partkey)
+            ), f3 AS (
+              SELECT 'orders.o_custkey->o_orderpriority' AS fd,
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(max(nd) AS BIGINT)
+              FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+                    FROM orders GROUP BY o_custkey)
+            ), u AS (
+              SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+            )
+            SELECT fd, n_keys, n_violating, max_fanout,
+                   CAST((1000 * (n_keys - n_violating)) // n_keys AS BIGINT)
+                     AS conformance_milli
+            FROM u ORDER BY fd
         """,
         # sorted_neighborhood: row_number over the blocking order, self
         # join on rank distance ≤ w−1, integer token-set Jaccard gate

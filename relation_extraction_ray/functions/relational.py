@@ -5288,3 +5288,72 @@ def ewma_daily(
             }
         )
     )
+
+
+def fd_audit(
+    specs: list[tuple[str, ray.data.Dataset, str, str]]
+) -> pa.Table:
+    """Functional-dependency audit — the data-profiling primitive behind
+    schema discovery and quality gates: for each candidate FD
+    ``det → dep`` report how many determinant keys exist, how many
+    VIOLATE the dependency (map to more than one distinct dependent
+    value), the worst fan-out, and the conformance ratio in integer
+    milli.  ``specs`` rows are (label, dataset, det_col, dep_col).
+
+    Scale shape (the dup_rate digest-exchange shape): per-batch Arrow
+    ``group_by`` collapses to distinct (det, dep) pairs — only distinct
+    pairs travel — ONE det-keyed exchange co-locates each key's pairs,
+    and every partition folds to a single (n_keys, n_violating,
+    max_fanout) counter row via lexsort + run masks; the driver sums
+    counters, never sees keys."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    out_labels, out_keys, out_viol, out_maxd, out_conf = [], [], [], [], []
+    for label, ds, det, dep in specs:
+        def pair_partial(batch: pa.Table, det=det, dep=dep) -> pa.Table:
+            return batch.select([det, dep]).group_by([det, dep]).aggregate([])
+
+        counter_schema = pa.schema(
+            [("n_keys", pa.int64()), ("viol", pa.int64()), ("maxd", pa.int64())]
+        )
+
+        def per_part(part: pa.Table, det=det, dep=dep) -> pa.Table:
+            if "part" in part.column_names:
+                part = part.drop_columns(["part"])
+            if part.num_rows == 0:
+                return counter_schema.empty_table()
+            # cross-batch distinct, then per-key distinct-dep run lengths
+            part = part.group_by([det, dep]).aggregate([])
+            d = part.column(det).to_numpy(zero_copy_only=False)
+            order = np.argsort(d, kind="mergesort")
+            d = d[order]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            runs = np.diff(np.r_[starts, len(d)])
+            return pa.table(
+                {
+                    "n_keys": pa.array([len(starts)], pa.int64()),
+                    "viol": pa.array([int((runs > 1).sum())], pa.int64()),
+                    "maxd": pa.array([int(runs.max())], pa.int64()),
+                }
+            )
+
+        pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+        n_parts = derive_n_parts(ds.count(), rows_per_part=65536)
+        rows = hash_partitioned_groups(pairs, [det], per_part, n_parts).take_all()
+        nk = sum(int(r["n_keys"]) for r in rows)
+        vi = sum(int(r["viol"]) for r in rows)
+        md = max((int(r["maxd"]) for r in rows), default=0)
+        out_labels.append(label)
+        out_keys.append(nk)
+        out_viol.append(vi)
+        out_maxd.append(md)
+        out_conf.append((1000 * (nk - vi)) // nk if nk else 1000)
+    return pa.table(
+        {
+            "fd": pa.array(out_labels, pa.string()),
+            "n_keys": pa.array(out_keys, pa.int64()),
+            "n_violating": pa.array(out_viol, pa.int64()),
+            "max_fanout": pa.array(out_maxd, pa.int64()),
+            "conformance_milli": pa.array(out_conf, pa.int64()),
+        }
+    ).sort_by("fd")

@@ -3933,3 +3933,28 @@ def test_sorted_neighborhood_tiny_blocks_and_ties(ray_session):
         ray.data.from_arrow(t).repartition(6), "p_name", "p_partkey"
     ).take_all()
     assert [(r["a"], r["b"], r["jacc_milli"]) for r in got] == _snm_brute(rows)
+
+
+def test_fd_audit_closed_form(ray_session):
+    """Hand-built FD: key 1 → {a}, key 2 → {a,b,c}, key 3 → {b} ⇒
+    3 keys, 1 violating, fan-out 3, conformance 666; block-invariant."""
+    from relation_extraction_ray.functions.relational import fd_audit
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, 2, 3], pa.int64()),
+            "v": pa.array(["a", "a", "a", "b", "c", "a", "b"], pa.string()),
+        }
+    )
+    for nb in (1, 4):
+        got = fd_audit(
+            [("t.k->v", ray.data.from_arrow(t).repartition(nb), "k", "v")]
+        )
+        row = got.to_pylist()[0]
+        assert row == {
+            "fd": "t.k->v",
+            "n_keys": 3,
+            "n_violating": 1,
+            "max_fanout": 3,
+            "conformance_milli": 666,
+        }
