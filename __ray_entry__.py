@@ -2165,6 +2165,15 @@ def _q_pagerank_personal(sf_dir: str):
     return pagerank(_kg_run()["adjacency"], iters=5, seed_pct=5)
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities (3 rounds, integer max-rescale) over the
+    pipeline's adjacency — the link-analysis dual of PageRank; mirrored
+    u-/v-keyed edge partitions, one keyed exchange per half-step."""
+    from relation_extraction_ray.functions.graph import hits
+
+    return hits(_kg_run()["adjacency"], iters=3)
+
+
 def _q_pred_cardinality(sf_dir: str):
     """Per-predicate cardinality / PARIS functionality profile of the
     KG: one combine-fed pred fold + the distinct-(pred,role,id) pair
@@ -2691,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": _q_ewma_daily,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
+        "hits_scores": _q_hits,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -3301,6 +3311,41 @@ def _pagerank_sql(adj_path: str, iters: int = 5, seed_pct: int | None = None) ->
         "WITH "
         + cte
         + f"\n    SELECT node, rank FROM r{iters} ORDER BY rank DESC, node ASC"
+    )
+
+
+def _hits_sql(adj_path: str, iters: int = 3) -> str:
+    """Unroll the engine's integer HITS recurrence (functions/graph.py
+    hits): distinct directed edges, s₀ = 10⁶ everywhere, each half-step
+    sums the opposite score over in-/out-edges then rescales to 10⁶ at
+    the max — all-integer, bit-exact at any partitioning."""
+    cte = f"""
+    e AS (SELECT DISTINCT src_id AS u, dst_id AS v FROM read_parquet('{adj_path}')),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
+    for i in range(1, iters + 1):
+        cte += f""",
+    a{i}r AS (SELECT n.node, CAST(coalesce(sum(h.s), 0) AS BIGINT) AS s
+           FROM nodes n LEFT JOIN e ON e.v = n.node
+           LEFT JOIN h{i - 1} h ON h.node = e.u GROUP BY n.node),
+    a{i}m AS (SELECT max(s) AS m FROM a{i}r),
+    a{i} AS (SELECT node, CAST(CASE WHEN (SELECT m FROM a{i}m) > 0
+           THEN s * 1000000 // (SELECT m FROM a{i}m) ELSE 0 END AS BIGINT) AS s
+           FROM a{i}r),
+    h{i}r AS (SELECT n.node, CAST(coalesce(sum(a.s), 0) AS BIGINT) AS s
+           FROM nodes n LEFT JOIN e ON e.u = n.node
+           LEFT JOIN a{i} a ON a.node = e.v GROUP BY n.node),
+    h{i}m AS (SELECT max(s) AS m FROM h{i}r),
+    h{i} AS (SELECT node, CAST(CASE WHEN (SELECT m FROM h{i}m) > 0
+           THEN s * 1000000 // (SELECT m FROM h{i}m) ELSE 0 END AS BIGINT) AS s
+           FROM h{i}r)"""
+    return (
+        "WITH "
+        + cte
+        + f"""
+    SELECT n.node, h.s AS hub_scaled, a.s AS auth_scaled
+    FROM nodes n JOIN h{iters} h ON h.node = n.node
+    JOIN a{iters} a ON a.node = n.node ORDER BY n.node"""
     )
 
 
@@ -5900,6 +5945,7 @@ def oracle_sql() -> dict[str, str]:
         # ranks its own pipeline's adjacency, the SQL ranks the
         # single-process oracle's) — integer // everywhere, bit-exact
         "pagerank": _pagerank_sql(kg_paths["kg_adjacency"], iters=5),
+        "hits_scores": _hits_sql(kg_paths["kg_adjacency"], iters=3),
         "pagerank_personal": _pagerank_sql(kg_paths["kg_adjacency"], iters=5, seed_pct=5),
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)

@@ -2849,3 +2849,209 @@ def component_size_hist(adjacency: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def hits(adjacency: ray.data.Dataset, iters: int = 3) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED distinct
+    edge set of the adjacency table — the link-analysis dual of
+    PageRank: a good hub points at good authorities, a good authority
+    is pointed at by good hubs.  Mutual recursion ``a(v) = Σ_{u→v} h(u)``
+    / ``h(u) = Σ_{u→v} a(v)`` run ``iters`` rounds, with the usual
+    normalization replaced by an integer rescale to 10⁶ at the MAX
+    score after every half-step (floats never appear, so the SQL unroll
+    replays bit-exactly; envelope: max in/out-degree × 10¹² must fit
+    int64 — degree ≤ 9·10⁶, far past the KG's hubs).
+
+    Scale shape: distinct directed edges are MIRRORED once — a u-keyed
+    row for the hub→authority probe and a v-keyed row for the
+    authority→hub probe — and both exchanges are hash-partitioned by
+    that key with cross-batch dedup reduce-side (the pagerank
+    ``_collapsed_edges`` prep shape); each half-step unions the current
+    score rows into the matching partition, probes with one vectorized
+    searchsorted, pre-sums contributions per destination INSIDE the
+    partition, and folds one global max (a scalar) for the rescale.
+    The pagerank object-store pinning bound applies identically; this
+    implementation keeps the re-union path (bit-equal by construction,
+    correct at any size)."""
+    n_edges = adjacency.count()
+    n_parts = derive_n_parts(n_edges, rows_per_part=65536)
+    SCALE6 = 10**6
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"u": batch.column("src_id"), "v": batch.column("dst_id")})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        fwd = pa.table({"key": t.column("u"), "other": t.column("v")})
+        bwd = pa.table({"key": t.column("v"), "other": t.column("u")})
+        fwd = fwd.append_column("dir", pa.array(np.zeros(t.num_rows, np.int8)))
+        bwd = bwd.append_column("dir", pa.array(np.ones(t.num_rows, np.int8)))
+        out = pa.concat_tables([fwd, bwd])
+        return out.append_column("part", part_array(out, ["key"], n_parts))
+
+    edge_prep_schema = pa.schema(
+        [("key", pa.string()), ("other", pa.string()), ("dir", pa.int8()),
+         ("part", pa.int32())]
+    )
+
+    def prep_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return edge_prep_schema.empty_table()
+        t = part.group_by(["key", "other", "dir"]).aggregate([])
+        pid = part.column("part")[0].as_py()
+        t = t.sort_by([("dir", "ascending"), ("key", "ascending"), ("other", "ascending")])
+        return t.append_column(
+            "part", pa.array(np.full(t.num_rows, pid, np.int32))
+        )
+
+    edges = (
+        adjacency.map_batches(mirror, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(prep_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(batch.column("key").combine_chunks())})
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "contrib": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pyarrow").materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "s": pa.array(np.full(batch.num_rows, SCALE6, np.int64)),
+            }
+        )
+
+    def half_step(scores: ray.data.Dataset, direction: int) -> ray.data.Dataset:
+        """direction 0: auth(other) += score(key=u) over fwd edge rows;
+        direction 1: hub(other) += score(key=v) over bwd edge rows."""
+
+        def score_side(batch: pa.Table) -> pa.Table:
+            t = pa.table({"key": batch.column("node"), "s": batch.column("s")})
+            t = t.append_column("part", part_array(t, ["key"], n_parts))
+            return pa.table(
+                {
+                    "key": t.column("key"),
+                    "other": pa.array([None] * t.num_rows, pa.string()),
+                    "dir": pa.array(np.full(t.num_rows, -1, np.int8)),
+                    "s": t.column("s"),
+                    "part": t.column("part"),
+                }
+            )
+
+        def edge_side(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("dir"), direction)
+            t = batch.filter(keep)
+            return pa.table(
+                {
+                    "key": t.column("key"),
+                    "other": t.column("other"),
+                    "dir": t.column("dir"),
+                    "s": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "part": t.column("part"),
+                }
+            )
+
+        contrib_schema = pa.schema([("node", pa.string()), ("contrib", pa.int64())])
+
+        def probe(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return contrib_schema.empty_table()
+            d = part.column("dir").to_numpy(zero_copy_only=False)
+            is_edge = d >= 0
+            if not is_edge.any() or is_edge.all():
+                return contrib_schema.empty_table()
+            k = part.column("key").to_numpy(zero_copy_only=False)
+            sk, sv = k[~is_edge], part.column("s").to_numpy(zero_copy_only=False)[~is_edge]
+            order = np.argsort(sk, kind="mergesort")
+            sk, sv = sk[order], sv[order]
+            ek = k[is_edge]
+            pos = np.searchsorted(sk, ek)
+            contrib = sv[pos]
+            return (
+                pa.table(
+                    {
+                        "node": part.column("other").filter(pa.array(is_edge)),
+                        "contrib": pa.array(contrib, pa.int64()),
+                    }
+                )
+                .group_by(["node"])
+                .aggregate([("contrib", "sum")])
+                .rename_columns(["node", "contrib"])
+            )
+
+        unioned = scores.map_batches(score_side, batch_format="pyarrow").union(
+            edges.map_batches(edge_side, batch_format="pyarrow")
+        )
+        raw = (
+            unioned.groupby("part")
+            .map_groups(probe, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("node")
+            .sum("contrib")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "contrib"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        m = raw.max("contrib")
+        m = int(m) if m is not None else 0
+
+        def rescale(batch: pa.Table) -> pa.Table:
+            c = batch.column("contrib").to_numpy(zero_copy_only=False)
+            s = (c * SCALE6 // m) if m > 0 else np.zeros(len(c), np.int64)
+            return pa.table({"node": batch.column("node"), "s": pa.array(s, pa.int64())})
+
+        return raw.map_batches(rescale, batch_format="pyarrow")
+
+    hubs = nodes.map_batches(init_scores, batch_format="pyarrow")
+    auths = None
+    for _ in range(iters):
+        auths = half_step(hubs, 0)
+        hubs = half_step(auths, 1)
+
+    def side(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            z = np.zeros(batch.num_rows, np.int64)
+            s_ = batch.column("s").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "hub_scaled": pa.array(s_ if col == "hub" else z, pa.int64()),
+                    "auth_scaled": pa.array(s_ if col == "auth" else z, pa.int64()),
+                }
+            )
+
+        return f
+
+    # every node appears exactly once per side — a sum-merge joins them
+    return (
+        hubs.map_batches(side("hub"), batch_format="pyarrow")
+        .union(auths.map_batches(side("auth"), batch_format="pyarrow"))
+        .groupby("node")
+        .sum(["hub_scaled", "auth_scaled"])
+        .map_batches(
+            lambda t: t.rename_columns(["node", "hub_scaled", "auth_scaled"]),
+            batch_format="pyarrow",
+        )
+        .sort("node")
+    )

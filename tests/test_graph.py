@@ -1057,3 +1057,47 @@ def test_component_size_hist_handcrafted(ray_session):
             ).take_all()
         }
         assert got == {2: 1, 3: 1, 4: 1}
+
+
+def test_hits_star_and_chain_closed_forms(ray_session):
+    """Star: the center is the pure hub, leaves pure authorities.
+    Chain a→b→c: hubs (1e6, 1e6, 0), auths (0, 1e6, 1e6) — stable from
+    round 1 under the max-rescale."""
+    from relation_extraction_ray.functions.graph import hits
+
+    star = [("hub", "p", f"leaf{i}", 1) for i in range(3)]
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(ray.data.from_arrow(_adj(star)).repartition(3)).take_all()
+    }
+    assert got["hub"] == (1_000_000, 0)
+    for i in range(3):
+        assert got[f"leaf{i}"] == (0, 1_000_000)
+
+    chain = [("a", "p", "b", 1), ("b", "q", "c", 2)]
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(ray.data.from_arrow(_adj(chain)).repartition(2)).take_all()
+    }
+    assert got == {
+        "a": (1_000_000, 0),
+        "b": (1_000_000, 1_000_000),
+        "c": (0, 1_000_000),
+    }
+
+
+def test_hits_block_and_multigraph_invariance(ray_session):
+    """Duplicate (u,pred,v) rows collapse to ONE directed edge; result
+    identical at 1 and 7 blocks."""
+    from relation_extraction_ray.functions.graph import hits
+
+    rows = [
+        ("a", "p", "b", 1), ("a", "q", "b", 5), ("b", "p", "c", 1),
+        ("c", "p", "a", 2), ("a", "p", "c", 1), ("d", "p", "a", 1),
+    ]
+    base = [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "a", 1),
+            ("a", "p", "c", 1), ("d", "p", "a", 1)]
+    a = hits(ray.data.from_arrow(_adj(rows)).repartition(1)).take_all()
+    b = hits(ray.data.from_arrow(_adj(rows)).repartition(7)).take_all()
+    c = hits(ray.data.from_arrow(_adj(base)).repartition(3)).take_all()
+    assert a == b == c and len(a) == 4
