@@ -330,6 +330,61 @@ def _q_survival_km(sf_dir: str):
     )
 
 
+def _q_greedy_coverage(sf_dir: str):
+    """Greedy max-coverage selection of 8 documents (largest
+    uncovered-vocabulary gain per round, doc_id tie-break): k bounded
+    scans with a broadcast covered set and batches-sized argmax folds."""
+    from relation_extraction_ray.functions.curation import greedy_coverage
+
+    return greedy_coverage(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=8
+    )
+
+
+def _greedy_cov_sql(k: int = 8) -> str:
+    """Unroll the engine's greedy max-coverage rounds: per-round best
+    (gain DESC, doc_id ASC LIMIT 1) over uncovered distinct 3-gram
+    shingles (the shared _NGRAM_CTES unit), the covered set threaded
+    forward as a UNION chain — all counts integer, picked docs drop out
+    because their shingles are covered."""
+    ctes = [
+        _NGRAM_CTES.strip(),
+        """gtok AS (
+          SELECT doc_id, t FROM (SELECT doc_id, unnest(shingles) AS t FROM shl)
+          GROUP BY doc_id, t
+        )""",
+    ]
+    sels = []
+    for i in range(1, k + 1):
+        flt = (
+            f"WHERE t NOT IN (SELECT t FROM cov{i - 1})" if i > 1 else ""
+        )
+        ctes.append(
+            f"""p{i} AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM gtok {flt}
+          GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1
+        )"""
+        )
+        prev = f"SELECT t FROM cov{i - 1} UNION " if i > 1 else ""
+        ctes.append(
+            f"""cov{i} AS (
+          {prev}SELECT t FROM gtok WHERE doc_id = (SELECT doc_id FROM p{i})
+        )"""
+        )
+        sels.append(
+            f"SELECT {i} AS round, doc_id, gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cov{i}) AS covered_total"
+            f" FROM p{i}"
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + "\n        SELECT * FROM ("
+        + " UNION ALL ".join(sels)
+        + ") ORDER BY round"
+    )
+
+
 def _q_fd_audit(sf_dir: str):
     """Functional-dependency profiling of three candidate FDs (order →
     returnflag, part → supplier, customer → priority): distinct-pair
@@ -2701,6 +2756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
+        "greedy_coverage": _q_greedy_coverage,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -5946,6 +6002,9 @@ def oracle_sql() -> dict[str, str]:
         # single-process oracle's) — integer // everywhere, bit-exact
         "pagerank": _pagerank_sql(kg_paths["kg_adjacency"], iters=5),
         "hits_scores": _hits_sql(kg_paths["kg_adjacency"], iters=3),
+        # greedy_coverage: unrolled greedy max-coverage rounds, covered
+        # set threaded as a UNION chain, integer gains
+        "greedy_coverage": _greedy_cov_sql(k=8),
         "pagerank_personal": _pagerank_sql(kg_paths["kg_adjacency"], iters=5, seed_pct=5),
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)

@@ -480,3 +480,93 @@ def weighted_sample(
         .sort(["score", key_col])
         .limit(k)
     )
+
+
+def greedy_coverage(
+    docs: ray.data.Dataset, k: int = 8
+) -> ray.data.Dataset:
+    """Greedy maximum-coverage subset selection — the diverse-exemplar
+    curation primitive (pick the ``k`` documents that together cover
+    the most distinct word-3-gram shingles, each round taking the doc
+    with the largest UNCOVERED-shingle gain; the 1−1/e-approximate
+    classic).  Shingles, not unigrams: the corpus vocabulary is tiny by
+    construction while the 3-gram universe is ~16k strong — the same
+    unit the near-dup family measures.
+    Deterministic: gain ties break to the smallest doc_id; rounds stop
+    early when the best remaining gain is zero.  Output one row per
+    pick: (round, doc_id, gain, covered_total).
+
+    Scale shape: k bounded rounds, each ONE streaming scan — the
+    covered-token set (≤ tokens of the picked docs, k·|doc| bounded) is
+    broadcast via ``ray.put`` and every batch emits its LOCAL best
+    (doc_id, gain) row only, so the argmax fold is batches-sized; the
+    winner's token set is fetched with one targeted filter.  Nothing
+    corpus-sized ever reaches the driver."""
+    picks_schema = pa.schema(
+        [
+            ("round", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("gain", pa.int64()),
+            ("covered_total", pa.int64()),
+        ]
+    )
+    covered: frozenset[str] = frozenset()
+    out_rows: list[tuple[int, int, int, int]] = []
+    picked: set[int] = set()
+
+    from .dedup import shingle_set
+
+    def tokens_of(text: str) -> frozenset:
+        return frozenset(shingle_set(text, 3))
+
+    for rnd in range(1, k + 1):
+        cov_ref = ray.put(covered)
+        picked_ref = ray.put(frozenset(picked))
+
+        def local_best(batch: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            skip = ray.get(picked_ref)
+            best_id, best_gain = None, -1
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                if doc_id in skip:
+                    continue
+                g = len(tokens_of(text) - cov)
+                if g > best_gain or (g == best_gain and doc_id < best_id):
+                    best_id, best_gain = doc_id, g
+            if best_id is None:
+                return pa.schema(
+                    [("doc_id", pa.int64()), ("gain", pa.int64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "doc_id": pa.array([best_id], pa.int64()),
+                    "gain": pa.array([best_gain], pa.int64()),
+                }
+            )
+
+        cands = docs.map_batches(local_best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        cands.sort(key=lambda r: (-int(r["gain"]), int(r["doc_id"])))
+        win_id, win_gain = int(cands[0]["doc_id"]), int(cands[0]["gain"])
+        if win_gain <= 0:
+            break
+        win_rows = docs.filter(expr=f"doc_id == {win_id}").take_all()
+        covered = covered | tokens_of(win_rows[0]["text"])
+        picked.add(win_id)
+        out_rows.append((rnd, win_id, win_gain, len(covered)))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "round": pa.array([r[0] for r in out_rows], pa.int64()),
+                "doc_id": pa.array([r[1] for r in out_rows], pa.int64()),
+                "gain": pa.array([r[2] for r in out_rows], pa.int64()),
+                "covered_total": pa.array([r[3] for r in out_rows], pa.int64()),
+            }
+        )
+        if out_rows
+        else picks_schema.empty_table()
+    )

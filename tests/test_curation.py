@@ -152,3 +152,29 @@ def test_leakage_safe_split_cluster_atomic_and_paths_identical(ray_session):
         assert got.loc[i, "split"] == want
     assert set(bro["split"].unique()) <= {"train", "valid", "test"}
     assert (bro["split"] == "train").sum() > 50
+
+
+def test_greedy_coverage_closed_form(ray_session):
+    """Hand-computed greedy picks over known 3-gram sets: doc3 {3
+    shingles} first, doc1 {2 new} second, then two 1-gain ties broken
+    by doc_id, then stop at zero gain; block-invariant."""
+    import pyarrow as pa
+
+    from relation_extraction_ray.functions.curation import greedy_coverage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                ["a b c d", "a b c", "x y z w v", "x y z", "p q r", "s t u"],
+                pa.string(),
+            ),
+        }
+    )
+    for nb in (1, 3):
+        got = greedy_coverage(
+            ray.data.from_arrow(t).repartition(nb), k=8
+        ).take_all()
+        assert [
+            (r["round"], r["doc_id"], r["gain"], r["covered_total"]) for r in got
+        ] == [(1, 3, 3, 3), (2, 1, 2, 5), (3, 5, 1, 6), (4, 6, 1, 7)]
