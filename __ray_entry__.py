@@ -2229,6 +2229,56 @@ def _q_hits(sf_dir: str):
     return hits(_kg_run()["adjacency"], iters=3)
 
 
+def _q_trim_core(sf_dir: str):
+    """Directed trim core of the KG (iterated source/sink peeling, the
+    SCC pre-pass / DAG test): per-round removal counts until fixpoint,
+    empty core ⇔ acyclic."""
+    from relation_extraction_ray.functions.graph import trim_core
+
+    return trim_core(_kg_run()["adjacency"], max_rounds=32)
+
+
+def _trim_core_sql(adj_path: str, cap: int = 32) -> str:
+    """Unroll the engine's trim-core peel: each round keeps nodes with
+    BOTH an in- and an out-edge (INTERSECT), restricts edges to
+    survivors, and emits (round, removed, core_after); output truncates
+    at the first round with removed=0 or empty core — exactly the
+    engine's early exit."""
+    # MATERIALIZED: DuckDB inlines plain CTEs, so a 32-round unroll
+    # whose every round references the previous one twice would expand
+    # exponentially (observed as "too many open files" on the parquet)
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT src_id AS u, dst_id AS v FROM read_parquet('{adj_path}'))",
+        "c0 AS MATERIALIZED (SELECT count(*) AS c FROM (SELECT u AS node FROM e0 UNION SELECT v FROM e0))",
+    ]
+    rows = []
+    for r in range(1, cap + 1):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT u AS node FROM e{r - 1} INTERSECT SELECT v FROM e{r - 1})"
+        )
+        ctes.append(f"sc{r} AS MATERIALIZED (SELECT count(*) AS c FROM s{r})")
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (SELECT u, v FROM e{r - 1}
+           WHERE u IN (SELECT node FROM s{r}) AND v IN (SELECT node FROM s{r}))"""
+        )
+        prev = "c0" if r == 1 else f"sc{r - 1}"
+        rows.append(
+            f"SELECT {r} AS round,"
+            f" CAST((SELECT c FROM {prev}) - (SELECT c FROM sc{r}) AS BIGINT) AS removed,"
+            f" CAST((SELECT c FROM sc{r}) AS BIGINT) AS core_after"
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + ",\n        allr AS ("
+        + " UNION ALL ".join(rows)
+        + f"""),
+        cut AS (SELECT min(round) AS m FROM allr WHERE removed = 0 OR core_after = 0)
+        SELECT round, removed, core_after FROM allr
+        WHERE round <= coalesce((SELECT m FROM cut), {cap}) ORDER BY round"""
+    )
+
+
 def _q_pred_cardinality(sf_dir: str):
     """Per-predicate cardinality / PARIS functionality profile of the
     KG: one combine-fed pred fold + the distinct-(pred,role,id) pair
@@ -2757,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
+        "trim_core": _q_trim_core,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -6005,6 +6056,9 @@ def oracle_sql() -> dict[str, str]:
         # greedy_coverage: unrolled greedy max-coverage rounds, covered
         # set threaded as a UNION chain, integer gains
         "greedy_coverage": _greedy_cov_sql(k=8),
+        # trim_core: unrolled source/sink peel with the engine's early
+        # exit replayed by a min-round cut
+        "trim_core": _trim_core_sql(kg_paths["kg_adjacency"], cap=32),
         "pagerank_personal": _pagerank_sql(kg_paths["kg_adjacency"], iters=5, seed_pct=5),
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)

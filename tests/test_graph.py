@@ -1101,3 +1101,28 @@ def test_hits_block_and_multigraph_invariance(ray_session):
     b = hits(ray.data.from_arrow(_adj(rows)).repartition(7)).take_all()
     c = hits(ray.data.from_arrow(_adj(base)).repartition(3)).take_all()
     assert a == b == c and len(a) == 4
+
+
+def test_trim_core_closed_forms(ray_session):
+    """DAG chain peels to empty (2 rounds); a 3-cycle with a tail keeps
+    its cycle and reports the fixpoint round; a self-loop survives."""
+    from relation_extraction_ray.functions.graph import trim_core
+
+    chain = [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "d", 1)]
+    got = trim_core(ray.data.from_arrow(_adj(chain)).repartition(3)).take_all()
+    assert [(r["round"], r["removed"], r["core_after"]) for r in got] == [
+        (1, 2, 2),
+        (2, 2, 0),
+    ]
+
+    cyc = [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "a", 1),
+           ("t", "p", "a", 1)]
+    got = trim_core(ray.data.from_arrow(_adj(cyc)).repartition(2)).take_all()
+    assert [(r["round"], r["removed"], r["core_after"]) for r in got] == [
+        (1, 1, 3),
+        (2, 0, 3),
+    ]
+
+    loop = [("x", "p", "x", 1)]
+    got = trim_core(ray.data.from_arrow(_adj(loop)).repartition(1)).take_all()
+    assert [(r["round"], r["removed"], r["core_after"]) for r in got] == [(1, 0, 1)]
