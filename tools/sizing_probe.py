@@ -246,6 +246,53 @@ def main() -> None:
             },
         )
 
+    if "relstats" in want:
+        # the per-key fold family: survival_km (one user-keyed exchange
+        # + calendar-bounded histogram) and fd_audit (distinct-pair
+        # exchange + counter folds) at 10^7 events-shaped rows
+        import ray.data as rd
+
+        from relation_extraction_ray.functions.joins import _mix64
+        from relation_extraction_ray.functions.relational import fd_audit, survival_km
+
+        def gen_ev(batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").to_numpy().astype(np.int64)
+            day = (_mix64(ids.astype(np.uint64)) % 2400).astype("datetime64[D]")
+            return pa.table(
+                {
+                    "user_id": pa.array(ids % 100_000, pa.int64()),
+                    "ts": pa.array(day.astype("datetime64[us]")),
+                    "det": pa.array(ids % 1_000_000, pa.int64()),
+                    "dep": pa.array(
+                        (_mix64((ids + 7).astype(np.uint64)) % 50).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        t0 = time.time()
+        ev = (
+            rd.range(n, override_num_blocks=args.blocks)
+            .map_batches(gen_ev, batch_format="pyarrow")
+            .materialize()
+        )
+        print(f"events generated: {ev.count()} in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        km_rows = survival_km(ev, censor_window_days=90).count()
+        km_wall = time.time() - t0
+        t0 = time.time()
+        fd = fd_audit([("ev.det->dep", ev, "det", "dep")])
+        fd_wall = time.time() - t0
+        record(
+            "relstats",
+            {
+                "survival_wall_sec": round(km_wall, 1),
+                "survival_rows": km_rows,
+                "fd_wall_sec": round(fd_wall, 1),
+                "fd_row": fd.to_pylist()[0],
+            },
+        )
+
     vecs = None
     if want & {"embed", "knn_lsh", "pq"}:
         t0 = time.time()
