@@ -430,6 +430,17 @@ def _q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def _q_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotonic-trend test of daily revenue: integer S
+    and tie-corrected variance numerator, one fixed IEEE z (sqrt is
+    correctly rounded, so both engines agree bit-for-bit)."""
+    from relation_extraction_ray.functions.relational import mann_kendall_daily
+
+    return mann_kendall_daily(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    )
+
+
 def _q_ewma_daily(sf_dir: str):
     """Binary-decay EWMA trend line over daily revenue (W=16 truncated
     so numerator/denominator stay exact integer dot products): one
@@ -2803,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_days": _q_cusum,
         "survival_km": _q_survival_km,
         "ewma_daily": _q_ewma_daily,
+        "mann_kendall": _q_mann_kendall,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
@@ -4464,6 +4476,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, cents,
                    CAST((1000 * num) // den AS BIGINT) AS ewma_milli
             FROM w ORDER BY day
+        """,
+        # mann_kendall: O(span²) sign self-join, integer tie-corrected
+        # variance numerator, shared IEEE z form (sqrt correctly rounded)
+        "mann_kendall": """
+            WITH dc AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM dc
+            ), s AS (
+              SELECT CAST(coalesce(sum(CASE WHEN b.cents > a.cents THEN 1
+                                  WHEN b.cents < a.cents THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+              FROM dc a JOIN dc b ON b.day > a.day
+            ), ties AS (
+              SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+              FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM dc GROUP BY cents)
+              WHERE t > 1
+            ), v AS (
+              SELECT st.n, s.s,
+                     st.n * (st.n - 1) * (2 * st.n + 5) - ties.tt AS num
+              FROM st, s, ties
+            )
+            SELECT n AS n_days, s AS s_stat, CAST(num AS BIGINT) AS var_num,
+                   CAST(floor(
+                     CASE WHEN num = 0 OR s = 0 THEN 0.0e0
+                          WHEN s > 0 THEN (s - 1) / sqrt(num / 18.0e0)
+                          ELSE (s + 1) / sqrt(num / 18.0e0) END * 1e9 + 0.5
+                   ) AS BIGINT) AS z_nano
+            FROM v
         """,
         # survival_km: per-user day-span, censor inside the last-7-day
         # window, suffix-sum at-risk, and the SAME integer-micro floor

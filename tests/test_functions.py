@@ -3958,3 +3958,57 @@ def test_fd_audit_closed_form(ray_session):
             "max_fanout": 3,
             "conformance_milli": 666,
         }
+
+
+def _mk_orders(day_cents):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderdate": pa.array(
+                    np.array([d for d, _ in day_cents], "datetime64[D]").astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "o_totalprice": pa.array(
+                    [c / 100.0 for _, c in day_cents], pa.float64()
+                ),
+            }
+        )
+    ).repartition(2)
+
+
+def test_mann_kendall_closed_forms(ray_session):
+    """Strictly increasing 5-day series: S = 10, no ties,
+    num = 5·4·15 = 300, z = 9/sqrt(300/18).  Constant series: S = 0,
+    full tie → num = 0 → z = 0.  Strictly decreasing mirrors to −S."""
+    import math
+
+    from relation_extraction_ray.functions.relational import mann_kendall_daily
+
+    up = [(i, 100 * (i + 1)) for i in range(5)]
+    r = mann_kendall_daily(_mk_orders(up)).take_all()[0]
+    assert (r["n_days"], r["s_stat"], r["var_num"]) == (5, 10, 300)
+    assert r["z_nano"] == int(math.floor(9 / math.sqrt(300 / 18.0) * 1e9 + 0.5))
+
+    flat = [(i, 500) for i in range(4)]
+    r = mann_kendall_daily(_mk_orders(flat)).take_all()[0]
+    assert (r["s_stat"], r["var_num"], r["z_nano"]) == (0, 0, 0)
+
+    down = [(i, 100 * (9 - i)) for i in range(5)]
+    r = mann_kendall_daily(_mk_orders(down)).take_all()[0]
+    assert r["s_stat"] == -10
+    assert r["z_nano"] == int(math.floor(-9 / math.sqrt(300 / 18.0) * 1e9 + 0.5))
+
+
+def test_mann_kendall_tie_correction_and_blocks(ray_session):
+    """Two tied pairs: num = n(n−1)(2n+5) − 2·[2·1·9]; block-invariant."""
+    from relation_extraction_ray.functions.relational import mann_kendall_daily
+
+    series = [(0, 100), (1, 100), (2, 300), (3, 300), (4, 200)]
+    a = mann_kendall_daily(_mk_orders(series)).take_all()
+    b = mann_kendall_daily(
+        _mk_orders(series).repartition(5)
+    ).take_all()
+    assert a == b
+    r = a[0]
+    assert r["var_num"] == 5 * 4 * 15 - 2 * (2 * 1 * 9)
