@@ -430,6 +430,17 @@ def _q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def _q_theil_sen(sf_dir: str):
+    """Theil-Sen robust slope of daily revenue: median of all pairwise
+    slopes under the fully specified (slope, dy, dx) order, even count
+    averaging the two middles exactly in IEEE."""
+    from relation_extraction_ray.functions.relational import theil_sen_daily
+
+    return theil_sen_daily(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    )
+
+
 def _q_mann_kendall(sf_dir: str):
     """Mann-Kendall monotonic-trend test of daily revenue: integer S
     and tie-corrected variance numerator, one fixed IEEE z (sqrt is
@@ -2815,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_km": _q_survival_km,
         "ewma_daily": _q_ewma_daily,
         "mann_kendall": _q_mann_kendall,
+        "theil_sen": _q_theil_sen,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
@@ -4476,6 +4488,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, cents,
                    CAST((1000 * num) // den AS BIGINT) AS ewma_milli
             FROM w ORDER BY day
+        """,
+        # theil_sen: pairwise-slope self-join, median pick under the
+        # specified (slope, dy, dx) order, two-middle IEEE average
+        "theil_sen": """
+            WITH dc AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), sl AS (
+              SELECT (b.cents - a.cents) / CAST(b.day - a.day AS DOUBLE) AS s,
+                     b.cents - a.cents AS dy, b.day - a.day AS dx
+              FROM dc a JOIN dc b ON b.day > a.day
+            ), ord AS (
+              SELECT s, row_number() OVER (ORDER BY s, dy, dx) AS rn,
+                     count(*) OVER () AS m
+              FROM sl
+            ), mid AS (
+              SELECT avg(s) AS med, max(m) AS m FROM ord
+              WHERE rn = (m - 1) // 2 + 1 OR rn = m // 2 + 1
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_days,
+                   CAST(m AS BIGINT) AS n_pairs,
+                   CAST(floor(med * 1e9 + 0.5) AS BIGINT) AS slope_nano
+            FROM mid WHERE m IS NOT NULL
         """,
         # mann_kendall: O(span²) sign self-join, integer tie-corrected
         # variance numerator, shared IEEE z form (sqrt correctly rounded)

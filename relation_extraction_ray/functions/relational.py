@@ -5444,3 +5444,79 @@ def mann_kendall_daily(orders: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def theil_sen_daily(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Theil-Sen robust trend slope of daily revenue — the median of all
+    pairwise slopes (up to ~29% outlier days cannot move it, unlike the
+    OLS line): the robust-regression complement of mann_kendall's trend
+    TEST.  Slopes are IEEE doubles (int-cents ÷ int-days, identical in
+    any engine); the median element is selected under the fully
+    SPECIFIED order (slope, dy, dx) — ties of equal rationals and even
+    double-collisions of distinct rationals order identically on both
+    engines, so the pick is deterministic — and an even pair count
+    averages the two middles ((s₁+s₂)/2, exact in IEEE).  Output:
+    (n_days, n_pairs, slope_nano) with round-half-up nano cents/day.
+
+    Scale shape: one combine-fed (day → cents) fold, then an O(span²)
+    driver pass (2,400 days → 2.9M slope doubles, two numpy index
+    arrays + one lexsort) — calendar-bounded like the autocorr family."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.argsort(d, kind="mergesort")
+        d, cents = d[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table(
+            {
+                "day": pa.array(d[starts], pa.int64()),
+                "cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+            }
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()
+    )  # ≤ span-many rows (calendar-bounded)
+    schema = pa.schema(
+        [("n_days", pa.int64()), ("n_pairs", pa.int64()), ("slope_nano", pa.int64())]
+    )
+    if len(rows) < 2:
+        return ray.data.from_arrow(schema.empty_table())
+    rows.sort(key=lambda r: r["day"])
+    d = np.array([r["day"] for r in rows], np.int64)
+    c = np.array([r["cents"] for r in rows], np.int64)
+    n = len(d)
+    i, j = np.triu_indices(n, 1)
+    dy = c[j] - c[i]
+    dx = d[j] - d[i]
+    s = dy / dx.astype(np.float64)
+    order = np.lexsort((dx, dy, s))  # primary: slope, then dy, then dx
+    m = len(s)
+    lo, hi = (m - 1) // 2, m // 2
+    med = (s[order[lo]] + s[order[hi]]) / 2
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_days": pa.array([n], pa.int64()),
+                "n_pairs": pa.array([m], pa.int64()),
+                "slope_nano": pa.array(
+                    [int(math.floor(med * 1e9 + 0.5))], pa.int64()
+                ),
+            }
+        )
+    )

@@ -4012,3 +4012,24 @@ def test_mann_kendall_tie_correction_and_blocks(ray_session):
     assert a == b
     r = a[0]
     assert r["var_num"] == 5 * 4 * 15 - 2 * (2 * 1 * 9)
+
+
+def test_theil_sen_closed_forms(ray_session):
+    """Perfect line y=3x+5 → slope exactly 3 regardless of pair; one
+    wild outlier day cannot move the median (robustness); even-count
+    middle average replays exactly."""
+    from relation_extraction_ray.functions.relational import theil_sen_daily
+
+    line = [(i, 300 * i + 500) for i in range(6)]
+    r = theil_sen_daily(_mk_orders(line)).take_all()[0]
+    assert (r["n_days"], r["n_pairs"], r["slope_nano"]) == (6, 15, 300 * 10**9)
+
+    outlier = line + [(6, 10_000_000)]
+    r = theil_sen_daily(_mk_orders(outlier)).take_all()[0]
+    # 21 pairs; ≥ 15 still have slope exactly 300 → median unchanged
+    assert (r["n_pairs"], r["slope_nano"]) == (21, 300 * 10**9)
+
+    # 3 days, 3 pairs: slopes 10000, 20000, 30000 cents/day → median 20000
+    tri = [(0, 0), (1, 10000), (2, 40000)]
+    r = theil_sen_daily(_mk_orders(tri)).take_all()[0]
+    assert r["slope_nano"] == 20000 * 10**9
