@@ -430,6 +430,19 @@ def _q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def _q_kendall_tau(sf_dir: str):
+    """Kendall τ-b quantity↔discount: exact integer concordance from
+    the contingency cells (the spearman pair-count exchange), one IEEE
+    final form."""
+    from relation_extraction_ray.functions.relational import kendall_tau_b
+
+    return kendall_tau_b(
+        _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"]),
+        "l_quantity",
+        "l_discount",
+    )
+
+
 def _q_theil_sen(sf_dir: str):
     """Theil-Sen robust slope of daily revenue: median of all pairwise
     slopes under the fully specified (slope, dy, dx) order, even count
@@ -2827,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": _q_ewma_daily,
         "mann_kendall": _q_mann_kendall,
         "theil_sen": _q_theil_sen,
+        "kendall_tau": _q_kendall_tau,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
@@ -4488,6 +4502,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, cents,
                    CAST((1000 * num) // den AS BIGINT) AS ewma_milli
             FROM w ORDER BY day
+        """,
+        # kendall_tau: cell-pair concordance joins over the contingency
+        # table, integer tie margins, shared IEEE final form
+        "kendall_tau": """
+            WITH cells AS (
+              SELECT CAST(round(l_quantity * 1) AS BIGINT) AS x,
+                     CAST(round(l_discount * 100) AS BIGINT) AS y,
+                     CAST(count(*) AS HUGEINT) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(sum(w) AS HUGEINT) AS n FROM cells
+            ), conc AS (
+              SELECT CAST(coalesce(sum(a.w * b.w), 0) AS HUGEINT) AS c
+              FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+            ), disc AS (
+              SELECT CAST(coalesce(sum(a.w * b.w), 0) AS HUGEINT) AS d
+              FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+            ), tmx AS (
+              SELECT CAST(coalesce(sum(nx * (nx - 1) // 2), 0) AS HUGEINT) AS tx
+              FROM (SELECT CAST(sum(w) AS HUGEINT) AS nx FROM cells GROUP BY x)
+            ), tmy AS (
+              SELECT CAST(coalesce(sum(ny * (ny - 1) // 2), 0) AS HUGEINT) AS ty
+              FROM (SELECT CAST(sum(w) AS HUGEINT) AS ny FROM cells GROUP BY y)
+            ), v AS (
+              SELECT tot.n, conc.c, disc.d,
+                     (tot.n * (tot.n - 1) // 2 - tmx.tx)
+                       * (tot.n * (tot.n - 1) // 2 - tmy.ty) AS prod
+              FROM tot, conc, disc, tmx, tmy
+            )
+            SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS concordant,
+                   CAST(d AS BIGINT) AS discordant,
+                   CAST(CASE WHEN prod > 0 THEN floor(
+                     CAST(c - d AS DOUBLE)
+                       / sqrt(CAST(prod AS DOUBLE)) * 1e9 + 0.5)
+                   ELSE 0 END AS BIGINT) AS tau_nano
+            FROM v
         """,
         # theil_sen: pairwise-slope self-join, median pick under the
         # specified (slope, dy, dx) order, two-middle IEEE average

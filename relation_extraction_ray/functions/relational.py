@@ -5520,3 +5520,103 @@ def theil_sen_daily(orders: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def kendall_tau_b(
+    ds: ray.data.Dataset,
+    col_x: str,
+    col_y: str,
+    scale_x: int = 1,
+    scale_y: int = 100,
+) -> ray.data.Dataset:
+    """Kendall's τ-b between two BOUNDED-DISTINCT numeric columns —
+    the concordance-based rank correlation (the third of the trio with
+    Pearson ``corr_price_qty`` and Spearman ``spearman_rank_corr``; τ-b
+    is the tie-corrected form, the right one for heavily-tied fixed-
+    point columns like quantity × discount).  Concordant/discordant
+    pair counts come EXACTLY from the (x, y) contingency cells —
+    C = Σ w_a·w_b over cell pairs with b strictly greater on both
+    axes, D likewise with axes opposing — and the tie terms from the
+    margins; everything is integer until ONE fixed IEEE final form
+    ``(C−D)/√((n₀−T_x)·(n₀−T_y))`` in round-half-up nano.
+
+    Scale shape: the spearman shape — the only exchange is the
+    combine-fed (x, y) pair-count groupby bounded by
+    distinct_x·distinct_y rows; the driver holds O(distinct²) cells
+    (quantity × discount: ≤ 550) and replays the same cell-pair sum
+    the SQL oracle writes."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(
+            batch.column(col_x).to_numpy(zero_copy_only=False).astype(np.float64)
+            * scale_x
+        ).astype(np.int64)
+        y = np.rint(
+            batch.column(col_y).to_numpy(zero_copy_only=False).astype(np.float64)
+            * scale_y
+        ).astype(np.int64)
+        g = (
+            pa.table({"x": pa.array(x), "y": pa.array(y)})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "x": g.column("x"),
+                "y": g.column("y"),
+                "w": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    joint = (
+        ds.select_columns([col_x, col_y])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("w", alias_name="w"))
+        .take_all()
+    )
+    schema = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("concordant", pa.int64()),
+            ("discordant", pa.int64()),
+            ("tau_nano", pa.int64()),
+        ]
+    )
+    if not joint:
+        return ray.data.from_arrow(schema.empty_table())
+    cells = [(int(r["x"]), int(r["y"]), int(r["w"])) for r in joint]
+    n = sum(w for _, _, w in cells)
+    C = D = 0
+    for xa, ya, wa in cells:  # O(cells²) — distinct², never rows
+        for xb, yb, wb in cells:
+            if xb > xa and yb > ya:
+                C += wa * wb
+            elif xb > xa and yb < ya:
+                D += wa * wb
+    mx: dict[int, int] = {}
+    my: dict[int, int] = {}
+    for x, y, w in cells:
+        mx[x] = mx.get(x, 0) + w
+        my[y] = my.get(y, 0) + w
+    n0 = n * (n - 1) // 2
+    tx = sum(v * (v - 1) // 2 for v in mx.values())
+    ty = sum(v * (v - 1) // 2 for v in my.values())
+    prod = (n0 - tx) * (n0 - ty)
+    if prod > 0:
+        tau_nano = int(math.floor((C - D) / math.sqrt(prod) * 1e9 + 0.5))
+    else:
+        tau_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "concordant": pa.array([C], pa.int64()),
+                "discordant": pa.array([D], pa.int64()),
+                "tau_nano": pa.array([tau_nano], pa.int64()),
+            }
+        )
+    )

@@ -4033,3 +4033,37 @@ def test_theil_sen_closed_forms(ray_session):
     tri = [(0, 0), (1, 10000), (2, 40000)]
     r = theil_sen_daily(_mk_orders(tri)).take_all()[0]
     assert r["slope_nano"] == 20000 * 10**9
+
+
+def test_kendall_tau_closed_forms(ray_session):
+    """Perfect concordance → τ = 1; perfect reversal → −1; the
+    fully tied 2×2 grid gives C=1, D=1, τ=0 (the other four pairs are
+    ties); scipy-free hand check with ties on one axis."""
+    import math
+
+    from relation_extraction_ray.functions.relational import kendall_tau_b
+
+    def ds_of(xs, ys):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "x": pa.array([float(v) for v in xs], pa.float64()),
+                    "y": pa.array([float(v) for v in ys], pa.float64()),
+                }
+            )
+        ).repartition(2)
+
+    r = kendall_tau_b(ds_of([1, 2, 3, 4], [1, 2, 3, 4]), "x", "y", 1, 1).take_all()[0]
+    assert (r["concordant"], r["discordant"], r["tau_nano"]) == (6, 0, 10**9)
+
+    r = kendall_tau_b(ds_of([1, 2, 3, 4], [4, 3, 2, 1]), "x", "y", 1, 1).take_all()[0]
+    assert (r["concordant"], r["discordant"], r["tau_nano"]) == (0, 6, -(10**9))
+
+    r = kendall_tau_b(ds_of([1, 1, 2, 2], [1, 2, 1, 2]), "x", "y", 1, 1).take_all()[0]
+    assert (r["concordant"], r["discordant"], r["tau_nano"]) == (1, 1, 0)
+
+    # ties on x only: x=(1,1,2), y=(1,2,3): C = 2 (both 1s vs the 2),
+    # D = 0, Tx = 1, Ty = 0, n0 = 3 → tau = 2/sqrt(2·3)
+    r = kendall_tau_b(ds_of([1, 1, 2], [1, 2, 3]), "x", "y", 1, 1).take_all()[0]
+    assert (r["concordant"], r["discordant"]) == (2, 0)
+    assert r["tau_nano"] == int(math.floor(2 / math.sqrt(6) * 1e9 + 0.5))
