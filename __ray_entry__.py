@@ -430,6 +430,15 @@ def _q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def _q_benford(sf_dir: str):
+    """Benford first-digit audit of order totals: 9-bin bincount
+    partials, aggregate-sized exchange, integer-micro shares vs the
+    fixed-IEEE log10 expectation."""
+    from relation_extraction_ray.functions.relational import benford_audit
+
+    return benford_audit(_read(sf_dir, "orders", columns=["o_totalprice"]))
+
+
 def _q_kendall_tau(sf_dir: str):
     """Kendall τ-b quantity↔discount: exact integer concordance from
     the contingency cells (the spearman pair-count exchange), one IEEE
@@ -2841,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": _q_mann_kendall,
         "theil_sen": _q_theil_sen,
         "kendall_tau": _q_kendall_tau,
+        "benford": _q_benford,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
@@ -4502,6 +4512,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, cents,
                    CAST((1000 * num) // den AS BIGINT) AS ewma_milli
             FROM w ORDER BY day
+        """,
+        # benford: leading digit via VARCHAR substr, generate_series
+        # grid for absent digits, integer-micro share, shared-ln
+        # expectation
+        "benford": """
+            WITH c AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+            ), dg AS (
+              SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM c WHERE cents > 0 GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS t FROM dg
+            ), grid AS (
+              SELECT unnest(generate_series(1, 9)) AS digit
+            ), g AS (
+              SELECT grid.digit, coalesce(dg.n, 0) AS n
+              FROM grid LEFT JOIN dg ON dg.digit = grid.digit
+            ), e AS (
+              SELECT digit, n,
+                     CASE WHEN (SELECT t FROM tot) > 0
+                          THEN (1000000 * n) // (SELECT t FROM tot) ELSE 0 END AS share_micro,
+                     CAST(floor(ln(1.0e0 + 1.0e0 / digit) / ln(10.0e0) * 1e6 + 0.5)
+                          AS BIGINT) AS expected_micro
+              FROM g
+            )
+            SELECT digit, n, CAST(share_micro AS BIGINT) AS share_micro,
+                   expected_micro,
+                   CAST(share_micro - expected_micro AS BIGINT) AS dev_micro
+            FROM e ORDER BY digit
         """,
         # kendall_tau: cell-pair concordance joins over the contingency
         # table, integer tie margins, shared IEEE final form

@@ -5620,3 +5620,70 @@ def kendall_tau_b(
             }
         )
     )
+
+
+def benford_audit(
+    ds: ray.data.Dataset, col: str = "o_totalprice"
+) -> ray.data.Dataset:
+    """Benford's-law first-digit audit of a money column — the
+    fabricated-numbers screen auditors run: observed share of each
+    leading digit 1-9 against the Benford expectation
+    ``log10(1 + 1/d)``.  Shares are exact integer micro
+    (``(10⁶·n_d)//n``); the expectation is ONE fixed IEEE sequence per
+    digit (``ln(1+1/d)/ln(10)`` — ``math.log`` is bit-identical to
+    DuckDB ``ln`` on this libm, the cat_dependence precedent), so
+    dev_micro = share − expectation replays exactly.
+
+    Scale shape: per-batch 9-bin bincount partials over the leading
+    digit (extracted with ≤ 19 vectorized integer divides, no float
+    log10 edge cases), one ≤ 9-row groupby — aggregate-sized exchange."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column(col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        d = cents.copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["digit"]): int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    out_d, out_n, out_s, out_e, out_dev = [], [], [], [], []
+    for d in range(1, 10):
+        nd = counts.get(d, 0)
+        share = (1_000_000 * nd) // total if total else 0
+        exp = int(math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6 + 0.5))
+        out_d.append(d)
+        out_n.append(nd)
+        out_s.append(share)
+        out_e.append(exp)
+        out_dev.append(share - exp)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(out_d, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "share_micro": pa.array(out_s, pa.int64()),
+                "expected_micro": pa.array(out_e, pa.int64()),
+                "dev_micro": pa.array(out_dev, pa.int64()),
+            }
+        )
+    )

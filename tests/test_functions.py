@@ -4067,3 +4067,24 @@ def test_kendall_tau_closed_forms(ray_session):
     r = kendall_tau_b(ds_of([1, 1, 2], [1, 2, 3]), "x", "y", 1, 1).take_all()[0]
     assert (r["concordant"], r["discordant"]) == (2, 0)
     assert r["tau_nano"] == int(math.floor(2 / math.sqrt(6) * 1e9 + 0.5))
+
+
+def test_benford_audit_closed_form(ray_session):
+    """Known digit mix: values 1.23, 12.99, 190.00, 2.50 → digits
+    1,1,1,2 → shares 750000/250000 micro; absent digits present with
+    n=0; expectations are the fixed-IEEE log10 form."""
+    import math
+
+    from relation_extraction_ray.functions.relational import benford_audit
+
+    t = pa.table({"v": pa.array([1.23, 12.99, 190.00, 2.50], pa.float64())})
+    got = benford_audit(ray.data.from_arrow(t).repartition(2), col="v").take_all()
+    by_d = {r["digit"]: r for r in got}
+    assert len(got) == 9
+    assert by_d[1]["n"] == 3 and by_d[1]["share_micro"] == 750000
+    assert by_d[2]["n"] == 1 and by_d[2]["share_micro"] == 250000
+    assert all(by_d[d]["n"] == 0 for d in range(3, 10))
+    for d in range(1, 10):
+        exp = int(math.floor(math.log(1 + 1 / d) / math.log(10) * 1e6 + 0.5))
+        assert by_d[d]["expected_micro"] == exp
+        assert by_d[d]["dev_micro"] == by_d[d]["share_micro"] - exp
