@@ -430,6 +430,87 @@ def _q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def _q_pca_top(sf_dir: str):
+    """Distributed PCA top component by power iteration: one
+    aggregate-sized sufficient-statistics exchange (micro-int sums +
+    upper-triangle second moments as 2³⁰-limb pairs), exact-integer
+    scatter and iteration on the driver."""
+    from relation_extraction_ray.functions.ann import pca_top
+
+    return pca_top(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
+def _pca_sql(iters: int = 5) -> str:
+    """Unroll the engine's integer power iteration: micro-int unnest,
+    HUGEINT second moments, A = n·M2 − S·Sᵀ, per-round matvec +
+    truncating rescale (DuckDB ``//`` truncates — the engine mirrors
+    with a sign-split), Rayleigh quotient in one IEEE division.  Every
+    CTE MATERIALIZED (the trim_core exponential-inline lesson)."""
+    ctes = [
+        """un AS MATERIALIZED (
+          SELECT vec_id, CAST(i AS BIGINT) - 1 AS pos,
+                 CAST(floor(embedding[CAST(i AS INT)] * 1.0e6 + 0.5) AS HUGEINT) AS micro
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+        )""",
+        """m2 AS MATERIALIZED (
+          SELECT a.pos AS i, b.pos AS j, CAST(sum(a.micro * b.micro) AS HUGEINT) AS v
+          FROM un a JOIN un b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2
+        )""",
+        """sv AS MATERIALIZED (
+          SELECT pos AS i, CAST(sum(micro) AS HUGEINT) AS s FROM un GROUP BY pos
+        )""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)",
+        """am AS MATERIALIZED (
+          SELECT m2.i, m2.j, (SELECT n FROM nn) * m2.v - sa.s * sb.s AS a
+          FROM m2 JOIN sv sa ON sa.i = m2.i JOIN sv sb ON sb.i = m2.j
+        )""",
+        """af AS MATERIALIZED (
+          SELECT i, j, a FROM am UNION ALL SELECT j, i, a FROM am WHERE i <> j
+        )""",
+        """v0 AS MATERIALIZED (
+          SELECT i AS pos, CAST(1000000 AS HUGEINT) AS v
+          FROM (SELECT DISTINCT i FROM af)
+        )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+          SELECT af.i AS pos, CAST(sum(af.a * v{t - 1}.v) AS HUGEINT) AS w
+          FROM af JOIN v{t - 1} ON v{t - 1}.pos = af.j GROUP BY 1
+        )"""
+        )
+        ctes.append(f"mx{t} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{t})")
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+          SELECT pos, (w * 1000000) // (SELECT m FROM mx{t}) AS v FROM w{t}
+        )"""
+        )
+    ctes.append(
+        f"""wf AS MATERIALIZED (
+          SELECT af.i AS pos, CAST(sum(af.a * v{iters}.v) AS HUGEINT) AS w
+          FROM af JOIN v{iters} ON v{iters}.pos = af.j GROUP BY 1
+        )"""
+    )
+    ctes.append(
+        f"""ray AS MATERIALIZED (
+          SELECT CAST(sum(v{iters}.v * wf.w) AS HUGEINT) AS num,
+                 (SELECT CAST(sum(v * v) AS HUGEINT) FROM v{iters}) AS den
+          FROM v{iters} JOIN wf ON wf.pos = v{iters}.pos
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT v{iters}.pos AS pos, CAST(v{iters}.v AS BIGINT) AS v_scaled,
+               CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE)
+                    / 1e12 * 1e9 + 0.5) AS BIGINT) AS eig_nano
+        FROM v{iters}, ray ORDER BY pos"""
+    )
+
+
 def _q_benford(sf_dir: str):
     """Benford first-digit audit of order totals: 9-bin bincount
     partials, aggregate-sized exchange, integer-micro shares vs the
@@ -2851,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": _q_theil_sen,
         "kendall_tau": _q_kendall_tau,
         "benford": _q_benford,
+        "pca_top": _q_pca_top,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "hits_scores": _q_hits,
@@ -4513,6 +4595,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000 * num) // den AS BIGINT) AS ewma_milli
             FROM w ORDER BY day
         """,
+        # pca_top: integer power iteration unrolled, truncating rescale
+        "pca_top": _pca_sql(iters=5),
         # benford: leading digit via VARCHAR substr, generate_series
         # grid for absent digits, integer-micro share, shared-ln
         # expectation

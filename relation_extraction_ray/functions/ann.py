@@ -1380,3 +1380,122 @@ def cluster_scatter(
             }
         )
     )
+
+
+def pca_top(
+    embeddings: ray.data.Dataset, iters: int = 5
+) -> ray.data.Dataset:
+    """Top principal component of the embedding table by power
+    iteration — the distributed-PCA primitive (data drift axes,
+    whitening, spectral screens) in the engine's exact-arithmetic
+    style.  ONE pass ships the sufficient statistics: per-batch
+    micro-int component sums and upper-triangle second moments
+    (``d + d(d+1)/2`` rows per batch, row-count-free, each summed as
+    2³⁰-limb pairs — the priority_anova convention, since a raw int64
+    cell overflows past ~10⁶ rows).  The driver forms the n-scaled
+    centered scatter ``A = n·MᵀM − S·Sᵀ`` in exact python ints (top
+    eigenvector is scale-invariant) and runs ``iters`` rounds of
+    ``w = A·v`` with an integer rescale to 10⁶ at max|w| using
+    TRUNCATING division (DuckDB ``//`` truncates toward zero while
+    Python floors — the sign-split form makes both engines agree);
+    v₀ = all-ones, so the iteration and the eigenvector SIGN are fully
+    deterministic.  Output d rows: (pos, v_scaled, eig_nano) with the
+    Rayleigh quotient ``vᵀAv/vᵀv`` normalized back to covariance units
+    (÷ n²·10¹²) in one fixed IEEE sequence.
+
+    Scale shape: the exchange is aggregate-sized (≤ 2,145 rows per
+    batch at d=64); everything after is O(d²) driver math."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    LIMB = 1 << 30
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, "embedding")
+        micro = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        iu, ju = np.triu_indices(d)
+        m2 = micro.T @ micro  # d×d int64; per-batch envelope documented
+        vals2 = m2[iu, ju]
+        s = micro.sum(axis=0)
+        n = micro.shape[0]
+        i_col = np.concatenate([iu, np.arange(d), [np.int64(-1)]])
+        j_col = np.concatenate([ju, np.full(d, -1, np.int64), [np.int64(-1)]])
+        v_col = np.concatenate([vals2, s, [np.int64(n)]])
+        return pa.table(
+            {
+                "i": pa.array(i_col, pa.int64()),
+                "j": pa.array(j_col, pa.int64()),
+                "hi": pa.array(
+                    np.sign(v_col) * (np.abs(v_col) // LIMB), pa.int64()
+                ),
+                "lo": pa.array(
+                    np.sign(v_col) * (np.abs(v_col) % LIMB), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo"))
+        .take_all()
+    )
+    schema = pa.schema(
+        [("pos", pa.int64()), ("v_scaled", pa.int64()), ("eig_nano", pa.int64())]
+    )
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    m2: dict[tuple[int, int], int] = {}
+    s: dict[int, int] = {}
+    n = 0
+    for r in rows:
+        val = int(r["hi"]) * LIMB + int(r["lo"])
+        i, j = int(r["i"]), int(r["j"])
+        if i == -1:
+            n = val
+        elif j == -1:
+            s[i] = val
+        else:
+            m2[(i, j)] = val
+    d = max(i for i, _ in m2) + 1
+    A = [[0] * d for _ in range(d)]
+    for (i, j), v in m2.items():
+        a = n * v - s.get(i, 0) * s.get(j, 0)
+        A[i][j] = a
+        A[j][i] = a
+
+    def trunc_div(a: int, b: int) -> int:
+        return (a // b) if a >= 0 else -((-a) // b)
+
+    v = [10**6] * d
+    w = v
+    for _ in range(iters):
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [trunc_div(x * 10**6, mx) for x in w]
+    num = sum(v[i] * sum(A[i][j] * v[j] for j in range(d)) for i in range(d))
+    den = sum(x * x for x in v)
+    # Rayleigh of A = n²·10¹²·Cov — normalize back to covariance units
+    # (embedding²) before the nano emit, in ONE mirrored IEEE sequence
+    eig = (
+        int(
+            math.floor(
+                float(num) / float(den) / float(n * n) / 1e12 * 1e9 + 0.5
+            )
+        )
+        if den and n
+        else 0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pos": pa.array(list(range(d)), pa.int64()),
+                "v_scaled": pa.array(v, pa.int64()),
+                "eig_nano": pa.array([eig] * d, pa.int64()),
+            }
+        )
+    )

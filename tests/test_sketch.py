@@ -275,3 +275,36 @@ def test_hll_audit_rows(ray_session):
     assert t.column("true_distinct").to_pylist() == [2000]
     est = t.column("est_milli").to_pylist()[0] / 1000.0
     assert abs(est - 2000) / 2000 < 5 * 1.04 / np.sqrt(4096)
+
+
+def test_pca_top_matches_numpy_and_blocks(ray_session):
+    """Power iteration converges to numpy's dominant covariance
+    eigenvector (|cos| > 0.999 on a well-separated spectrum) with the
+    eigenvalue within rounding; block-invariant."""
+    from relation_extraction_ray.functions.ann import pca_top
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 0.05, size=(400, 8))
+    axis = np.array([1.0, -2.0, 0.5, 0, 0, 1.0, 0, 0.25])
+    axis /= np.linalg.norm(axis)
+    data = (base + rng.normal(0, 1.0, size=(400, 1)) * axis).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in data],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    a = pca_top(ray.data.from_arrow(t).repartition(1)).take_all()
+    b = pca_top(ray.data.from_arrow(t).repartition(7)).take_all()
+    assert a == b
+    v = np.array([r["v_scaled"] for r in a], np.float64)
+    micro = np.floor(data.astype(np.float64) * 1e6 + 0.5)
+    cov = np.cov(micro, rowvar=False, bias=True)
+    w_np, v_np = np.linalg.eigh(cov)
+    top = v_np[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    # eig_nano is in embedding² units: numpy top eigenvalue / 1e12
+    eig = a[0]["eig_nano"] / 1e9
+    assert abs(eig - w_np[-1] / 1e12) / (w_np[-1] / 1e12) < 0.01
