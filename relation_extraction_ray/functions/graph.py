@@ -2851,7 +2851,11 @@ def component_size_hist(adjacency: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def hits(adjacency: ray.data.Dataset, iters: int = 3) -> ray.data.Dataset:
+def hits(
+    adjacency: ray.data.Dataset,
+    iters: int = 3,
+    pin_bytes_bound: int = PIN_EDGES_BYTES_BOUND,
+) -> ray.data.Dataset:
     """HITS hubs & authorities (Kleinberg) over the DIRECTED distinct
     edge set of the adjacency table — the link-analysis dual of
     PageRank: a good hub points at good authorities, a good authority
@@ -2870,9 +2874,11 @@ def hits(adjacency: ray.data.Dataset, iters: int = 3) -> ray.data.Dataset:
     score rows into the matching partition, probes with one vectorized
     searchsorted, pre-sums contributions per destination INSIDE the
     partition, and folds one global max (a scalar) for the rescale.
-    The pagerank object-store pinning bound applies identically; this
-    implementation keeps the re-union path (bit-equal by construction,
-    correct at any size)."""
+    Below the pagerank pinning byte bound the mirrored edge partitions
+    are ray.put ONCE and fetched zero-copy in the probe, so the
+    per-half-step exchange carries only score rows; above it (or with
+    ``pin_bytes_bound=0``) iterations re-union the edge dataset —
+    bit-equality of the two paths is tested."""
     n_edges = adjacency.count()
     n_parts = derive_n_parts(n_edges, rows_per_part=65536)
     SCALE6 = 10**6
@@ -2911,6 +2917,27 @@ def hits(adjacency: ray.data.Dataset, iters: int = 3) -> ray.data.Dataset:
         .map_groups(prep_part, batch_format="pyarrow")
         .materialize()
     )
+
+    # Pin the static side (the pagerank convention, same byte bound):
+    # below the bound each mirrored edge partition is ray.put ONCE and
+    # fetched zero-copy inside the probe, so per-half-step exchanges
+    # carry only score rows; above it, iterations re-union the edge
+    # dataset (bit-equal by construction, correct at any size).
+    edge_refs: dict[int, "ray.ObjectRef"] | None = None
+    if edges.size_bytes() <= pin_bytes_bound:
+        bufs: dict[int, list[pa.Table]] = {}
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for pid in pc.unique(b.column("part")).to_pylist():
+                bufs.setdefault(pid, []).append(
+                    b.filter(pc.equal(b.column("part"), pid))
+                )
+        edge_refs = {}
+        for pid, tabs in bufs.items():
+            t = pa.concat_tables(tabs).sort_by(
+                [("dir", "ascending"), ("key", "ascending"), ("other", "ascending")]
+            )
+            edge_refs[pid] = ray.put(t.select(["key", "other", "dir"]))
+        del bufs
 
     def node_partial(batch: pa.Table) -> pa.Table:
         return pa.table({"node": pc.unique(batch.column("key").combine_chunks())})
@@ -2998,12 +3025,48 @@ def hits(adjacency: ray.data.Dataset, iters: int = 3) -> ray.data.Dataset:
                 .rename_columns(["node", "contrib"])
             )
 
-        unioned = scores.map_batches(score_side, batch_format="pyarrow").union(
-            edges.map_batches(edge_side, batch_format="pyarrow")
-        )
+        def probe_pinned(part: pa.Table) -> pa.Table:
+            """Score-rows-only partition; this partition's pinned edges
+            fetched zero-copy and filtered to the needed direction."""
+            if part.num_rows == 0:
+                return contrib_schema.empty_table()
+            ref = edge_refs.get(part.column("part")[0].as_py())
+            if ref is None:
+                return contrib_schema.empty_table()
+            et = ray.get(ref)
+            et = et.filter(pc.equal(et.column("dir"), direction))
+            if et.num_rows == 0:
+                return contrib_schema.empty_table()
+            sk = part.column("key").to_numpy(zero_copy_only=False)
+            sv = part.column("s").to_numpy(zero_copy_only=False)
+            order = np.argsort(sk, kind="mergesort")
+            sk, sv = sk[order], sv[order]
+            ek = et.column("key").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sk, ek)
+            return (
+                pa.table(
+                    {
+                        "node": et.column("other"),
+                        "contrib": pa.array(sv[pos], pa.int64()),
+                    }
+                )
+                .group_by(["node"])
+                .aggregate([("contrib", "sum")])
+                .rename_columns(["node", "contrib"])
+            )
+
+        if edge_refs is not None:
+            tagged = scores.map_batches(score_side, batch_format="pyarrow")
+            grouped = tagged.groupby("part").map_groups(
+                probe_pinned, batch_format="pyarrow"
+            )
+        else:
+            unioned = scores.map_batches(score_side, batch_format="pyarrow").union(
+                edges.map_batches(edge_side, batch_format="pyarrow")
+            )
+            grouped = unioned.groupby("part").map_groups(probe, batch_format="pyarrow")
         raw = (
-            unioned.groupby("part")
-            .map_groups(probe, batch_format="pyarrow")
+            grouped
             .union(zeros)
             .groupby("node")
             .sum("contrib")

@@ -1126,3 +1126,21 @@ def test_trim_core_closed_forms(ray_session):
     loop = [("x", "p", "x", 1)]
     got = trim_core(ray.data.from_arrow(_adj(loop)).repartition(1)).take_all()
     assert [(r["round"], r["removed"], r["core_after"]) for r in got] == [(1, 0, 1)]
+
+
+def test_hits_pinned_equals_union_path(ray_session):
+    """pin_bytes_bound=0 forces the re-union fallback — bit-identical
+    to the pinned path on a random multigraph."""
+    from relation_extraction_ray.functions.graph import hits
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"n{int(a)}", "p", f"n{int(b)}", 1)
+        for a, b in rng.integers(0, 25, size=(120, 2))
+        if a != b
+    ]
+    ds = ray.data.from_arrow(_adj(rows)).repartition(5)
+    pinned = hits(ds).take_all()
+    union = hits(ray.data.from_arrow(_adj(rows)).repartition(5),
+                 pin_bytes_bound=0).take_all()
+    assert pinned == union and len(pinned) > 0
