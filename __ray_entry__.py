@@ -2354,6 +2354,62 @@ def _q_hits(sf_dir: str):
     return hits(_kg_run()["adjacency"], iters=3)
 
 
+def _q_kg_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound of the KG entity graph: two
+    pinned-edge BFS runs from deterministic endpoints, max/min folds
+    over the nodes-sized distance table."""
+    from relation_extraction_ray.functions.graph import diameter_2sweep
+
+    return diameter_2sweep(_kg_run()["adjacency"], max_hops=12)
+
+
+def _diameter_sql(adj_path: str, hops: int = 12) -> str:
+    """Unroll the double sweep: src = min node of the self-loop-free
+    mirror, BFS-1 unrolled (the _bfs_sql recurrence), farthest node
+    with lexicographic tie-break, BFS-2 from it, second eccentricity =
+    diameter lower bound."""
+    cte = f"""
+    eu AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a,
+                               greatest(src_id, dst_id) AS b
+           FROM read_parquet('{adj_path}') WHERE src_id <> dst_id),
+    e AS MATERIALIZED (SELECT a AS u, b AS v FROM eu UNION ALL SELECT b, a FROM eu),
+    s0 AS MATERIALIZED (SELECT min(u) AS src FROM e),
+    da0 AS MATERIALIZED (SELECT (SELECT src FROM s0) AS node, CAST(0 AS BIGINT) AS dist)"""
+    for i in range(hops):
+        cte += f""",
+    da{i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM da{i}
+             UNION ALL
+             SELECT e.v AS node, d.dist + 1 FROM e JOIN da{i} d ON d.node = e.u
+           ) GROUP BY node)"""
+    cte += f""",
+    ecc1 AS MATERIALIZED (SELECT max(dist) AS ecc FROM da{hops}),
+    fa AS MATERIALIZED (SELECT min(node) AS far FROM da{hops}
+           WHERE dist = (SELECT ecc FROM ecc1)),
+    db0 AS MATERIALIZED (SELECT (SELECT far FROM fa) AS node, CAST(0 AS BIGINT) AS dist)"""
+    for i in range(hops):
+        cte += f""",
+    db{i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM db{i}
+             UNION ALL
+             SELECT e.v AS node, d.dist + 1 FROM e JOIN db{i} d ON d.node = e.u
+           ) GROUP BY node)"""
+    cte += f""",
+    ecc2 AS MATERIALIZED (SELECT max(dist) AS diam FROM db{hops}),
+    fb AS MATERIALIZED (SELECT min(node) AS far2 FROM db{hops}
+           WHERE dist = (SELECT diam FROM ecc2))"""
+    return (
+        "WITH "
+        + cte
+        + """
+    SELECT (SELECT src FROM s0) AS src,
+           CAST((SELECT ecc FROM ecc1) AS BIGINT) AS ecc_src,
+           (SELECT far FROM fa) AS far_node,
+           CAST((SELECT diam FROM ecc2) AS BIGINT) AS diameter_lb,
+           (SELECT far2 FROM fb) AS far_node_2"""
+    )
+
+
 def _q_trim_core(sf_dir: str):
     """Directed trim core of the KG (iterated source/sink peeling, the
     SCC pre-pass / DAG test): per-round removal counts until fixpoint,
@@ -2938,6 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
+        "kg_diameter": _q_kg_diameter,
         "debounce": _q_debounce,
         "k_anonymity": _q_k_anonymity,
         "time_weighted_avg": _q_twa,
@@ -6311,6 +6368,9 @@ def oracle_sql() -> dict[str, str]:
         # trim_core: unrolled source/sink peel with the engine's early
         # exit replayed by a min-round cut
         "trim_core": _trim_core_sql(kg_paths["kg_adjacency"], cap=32),
+        # kg_diameter: double-sweep BFS unroll with lexicographic
+        # farthest-node tie-breaks
+        "kg_diameter": _diameter_sql(kg_paths["kg_adjacency"], hops=12),
         "pagerank_personal": _pagerank_sql(kg_paths["kg_adjacency"], iters=5, seed_pct=5),
         # kcore: the synchronized peel unrolled to a fixed depth (no-op
         # rounds past the fixpoint make the fixed unroll exact)

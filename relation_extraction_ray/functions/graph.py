@@ -1179,7 +1179,10 @@ def bfs_seed_mask(nodes: "pa.Array | pa.ChunkedArray", pct: int) -> pa.Array:
 
 
 def bfs_hops(
-    adjacency: ray.data.Dataset, seed_pct: int = 5, max_hops: int = 6
+    adjacency: ray.data.Dataset,
+    seed_pct: int = 5,
+    max_hops: int = 6,
+    seeds: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Multi-source BFS hop distance over the undirected KG entity graph
     (the landmark-distance feature of graph ML / KG QA: how many hops is
@@ -1208,7 +1211,10 @@ def bfs_hops(
 
     def seed_partial(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
-        hit = bfs_seed_mask(nodes, seed_pct)
+        if seeds is not None:  # explicit single/few-source mode
+            hit = pc.is_in(nodes, value_set=pa.array(sorted(seeds), pa.string()))
+        else:
+            hit = bfs_seed_mask(nodes, seed_pct)
         picked = nodes.filter(hit)
         return pa.table(
             {
@@ -3229,6 +3235,76 @@ def trim_core(adjacency: ray.data.Dataset, max_rounds: int = 32) -> ray.data.Dat
                 "round": pa.array(out_rounds, pa.int64()),
                 "removed": pa.array(out_removed, pa.int64()),
                 "core_after": pa.array(out_core, pa.int64()),
+            }
+        )
+    )
+
+
+def diameter_2sweep(
+    adjacency: ray.data.Dataset, max_hops: int = 12
+) -> ray.data.Dataset:
+    """Double-sweep diameter lower bound of the undirected KG graph —
+    the standard cheap estimator (Magnien/Latapy/Habib): BFS from a
+    deterministic start (the lexicographically smallest node), take the
+    farthest node reached, BFS again from there; the second
+    eccentricity lower-bounds the diameter and is exact on trees.
+    Both sweeps cap at ``max_hops`` rounds (identically in the SQL
+    unroll, so a deeper graph degrades both engines the same way);
+    farthest-node ties break lexicographically.  Output one row:
+    (src, ecc_src, far_node, diameter_lb, far_node_2).
+
+    Scale shape: two :func:`bfs_hops` runs (pinned static edge
+    partitions, score-rows-only per-round exchange) plus two max/min
+    aggregates over the nodes-sized distance table — nothing beyond the
+    BFS discipline."""
+    from ray.data.aggregate import Min
+
+    def min_node_partial(batch: pa.Table) -> pa.Table:
+        # node universe = endpoints of non-self edges (the BFS mirror
+        # drops self-loops, and the SQL replay's node set must agree)
+        keep = pc.invert(pc.equal(batch.column("src_id"), batch.column("dst_id")))
+        t = batch.filter(keep)
+        both = pa.concat_arrays(
+            [t.column("src_id").combine_chunks(), t.column("dst_id").combine_chunks()]
+        )
+        m = pc.min(both).as_py()
+        return pa.table({"node": pa.array([m] if m is not None else [], pa.string())})
+
+    schema = pa.schema(
+        [
+            ("src", pa.string()),
+            ("ecc_src", pa.int64()),
+            ("far_node", pa.string()),
+            ("diameter_lb", pa.int64()),
+            ("far_node_2", pa.string()),
+        ]
+    )
+    agg = adjacency.map_batches(min_node_partial, batch_format="pyarrow").aggregate(
+        Min("node", alias_name="m")
+    )
+    if not agg or agg.get("m") is None:
+        return ray.data.from_arrow(schema.empty_table())
+    src = str(agg["m"])
+
+    def far_of(dist: ray.data.Dataset) -> tuple[str, int]:
+        d = dist.materialize()
+        mx = d.max("dist")
+        mx = int(mx) if mx is not None else 0
+        far = d.filter(expr=f"dist == {mx}").aggregate(Min("node", alias_name="m"))
+        return str(far["m"]), mx
+
+    d1 = bfs_hops(adjacency, max_hops=max_hops, seeds=[src])
+    far_a, ecc = far_of(d1)
+    d2 = bfs_hops(adjacency, max_hops=max_hops, seeds=[far_a])
+    far_b, diam = far_of(d2)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([src], pa.string()),
+                "ecc_src": pa.array([ecc], pa.int64()),
+                "far_node": pa.array([far_a], pa.string()),
+                "diameter_lb": pa.array([diam], pa.int64()),
+                "far_node_2": pa.array([far_b], pa.string()),
             }
         )
     )

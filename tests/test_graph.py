@@ -1144,3 +1144,20 @@ def test_hits_pinned_equals_union_path(ray_session):
     union = hits(ray.data.from_arrow(_adj(rows)).repartition(5),
                  pin_bytes_bound=0).take_all()
     assert pinned == union and len(pinned) > 0
+
+
+def test_diameter_2sweep_closed_forms(ray_session):
+    """Path a-b-c-d-e: src = 'a', ecc 4, far 'e', second sweep returns
+    to 'a' with the same diameter (exact on trees).  A cycle of 6 has
+    true diameter 3; two sweeps from any node report 3."""
+    from relation_extraction_ray.functions.graph import diameter_2sweep
+
+    path = [(x, "p", y, 1) for x, y in zip("abcd", "bcde")]
+    r = diameter_2sweep(ray.data.from_arrow(_adj(path)).repartition(3)).take_all()[0]
+    assert (r["src"], r["ecc_src"], r["far_node"], r["diameter_lb"], r["far_node_2"]) == (
+        "a", 4, "e", 4, "a",
+    )
+
+    ring = [(f"n{i}", "p", f"n{(i + 1) % 6}", 1) for i in range(6)]
+    r = diameter_2sweep(ray.data.from_arrow(_adj(ring)).repartition(2)).take_all()[0]
+    assert r["src"] == "n0" and r["ecc_src"] == 3 and r["diameter_lb"] == 3
