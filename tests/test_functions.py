@@ -4088,3 +4088,76 @@ def test_benford_audit_closed_form(ray_session):
         exp = int(math.floor(math.log(1 + 1 / d) / math.log(10) * 1e6 + 0.5))
         assert by_d[d]["expected_micro"] == exp
         assert by_d[d]["dev_micro"] == by_d[d]["share_micro"] - exp
+
+
+def test_trend_stats_random_bruteforce_replay(ray_session):
+    """Seeded random series replayed against brute-force Python for
+    kendall_tau_b, mann_kendall and theil_sen — logic beyond the
+    closed forms (tie storms, duplicate days collapse, even/odd pair
+    counts)."""
+    import math
+
+    from relation_extraction_ray.functions.relational import (
+        kendall_tau_b,
+        mann_kendall_daily,
+        theil_sen_daily,
+    )
+
+    rng = np.random.default_rng(3)
+
+    # --- kendall: 80 heavily tied observations
+    xs = rng.integers(1, 8, 80)
+    ys = rng.integers(1, 6, 80)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(xs.astype(np.float64)),
+                "y": pa.array(ys.astype(np.float64)),
+            }
+        )
+    ).repartition(4)
+    r = kendall_tau_b(ds, "x", "y", 1, 1).take_all()[0]
+    C = D = 0
+    for i in range(80):
+        for j in range(i + 1, 80):
+            p = (xs[j] - xs[i]) * (ys[j] - ys[i])
+            C += p > 0
+            D += p < 0
+    assert (r["concordant"], r["discordant"]) == (C, D)
+
+    # --- daily series with duplicate days (cents collapse by sum)
+    days = rng.integers(0, 40, 120)
+    cents = rng.integers(100, 10000, 120)
+    t = pa.table(
+        {
+            "o_orderdate": pa.array(
+                days.astype("datetime64[D]").astype("datetime64[us]")
+            ),
+            "o_totalprice": pa.array(cents / 100.0, pa.float64()),
+        }
+    )
+    series: dict[int, int] = {}
+    for d, c in zip(days.tolist(), cents.tolist()):
+        series[d] = series.get(d, 0) + c
+    sd = sorted(series)
+    vals = [series[d] for d in sd]
+    n = len(sd)
+
+    r = mann_kendall_daily(ray.data.from_arrow(t).repartition(5)).take_all()[0]
+    S = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert (r["n_days"], r["s_stat"]) == (n, S)
+
+    r = theil_sen_daily(ray.data.from_arrow(t).repartition(5)).take_all()[0]
+    slopes = sorted(
+        ((vals[j] - vals[i]) / (sd[j] - sd[i]), vals[j] - vals[i], sd[j] - sd[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    m = len(slopes)
+    med = (slopes[(m - 1) // 2][0] + slopes[m // 2][0]) / 2
+    assert r["n_pairs"] == m
+    assert r["slope_nano"] == int(math.floor(med * 1e9 + 0.5))
