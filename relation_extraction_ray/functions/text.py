@@ -1414,18 +1414,32 @@ def bpe_phrases(
             }
         )
 
+    def local_top1(batch: pa.Table) -> pa.Table:
+        """Per-batch argmax over the ALREADY-AGGREGATED count table
+        (post-groupby batches hold disjoint pairs, so a local top-1 per
+        batch plus a driver pick is exact) — replaces a per-round
+        sort().limit(1) all-to-all with a batches-sized fold."""
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("cnt", "descending"), ("x", "ascending"), ("y", "ascending")],
+        )
+        return batch.take(idx[:1])
+
     merges = []
     for r in range(1, n_merges + 1):
-        top = (
+        cands = (
             seqs.map_batches(pair_partial, batch_format="pyarrow")
             .groupby(["x", "y"])
             .aggregate(Sum("cnt", alias_name="cnt"))
-            .sort(["cnt", "x", "y"], descending=[True, False, False])
-            .limit(1)
+            .map_batches(local_top1, batch_format="pyarrow")
             .take_all()
         )
-        if not top:
+        if not cands:
             break
+        cands.sort(key=lambda t: (-int(t["cnt"]), t["x"], t["y"]))
+        top = cands
         x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
         merged = f"{x}_{y}"
         merges.append({"round": r, "x": x, "y": y, "merged": merged, "cnt": cnt})
