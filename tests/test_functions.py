@@ -4161,3 +4161,26 @@ def test_trend_stats_random_bruteforce_replay(ray_session):
     med = (slopes[(m - 1) // 2][0] + slopes[m // 2][0]) / 2
     assert r["n_pairs"] == m
     assert r["slope_nano"] == int(math.floor(med * 1e9 + 0.5))
+
+
+def test_fd_audit_string_determinant(ray_session):
+    """String det/dep columns run through the same lexsort run-mask
+    kernel (object-dtype argsort) — types beyond the int query path."""
+    from relation_extraction_ray.functions.relational import fd_audit
+
+    t = pa.table(
+        {
+            "k": pa.array(["us", "us", "de", "de", "fr"], pa.string()),
+            "v": pa.array(["a", "b", "c", "c", "d"], pa.string()),
+        }
+    )
+    row = fd_audit(
+        [("t", ray.data.from_arrow(t).repartition(3), "k", "v")]
+    ).to_pylist()[0]
+    assert row == {
+        "fd": "t",
+        "n_keys": 3,
+        "n_violating": 1,
+        "max_fanout": 2,
+        "conformance_milli": 666,
+    }
