@@ -524,9 +524,12 @@ def greedy_coverage(
         picked_ref = ray.put(frozenset(picked))
 
         def local_best(batch: pa.Table) -> pa.Table:
+            """One (doc_id, gain, text) row per batch — the winner's
+            text rides along, so the round needs NO second scan to
+            fetch it (k rounds = k scans total, not 2k)."""
             cov = ray.get(cov_ref)
             skip = ray.get(picked_ref)
-            best_id, best_gain = None, -1
+            best_id, best_gain, best_text = None, -1, ""
             for doc_id, text in zip(
                 batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
             ):
@@ -534,15 +537,17 @@ def greedy_coverage(
                     continue
                 g = len(tokens_of(text) - cov)
                 if g > best_gain or (g == best_gain and doc_id < best_id):
-                    best_id, best_gain = doc_id, g
+                    best_id, best_gain, best_text = doc_id, g, text
             if best_id is None:
                 return pa.schema(
-                    [("doc_id", pa.int64()), ("gain", pa.int64())]
+                    [("doc_id", pa.int64()), ("gain", pa.int64()),
+                     ("text", pa.string())]
                 ).empty_table()
             return pa.table(
                 {
                     "doc_id": pa.array([best_id], pa.int64()),
                     "gain": pa.array([best_gain], pa.int64()),
+                    "text": pa.array([best_text], pa.string()),
                 }
             )
 
@@ -553,8 +558,7 @@ def greedy_coverage(
         win_id, win_gain = int(cands[0]["doc_id"]), int(cands[0]["gain"])
         if win_gain <= 0:
             break
-        win_rows = docs.filter(expr=f"doc_id == {win_id}").take_all()
-        covered = covered | tokens_of(win_rows[0]["text"])
+        covered = covered | tokens_of(cands[0]["text"])
         picked.add(win_id)
         out_rows.append((rnd, win_id, win_gain, len(covered)))
 
