@@ -385,6 +385,39 @@ def _greedy_cov_sql(k: int = 8) -> str:
     )
 
 
+def _q_join_size_audit(sf_dir: str):
+    """Exact planner-style join cardinalities for three equi-joins
+    without executing them: per-key count folds, one count-table
+    exchange per join, per-partition Σ deg·deg and max-fan-out folds."""
+    from relation_extraction_ray.functions.relational import join_size_audit
+
+    return join_size_audit(
+        [
+            (
+                "lineitem~orders",
+                _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+                "l_orderkey",
+                _read(sf_dir, "orders", columns=["o_orderkey"]),
+                "o_orderkey",
+            ),
+            (
+                "lineitem~part",
+                _read(sf_dir, "lineitem", columns=["l_partkey"]),
+                "l_partkey",
+                _read(sf_dir, "part", columns=["p_partkey"]),
+                "p_partkey",
+            ),
+            (
+                "orders~customer",
+                _read(sf_dir, "orders", columns=["o_custkey"]),
+                "o_custkey",
+                _read(sf_dir, "customer", columns=["c_custkey"]),
+                "c_custkey",
+            ),
+        ]
+    )
+
+
 def _q_fd_audit(sf_dir: str):
     """Functional-dependency profiling of three candidate FDs (order →
     returnflag, part → supplier, customer → priority): distinct-pair
@@ -2991,6 +3024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top": _q_pca_top,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
+        "join_size_audit": _q_join_size_audit,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -4572,6 +4606,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN CASE WHEN 1000 * n * 7 > 2000 * trail_n THEN 1 ELSE 0 END
                         ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
             FROM tr ORDER BY day
+        """,
+        # join_size_audit: Σ deg_L(k)·deg_R(k) over per-key count joins
+        "join_size_audit": """
+            WITH j1 AS (
+              SELECT CAST(coalesce(sum(l.c * r.c), 0) AS BIGINT) AS join_rows,
+                     CAST(count(*) AS BIGINT) AS n_matching_keys,
+                     CAST(coalesce(max(l.c * r.c), 0) AS BIGINT) AS max_key_product
+              FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) l
+              JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1) r
+                ON r.k = l.k
+            ), j2 AS (
+              SELECT CAST(coalesce(sum(l.c * r.c), 0) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(coalesce(max(l.c * r.c), 0) AS BIGINT)
+              FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1) l
+              JOIN (SELECT p_partkey AS k, count(*) AS c FROM part GROUP BY 1) r
+                ON r.k = l.k
+            ), j3 AS (
+              SELECT CAST(coalesce(sum(l.c * r.c), 0) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(coalesce(max(l.c * r.c), 0) AS BIGINT)
+              FROM (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) l
+              JOIN (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1) r
+                ON r.k = l.k
+            )
+            SELECT * FROM (
+              SELECT 'lineitem~orders' AS join, * FROM j1
+              UNION ALL SELECT 'lineitem~part', * FROM j2
+              UNION ALL SELECT 'orders~customer', * FROM j3
+            ) ORDER BY "join"
         """,
         # fd_audit: per-FD distinct-dependent counts per key, violation
         # and fan-out folds, integer-milli conformance

@@ -5687,3 +5687,96 @@ def benford_audit(
             }
         )
     )
+
+
+def join_size_audit(
+    specs: list[tuple[str, ray.data.Dataset, str, ray.data.Dataset, str]]
+) -> pa.Table:
+    """Exact equi-join cardinality WITHOUT executing the join — the
+    query-planner primitive (|R ⋈ S| = Σ_k deg_R(k)·deg_S(k)) that
+    prices a join before committing a cluster to it, plus the max
+    per-key fan-out product (the skew hazard the optimizer actually
+    fears).  ``specs`` rows are (label, left_ds, left_key, right_ds,
+    right_key).
+
+    Scale shape: each side folds to per-key counts with a combine-fed
+    groupby (exchange ≤ distinct keys), the two COUNT tables — never
+    the fact tables — co-locate through one key-partitioned exchange,
+    and partitions fold to (join_rows, max_key_product) counter pairs."""
+    from ray.data.aggregate import Sum
+
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    def counts_of(ds: ray.data.Dataset, key: str, side: int) -> ray.data.Dataset:
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "k": g.column(key).cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(g.num_rows, side, np.int64), pa.int64()
+                    ),
+                    "c": g.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["k", "side"])
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+    out_l, out_rows, out_keys, out_max = [], [], [], []
+    for label, lds, lkey, rds, rkey in specs:
+        both = counts_of(lds, lkey, 0).union(counts_of(rds, rkey, 1))
+
+        counter_schema = pa.schema(
+            [("join_rows", pa.int64()), ("n_keys", pa.int64()), ("max_prod", pa.int64())]
+        )
+
+        def per_part(part: pa.Table) -> pa.Table:
+            if "part" in part.column_names:
+                part = part.drop_columns(["part"])
+            if part.num_rows == 0:
+                return counter_schema.empty_table()
+            k = part.column("k").to_numpy(zero_copy_only=False)
+            side = part.column("side").to_numpy(zero_copy_only=False)
+            c = part.column("c").to_numpy(zero_copy_only=False)
+            order = np.lexsort((side, k))
+            k, side, c = k[order], side[order], c[order]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            ends = np.r_[starts[1:], len(k)]
+            # a key joins iff its run holds BOTH sides (run len 2 here:
+            # per-side counts are already globally folded)
+            lc = np.where(side == 0, c, 0)
+            rc = np.where(side == 1, c, 0)
+            lsum = np.add.reduceat(lc, starts)
+            rsum = np.add.reduceat(rc, starts)
+            prod = lsum * rsum
+            both_sides = (lsum > 0) & (rsum > 0)
+            return pa.table(
+                {
+                    "join_rows": pa.array([int(prod.sum())], pa.int64()),
+                    "n_keys": pa.array([int(both_sides.sum())], pa.int64()),
+                    "max_prod": pa.array(
+                        [int(prod.max()) if len(prod) else 0], pa.int64()
+                    ),
+                }
+            )
+
+        n_parts = derive_n_parts(
+            max(lds.count(), rds.count()), rows_per_part=65536
+        )
+        rows = hash_partitioned_groups(both, ["k"], per_part, n_parts).take_all()
+        out_l.append(label)
+        out_rows.append(sum(int(r["join_rows"]) for r in rows))
+        out_keys.append(sum(int(r["n_keys"]) for r in rows))
+        out_max.append(max((int(r["max_prod"]) for r in rows), default=0))
+    return pa.table(
+        {
+            "join": pa.array(out_l, pa.string()),
+            "join_rows": pa.array(out_rows, pa.int64()),
+            "n_matching_keys": pa.array(out_keys, pa.int64()),
+            "max_key_product": pa.array(out_max, pa.int64()),
+        }
+    ).sort_by("join")

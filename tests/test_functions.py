@@ -4184,3 +4184,31 @@ def test_fd_audit_string_determinant(ray_session):
         "max_fanout": 2,
         "conformance_milli": 666,
     }
+
+
+def test_join_size_audit_closed_form(ray_session):
+    """L keys (1,1,2,3), R keys (1,2,2,9): key 1 → 2·1, key 2 → 1·2 ⇒
+    join_rows 4, matching keys 2, max product 2; key 3 and 9 are
+    one-sided and contribute nothing; block-invariant."""
+    from relation_extraction_ray.functions.relational import join_size_audit
+
+    l = pa.table({"k": pa.array([1, 1, 2, 3], pa.int64())})
+    r = pa.table({"k": pa.array([1, 2, 2, 9], pa.int64())})
+    for nb in (1, 3):
+        row = join_size_audit(
+            [
+                (
+                    "l~r",
+                    ray.data.from_arrow(l).repartition(nb),
+                    "k",
+                    ray.data.from_arrow(r).repartition(nb),
+                    "k",
+                )
+            ]
+        ).to_pylist()[0]
+        assert row == {
+            "join": "l~r",
+            "join_rows": 4,
+            "n_matching_keys": 2,
+            "max_key_product": 2,
+        }
