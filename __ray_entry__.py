@@ -385,6 +385,108 @@ def _greedy_cov_sql(k: int = 8) -> str:
     )
 
 
+def _q_table_digest(sf_dir: str):
+    """Order-invariant content digests (count, sum-mod-2⁶⁴, xor of the
+    per-row splitmix64 key hash) for two tables — the migration /
+    replication verification primitive; mergeable and partition-order-
+    free by construction."""
+    from relation_extraction_ray.functions.joins import table_digest
+
+    return table_digest(
+        [
+            (
+                "orders",
+                _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+                ["o_orderkey", "o_custkey"],
+            ),
+            (
+                "lineitem",
+                _read(
+                    sf_dir,
+                    "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey"],
+                ),
+                ["l_orderkey", "l_partkey", "l_suppkey"],
+            ),
+        ]
+    )
+
+
+def _digest_sql_side(tag: str, table: str, cols: list[str]) -> tuple[str, str]:
+    """CTE chain replaying ``hash_columns`` on integer columns:
+    h = 0, then per column h = mix64(h + mix64(v)) — each splitmix64
+    as 5 hi/lo-split HUGEINT mulmod steps (the hll_distinct machinery),
+    folded to (count, sum-mod-2⁶⁴, xor) with two's-complement casts."""
+    m64 = "18446744073709551616"
+    muls = ("13787848793156543929", "10723151780598845931")
+    shifts = ("1073741824", "134217728", "2147483648")
+
+    def mix_steps(prefix: str, col: str, cur: str, carry: list[str]) -> tuple[list[str], str]:
+        out = []
+        for i, step in enumerate(("s0", "m0", "s1", "m1", "s2")):
+            nm = f"{prefix}{i}"
+            if step.startswith("m"):
+                c = f"CAST({muls[int(step[1])]} AS HUGEINT)"
+                expr = (
+                    f"((({col} // 4294967296 * {c}) % {m64}) * 4294967296"
+                    f" + ({col} % 4294967296) * {c}) % {m64}"
+                )
+            else:
+                expr = f"xor({col}, {col} // {shifts[int(step[1])]})"
+            keep = ", ".join(carry)
+            out.append(
+                f"{nm} AS (SELECT {expr} AS {col}"
+                + (f", {keep}" if keep else "")
+                + f" FROM {cur})"
+            )
+            cur = nm
+        return out, cur
+
+    ctes = [
+        f"d{tag} AS (SELECT "
+        + ", ".join(f"CAST({c} AS HUGEINT) AS x{k}" for k, c in enumerate(cols))
+        + f" FROM {table})"
+    ]
+    cur = f"d{tag}"
+    names = [f"x{k}" for k in range(len(cols))]
+    for k in range(len(cols)):  # per-column inner mix
+        steps, cur = mix_steps(f"p{tag}{k}", names[k], cur, [n for n in names if n != names[k]] + (["h"] if False else []))
+        ctes += steps
+    # combine chain: h = mix64(h + m_k), starting h = 0
+    ctes.append(f"c{tag}0 AS (SELECT (0 + x0) % {m64} AS h, " + ", ".join(names[1:]) + f" FROM {cur})" if len(names) > 1 else f"c{tag}0 AS (SELECT (0 + x0) % {m64} AS h FROM {cur})")
+    cur = f"c{tag}0"
+    for k in range(len(cols)):
+        carry = names[k + 1 :]
+        steps, cur = mix_steps(f"q{tag}{k}", "h", cur, carry)
+        ctes += steps
+        if k + 1 < len(cols):
+            nxt = f"c{tag}{k + 1}"
+            keep = ", ".join(names[k + 2 :])
+            ctes.append(
+                f"{nxt} AS (SELECT (h + {names[k + 1]}) % {m64} AS h"
+                + (f", {keep}" if keep else "")
+                + f" FROM {cur})"
+            )
+            cur = nxt
+    final = (
+        f"SELECT '{table}' AS source, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(CASE WHEN sum(h) % {m64} >= 9223372036854775808"
+        f" THEN sum(h) % {m64} - {m64} ELSE sum(h) % {m64} END AS BIGINT) AS digest_sum,"
+        f" bit_xor(CAST(CASE WHEN h >= 9223372036854775808 THEN h - {m64} ELSE h END"
+        f" AS BIGINT)) AS digest_xor"
+        f" FROM {cur}"
+    )
+    return ", ".join(ctes), final
+
+
+def _digest_sql() -> str:
+    c1, f1 = _digest_sql_side("a", "orders", ["o_orderkey", "o_custkey"])
+    c2, f2 = _digest_sql_side(
+        "b", "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+    return f"WITH {c1}, {c2} SELECT * FROM ({f1} UNION ALL {f2}) ORDER BY source"
+
+
 def _q_join_size_audit(sf_dir: str):
     """Exact planner-style join cardinalities for three equi-joins
     without executing them: per-key count folds, one count-table
@@ -3025,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "fd_audit": _q_fd_audit,
         "join_size_audit": _q_join_size_audit,
+        "table_digest": _q_table_digest,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -4607,6 +4710,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CASE WHEN n > 0 THEN 1 ELSE 0 END END AS BIGINT) AS is_spike
             FROM tr ORDER BY day
         """,
+        # table_digest: splitmix64 chain per key column, order-free
+        # (count, sum-mod-2^64, xor) folds, two's-complement casts
+        "table_digest": _digest_sql(),
         # join_size_audit: Σ deg_L(k)·deg_R(k) over per-key count joins
         "join_size_audit": """
             WITH j1 AS (

@@ -358,3 +358,60 @@ def hash_partitioned_groups(
         .groupby("part")
         .map_groups(per_partition, batch_format=batch_format)
     )
+
+
+def table_digest(
+    specs: list[tuple[str, "ray.data.Dataset", list[str]]]
+) -> pa.Table:
+    """Order-invariant content digest of integer key columns — the
+    migration/replication verification primitive: two tables hold the
+    same multiset of key tuples iff (row_count, sum-mod-2⁶⁴, xor) of
+    the per-row ``hash_columns`` values all agree.  Sum and xor are
+    commutative/associative, so the digest is MERGEABLE and partition-
+    order-free — any retry, any block layout, any cluster size yields
+    the same three numbers; the SQL oracle replays the splitmix64
+    chain per column and folds the same three aggregates.
+
+    Scale shape: one streaming scan per source; each batch reduces to a
+    single (sum, xor, count) partial (wrapping uint64 numpy folds), the
+    driver folds batches-many partials with python ints.  Digests are
+    emitted as signed two's-complement int64 (the SQL-visible form)."""
+    out_l, out_n, out_sum, out_xor = [], [], [], []
+    for label, ds, cols in specs:
+        def partial(batch: pa.Table, cols=cols) -> pa.Table:
+            h = hash_columns(batch, cols)
+            return pa.table(
+                {
+                    "s": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+                    "x": pa.array(
+                        [int(np.bitwise_xor.reduce(h)) if len(h) else 0],
+                        pa.uint64(),
+                    ),
+                    "n": pa.array([len(h)], pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        total = 0
+        x = 0
+        n = 0
+        for r in rows:
+            total = (total + int(r["s"])) % (1 << 64)
+            x ^= int(r["x"])
+            n += int(r["n"])
+
+        def signed(v: int) -> int:
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        out_l.append(label)
+        out_n.append(n)
+        out_sum.append(signed(total))
+        out_xor.append(signed(x))
+    return pa.table(
+        {
+            "source": pa.array(out_l, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "digest_sum": pa.array(out_sum, pa.int64()),
+            "digest_xor": pa.array(out_xor, pa.int64()),
+        }
+    ).sort_by("source")

@@ -118,3 +118,50 @@ def test_hash_columns_nullable_binary():
     assert part_array(tab, ["k"], 8).to_pylist()[0] == part_array(tab, ["k"], 8).to_pylist()[2]
     big = pa.table({"k": pa.array([b"y", None], pa.large_binary())})
     hash_columns(big, ["k"])  # large_binary nulls too
+
+
+def test_table_digest_order_invariance_and_sensitivity(ray_session):
+    """Digest is identical under any block layout and row order, equal
+    for equal multisets (duplicates counted), and flips when any single
+    key value changes."""
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.joins import table_digest
+
+    rows = [(1, 10), (2, 20), (2, 20), (3, 30)]
+    t = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    shuffled = pa.table(
+        {
+            "a": pa.array([2, 3, 1, 2], pa.int64()),
+            "b": pa.array([20, 30, 10, 20], pa.int64()),
+        }
+    )
+    d1 = table_digest([("t", ray.data.from_arrow(t).repartition(1), ["a", "b"])]).to_pylist()
+    d2 = table_digest([("t", ray.data.from_arrow(t).repartition(4), ["a", "b"])]).to_pylist()
+    d3 = table_digest([("t", ray.data.from_arrow(shuffled).repartition(2), ["a", "b"])]).to_pylist()
+    assert d1 == d2 == d3
+    assert d1[0]["n_rows"] == 4
+    changed = pa.table(
+        {
+            "a": pa.array([1, 2, 2, 3], pa.int64()),
+            "b": pa.array([10, 20, 21, 30], pa.int64()),
+        }
+    )
+    d4 = table_digest([("t", ray.data.from_arrow(changed), ["a", "b"])]).to_pylist()
+    assert d4[0]["digest_sum"] != d1[0]["digest_sum"]
+    assert d4[0]["digest_xor"] != d1[0]["digest_xor"]
+    # dropping one copy of a duplicate row also flips the digest
+    dedup = pa.table(
+        {
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    d5 = table_digest([("t", ray.data.from_arrow(dedup), ["a", "b"])]).to_pylist()
+    assert d5[0]["digest_sum"] != d1[0]["digest_sum"]
