@@ -385,6 +385,77 @@ def _greedy_cov_sql(k: int = 8) -> str:
     )
 
 
+def _q_shard_advisor(sf_dir: str):
+    """Partition-key advisor: hash-bucket load profile at 64 parts
+    under the engine's own partition hash for three candidate keys;
+    per-batch ≤64-row partials, aggregate-sized exchange."""
+    from relation_extraction_ray.functions.joins import shard_advisor
+
+    return shard_advisor(
+        [
+            (
+                "lineitem.l_partkey",
+                _read(sf_dir, "lineitem", columns=["l_partkey"]),
+                "l_partkey",
+            ),
+            (
+                "orders.o_custkey",
+                _read(sf_dir, "orders", columns=["o_custkey"]),
+                "o_custkey",
+            ),
+            (
+                "orders.o_orderkey",
+                _read(sf_dir, "orders", columns=["o_orderkey"]),
+                "o_orderkey",
+            ),
+        ]
+    )
+
+
+def _shard_sql_side(tag: str, table: str, col: str) -> tuple[str, str]:
+    """Mix-chain replay (the hll_distinct machinery) + bucket fold."""
+    m64 = "18446744073709551616"
+    muls = ("13787848793156543929", "10723151780598845931")
+    shifts = ("1073741824", "134217728", "2147483648")
+    ctes = [f"v{tag} AS (SELECT CAST({col} AS HUGEINT) AS x FROM {table})"]
+    cur = f"v{tag}"
+    for r in range(2):
+        for i, step in enumerate(("s0", "m0", "s1", "m1", "s2")):
+            nm = f"z{tag}{r}{i}"
+            if step.startswith("m"):
+                c = f"CAST({muls[int(step[1])]} AS HUGEINT)"
+                expr = (
+                    f"(((x // 4294967296 * {c}) % {m64}) * 4294967296"
+                    f" + (x % 4294967296) * {c}) % {m64}"
+                )
+            else:
+                expr = f"xor(x, x // {shifts[int(step[1])]})"
+            ctes.append(f"{nm} AS (SELECT {expr} AS x FROM {cur})")
+            cur = nm
+    ctes.append(
+        f"g{tag} AS (SELECT x % 64 AS bucket, CAST(count(*) AS BIGINT) AS n"
+        f" FROM {cur} GROUP BY 1)"
+    )
+    final = (
+        f"SELECT '{table}.{col}' AS candidate,"
+        f" CAST(sum(n) AS BIGINT) AS n_rows,"
+        f" CAST(max(n) AS BIGINT) AS max_bucket_rows,"
+        f" CAST((1000 * max(n) * 64) // sum(n) AS BIGINT) AS skew_milli"
+        f" FROM g{tag}"
+    )
+    return ", ".join(ctes), final
+
+
+def _shard_sql() -> str:
+    c1, f1 = _shard_sql_side("sa", "lineitem", "l_partkey")
+    c2, f2 = _shard_sql_side("sb", "orders", "o_custkey")
+    c3, f3 = _shard_sql_side("sc", "orders", "o_orderkey")
+    return (
+        f"WITH {c1}, {c2}, {c3} SELECT * FROM"
+        f" ({f1} UNION ALL {f2} UNION ALL {f3}) ORDER BY candidate"
+    )
+
+
 def _q_table_digest(sf_dir: str):
     """Order-invariant content digests (count, sum-mod-2⁶⁴, xor of the
     per-row splitmix64 key hash) for two tables — the migration /
@@ -3128,6 +3199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit": _q_fd_audit,
         "join_size_audit": _q_join_size_audit,
         "table_digest": _q_table_digest,
+        "shard_advisor": _q_shard_advisor,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -4713,6 +4785,8 @@ def oracle_sql() -> dict[str, str]:
         # table_digest: splitmix64 chain per key column, order-free
         # (count, sum-mod-2^64, xor) folds, two's-complement casts
         "table_digest": _digest_sql(),
+        # shard_advisor: engine partition hash replayed, 64-bucket fold
+        "shard_advisor": _shard_sql(),
         # join_size_audit: Σ deg_L(k)·deg_R(k) over per-key count joins
         "join_size_audit": """
             WITH j1 AS (

@@ -415,3 +415,55 @@ def table_digest(
             "digest_xor": pa.array(out_xor, pa.int64()),
         }
     ).sort_by("source")
+
+
+def shard_advisor(
+    specs: list[tuple[str, "ray.data.Dataset", str]], n_parts: int = 64
+) -> pa.Table:
+    """Partition-key advisor — which key to shard on: for each candidate
+    integer key column, the hash-bucket load profile at ``n_parts``
+    partitions under the ENGINE'S OWN partition hash (``hash_columns %
+    n_parts`` — the same assignment every keyed exchange uses, so the
+    numbers ARE the skew a real shuffle would see).  Emits per
+    candidate: total rows, the heaviest bucket, and skew_milli =
+    1000·max/mean (1000 ⇔ perfectly even).
+
+    Scale shape: one streaming scan per candidate; each batch folds to
+    ≤ ``n_parts`` (bucket, n) partial rows, one aggregate-sized groupby,
+    and the driver reads exactly ``n_parts`` counters."""
+    from ray.data.aggregate import Sum
+
+    out_l, out_n, out_max, out_skew = [], [], [], []
+    for label, ds, col in specs:
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            h = hash_columns(batch, [col])
+            b = (h % _U64(n_parts)).astype(np.int64)
+            counts = np.bincount(b, minlength=n_parts)
+            return pa.table(
+                {
+                    "bucket": pa.array(np.arange(n_parts, dtype=np.int64)),
+                    "n": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        counts = {int(r["bucket"]): int(r["n"]) for r in rows}
+        total = sum(counts.values())
+        mx = max(counts.values(), default=0)
+        out_l.append(label)
+        out_n.append(total)
+        out_max.append(mx)
+        out_skew.append((1000 * mx * n_parts) // total if total else 0)
+    return pa.table(
+        {
+            "candidate": pa.array(out_l, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "max_bucket_rows": pa.array(out_max, pa.int64()),
+            "skew_milli": pa.array(out_skew, pa.int64()),
+        }
+    ).sort_by("candidate")

@@ -165,3 +165,32 @@ def test_table_digest_order_invariance_and_sensitivity(ray_session):
     )
     d5 = table_digest([("t", ray.data.from_arrow(dedup), ["a", "b"])]).to_pylist()
     assert d5[0]["digest_sum"] != d1[0]["digest_sum"]
+
+
+def test_shard_advisor_skew_detection(ray_session):
+    """A constant key lands every row in ONE bucket (skew_milli =
+    1000·64); a unique key spreads near-evenly (skew well under 2×);
+    block-invariant."""
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.joins import shard_advisor
+
+    const = pa.table({"k": pa.array([7] * 640, pa.int64())})
+    uniq = pa.table({"k": pa.array(range(6400), pa.int64())})
+    got = {
+        r["candidate"]: r
+        for r in shard_advisor(
+            [
+                ("const", ray.data.from_arrow(const).repartition(3), "k"),
+                ("uniq", ray.data.from_arrow(uniq).repartition(3), "k"),
+            ]
+        ).to_pylist()
+    }
+    assert got["const"]["max_bucket_rows"] == 640
+    assert got["const"]["skew_milli"] == 64000
+    assert got["uniq"]["n_rows"] == 6400
+    assert got["uniq"]["skew_milli"] < 2000
+    a = shard_advisor([("u", ray.data.from_arrow(uniq).repartition(1), "k")]).to_pylist()
+    b = shard_advisor([("u", ray.data.from_arrow(uniq).repartition(7), "k")]).to_pylist()
+    assert a == b
