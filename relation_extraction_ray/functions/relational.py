@@ -5703,11 +5703,16 @@ def join_size_audit(
     groupby (exchange ≤ distinct keys), the two COUNT tables — never
     the fact tables — co-locate through one key-partitioned exchange,
     and partitions fold to (join_rows, max_key_product) counter pairs."""
-    from ray.data.aggregate import Sum
+    from .joins import derived_num_parts, hash_partitioned_groups
 
-    from .joins import derive_n_parts, hash_partitioned_groups
+    def partials_of(ds: ray.data.Dataset, key: str, side: int) -> ray.data.Dataset:
+        """Per-BATCH (k, side, c) count partials — no global fold here:
+        the one key-partitioned exchange below co-locates partials from
+        both sides and folds them reduce-side, so each join costs ONE
+        all-to-all, not three (the grouped_gini double-shuffle lesson;
+        the first version ran two groupby aggregates plus the exchange
+        and was 3× slower on aggregate-sized data)."""
 
-    def counts_of(ds: ray.data.Dataset, key: str, side: int) -> ray.data.Dataset:
         def partial(batch: pa.Table) -> pa.Table:
             g = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
             return pa.table(
@@ -5720,15 +5725,11 @@ def join_size_audit(
                 }
             )
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["k", "side"])
-            .aggregate(Sum("c", alias_name="c"))
-        )
+        return ds.map_batches(partial, batch_format="pyarrow")
 
     out_l, out_rows, out_keys, out_max = [], [], [], []
     for label, lds, lkey, rds, rkey in specs:
-        both = counts_of(lds, lkey, 0).union(counts_of(rds, rkey, 1))
+        both = partials_of(lds, lkey, 0).union(partials_of(rds, rkey, 1))
 
         counter_schema = pa.schema(
             [("join_rows", pa.int64()), ("n_keys", pa.int64()), ("max_prod", pa.int64())]
@@ -5745,9 +5746,8 @@ def join_size_audit(
             order = np.lexsort((side, k))
             k, side, c = k[order], side[order], c[order]
             starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-            ends = np.r_[starts[1:], len(k)]
-            # a key joins iff its run holds BOTH sides (run len 2 here:
-            # per-side counts are already globally folded)
+            # cross-batch partials fold inside the run: per-key sums of
+            # each side via masked reduceat over the key runs
             lc = np.where(side == 0, c, 0)
             rc = np.where(side == 1, c, 0)
             lsum = np.add.reduceat(lc, starts)
@@ -5764,9 +5764,7 @@ def join_size_audit(
                 }
             )
 
-        n_parts = derive_n_parts(
-            max(lds.count(), rds.count()), rows_per_part=65536
-        )
+        n_parts = derived_num_parts()
         rows = hash_partitioned_groups(both, ["k"], per_part, n_parts).take_all()
         out_l.append(label)
         out_rows.append(sum(int(r["join_rows"]) for r in rows))
