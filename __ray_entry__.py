@@ -385,6 +385,18 @@ def _greedy_cov_sql(k: int = 8) -> str:
     )
 
 
+def _q_cf_user_topk(sf_dir: str):
+    """User-user collaborative filtering: top-5 cosine neighbors over
+    part-purchase count vectors for 5 probe customers — one reduce-side
+    orderkey join, broadcast probe vectors, one dot/norm scan."""
+    from relation_extraction_ray.functions.relational import cf_user_topk
+
+    return cf_user_topk(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+    )
+
+
 def _q_shard_advisor(sf_dir: str):
     """Partition-key advisor: hash-bucket load profile at 64 parts
     under the engine's own partition hash for three candidate keys;
@@ -3200,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_audit": _q_join_size_audit,
         "table_digest": _q_table_digest,
         "shard_advisor": _q_shard_advisor,
+        "cf_user_topk": _q_cf_user_topk,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -4787,6 +4800,42 @@ def oracle_sql() -> dict[str, str]:
         "table_digest": _digest_sql(),
         # shard_advisor: engine partition hash replayed, 64-bucket fold
         "shard_advisor": _shard_sql(),
+        # cf_user_topk: shared-part self-join dots, exact integer
+        # norms, the one fixed IEEE cosine, rank by (cos_nano, neighbor)
+        "cf_user_topk": """
+            WITH cp AS (
+              SELECT o.o_custkey AS cust, l.l_partkey AS part,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1, 2
+            ), probes AS (
+              SELECT DISTINCT cust FROM cp ORDER BY cust LIMIT 5
+            ), norms AS (
+              SELECT cust, CAST(sum(n * n) AS HUGEINT) AS nsq FROM cp GROUP BY cust
+            ), dots AS (
+              SELECT p.cust AS probe, c.cust AS neighbor,
+                     CAST(sum(p.n * c.n) AS HUGEINT) AS dot
+              FROM cp p JOIN cp c ON c.part = p.part
+              WHERE p.cust IN (SELECT cust FROM probes) AND c.cust <> p.cust
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT probe, neighbor, CAST(dot AS BIGINT) AS dot,
+                     CAST(floor(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                       * 1e9 + 0.5) AS BIGINT) AS cos_nano
+              FROM dots
+              JOIN norms na ON na.cust = dots.probe
+              JOIN norms nb ON nb.cust = dots.neighbor
+            ), rk AS (
+              SELECT probe, neighbor, dot, cos_nano,
+                     row_number() OVER (
+                       PARTITION BY probe ORDER BY cos_nano DESC, neighbor ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT probe, CAST(rank AS BIGINT) AS rank, neighbor, dot, cos_nano
+            FROM rk WHERE rank <= 5 ORDER BY probe, rank
+        """,
         # join_size_audit: Σ deg_L(k)·deg_R(k) over per-key count joins
         "join_size_audit": """
             WITH j1 AS (

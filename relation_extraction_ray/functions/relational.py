@@ -5778,3 +5778,215 @@ def join_size_audit(
             "max_key_product": pa.array(out_max, pa.int64()),
         }
     ).sort_by("join")
+
+
+def cf_user_topk(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_probes: int = 5,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """User-user collaborative-filtering neighbors — the classic
+    recommender primitive: for each of ``n_probes`` deterministic probe
+    customers (the smallest custkeys), the ``k`` most cosine-similar
+    other customers over their part-purchase count vectors.  Counts are
+    integers, so dot products and squared norms are EXACT; the ranking
+    order is the fully specified (cos_nano DESC, custkey ASC) with
+    cos_nano the one fixed IEEE form ``floor(dot/(√na·√nb)·1e9+0.5)``
+    (the centroid_similarity convention) — both engines sort the same
+    numbers, so the pick is deterministic.
+
+    Scale shape: ONE orderkey-keyed exchange stitches custkey onto
+    lineitem partials (reduce-side join — neither fact table is
+    broadcast); the 5 probe vectors (bounded: one customer's parts) are
+    broadcast via ``ray.put``; a single scan of the (custkey, partkey,
+    n) rows emits per-batch partial dots against every probe plus
+    squared-norm partials, and two aggregate-sized groupbys fold them.
+    The driver ranks ≤ customers×probes cosine rows."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .joins import derived_num_parts, hash_partitioned_groups
+
+    n_parts = derived_num_parts()
+
+    # --- one orderkey-keyed exchange → (custkey, partkey, n) ---------------
+    def li_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "okey": g.column("l_orderkey").cast(pa.int64()),
+                "part_or_cust": g.column("l_partkey").cast(pa.int64()),
+                "n": g.column("count_all").cast(pa.int64()),
+                "is_ord": pa.array(np.zeros(g.num_rows, np.int8)),
+            }
+        )
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "part_or_cust": batch.column("o_custkey").cast(pa.int64()),
+                "n": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_ord": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    cp_schema = pa.schema(
+        [("cust", pa.int64()), ("part", pa.int64()), ("n", pa.int64())]
+    )
+
+    def stitch(part: pa.Table) -> pa.Table:
+        if "part" in part.column_names:
+            part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return cp_schema.empty_table()
+        is_ord = part.column("is_ord").to_numpy(zero_copy_only=False) == 1
+        ok = part.column("okey").to_numpy(zero_copy_only=False)
+        pc_ = part.column("part_or_cust").to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        o_keys, o_cust = ok[is_ord], pc_[is_ord]
+        order = np.argsort(o_keys, kind="mergesort")
+        o_keys, o_cust = o_keys[order], o_cust[order]
+        li_k, li_p, li_n = ok[~is_ord], pc_[~is_ord], n[~is_ord]
+        pos = np.searchsorted(o_keys, li_k)
+        # every lineitem orderkey exists in orders (FK)
+        t = pa.table(
+            {
+                "cust": pa.array(o_cust[pos], pa.int64()),
+                "part": pa.array(li_p, pa.int64()),
+                "n": pa.array(li_n, pa.int64()),
+            }
+        )
+        return t.group_by(["cust", "part"]).aggregate([("n", "sum")]).rename_columns(
+            ["cust", "part", "n"]
+        )
+
+    cp = (
+        hash_partitioned_groups(
+            lineitem.map_batches(li_partial, batch_format="pyarrow").union(
+                orders.map_batches(ord_partial, batch_format="pyarrow")
+            ),
+            ["okey"],
+            stitch,
+            n_parts,
+        )
+        .groupby(["cust", "part"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["cust", "part", "n"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    # --- probes: smallest n_probes custkeys --------------------------------
+    def cust_min_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        u = pac.unique(batch.column("cust").combine_chunks())
+        arr = np.sort(u.to_numpy(zero_copy_only=False))[:n_probes]
+        return pa.table({"cust": pa.array(arr, pa.int64())})
+
+    probe_rows = cp.map_batches(cust_min_partial, batch_format="pyarrow").take_all()
+    probes = sorted({int(r["cust"]) for r in probe_rows})[:n_probes]
+    out_schema = pa.schema(
+        [
+            ("probe", pa.int64()),
+            ("rank", pa.int64()),
+            ("neighbor", pa.int64()),
+            ("dot", pa.int64()),
+            ("cos_nano", pa.int64()),
+        ]
+    )
+    if not probes:
+        return ray.data.from_arrow(out_schema.empty_table())
+    pv_rows = cp.filter(
+        expr=" or ".join(f"cust == {p}" for p in probes)
+    ).take_all()
+    pvecs: dict[int, dict[int, int]] = {p: {} for p in probes}
+    for r in pv_rows:
+        pvecs[int(r["cust"])][int(r["part"])] = int(r["n"])
+    pref = ray.put(pvecs)
+
+    # --- one scan: partial dots vs every probe + squared norms -------------
+    def dot_partial(batch: pa.Table) -> pa.Table:
+        pv = ray.get(pref)
+        cust = batch.column("cust").to_numpy(zero_copy_only=False)
+        part = batch.column("part").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        probe_col, cust_col, dot_col = [], [], []
+        for p, vec in pv.items():
+            w = np.array([vec.get(int(x), 0) for x in part], np.int64)
+            contrib = w * n
+            nz = contrib != 0
+            if not nz.any():
+                continue
+            cs, idx = np.unique(cust[nz], return_inverse=True)
+            sums = np.zeros(len(cs), np.int64)
+            np.add.at(sums, idx, contrib[nz])
+            probe_col += [p] * len(cs)
+            cust_col += cs.tolist()
+            dot_col += sums.tolist()
+        norm_c, norm_v = np.unique(cust, return_inverse=True)
+        nsq = np.zeros(len(norm_c), np.int64)
+        np.add.at(nsq, norm_v, n * n)
+        return pa.table(
+            {
+                "probe": pa.array(
+                    probe_col + [-1] * len(norm_c), pa.int64()
+                ),
+                "cust": pa.array(cust_col + norm_c.tolist(), pa.int64()),
+                "v": pa.array(dot_col + nsq.tolist(), pa.int64()),
+            }
+        )
+
+    rows = (
+        cp.map_batches(dot_partial, batch_format="pyarrow")
+        .groupby(["probe", "cust"])
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    norms: dict[int, int] = {}
+    dots: dict[int, dict[int, int]] = {p: {} for p in probes}
+    for r in rows:
+        if int(r["probe"]) == -1:
+            norms[int(r["cust"])] = int(r["v"])
+        else:
+            dots[int(r["probe"])][int(r["cust"])] = int(r["v"])
+    o_p, o_r, o_n, o_d, o_c = [], [], [], [], []
+    for p in probes:
+        cands = []
+        na = norms[p]
+        for u, d in dots[p].items():
+            if u == p:
+                continue
+            nb = norms[u]
+            if na > 0 and nb > 0:
+                c = float(d) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+                cn = int(math.floor(c * 1e9 + 0.5))
+            else:
+                cn = 0
+            cands.append((-cn, u, d))
+        cands.sort()
+        for rank, (ncn, u, d) in enumerate(cands[:k], 1):
+            o_p.append(p)
+            o_r.append(rank)
+            o_n.append(u)
+            o_d.append(d)
+            o_c.append(-ncn)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "probe": pa.array(o_p, pa.int64()),
+                "rank": pa.array(o_r, pa.int64()),
+                "neighbor": pa.array(o_n, pa.int64()),
+                "dot": pa.array(o_d, pa.int64()),
+                "cos_nano": pa.array(o_c, pa.int64()),
+            }
+        )
+    )

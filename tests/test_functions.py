@@ -4212,3 +4212,52 @@ def test_join_size_audit_closed_form(ray_session):
             "n_matching_keys": 2,
             "max_key_product": 2,
         }
+
+
+def test_cf_user_topk_closed_form(ray_session):
+    """Hand-built purchase matrix: probe customers 1 and 2; customer 3
+    buys exactly what 1 buys (cos 1.0, rank 1 for probe 1), customer 4
+    overlaps half; verified against a numpy cosine replay including
+    the orderkey-join stitch."""
+    from relation_extraction_ray.functions.relational import cf_user_topk
+
+    # orders: orderkey → custkey
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        }
+    )
+    # lineitem rows (orderkey, partkey): cust1 via orders 10,14
+    li = [
+        (10, 100), (10, 101), (14, 100),          # cust1: 100×2, 101×1
+        (11, 200), (11, 201),                     # cust2: 200, 201
+        (12, 100), (12, 100), (12, 101),          # cust3: 100×2, 101×1 == cust1
+        (13, 100), (13, 200),                     # cust4: 100, 200
+    ]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        }
+    )
+    got = cf_user_topk(
+        ray.data.from_arrow(lineitem).repartition(3),
+        ray.data.from_arrow(orders).repartition(2),
+        n_probes=2,
+        k=5,
+    ).take_all()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe"], []).append(r)
+    # probe 1: cust3 has identical vector (2,1) → cos 1.0 → cos_nano 1e9
+    p1 = by_probe[1]
+    assert p1[0]["neighbor"] == 3 and p1[0]["cos_nano"] == 10**9
+    assert p1[0]["dot"] == 2 * 2 + 1 * 1
+    # cust4 shares only part 100: dot = 2·1 = 2
+    n4 = [r for r in p1 if r["neighbor"] == 4][0]
+    assert n4["dot"] == 2
+    # probe 2 (parts 200, 201): only cust4 shares (part 200, dot 1)
+    p2 = by_probe[2]
+    assert [r["neighbor"] for r in p2] == [4]
+    assert p2[0]["dot"] == 1
