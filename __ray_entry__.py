@@ -397,6 +397,19 @@ def _q_cf_user_topk(sf_dir: str):
     )
 
 
+def _q_cf_item_topk(sf_dir: str):
+    """Item-item collaborative filtering (the form recommenders serve):
+    top-5 cosine parts over customer-purchase vectors for 5 probe
+    parts — same one-exchange stitch and exactness contract as the
+    user form, roles swapped."""
+    from relation_extraction_ray.functions.relational import cf_item_topk
+
+    return cf_item_topk(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+    )
+
+
 def _q_shard_advisor(sf_dir: str):
     """Partition-key advisor: hash-bucket load profile at 64 parts
     under the engine's own partition hash for three candidate keys;
@@ -3213,6 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_digest": _q_table_digest,
         "shard_advisor": _q_shard_advisor,
         "cf_user_topk": _q_cf_user_topk,
+        "cf_item_topk": _q_cf_item_topk,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -4800,6 +4814,41 @@ def oracle_sql() -> dict[str, str]:
         "table_digest": _digest_sql(),
         # shard_advisor: engine partition hash replayed, 64-bucket fold
         "shard_advisor": _shard_sql(),
+        # cf_item_topk: the transpose — shared-customer self-join
+        "cf_item_topk": """
+            WITH cp AS (
+              SELECT o.o_custkey AS cust, l.l_partkey AS part,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1, 2
+            ), probes AS (
+              SELECT DISTINCT part FROM cp ORDER BY part LIMIT 5
+            ), norms AS (
+              SELECT part, CAST(sum(n * n) AS HUGEINT) AS nsq FROM cp GROUP BY part
+            ), dots AS (
+              SELECT p.part AS probe, c.part AS neighbor,
+                     CAST(sum(p.n * c.n) AS HUGEINT) AS dot
+              FROM cp p JOIN cp c ON c.cust = p.cust
+              WHERE p.part IN (SELECT part FROM probes) AND c.part <> p.part
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT probe, neighbor, CAST(dot AS BIGINT) AS dot,
+                     CAST(floor(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                       * 1e9 + 0.5) AS BIGINT) AS cos_nano
+              FROM dots
+              JOIN norms na ON na.part = dots.probe
+              JOIN norms nb ON nb.part = dots.neighbor
+            ), rk AS (
+              SELECT probe, neighbor, dot, cos_nano,
+                     row_number() OVER (
+                       PARTITION BY probe ORDER BY cos_nano DESC, neighbor ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT probe, CAST(rank AS BIGINT) AS rank, neighbor, dot, cos_nano
+            FROM rk WHERE rank <= 5 ORDER BY probe, rank
+        """,
         # cf_user_topk: shared-part self-join dots, exact integer
         # norms, the one fixed IEEE cosine, rank by (cos_nano, neighbor)
         "cf_user_topk": """

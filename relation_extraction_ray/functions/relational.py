@@ -5780,33 +5780,13 @@ def join_size_audit(
     ).sort_by("join")
 
 
-def cf_user_topk(
-    lineitem: ray.data.Dataset,
-    orders: ray.data.Dataset,
-    n_probes: int = 5,
-    k: int = 5,
+def _purchase_matrix(
+    lineitem: ray.data.Dataset, orders: ray.data.Dataset
 ) -> ray.data.Dataset:
-    """User-user collaborative-filtering neighbors — the classic
-    recommender primitive: for each of ``n_probes`` deterministic probe
-    customers (the smallest custkeys), the ``k`` most cosine-similar
-    other customers over their part-purchase count vectors.  Counts are
-    integers, so dot products and squared norms are EXACT; the ranking
-    order is the fully specified (cos_nano DESC, custkey ASC) with
-    cos_nano the one fixed IEEE form ``floor(dot/(√na·√nb)·1e9+0.5)``
-    (the centroid_similarity convention) — both engines sort the same
-    numbers, so the pick is deterministic.
-
-    Scale shape: ONE orderkey-keyed exchange stitches custkey onto
-    lineitem partials (reduce-side join — neither fact table is
-    broadcast); the 5 probe vectors (bounded: one customer's parts) are
-    broadcast via ``ray.put``; a single scan of the (custkey, partkey,
-    n) rows emits per-batch partial dots against every probe plus
-    squared-norm partials, and two aggregate-sized groupbys fold them.
-    The driver ranks ≤ customers×probes cosine rows."""
-    import math
-
-    from ray.data.aggregate import Sum
-
+    """(cust, part, n) purchase-count matrix via ONE orderkey-keyed
+    reduce-side exchange (lineitem count partials + orders custkey rows
+    co-located, searchsorted stitch, cross-partition fold) — shared by
+    the user- and item-CF operators; neither fact table is broadcast."""
     from .joins import derived_num_parts, hash_partitioned_groups
 
     n_parts = derived_num_parts()
@@ -5883,6 +5863,38 @@ def cf_user_topk(
         )
         .materialize()
     )
+
+    return cp
+
+
+def cf_user_topk(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_probes: int = 5,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """User-user collaborative-filtering neighbors — the classic
+    recommender primitive: for each of ``n_probes`` deterministic probe
+    customers (the smallest custkeys), the ``k`` most cosine-similar
+    other customers over their part-purchase count vectors.  Counts are
+    integers, so dot products and squared norms are EXACT; the ranking
+    order is the fully specified (cos_nano DESC, custkey ASC) with
+    cos_nano the one fixed IEEE form ``floor(dot/(√na·√nb)·1e9+0.5)``
+    (the centroid_similarity convention) — both engines sort the same
+    numbers, so the pick is deterministic.
+
+    Scale shape: ONE orderkey-keyed exchange stitches custkey onto
+    lineitem partials (reduce-side join — neither fact table is
+    broadcast); the 5 probe vectors (bounded: one customer's parts) are
+    broadcast via ``ray.put``; a single scan of the (custkey, partkey,
+    n) rows emits per-batch partial dots against every probe plus
+    squared-norm partials, and two aggregate-sized groupbys fold them.
+    The driver ranks ≤ customers×probes cosine rows."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    cp = _purchase_matrix(lineitem, orders)
 
     # --- probes: smallest n_probes custkeys --------------------------------
     def cust_min_partial(batch: pa.Table) -> pa.Table:
@@ -5977,6 +5989,136 @@ def cf_user_topk(
             o_p.append(p)
             o_r.append(rank)
             o_n.append(u)
+            o_d.append(d)
+            o_c.append(-ncn)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "probe": pa.array(o_p, pa.int64()),
+                "rank": pa.array(o_r, pa.int64()),
+                "neighbor": pa.array(o_n, pa.int64()),
+                "dot": pa.array(o_d, pa.int64()),
+                "cos_nano": pa.array(o_c, pa.int64()),
+            }
+        )
+    )
+
+
+def cf_item_topk(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_probes: int = 5,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Item-item collaborative-filtering neighbors — the transpose of
+    :func:`cf_user_topk` and the form production recommenders actually
+    serve (item neighborhoods are stable; user rows churn): for each of
+    ``n_probes`` probe parts (smallest partkeys), the ``k`` most
+    cosine-similar other parts over their customer-purchase count
+    vectors.  Popularity normalizes out — exactly what the raw
+    co-purchase counts (``copurchase_pairs``) cannot do.  Same exactness
+    and ranking contract as the user form: integer dots/norms, one fixed
+    IEEE cosine, (cos_nano DESC, neighbor ASC) order.
+
+    Scale shape: identical to cf_user_topk with the roles swapped — the
+    SAME one-exchange orderkey stitch builds (cust, part, n); probe
+    ITEM vectors (one part's customers, bounded) broadcast; one scan
+    folds dots + norms."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    cp = _purchase_matrix(lineitem, orders)
+
+    def part_min_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        u = pac.unique(batch.column("part").combine_chunks())
+        arr = np.sort(u.to_numpy(zero_copy_only=False))[:n_probes]
+        return pa.table({"part": pa.array(arr, pa.int64())})
+
+    probe_rows = cp.map_batches(part_min_partial, batch_format="pyarrow").take_all()
+    probes = sorted({int(r["part"]) for r in probe_rows})[:n_probes]
+    out_schema = pa.schema(
+        [
+            ("probe", pa.int64()),
+            ("rank", pa.int64()),
+            ("neighbor", pa.int64()),
+            ("dot", pa.int64()),
+            ("cos_nano", pa.int64()),
+        ]
+    )
+    if not probes:
+        return ray.data.from_arrow(out_schema.empty_table())
+    pv_rows = cp.filter(
+        expr=" or ".join(f"part == {p}" for p in probes)
+    ).take_all()
+    pvecs: dict[int, dict[int, int]] = {p: {} for p in probes}
+    for r in pv_rows:
+        pvecs[int(r["part"])][int(r["cust"])] = int(r["n"])
+    pref = ray.put(pvecs)
+
+    def dot_partial(batch: pa.Table) -> pa.Table:
+        pv = ray.get(pref)
+        part = batch.column("part").to_numpy(zero_copy_only=False)
+        cust = batch.column("cust").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        probe_col, item_col, dot_col = [], [], []
+        for p, vec in pv.items():
+            w = np.array([vec.get(int(x), 0) for x in cust], np.int64)
+            contrib = w * n
+            nz = contrib != 0
+            if not nz.any():
+                continue
+            its, idx = np.unique(part[nz], return_inverse=True)
+            sums = np.zeros(len(its), np.int64)
+            np.add.at(sums, idx, contrib[nz])
+            probe_col += [p] * len(its)
+            item_col += its.tolist()
+            dot_col += sums.tolist()
+        norm_i, norm_v = np.unique(part, return_inverse=True)
+        nsq = np.zeros(len(norm_i), np.int64)
+        np.add.at(nsq, norm_v, n * n)
+        return pa.table(
+            {
+                "probe": pa.array(probe_col + [-1] * len(norm_i), pa.int64()),
+                "item": pa.array(item_col + norm_i.tolist(), pa.int64()),
+                "v": pa.array(dot_col + nsq.tolist(), pa.int64()),
+            }
+        )
+
+    rows = (
+        cp.map_batches(dot_partial, batch_format="pyarrow")
+        .groupby(["probe", "item"])
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    norms: dict[int, int] = {}
+    dots: dict[int, dict[int, int]] = {p: {} for p in probes}
+    for r in rows:
+        if int(r["probe"]) == -1:
+            norms[int(r["item"])] = int(r["v"])
+        else:
+            dots[int(r["probe"])][int(r["item"])] = int(r["v"])
+    o_p, o_r, o_n, o_d, o_c = [], [], [], [], []
+    for p in probes:
+        cands = []
+        na = norms[p]
+        for it, d in dots[p].items():
+            if it == p:
+                continue
+            nb = norms[it]
+            if na > 0 and nb > 0:
+                c = float(d) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+                cn = int(math.floor(c * 1e9 + 0.5))
+            else:
+                cn = 0
+            cands.append((-cn, it, d))
+        cands.sort()
+        for rank, (ncn, it, d) in enumerate(cands[:k], 1):
+            o_p.append(p)
+            o_r.append(rank)
+            o_n.append(it)
             o_d.append(d)
             o_c.append(-ncn)
     return ray.data.from_arrow(

@@ -4261,3 +4261,47 @@ def test_cf_user_topk_closed_form(ray_session):
     p2 = by_probe[2]
     assert [r["neighbor"] for r in p2] == [4]
     assert p2[0]["dot"] == 1
+
+
+def test_cf_item_topk_closed_form(ray_session):
+    """Transpose of the user-CF fixture: parts 100/101 are bought
+    together by the same customers → high cosine; popularity divides
+    out (the property raw co-purchase counts lack)."""
+    from relation_extraction_ray.functions.relational import cf_item_topk
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    # cust1 buys 100,101; cust2 buys 100,101; cust3 buys 100,200
+    li = [(10, 100), (10, 101), (11, 100), (11, 101), (12, 100), (12, 200)]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        }
+    )
+    got = cf_item_topk(
+        ray.data.from_arrow(lineitem).repartition(2),
+        ray.data.from_arrow(orders).repartition(2),
+        n_probes=2,
+        k=5,
+    ).take_all()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe"], []).append(r)
+    # probe 100 (vector 1,1,1): best neighbor 101 (vector 1,1,0):
+    # dot 2, cos = 2/(sqrt(3)·sqrt(2)); 200 has dot 1, cos 1/sqrt(3)
+    import math
+
+    p100 = by_probe[100]
+    assert p100[0]["neighbor"] == 101 and p100[0]["dot"] == 2
+    assert p100[0]["cos_nano"] == int(
+        math.floor(2.0 / (math.sqrt(3.0) * math.sqrt(2.0)) * 1e9 + 0.5)
+    )
+    assert p100[1]["neighbor"] == 200
+    # probe 101: neighbor 100 dot 2; no overlap with 200
+    p101 = by_probe[101]
+    assert [r["neighbor"] for r in p101] == [100]
