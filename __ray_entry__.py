@@ -314,6 +314,14 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_weekday_profile(sf_dir: str):
+    """Weekday activity profile of the event stream with the exact
+    integer uniformity chi² ((7Σn_d²−n²)/n in floor-milli)."""
+    from relation_extraction_ray.functions.relational import weekday_profile
+
+    return weekday_profile(_read(sf_dir, "events", columns=["ts"]))
+
+
 def _q_survival_km(sf_dir: str):
     """Kaplan-Meier churn curve over customer order-activity lifetimes
     (customers still ordering in the final 90 days right-censored):
@@ -3227,6 +3235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_advisor": _q_shard_advisor,
         "cf_user_topk": _q_cf_user_topk,
         "cf_item_topk": _q_cf_item_topk,
+        "weekday_profile": _q_weekday_profile,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -5115,6 +5124,32 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (s + 1) / sqrt(num / 18.0e0) END * 1e9 + 0.5
                    ) AS BIGINT) AS z_nano
             FROM v
+        """,
+        # weekday_profile: epoch-day mod 7 grid, integer-milli shares,
+        # exact (7·Σn²−n²)/n chi² against uniform
+        "weekday_profile": """
+            WITH wd AS (
+              SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS weekday,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), grid AS (
+              SELECT unnest(generate_series(0, 6)) AS weekday
+            ), g AS (
+              SELECT grid.weekday, coalesce(wd.n, 0) AS n_events
+              FROM grid LEFT JOIN wd ON wd.weekday = grid.weekday
+            ), tot AS (
+              SELECT CAST(sum(n_events) AS BIGINT) AS t,
+                     CAST(sum(n_events * n_events) AS HUGEINT) AS ss
+              FROM g
+            )
+            SELECT g.weekday, g.n_events,
+                   CAST(CASE WHEN tot.t > 0
+                        THEN (1000 * g.n_events) // tot.t ELSE 0 END AS BIGINT)
+                     AS share_milli,
+                   CAST(CASE WHEN tot.t > 0
+                        THEN (1000 * (7 * tot.ss - CAST(tot.t AS HUGEINT) * tot.t)) // tot.t
+                        ELSE 0 END AS BIGINT) AS chi2_milli
+            FROM g, tot ORDER BY g.weekday
         """,
         # survival_km: per-user day-span, censor inside the last-7-day
         # window, suffix-sum at-risk, and the SAME integer-micro floor

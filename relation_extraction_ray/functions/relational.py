@@ -6132,3 +6132,62 @@ def cf_item_topk(
             }
         )
     )
+
+
+def weekday_profile(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Weekday activity profile + exact uniformity chi² — the
+    seasonality diagnostic that complements lag-7 autocorrelation (the
+    ACF says "weekly structure exists"; this says WHERE in the week the
+    mass sits).  Weekday = epoch-day mod 7 (day 0 = Thursday — no
+    locale, identical in both engines).  The chi² against the uniform
+    expectation n/7 collapses to the exact integer form
+    ``(7·Σn_d² − n²)/n`` emitted in floor-milli; shares are integer
+    milli.  One 7-bin bincount partial per batch, aggregate-sized
+    exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        counts = np.bincount(d % 7, minlength=7)
+        return pa.table(
+            {
+                "weekday": pa.array(np.arange(7, dtype=np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("weekday")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["weekday"]): int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    chi2_milli = (
+        (1000 * (7 * sum(c * c for c in counts.values()) - total * total)) // total
+        if total
+        else 0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "weekday": pa.array(list(range(7)), pa.int64()),
+                "n_events": pa.array([counts.get(d, 0) for d in range(7)], pa.int64()),
+                "share_milli": pa.array(
+                    [
+                        (1000 * counts.get(d, 0)) // total if total else 0
+                        for d in range(7)
+                    ],
+                    pa.int64(),
+                ),
+                "chi2_milli": pa.array([chi2_milli] * 7, pa.int64()),
+            }
+        )
+    )

@@ -4305,3 +4305,24 @@ def test_cf_item_topk_closed_form(ray_session):
     # probe 101: neighbor 100 dot 2; no overlap with 200
     p101 = by_probe[101]
     assert [r["neighbor"] for r in p101] == [100]
+
+
+def test_weekday_profile_closed_form(ray_session):
+    """Epoch days 0..6 once each + 3 extra on day 0 (Thursday): counts
+    (4,1,1,1,1,1,1), n=10; chi2 = (7·22 − 100)/10 = 5.4 → 5400 milli;
+    block-invariant."""
+    from relation_extraction_ray.functions.relational import weekday_profile
+
+    days = list(range(7)) + [0, 0, 0]
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.array(days, "datetime64[D]").astype("datetime64[us]")
+            )
+        }
+    )
+    for nb in (1, 4):
+        got = weekday_profile(ray.data.from_arrow(t).repartition(nb)).take_all()
+        assert [r["n_events"] for r in got] == [4, 1, 1, 1, 1, 1, 1]
+        assert got[0]["share_milli"] == 400
+        assert all(r["chi2_milli"] == 5400 for r in got)
