@@ -314,6 +314,17 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_markov_entropy(sf_dir: str):
+    """Entropy rate of the per-user event-type Markov chain (stream
+    predictability): transition counts via one user-keyed exchange,
+    per-term nano-rounded ln, shared round-half-up final division."""
+    from relation_extraction_ray.functions.relational import markov_entropy_rate
+
+    return markov_entropy_rate(
+        _read(sf_dir, "events", columns=["ts", "event_id", "user_id", "event_type"])
+    )
+
+
 def _q_weekday_profile(sf_dir: str):
     """Weekday activity profile of the event stream with the exact
     integer uniformity chi² ((7Σn_d²−n²)/n in floor-milli)."""
@@ -3236,6 +3247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cf_user_topk": _q_cf_user_topk,
         "cf_item_topk": _q_cf_item_topk,
         "weekday_profile": _q_weekday_profile,
+        "markov_entropy": _q_markov_entropy,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -5124,6 +5136,36 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (s + 1) / sqrt(num / 18.0e0) END * 1e9 + 0.5
                    ) AS BIGINT) AS z_nano
             FROM v
+        """,
+        # markov_entropy: per-cell nano-rounded ln terms over the
+        # transition counts, shared round-half-up final division
+        "markov_entropy": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ), cells AS (
+              SELECT prev AS s, event_type AS t, CAST(count(*) AS HUGEINT) AS c
+              FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(sum(c) AS HUGEINT) AS n,
+                     CAST(count(DISTINCT s) AS BIGINT) AS n_states
+              FROM cells
+            ), marg AS (
+              SELECT s, CAST(sum(c) AS HUGEINT) AS ns FROM cells GROUP BY s
+            ), terms AS (
+              SELECT cells.c,
+                     CAST(floor(ln(CAST(marg.ns AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)
+                     - CAST(floor(ln(CAST(cells.c AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT)
+                       AS lterm
+              FROM cells JOIN marg ON marg.s = cells.s
+            )
+            SELECT CAST(tot.n AS BIGINT) AS n_transitions, tot.n_states,
+                   CAST((2 * (SELECT sum(c * lterm) FROM terms) + tot.n)
+                        // (2 * tot.n) AS BIGINT) AS rate_nano
+            FROM tot
         """,
         # weekday_profile: epoch-day mod 7 grid, integer-milli shares,
         # exact (7·Σn²−n²)/n chi² against uniform

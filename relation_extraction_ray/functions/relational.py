@@ -6191,3 +6191,50 @@ def weekday_profile(events: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def markov_entropy_rate(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Entropy rate of the per-user event-type Markov chain — the
+    stream-predictability scalar (0 ⇔ the next event type is fully
+    determined by the current one; ln|types| ⇔ memoryless uniform):
+    H = Σ_s p(s)·H(next|s) computed from the transition counts as
+    (1/n)·Σ_st n_st·(ln n_s − ln n_st).  Cross-engine exact via the
+    cat_dependence discipline: each ln is nano-rounded with
+    ``math.log`` (bit-identical to DuckDB ``ln`` on this libm) BEFORE
+    the integer sum, and the final division is the shared round-half-up
+    form ``(2·num + n) // (2·n)``.
+
+    Scale shape: rides :func:`event_transitions` (one user-keyed
+    exchange, ≤ |types|² rows out); the driver folds ≤ |types|² cells."""
+    import math
+
+    rows = event_transitions(events).take_all()
+    schema = pa.schema(
+        [
+            ("n_transitions", pa.int64()),
+            ("n_states", pa.int64()),
+            ("rate_nano", pa.int64()),
+        ]
+    )
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    cells = [(r["from_type"], r["to_type"], int(r["n"])) for r in rows]
+    n = sum(c for _, _, c in cells)
+    ns: dict[str, int] = {}
+    for s, _, c in cells:
+        ns[s] = ns.get(s, 0) + c
+
+    def L(x: int) -> int:
+        return int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+
+    num = sum(c * (L(ns[s]) - L(c)) for s, _, c in cells)
+    rate_nano = (2 * num + n) // (2 * n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_transitions": pa.array([n], pa.int64()),
+                "n_states": pa.array([len(ns)], pa.int64()),
+                "rate_nano": pa.array([rate_nano], pa.int64()),
+            }
+        )
+    )

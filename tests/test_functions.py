@@ -4326,3 +4326,39 @@ def test_weekday_profile_closed_form(ray_session):
         assert [r["n_events"] for r in got] == [4, 1, 1, 1, 1, 1, 1]
         assert got[0]["share_milli"] == 400
         assert all(r["chi2_milli"] == 5400 for r in got)
+
+
+def test_markov_entropy_closed_forms(ray_session):
+    """Deterministic alternation a→b→a→… ⇒ rate 0; a 2-state chain
+    whose next type is a fair coin ⇒ rate = ln 2 (nano-rounded terms)."""
+    import math
+
+    from relation_extraction_ray.functions.relational import markov_entropy_rate
+
+    def ev(types):
+        n = len(types)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        np.arange(n).astype("datetime64[s]").astype("datetime64[us]")
+                    ),
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                }
+            )
+        ).repartition(2)
+
+    r = markov_entropy_rate(ev(["a", "b"] * 10)).take_all()[0]
+    assert (r["n_transitions"], r["n_states"], r["rate_nano"]) == (19, 2, 0)
+
+    # from each state: half to a, half to b (hand-built counts 2/2/2/2
+    # via the sequence aabbaabb… : transitions a→a,a→b,b→b,b→a equal)
+    seq = ["a", "a", "b", "b"] * 4 + ["a"]
+    r = markov_entropy_rate(ev(seq)).take_all()[0]
+    # counts: a→a 4, a→b 4, b→b 4, b→a 4 → H = ln 2 per state
+    assert r["n_transitions"] == 16
+    L = lambda x: int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+    num = 16 * (L(8) - L(4))
+    assert r["rate_nano"] == (2 * num + 16) // (2 * 16)
