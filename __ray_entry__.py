@@ -314,6 +314,59 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary growth over four nested corpus prefixes,
+    with the OLS growth exponent from nano-rounded (ln n, ln V) points."""
+    from relation_extraction_ray.functions.text import heaps_law
+
+    return heaps_law(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _heaps_sql() -> str:
+    """Replay the four prefix vocabulary counts and the integer OLS on
+    nano-rounded ln points (round-half-up milli slope)."""
+    blocks = []
+    for k in (1, 2, 4, 8):
+        blocks.append(
+            f"""pt{k} AS MATERIALIZED (
+          SELECT {k} AS checkpoint,
+                 (SELECT CAST(count(*) AS BIGINT) FROM documents
+                  WHERE doc_id < (SELECT top * {k} // 8 FROM mx)) AS n,
+                 (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS t
+                    FROM documents
+                    WHERE doc_id < (SELECT top * {k} // 8 FROM mx))
+                  WHERE t <> '') AS v
+        )"""
+        )
+    pts_union = " UNION ALL ".join(f"SELECT * FROM pt{k}" for k in (1, 2, 4, 8))
+    return (
+        "WITH mx AS MATERIALIZED (SELECT max(doc_id) + 1 AS top FROM documents),\n"
+        + ",\n        ".join(blocks)
+        + f""",
+        pts AS MATERIALIZED ({pts_union}),
+        lns AS MATERIALIZED (
+          SELECT checkpoint, n, v,
+                 CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS lx,
+                 CAST(floor(ln(CAST(v AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS ly
+          FROM pts
+        ), ols AS MATERIALIZED (
+          SELECT CAST(count(*) AS HUGEINT) AS m,
+                 CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
+                 CAST(sum(lx * lx) AS HUGEINT) AS sxx,
+                 CAST(sum(lx * ly) AS HUGEINT) AS sxy
+          FROM lns
+        )
+        SELECT lns.checkpoint, lns.n AS n_docs, lns.v AS v_tokens,
+               CAST(CASE WHEN ols.m * ols.sxx - ols.sx * ols.sx <> 0
+                    THEN (2000 * (ols.m * ols.sxy - ols.sx * ols.sy)
+                          + (ols.m * ols.sxx - ols.sx * ols.sx))
+                         // (2 * (ols.m * ols.sxx - ols.sx * ols.sx))
+                    ELSE 0 END AS BIGINT) AS beta_milli
+        FROM lns, ols ORDER BY lns.checkpoint"""
+    )
+
+
 def _q_markov_entropy(sf_dir: str):
     """Entropy rate of the per-user event-type Markov chain (stream
     predictability): transition counts via one user-keyed exchange,
@@ -3248,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cf_item_topk": _q_cf_item_topk,
         "weekday_profile": _q_weekday_profile,
         "markov_entropy": _q_markov_entropy,
+        "heaps_law": _q_heaps_law,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -5137,6 +5191,9 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS z_nano
             FROM v
         """,
+        # heaps_law: four prefix vocabulary counts + integer OLS on
+        # nano-ln points
+        "heaps_law": _heaps_sql(),
         # markov_entropy: per-cell nano-rounded ln terms over the
         # transition counts, shared round-half-up final division
         "markov_entropy": """

@@ -1792,3 +1792,86 @@ def dup_rate_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def heaps_law(docs: ray.data.Dataset) -> "pa.Table":
+    """Heaps'-law vocabulary growth: distinct-token counts at four
+    nested doc_id-ordered corpus prefixes (⅛, ¼, ½, all) and the
+    growth exponent β from V(n) ≈ K·nᵝ — the corpus-linguistics
+    diagnostic that says how fast new vocabulary keeps arriving (β≈1:
+    every doc novel; β≈0: vocabulary saturated).  β is the OLS slope
+    over the four (ln n, ln V) points with each ln nano-rounded via
+    ``math.log`` BEFORE the exact integer sufficient statistics (the
+    cat_dependence discipline), emitted as round-half-up milli.
+
+    Scale shape: four filtered scans, each folding to per-batch
+    distinct-token partials and one vocabulary-bounded groupby — the
+    vocab_top100 exchange class; the driver sees 4 scalar pairs."""
+    import math
+
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Max
+
+    mx = docs.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array(
+                [int(pc_.max(b.column("doc_id")).as_py())] if b.num_rows else [],
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Max("m", alias_name="m"))
+    schema = pa.schema(
+        [
+            ("checkpoint", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("v_tokens", pa.int64()),
+            ("beta_milli", pa.int64()),
+        ]
+    )
+    if not mx or mx.get("m") is None:
+        return schema.empty_table()
+    top = int(mx["m"]) + 1
+    pts = []
+    for k in (1, 2, 4, 8):
+        thr = top * k // 8
+        sub = docs.filter(expr=f"doc_id < {thr}")
+
+        def tok_partial(batch: pa.Table) -> pa.Table:
+            toks = pc_.list_flatten(
+                pc_.split_pattern(
+                    pc_.utf8_lower(batch.column("text").combine_chunks()), " "
+                )
+            )
+            toks = toks.filter(pc_.not_equal(toks, ""))
+            return pa.table({"token": pc_.unique(toks)})
+
+        v = (
+            sub.map_batches(tok_partial, batch_format="pyarrow")
+            .groupby("token")
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+            .count()
+        )
+        n = sub.count()
+        pts.append((k, n, int(v)))
+
+    def L(x: int) -> int:
+        return int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+
+    xs = [L(n) for _, n, _ in pts]
+    ys = [L(v) for _, _, v in pts]
+    m = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = m * sxy - sx * sy
+    den = m * sxx - sx * sx
+    beta_milli = (2000 * num + den) // (2 * den) if den else 0
+    return pa.table(
+        {
+            "checkpoint": pa.array([p[0] for p in pts], pa.int64()),
+            "n_docs": pa.array([p[1] for p in pts], pa.int64()),
+            "v_tokens": pa.array([p[2] for p in pts], pa.int64()),
+            "beta_milli": pa.array([beta_milli] * m, pa.int64()),
+        }
+    )

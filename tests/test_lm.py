@@ -81,3 +81,36 @@ def test_unk_and_edge_rows(ray_session):
     assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "nll_milli"] == 0
     assert got.loc[5, "n_unk"] == 2  # qwrk + bleb below min_count
     assert got.loc[6, "n_tokens"] == 3  # empty token from double space dropped
+
+
+def test_heaps_law_closed_form(ray_session):
+    """8 docs, doc k introduces k-specific tokens so V grows with n;
+    checkpoints at 1,2,4,8 docs; β replayed via the same nano-ln OLS;
+    block-invariant."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.text import heaps_law
+
+    texts = [" ".join(f"w{d}_{i}" for i in range(d + 1)) + " common" for d in range(8)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for nb in (1, 3):
+        got = heaps_law(ray.data.from_arrow(t).repartition(nb)).to_pylist()
+        assert [r["checkpoint"] for r in got] == [1, 2, 4, 8]
+        assert [r["n_docs"] for r in got] == [1, 2, 4, 8]
+        # prefix of k docs: sum_{d<k}(d+1) unique + 1 shared "common"
+        assert [r["v_tokens"] for r in got] == [2, 4, 11, 37]
+        L = lambda x: int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+        xs = [L(n) for n in (1, 2, 4, 8)]
+        ys = [L(v) for v in (2, 4, 11, 37)]
+        num = 4 * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = 4 * sum(x * x for x in xs) - sum(xs) ** 2
+        assert got[0]["beta_milli"] == (2000 * num + den) // (2 * den)
