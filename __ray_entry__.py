@@ -314,6 +314,15 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_zipf_law(sf_dir: str):
+    """Zipf rank-frequency exponent over the top-100 vocabulary
+    (Heaps' companion): the vocab_top_k fold plus an integer OLS over
+    nano-rounded (ln rank, ln cnt) points."""
+    from relation_extraction_ray.functions.text import zipf_law
+
+    return zipf_law(_read(sf_dir, "documents", columns=["text"]), k=100)
+
+
 def _q_heaps_law(sf_dir: str):
     """Heaps'-law vocabulary growth over four nested corpus prefixes,
     with the OLS growth exponent from nano-rounded (ln n, ln V) points."""
@@ -3302,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_profile": _q_weekday_profile,
         "markov_entropy": _q_markov_entropy,
         "heaps_law": _q_heaps_law,
+        "zipf_law": _q_zipf_law,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -5194,6 +5204,38 @@ def oracle_sql() -> dict[str, str]:
         # heaps_law: four prefix vocabulary counts + integer OLS on
         # nano-ln points
         "heaps_law": _heaps_sql(),
+        # zipf_law: top-100 vocab + integer OLS on nano-ln rank/cnt,
+        # negated round-half-up milli slope
+        "zipf_law": """
+            WITH v AS (
+              SELECT token, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+              FROM (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                      FROM documents)
+                WHERE token <> '' GROUP BY token)
+              ORDER BY cnt DESC, token ASC LIMIT 100
+            ), lns AS (
+              SELECT rank, token, cnt,
+                     CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS lx,
+                     CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS ly
+              FROM v
+            ), ols AS (
+              SELECT CAST(count(*) AS HUGEINT) AS m,
+                     CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
+                     CAST(sum(lx * lx) AS HUGEINT) AS sxx,
+                     CAST(sum(lx * ly) AS HUGEINT) AS sxy
+              FROM lns
+            )
+            SELECT CAST(lns.rank AS BIGINT) AS rank, lns.token, lns.cnt,
+                   CAST(CASE WHEN ols.m * ols.sxx - ols.sx * ols.sx <> 0
+                        THEN (2000 * (-(ols.m * ols.sxy - ols.sx * ols.sy))
+                              + (ols.m * ols.sxx - ols.sx * ols.sx))
+                             // (2 * (ols.m * ols.sxx - ols.sx * ols.sx))
+                        ELSE 0 END AS BIGINT) AS s_milli
+            FROM lns, ols ORDER BY rank
+        """,
         # markov_entropy: per-cell nano-rounded ln terms over the
         # transition counts, shared round-half-up final division
         "markov_entropy": """

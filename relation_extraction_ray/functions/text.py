@@ -1875,3 +1875,52 @@ def heaps_law(docs: ray.data.Dataset) -> "pa.Table":
             "beta_milli": pa.array([beta_milli] * m, pa.int64()),
         }
     )
+
+
+def zipf_law(docs: ray.data.Dataset, k: int = 100) -> "pa.Table":
+    """Zipf rank-frequency exponent over the top-``k`` vocabulary —
+    Heaps' companion (frequency ≈ C·rank⁻ˢ; natural text sits near
+    s ≈ 1): the distributed top-k fold is :func:`vocab_top_k` verbatim,
+    then s is the NEGATED integer-OLS slope over the k nano-rounded
+    (ln rank, ln cnt) points (the heaps_law discipline), round-half-up
+    milli.  Output one row per rank plus the constant exponent column.
+
+    Scale shape: exactly vocab_top_k's — the exchange is vocabulary-
+    bounded; the driver sees k rows."""
+    import math
+
+    top = vocab_top_k(docs, k=k)
+    rows = top.to_pylist() if hasattr(top, "to_pylist") else top.take_all()
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("token", pa.string()),
+            ("cnt", pa.int64()),
+            ("s_milli", pa.int64()),
+        ]
+    )
+    if not rows:
+        return schema.empty_table()
+
+    def L(x: int) -> int:
+        return int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+
+    xs = [L(r + 1) for r in range(len(rows))]
+    ys = [L(int(t["cnt"])) for t in rows]
+    m = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = m * sxy - sx * sy
+    den = m * sxx - sx * sx
+    # slope is negative for Zipfian data; s = −slope, round-half-up on
+    # the POSITIVE value (mirrored in SQL)
+    s_milli = (2000 * (-num) + den) // (2 * den) if den else 0
+    return pa.table(
+        {
+            "rank": pa.array([r + 1 for r in range(m)], pa.int64()),
+            "token": pa.array([t["token"] for t in rows], pa.string()),
+            "cnt": pa.array([int(t["cnt"]) for t in rows], pa.int64()),
+            "s_milli": pa.array([s_milli] * m, pa.int64()),
+        }
+    )

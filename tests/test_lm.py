@@ -114,3 +114,32 @@ def test_heaps_law_closed_form(ray_session):
         num = 4 * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
         den = 4 * sum(x * x for x in xs) - sum(xs) ** 2
         assert got[0]["beta_milli"] == (2000 * num + den) // (2 * den)
+
+
+def test_zipf_law_closed_form(ray_session):
+    """A perfectly Zipfian corpus (token w_r appears floor(64/r) times,
+    r = 1,2,4,8) recovers s ≈ 1000 milli; ranks tie-break by token."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.text import zipf_law
+
+    words = []
+    for r in (1, 2, 4, 8):
+        words += [f"w{r:02d}"] * (64 // r)
+    t = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array([" ".join(words)], pa.string())}
+    )
+    got = zipf_law(ray.data.from_arrow(t), k=4).to_pylist()
+    assert [r["cnt"] for r in got] == [64, 32, 16, 8]
+    # exact slope on the 4 nano-ln points: ln(cnt) = ln64 − ln(rank_pos)
+    L = lambda x: int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+    xs = [L(i + 1) for i in range(4)]
+    ys = [L(c) for c in (64, 32, 16, 8)]
+    num = 4 * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = 4 * sum(a * a for a in xs) - sum(xs) ** 2
+    assert got[0]["s_milli"] == (2000 * (-num) + den) // (2 * den)
+    # ranks 1..4 in frequency order
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
