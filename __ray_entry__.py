@@ -314,6 +314,17 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_decision_stump(sf_dir: str):
+    """CART split-finder table: weighted Gini at every discount
+    threshold for the returned-vs-kept outcome — one contingency fold,
+    mirrored IEEE impurity."""
+    from relation_extraction_ray.functions.relational import decision_stump
+
+    return decision_stump(
+        _read(sf_dir, "lineitem", columns=["l_discount", "l_returnflag"])
+    )
+
+
 def _q_zipf_law(sf_dir: str):
     """Zipf rank-frequency exponent over the top-100 vocabulary
     (Heaps' companion): the vocab_top_k fold plus an integer OLS over
@@ -3312,6 +3323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy": _q_markov_entropy,
         "heaps_law": _q_heaps_law,
         "zipf_law": _q_zipf_law,
+        "decision_stump": _q_decision_stump,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -5204,6 +5216,40 @@ def oracle_sql() -> dict[str, str]:
         # heaps_law: four prefix vocabulary counts + integer OLS on
         # nano-ln points
         "heaps_law": _heaps_sql(),
+        # decision_stump: cumulative contingency sums per threshold,
+        # the same IEEE impurity sequence (int / is float division)
+        "decision_stump": """
+            WITH cells AS (
+              SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                     CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                     CAST(sum(pos) AS BIGINT) AS p_all,
+                     CAST(max(disc) AS BIGINT) AS d_max
+              FROM cells
+            ), cum AS (
+              SELECT disc,
+                     CAST(sum(n) OVER (ORDER BY disc) AS BIGINT) AS nl,
+                     CAST(sum(pos) OVER (ORDER BY disc) AS BIGINT) AS pl
+              FROM cells
+            ), sp AS (
+              SELECT c.disc AS thresh_centi, c.nl AS n_left, c.pl AS pos_left,
+                     t.n_all - c.nl AS n_right, t.p_all - c.pl AS pos_right,
+                     t.n_all AS n_all
+              FROM cum c, tot t WHERE c.disc < t.d_max
+            )
+            SELECT thresh_centi, n_left, pos_left, n_right, pos_right,
+                   CAST(floor((
+                     (n_left - (pos_left * pos_left
+                        + (n_left - pos_left) * (n_left - pos_left)) / n_left)
+                     + (n_right - (pos_right * pos_right
+                        + (n_right - pos_right) * (n_right - pos_right)) / n_right)
+                   ) / n_all * 1e6 + 0.5) AS BIGINT) AS gini_micro
+            FROM sp ORDER BY thresh_centi
+        """,
         # zipf_law: top-100 vocab + integer OLS on nano-ln rank/cnt,
         # negated round-half-up milli slope
         "zipf_law": """

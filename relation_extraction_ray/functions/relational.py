@@ -6238,3 +6238,95 @@ def markov_entropy_rate(events: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def decision_stump(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """CART split-finder table — the decision-tree primitive: for every
+    candidate threshold on the discount feature, the weighted Gini
+    impurity of splitting returned-vs-kept line items at
+    ``discount ≤ t``.  The full table is the contract (the best split
+    is read off it; no argmin crosses an engine boundary): counts are
+    exact integers from one (feature, outcome) contingency fold — the
+    spearman exchange class, bounded by distinct feature values — and
+    the impurity is ONE mirrored IEEE sequence over exact ints
+    (DuckDB ``/`` on integers is float division, matching Python's).
+
+    Output per candidate: (thresh_centi, n_left, pos_left, n_right,
+    pos_right, gini_micro); thresholds are the distinct discount values
+    except the last (an empty right side is no split)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = (
+            batch.column("l_returnflag").to_numpy(zero_copy_only=False).astype(str)
+            == "R"
+        ).astype(np.int64)
+        key = d * 2 + pos
+        vals, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "disc": pa.array(vals // 2, pa.int64()),
+                "pos": pa.array(vals % 2, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["disc", "pos"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    schema = pa.schema(
+        [
+            ("thresh_centi", pa.int64()),
+            ("n_left", pa.int64()),
+            ("pos_left", pa.int64()),
+            ("n_right", pa.int64()),
+            ("pos_right", pa.int64()),
+            ("gini_micro", pa.int64()),
+        ]
+    )
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    tot: dict[int, list[int]] = {}
+    for r in rows:
+        d = int(r["disc"])
+        tot.setdefault(d, [0, 0])
+        tot[d][int(r["pos"])] += int(r["n"])
+    ds_sorted = sorted(tot)
+    n = sum(a + b for a, b in tot.values())
+    p_all = sum(b for _, b in tot.values())
+    out = {k: [] for k in ("t", "nl", "pl", "nr", "pr", "g")}
+    nl = pl = 0
+    for t in ds_sorted[:-1]:
+        neg, pos = tot[t]
+        nl += neg + pos
+        pl += pos
+        nr, pr = n - nl, p_all - pl
+        sl = pl * pl + (nl - pl) * (nl - pl)
+        sr = pr * pr + (nr - pr) * (nr - pr)
+        wg = ((nl - sl / nl) + (nr - sr / nr)) / n
+        out["t"].append(t)
+        out["nl"].append(nl)
+        out["pl"].append(pl)
+        out["nr"].append(nr)
+        out["pr"].append(pr)
+        out["g"].append(int(math.floor(wg * 1e6 + 0.5)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "thresh_centi": pa.array(out["t"], pa.int64()),
+                "n_left": pa.array(out["nl"], pa.int64()),
+                "pos_left": pa.array(out["pl"], pa.int64()),
+                "n_right": pa.array(out["nr"], pa.int64()),
+                "pos_right": pa.array(out["pr"], pa.int64()),
+                "gini_micro": pa.array(out["g"], pa.int64()),
+            }
+        )
+    )

@@ -4362,3 +4362,35 @@ def test_markov_entropy_closed_forms(ray_session):
     L = lambda x: int(math.floor(math.log(float(x)) * 1e9 + 0.5))
     num = 16 * (L(8) - L(4))
     assert r["rate_nano"] == (2 * num + 16) // (2 * 16)
+
+
+def test_decision_stump_closed_form(ray_session):
+    """Perfectly separable feature: discount 0.00 → never returned,
+    0.05 → always returned ⇒ the 0-centi split has Gini 0; a mixed
+    cell replays the hand formula; block-invariant."""
+    import math
+
+    from relation_extraction_ray.functions.relational import decision_stump
+
+    def ds_of(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_discount": pa.array([r[0] for r in rows], pa.float64()),
+                    "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    sep = [(0.00, "N")] * 4 + [(0.05, "R")] * 6
+    got = decision_stump(ds_of(sep)).take_all()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["thresh_centi"], r["n_left"], r["pos_left"], r["n_right"],
+            r["pos_right"], r["gini_micro"]) == (0, 4, 0, 6, 6, 0)
+
+    mixed = [(0.00, "N"), (0.00, "R"), (0.05, "R"), (0.05, "R")]
+    r = decision_stump(ds_of(mixed)).take_all()[0]
+    # left (1N,1R): gini part = 2 - (1+1)/2 = 1; right (2R): 0; wg = 1/4
+    assert r["gini_micro"] == int(math.floor(((2 - 2 / 2) + (2 - 4 / 2)) / 4 * 1e6 + 0.5))
+    assert r["gini_micro"] == 250000
