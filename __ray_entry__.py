@@ -314,6 +314,16 @@ def _q_spikes(sf_dir: str):
     return spike_days(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_ab_test(sf_dir: str):
+    """Two-proportion z-test of return rates between discount cohorts:
+    one 4-counter fold, mirrored IEEE pooled z."""
+    from relation_extraction_ray.functions.relational import ab_proportion_test
+
+    return ab_proportion_test(
+        _read(sf_dir, "lineitem", columns=["l_discount", "l_returnflag"])
+    )
+
+
 def _q_decision_stump(sf_dir: str):
     """CART split-finder table: weighted Gini at every discount
     threshold for the returned-vs-kept outcome — one contingency fold,
@@ -3324,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law": _q_heaps_law,
         "zipf_law": _q_zipf_law,
         "decision_stump": _q_decision_stump,
+        "ab_test": _q_ab_test,
         "hits_scores": _q_hits,
         "greedy_coverage": _q_greedy_coverage,
         "trim_core": _q_trim_core,
@@ -5216,6 +5227,35 @@ def oracle_sql() -> dict[str, str]:
         # heaps_law: four prefix vocabulary counts + integer OLS on
         # nano-ln points
         "heaps_law": _heaps_sql(),
+        # ab_test: pooled two-proportion z over exact cohort counters
+        "ab_test": """
+            WITH c AS (
+              SELECT CASE WHEN CAST(round(l_discount * 100) AS BIGINT) > 5
+                          THEN 1 ELSE 0 END AS cohort,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos
+              FROM lineitem GROUP BY 1
+            ), w AS (
+              SELECT
+                coalesce(max(CASE WHEN cohort = 0 THEN n END), 0) AS na,
+                coalesce(max(CASE WHEN cohort = 0 THEN pos END), 0) AS xa,
+                coalesce(max(CASE WHEN cohort = 1 THEN n END), 0) AS nb,
+                coalesce(max(CASE WHEN cohort = 1 THEN pos END), 0) AS xb
+              FROM c
+            )
+            SELECT na AS n_a, xa AS pos_a, nb AS n_b, xb AS pos_b,
+                   CAST(CASE WHEN na > 0 AND nb > 0
+                             AND xa + xb > 0 AND xa + xb < na + nb
+                        THEN floor(
+                          (xa / na - xb / nb)
+                          / sqrt((xa + xb) / (na + nb)
+                                 * (1.0e0 - (xa + xb) / (na + nb))
+                                 * (1.0e0 / na + 1.0e0 / nb))
+                          * 1e9 + 0.5)
+                        ELSE 0 END AS BIGINT) AS z_nano
+            FROM w
+        """,
         # decision_stump: cumulative contingency sums per threshold,
         # the same IEEE impurity sequence (int / is float division)
         "decision_stump": """

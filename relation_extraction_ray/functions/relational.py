@@ -6330,3 +6330,69 @@ def decision_stump(lineitem: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def ab_proportion_test(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Two-proportion z-test — the experimentation-analysis primitive:
+    is the return rate of deeply-discounted line items (discount >
+    0.05, cohort B) different from the rest (cohort A)?  Counts are
+    exact integers from one 4-counter fold (two rows per batch across
+    the exchange); the pooled z-statistic
+    ``(p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂))`` is ONE mirrored IEEE sequence
+    over those integers, emitted round-half-up nano.
+
+    Scale shape: a single streaming scan folding each batch to two
+    (cohort, n, pos) rows — the cheapest exchange in the engine."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = (
+            batch.column("l_returnflag").to_numpy(zero_copy_only=False).astype(str)
+            == "R"
+        ).astype(np.int64)
+        b = (d > 5).astype(np.int64)
+        return pa.table(
+            {
+                "cohort": pa.array([0, 1], pa.int64()),
+                "n": pa.array(
+                    [int((b == 0).sum()), int((b == 1).sum())], pa.int64()
+                ),
+                "pos": pa.array(
+                    [int(pos[b == 0].sum()), int(pos[b == 1].sum())], pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("cohort")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+        .take_all()
+    )
+    c = {int(r["cohort"]): (int(r["n"]), int(r["pos"])) for r in rows}
+    na, xa = c.get(0, (0, 0))
+    nb, xb = c.get(1, (0, 0))
+    if na and nb and 0 < xa + xb < na + nb:
+        p1 = xa / na
+        p2 = xb / nb
+        pp = (xa + xb) / (na + nb)
+        z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+        z_nano = int(math.floor(z * 1e9 + 0.5))
+    else:
+        z_nano = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "pos_a": pa.array([xa], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "pos_b": pa.array([xb], pa.int64()),
+                "z_nano": pa.array([z_nano], pa.int64()),
+            }
+        )
+    )

@@ -4394,3 +4394,32 @@ def test_decision_stump_closed_form(ray_session):
     # left (1N,1R): gini part = 2 - (1+1)/2 = 1; right (2R): 0; wg = 1/4
     assert r["gini_micro"] == int(math.floor(((2 - 2 / 2) + (2 - 4 / 2)) / 4 * 1e6 + 0.5))
     assert r["gini_micro"] == 250000
+
+
+def test_ab_proportion_test_closed_form(ray_session):
+    """Hand counts: A = 8 items 2 returned, B = 4 items 3 returned;
+    z replays the pooled formula; identical rates ⇒ z = 0."""
+    import math
+
+    from relation_extraction_ray.functions.relational import ab_proportion_test
+
+    def ds_of(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_discount": pa.array([r[0] for r in rows], pa.float64()),
+                    "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    rows = [(0.01, "R")] * 2 + [(0.01, "N")] * 6 + [(0.08, "R")] * 3 + [(0.08, "N")]
+    r = ab_proportion_test(ds_of(rows)).take_all()[0]
+    assert (r["n_a"], r["pos_a"], r["n_b"], r["pos_b"]) == (8, 2, 4, 3)
+    p1, p2, pp = 2 / 8, 3 / 4, 5 / 12
+    z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / 8 + 1.0 / 4))
+    assert r["z_nano"] == int(math.floor(z * 1e9 + 0.5))
+
+    same = [(0.01, "R"), (0.01, "N"), (0.08, "R"), (0.08, "N")]
+    r = ab_proportion_test(ds_of(same)).take_all()[0]
+    assert r["z_nano"] == 0
