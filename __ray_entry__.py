@@ -376,10 +376,12 @@ def _heaps_sql() -> str:
         + f""",
         pts AS MATERIALIZED ({pts_union}),
         lns AS MATERIALIZED (
+          -- tiny-corpus guard mirroring the engine: n=0 (empty prefix)
+          -- or v=0 (token-less prefix) would feed ln(0); skip the row
           SELECT checkpoint, n, v,
                  CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS lx,
                  CAST(floor(ln(CAST(v AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS ly
-          FROM pts
+          FROM pts WHERE n > 0 AND v > 0
         ), ols AS MATERIALIZED (
           SELECT CAST(count(*) AS HUGEINT) AS m,
                  CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
@@ -5356,7 +5358,11 @@ def oracle_sql() -> dict[str, str]:
         # exact (7·Σn²−n²)/n chi² against uniform
         "weekday_profile": """
             WITH wd AS (
-              SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS weekday,
+              -- ((d % 7) + 7) % 7: DuckDB's % takes the dividend's sign,
+              -- numpy's floored modulo is always 0..6 — normalize so
+              -- pre-1970 (negative epoch-day) timestamps bucket alike
+              SELECT ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7
+                       AS weekday,
                      CAST(count(*) AS BIGINT) AS n
               FROM events GROUP BY 1
             ), grid AS (
@@ -5378,7 +5384,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS BIGINT) AS chi2_milli
             FROM g, tot ORDER BY g.weekday
         """,
-        # survival_km: per-user day-span, censor inside the last-7-day
+        # survival_km: per-user day-span, censor inside the last-90-day
         # window, suffix-sum at-risk, and the SAME integer-micro floor
         # recursion S_k = S_{k-1}·(n_k−d_k)//n_k via a recursive CTE
         "survival_km": """

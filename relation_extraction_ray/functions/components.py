@@ -354,12 +354,22 @@ def _label_sum(labels: ray.data.Dataset) -> int:
     return int(s["sum(lab)"] if isinstance(s, dict) else s)
 
 
+# broadcast-vs-partitioned planner bound for the keep-one drop set: the
+# drop ids ship as ONE Arrow array (zero-copy reads from the object
+# store), so the estimate is raw id bytes, not dict-entry bytes.
+# 128 MiB ≈ 16M int64 drop ids; a 30-60 %-duplicated web crawl at
+# 10⁹+ docs blows past this, which is exactly when the anti-join below
+# must run reduce-side instead of OOMing the driver.
+_DROP_BROADCAST_BYTES = 128 << 20
+
+
 def dedup_keep_one(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    broadcast_bytes: int = _DROP_BROADCAST_BYTES,
 ) -> ray.data.Dataset:
     """Keep-one near-dup dedup: drop every clustered document except its
     cluster's canonical (component-min id) member — the operation the
@@ -367,32 +377,109 @@ def dedup_keep_one(
 
     ``pairs`` is any near-dup pair table (minhash / ngram-Jaccard /
     simhash / embedding); clusters come from
-    :func:`connected_components`.  The drop set (non-canonical members)
-    is O(|dup docs|) ≪ corpus and ships once via ``ray.put`` — the
-    filter pass is one streaming ``is_in`` over the corpus, no shuffle
-    of document rows (above a broadcast bound the same filter becomes a
-    hash-partitioned anti-join on id, the standard planner split; dup
-    sets that large mean the corpus is mostly duplicates).
+    :func:`connected_components`.  Join-strategy pick, the same planner
+    split as ``verify_jaccard`` / ``state/linker.py`` (byte bound, not
+    row count — transfers across cluster sizes):
+
+    * drop set ≤ ``broadcast_bytes``: the non-canonical ids ship once
+      via ``ray.put`` and the filter is one streaming ``is_in`` over the
+      corpus — no shuffle of document rows;
+    * above the bound (a heavily duplicated crawl: 30-60 % dup rate
+      makes the drop set O(corpus)): a **hash-partitioned reduce-side
+      anti-join** — docs and drop ids co-partitioned by
+      ``hash(id) % n_parts`` through one keyed exchange, each partition
+      filtered independently; driver memory stays flat.  Bit-identical
+      to the broadcast path (asserted in
+      ``tests/test_components.py::test_keep_one_partitioned_bitequal``).
     """
     cc = connected_components(pairs, id_a=id_a, id_b=id_b)
-    drops: list = []
-    for bt in cc.iter_batches(batch_format="pyarrow"):
+
+    def non_canon(bt: pa.Table) -> pa.Table:
         neq = pa.compute.invert(
             pa.compute.equal(bt.column("doc_id"), bt.column("canonical_id"))
         )
-        drops.append(bt.column("doc_id").filter(neq).combine_chunks())
-    drop_arr = (
-        pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in drops])
-        if drops
-        else pa.array([], pa.int64())
+        return pa.table({"__drop_id__": bt.column("doc_id").filter(neq)})
+
+    drops = cc.map_batches(non_canon, batch_format="pyarrow").materialize()
+
+    # exact drop-set byte size from the materialized blocks' metadata-level
+    # nbytes — an aggregate-sized fold, never the values themselves
+    drop_nbytes = 0
+    n_drop = 0
+    for bt in drops.iter_batches(batch_format="pyarrow"):
+        drop_nbytes += bt.column("__drop_id__").nbytes
+        n_drop += bt.num_rows
+
+    if drop_nbytes <= broadcast_bytes:
+        drop_arr = (
+            pa.concat_arrays(
+                [
+                    bt.column("__drop_id__").combine_chunks()
+                    for bt in drops.iter_batches(batch_format="pyarrow")
+                    if bt.num_rows
+                ]
+            )
+            if n_drop
+            else pa.array([], pa.int64())
+        )
+        drop_ref = ray.put(drop_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            if len(drop) == 0:
+                return batch
+            mask = pa.compute.invert(
+                pa.compute.is_in(batch.column(id_col), value_set=drop)
+            )
+            return batch.filter(mask)
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    # --- partitioned anti-join (the >broadcast-bound path) ----------------
+    # One keyed exchange moving docs rows + drop ids; each reduce group
+    # holds every doc and every drop id of one hash partition, so the
+    # in-group is_in is exact.  Docs and drops union through a shared
+    # schema: drop rows carry nulls in every non-id column plus a marker.
+    doc_schema = docs.schema()
+    names = list(doc_schema.names)
+    types = list(doc_schema.types)
+    n_parts = derive_n_parts(n_drop, rows_per_part=1 << 16)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part__", part_array(batch, [id_col], n_parts)
+        ).append_column(
+            "__isdrop__", pa.array(np.zeros(batch.num_rows, dtype=bool), pa.bool_())
+        )
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for nm, t in zip(names, types):
+            if nm == id_col:
+                cols.append(batch.column("__drop_id__").combine_chunks().cast(t))
+            else:
+                cols.append(pa.nulls(n, t))
+        t2 = pa.Table.from_arrays(cols, names=names)
+        return t2.append_column(
+            "__part__", part_array(t2, [id_col], n_parts)
+        ).append_column(
+            "__isdrop__", pa.array(np.ones(n, dtype=bool), pa.bool_())
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(tag_drops, batch_format="pyarrow")
     )
-    drop_ref = ray.put(drop_arr)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        if len(drop) == 0:
-            return batch
-        mask = pa.compute.invert(pa.compute.is_in(batch.column(id_col), value_set=drop))
-        return batch.filter(mask)
+    def anti(group: pa.Table) -> pa.Table:
+        is_drop = group.column("__isdrop__").combine_chunks()
+        drop_ids = group.column(id_col).filter(is_drop).combine_chunks()
+        doc_rows = group.filter(pa.compute.invert(is_drop))
+        if len(drop_ids):
+            mask = pa.compute.invert(
+                pa.compute.is_in(doc_rows.column(id_col), value_set=drop_ids)
+            )
+            doc_rows = doc_rows.filter(mask)
+        return doc_rows.drop_columns(["__part__", "__isdrop__"])
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+    return tagged.groupby("__part__").map_groups(anti, batch_format="pyarrow")

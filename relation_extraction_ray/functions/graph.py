@@ -3205,12 +3205,17 @@ def trim_core(adjacency: ray.data.Dataset, max_rounds: int = 32) -> ray.data.Dat
         if removed == 0 or n_surv == 0:
             break
         prev = n_surv
-        # survivor semi-join: the shrinking node set is broadcast once
-        # per round (ray.put, zero-copy reads) and applied with one
-        # vectorized is_in per batch; above a node-count bound the same
-        # filter runs as two hash-partitioned semi-joins (the
-        # verify_jaccard broadcast-vs-partitioned planner convention) —
-        # at KG scale the entity set is far below the bound
+        # survivor semi-join: the shrinking node set is concatenated on
+        # the driver and broadcast once per round (ray.put, zero-copy
+        # reads), applied with one vectorized is_in per batch.  This
+        # broadcast is UNCONDITIONAL — driver memory is bounded by the
+        # node universe (ids only, ~16 B/node: 10⁸ entities ≈ 1.6 GB),
+        # fine for a KG entity set but not for an arbitrary web-scale
+        # graph.  A reduce-side fallback exists in the codebase as the
+        # tagged-union hash-partitioned anti-join of
+        # functions/components.dedup_keep_one (same shape, inverted
+        # mask); wiring it here would cost two keyed exchanges of the
+        # edge table PER ROUND, which is why it is not the default.
         surv_arr = pa.concat_arrays(
             [
                 b.column("node").combine_chunks()

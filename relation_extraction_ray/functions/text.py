@@ -1853,7 +1853,13 @@ def heaps_law(docs: ray.data.Dataset) -> "pa.Table":
             .count()
         )
         n = sub.count()
-        pts.append((k, n, int(v)))
+        # Tiny-corpus guard: with < 8 docs the ⅛ prefix is empty (n=0)
+        # and a token-less prefix gives v=0; either would feed ln(0).
+        # Skip such checkpoints — the SQL oracle filters the same rows.
+        if n > 0 and int(v) > 0:
+            pts.append((k, n, int(v)))
+    if not pts:
+        return schema.empty_table()
 
     def L(x: int) -> int:
         return int(math.floor(math.log(float(x)) * 1e9 + 0.5))

@@ -110,3 +110,32 @@ def test_dedup_keep_one(ray_session):
     # no pairs → corpus unchanged
     kept2 = sorted(dedup_keep_one(docs, _pairs([])).to_pandas()["doc_id"])
     assert kept2 == list(range(10))
+
+
+def test_keep_one_partitioned_bitequal(ray_session):
+    """broadcast_bytes=0 forces the hash-partitioned reduce-side
+    anti-join; it must return the exact same kept rows (values AND
+    schema) as the broadcast is_in path."""
+    from relation_extraction_ray.functions.components import dedup_keep_one
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(50)), pa.int64()),
+                "text": [f"doc {i}" for i in range(50)],
+                "extra": pa.array([float(i) * 0.5 for i in range(50)], pa.float64()),
+            }
+        )
+    )
+    pairs = _pairs([(1, 2), (2, 3), (7, 9), (10, 40), (40, 41), (41, 10), (20, 21)])
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df
+
+    bc = norm(dedup_keep_one(docs, pairs))
+    pt = norm(dedup_keep_one(docs, pairs, broadcast_bytes=0))
+    assert list(bc.columns) == list(pt.columns)
+    assert bc.equals(pt)
+    # drop set: non-canonical members {2,3,9,40,41,21}
+    assert sorted(bc["doc_id"]) == sorted(set(range(50)) - {2, 3, 9, 40, 41, 21})

@@ -116,6 +116,47 @@ def test_heaps_law_closed_form(ray_session):
         assert got[0]["beta_milli"] == (2000 * num + den) // (2 * den)
 
 
+def test_heaps_law_tiny_corpus(ray_session):
+    """Fewer than 8 docs: the ⅛ (and maybe ¼) prefix is empty (n=0) and
+    would feed ln(0) — those checkpoints are skipped, not crashed on
+    (advisor round 4).  A token-less prefix (v=0) is skipped the same
+    way."""
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.text import heaps_law
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(["a b", "a c", "b c d"], pa.string()),
+        }
+    )
+    got = heaps_law(ray.data.from_arrow(t)).to_pylist()
+    # top=3: prefixes 0,0,1,3 docs → checkpoints 1,2 dropped (n=0)
+    assert [r["checkpoint"] for r in got] == [4, 8]
+    assert [r["n_docs"] for r in got] == [1, 3]
+    assert [r["v_tokens"] for r in got] == [2, 4]
+
+    # a prefix whose only doc is empty text → v=0 → skipped
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array([""] * 4 + ["x y"] * 4, pa.string()),
+        }
+    )
+    got2 = heaps_law(ray.data.from_arrow(t2)).to_pylist()
+    assert [r["checkpoint"] for r in got2] == [8]
+
+    # all-empty corpus → empty result, stable schema
+    t3 = pa.table(
+        {"doc_id": pa.array(range(2), pa.int64()), "text": pa.array(["", ""], pa.string())}
+    )
+    got3 = heaps_law(ray.data.from_arrow(t3))
+    assert got3.num_rows == 0
+    assert got3.schema.names == ["checkpoint", "n_docs", "v_tokens", "beta_milli"]
+
+
 def test_zipf_law_closed_form(ray_session):
     """A perfectly Zipfian corpus (token w_r appears floor(64/r) times,
     r = 1,2,4,8) recovers s ≈ 1000 milli; ranks tie-break by token."""
