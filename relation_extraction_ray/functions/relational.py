@@ -158,26 +158,55 @@ def top_orders(orders: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
 def user_running_totals(events: ray.data.Dataset) -> ray.data.Dataset:
     """Windowed aggregate (the engine's window-function pattern): per user,
     events ordered by (ts, event_id), cumulative sum of integer-cents
-    values.  ``groupby(key).map_groups`` with an in-group sort — each
-    user's window is computed locally after one keyed shuffle.  ASSUMES one
-    user's history fits a group (true for user keys); when it doesn't, use
-    :func:`user_running_totals_bucketed`, which keys on (user, time-bucket)
-    and stitches prefix offsets in a second pass."""
+    values.  ONE hash-partitioned exchange on ``user_id``
+    (:func:`.joins.hash_partitioned_groups`), then a fully vectorized
+    per-partition kernel — lexsort + one global cumsum re-based at user
+    boundaries (segmented cumsum), no per-user Python dispatch.  ASSUMES
+    one user's history fits a partition (true for user keys); when it
+    doesn't, use :func:`user_running_totals_bucketed`, which keys on
+    (user, time-bucket) and stitches prefix offsets in a second pass."""
 
-    def per_user(group) -> "pa.Table":
-        import pandas as pd
+    from .joins import derived_num_parts, hash_partitioned_groups
 
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.rint(g["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
-        return pd.DataFrame(
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+        ]
+    )
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        user = part.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            part.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = part.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            part.column("value").to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        u_s, e_s, c_s = user[order], eid[order], cents[order]
+        # segmented cumsum: global running sum re-based at each user start
+        cum = np.cumsum(c_s)
+        newu = np.r_[True, u_s[1:] != u_s[:-1]]
+        base = (cum - c_s)[newu]
+        seg = np.repeat(base, np.diff(np.r_[np.flatnonzero(newu), len(u_s)]))
+        return pa.table(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "event_id": g["event_id"].to_numpy(),
-                "cum_value_cents": np.cumsum(cents),
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(e_s, pa.int64()),
+                "cum_value_cents": pa.array(cum - seg, pa.int64()),
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return hash_partitioned_groups(events, ["user_id"], per_part, derived_num_parts())
 
 
 def user_running_totals_bucketed(events: ray.data.Dataset, unit: str = "day") -> ray.data.Dataset:
@@ -275,50 +304,326 @@ def user_running_totals_bucketed(events: ray.data.Dataset, unit: str = "day") ->
     )
 
 
+def _asof_kernel(
+    user: np.ndarray,
+    bucket: np.ndarray,
+    ts: np.ndarray,
+    eid: np.ndarray,
+    is_left: np.ndarray,
+    is_right: np.ndarray,
+):
+    """Vectorized within-group backward as-of over one hash partition.
+
+    Groups are (user, bucket) pairs; for every left row, find the latest
+    right row IN THE SAME GROUP with ts ≤ left.ts (ties on right ts
+    collapse to max event_id — the deterministic tie rule).  No per-row
+    or per-group Python loop: one lexsort, run-boundary group ids, a
+    rank-composite key and one ``np.searchsorted``.
+
+    Returns (matched_user, matched_eid, matched_prior,
+    um_user, um_bucket, um_eid,          # unmatched lefts (need a carry)
+    c_user, c_bucket, c_eid)             # per-group last right (carry row)
+    """
+    n = len(user)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z, z, z, z, z, z, z, z)
+    order = np.lexsort((eid, ts, bucket, user))
+    u_s, b_s, t_s, e_s = user[order], bucket[order], ts[order], eid[order]
+    l_s, r_s = is_left[order], is_right[order]
+    newgrp = np.r_[True, (u_s[1:] != u_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    gid = np.cumsum(newgrp) - 1
+    # rank-composite key: gid·K + ts_rank — both ≤ n, so the product fits
+    # int64 for any realistic partition (n² < 2⁶³ up to 3·10⁹ rows/part)
+    tt = np.unique(t_s)
+    K = np.int64(len(tt) + 1)
+    key = gid.astype(np.int64) * K + np.searchsorted(tt, t_s).astype(np.int64)
+
+    rk = key[r_s]
+    re = e_s[r_s]
+    if len(rk):
+        # collapse right ties on (group, ts): eid ascends within equal key
+        # after the lexsort, so the run's last element is max(event_id)
+        keep = np.r_[rk[1:] != rk[:-1], True]
+        r_keys, r_eids = rk[keep], re[keep]
+    else:
+        r_keys = np.zeros(0, dtype=np.int64)
+        r_eids = np.zeros(0, dtype=np.int64)
+
+    lk = key[l_s]
+    pos = np.searchsorted(r_keys, lk, side="right") - 1
+    ok = pos >= 0
+    if len(r_keys):
+        ok &= (r_keys[np.maximum(pos, 0)] // K) == gid[l_s]
+    m_user = u_s[l_s][ok]
+    m_eid = e_s[l_s][ok]
+    m_prior = r_eids[pos[ok]] if len(r_keys) else np.zeros(0, dtype=np.int64)
+
+    um = ~ok
+    um_user, um_bucket, um_eid = u_s[l_s][um], b_s[l_s][um], e_s[l_s][um]
+
+    # carry rows: per group's LAST right (max ts, then max eid) — rights
+    # are sorted, so the last right row of each gid run is it
+    if len(rk):
+        rg = gid[r_s]
+        last = np.r_[rg[1:] != rg[:-1], True]
+        c_user = u_s[r_s][last]
+        c_bucket = b_s[r_s][last]
+        c_eid = re[last]
+    else:
+        c_user = c_bucket = c_eid = np.zeros(0, dtype=np.int64)
+    return (m_user, m_eid, m_prior, um_user, um_bucket, um_eid, c_user, c_bucket, c_eid)
+
+
+_ASOF_SCHEMA = None
+
+
+def _asof_out_schema() -> pa.Schema:
+    global _ASOF_SCHEMA
+    if _ASOF_SCHEMA is None:
+        _ASOF_SCHEMA = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("prior_event_id", pa.int64()),
+            ]
+        )
+    return _ASOF_SCHEMA
+
+
+def _asof_columns(events: ray.data.Dataset, left_type: str, right_type: str):
+    """Prune + typed-column extraction shared by both as-of variants."""
+    pruned = events.filter(
+        expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+    )
+
+    def extract(batch: pa.Table) -> tuple:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type")
+        is_left = pc.equal(et, left_type).to_numpy(zero_copy_only=False)
+        is_right = pc.equal(et, right_type).to_numpy(zero_copy_only=False)
+        return user, ts, eid, is_left, is_right
+
+    return pruned, extract
+
+
 def asof_prior_event(
     events: ray.data.Dataset, left_type: str = "purchase", right_type: str = "click"
 ) -> ray.data.Dataset:
     """As-of join (an operator Ray Data lacks natively): for each
     ``left_type`` event, the latest ``right_type`` event by the same user
-    at or before its timestamp.  Pattern: key the shuffle on user_id, sort
-    within the group, ``pd.merge_asof`` per group — the partitioning
-    assumption is that one user's history fits one group (true for user
-    keys).  For keys where that fails, the time-bucket + boundary-carry
-    decomposition of :func:`user_running_totals_bucketed` applies the same
-    way (bucket-local asof + each bucket's last right-row carried to the
-    next bucket's front).
+    at or before its timestamp.  Pattern: ONE hash-partitioned exchange on
+    ``user_id`` (:func:`.joins.hash_partitioned_groups`), then the fully
+    vectorized :func:`_asof_kernel` per partition (lexsort + run-boundary
+    group ids + one ``np.searchsorted`` — no per-row or per-group Python).
+    The partitioning assumption is that one user's history fits a
+    partition (true for user keys); for keys where that fails use
+    :func:`asof_prior_event_bucketed`, the time-bucket + boundary-carry
+    decomposition (bucket-local asof + each bucket's last right row
+    carried forward), which never co-locates a whole user.
 
     Right-side ties on (user, ts) are collapsed to max(event_id) first so
     the result is deterministic; unmatched lefts are dropped (inner)."""
+    from .joins import derive_n_parts, hash_partitioned_groups
 
-    def per_user(group) -> "pd.DataFrame":
-        import pandas as pd
+    pruned, extract = _asof_columns(events, left_type, right_type)
+    pruned = pruned.materialize()  # sized for n_parts AND fed to the exchange
+    schema = _asof_out_schema()
 
-        left = group[group["event_type"] == left_type].sort_values(["ts", "event_id"], kind="mergesort")
-        right = (
-            group[group["event_type"] == right_type]
-            .groupby("ts", as_index=False)
-            .agg(prior_event_id=("event_id", "max"))
-            .sort_values("ts", kind="mergesort")
-        )
-        if left.empty or right.empty:
-            return pd.DataFrame({"user_id": [], "event_id": [], "prior_event_id": []}).astype(
-                {"user_id": "int64", "event_id": "int64", "prior_event_id": "int64"}
-            )
-        merged = pd.merge_asof(left, right, on="ts", direction="backward")
-        merged = merged.dropna(subset=["prior_event_id"])
-        return pd.DataFrame(
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return schema.empty_table()
+        user, ts, eid, is_left, is_right = extract(part)
+        bucket = np.zeros(len(user), dtype=np.int64)  # whole user = 1 group
+        m_user, m_eid, m_prior, *_ = _asof_kernel(user, bucket, ts, eid, is_left, is_right)
+        return pa.table(
             {
-                "user_id": merged["user_id"].astype("int64"),
-                "event_id": merged["event_id"].astype("int64"),
-                "prior_event_id": merged["prior_event_id"].astype("int64"),
+                "user_id": pa.array(m_user, pa.int64()),
+                "event_id": pa.array(m_eid, pa.int64()),
+                "prior_event_id": pa.array(m_prior, pa.int64()),
             }
         )
 
-    pruned = events.filter(
-        expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+    n_parts = derive_n_parts(pruned.count(), rows_per_part=65536)
+    return hash_partitioned_groups(pruned, ["user_id"], per_part, n_parts)
+
+
+def asof_prior_event_bucketed(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    unit: str = "day",
+) -> ray.data.Dataset:
+    """Scale path for :func:`asof_prior_event` — the exchange key is
+    ``(user, time-bucket)`` so NO partition ever holds one user's whole
+    history (the plain version's documented assumption; a bot/SDK user
+    with 10⁸ events lands here).  Three-phase boundary-carry
+    decomposition, the as-of analogue of
+    :func:`user_running_totals_bucketed`:
+
+      1. per (user, bucket) hash partition: bucket-local vectorized as-of
+         (:func:`_asof_kernel`); emits matched rows, unmatched-left rows,
+         ONE carry row per (user, bucket) holding the bucket's last right
+         event, and ONE need-row per (user, bucket) that has unmatched
+         lefts;
+      2. carries + needs fold per user (tiny: ≤ users × buckets rows) —
+         for each needing bucket b, the latest carry from any bucket < b
+         (every right in an earlier bucket precedes every left in b, so
+         the bucket-granular pick is exact);
+      3. resolved carries join back to the unmatched lefts on
+         (user, bucket) — one more keyed exchange of O(unmatched) rows.
+
+    Output is identical to the plain version (asserted in tests):
+    right-ts ties collapse to max event_id, unmatched lefts drop."""
+    from .joins import derive_n_parts, hash_partitioned_groups
+
+    pruned, extract = _asof_columns(events, left_type, right_type)
+    pruned = pruned.materialize()  # sized for n_parts AND scanned in phase 1
+    schema = _asof_out_schema()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.floor_temporal(batch.column("ts").cast(pa.timestamp("us")), unit=unit),
+            pa.int64(),
+        )
+        return batch.append_column("bucket", days)
+
+    keyed = pruned.map_batches(add_bucket, batch_format="pyarrow")
+
+    # phase-1 union schema: kind R (matched: val=prior), U (unmatched
+    # left: val=event_id), C (carry: val=last right eid), B (bucket needs
+    # a carry: val unused)
+    p1_schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("user_id", pa.int64()),
+            ("bucket", pa.int64()),
+            ("event_id", pa.int64()),
+            ("val", pa.int64()),
+        ]
     )
-    return pruned.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def phase1(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return p1_schema.empty_table()
+        user, ts, eid, is_left, is_right = extract(part)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        (m_user, m_eid, m_prior, um_user, um_bucket, um_eid, c_user, c_bucket, c_eid) = _asof_kernel(
+            user, bucket, ts, eid, is_left, is_right
+        )
+        # need-rows: unique (user, bucket) among the unmatched lefts —
+        # um_* arrive sorted by (user, bucket) from the kernel's lexsort
+        if len(um_user):
+            first = np.r_[True, (um_user[1:] != um_user[:-1]) | (um_bucket[1:] != um_bucket[:-1])]
+            b_user, b_bucket = um_user[first], um_bucket[first]
+        else:
+            b_user = b_bucket = np.zeros(0, dtype=np.int64)
+        kinds = (
+            ["R"] * len(m_user) + ["U"] * len(um_user) + ["C"] * len(c_user) + ["B"] * len(b_user)
+        )
+        z = lambda k: np.zeros(k, dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "user_id": pa.array(np.concatenate([m_user, um_user, c_user, b_user]), pa.int64()),
+                "bucket": pa.array(np.concatenate([z(len(m_user)), um_bucket, c_bucket, b_bucket]), pa.int64()),
+                "event_id": pa.array(np.concatenate([m_eid, um_eid, z(len(c_user)), z(len(b_user))]), pa.int64()),
+                "val": pa.array(np.concatenate([m_prior, z(len(um_user)), c_eid, z(len(b_user))]), pa.int64()),
+            }
+        )
+
+    n_parts = derive_n_parts(pruned.count(), rows_per_part=65536)
+    p1 = hash_partitioned_groups(keyed, ["user_id", "bucket"], phase1, n_parts).materialize()
+
+    matched = p1.filter(expr="kind == 'R'").map_batches(
+        lambda t: t.select(["user_id", "event_id", "val"]).rename_columns(
+            ["user_id", "event_id", "prior_event_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # phase 2: per user resolve each needing bucket's carry — input is
+    # C∪B rows only (≤ 2 × users × buckets), never event rows
+    def phase2(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return p1_schema.empty_table()
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        user = part.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False)
+        val = part.column("val").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bucket, user))
+        u_s, b_s, v_s, k_s = user[order], bucket[order], val[order], kind[order]
+        newu = np.r_[True, u_s[1:] != u_s[:-1]]
+        uid = np.cumsum(newu) - 1
+        bb = np.unique(b_s)
+        K = np.int64(len(bb) + 1)
+        key = uid.astype(np.int64) * K + np.searchsorted(bb, b_s).astype(np.int64)
+        isc = k_s == "C"
+        isb = k_s == "B"
+        c_keys, c_vals = key[isc], v_s[isc]
+        # strictly-earlier bucket: side="left" excludes the same bucket
+        pos = np.searchsorted(c_keys, key[isb], side="left") - 1
+        ok = pos >= 0
+        if len(c_keys):
+            ok &= (c_keys[np.maximum(pos, 0)] // K) == uid[isb]
+        else:
+            ok &= False
+        o_user = u_s[isb][ok]
+        o_bucket = b_s[isb][ok]
+        o_val = c_vals[pos[ok]] if len(c_keys) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(["O"] * len(o_user), pa.string()),
+                "user_id": pa.array(o_user, pa.int64()),
+                "bucket": pa.array(o_bucket, pa.int64()),
+                "event_id": pa.array(np.zeros(len(o_user), dtype=np.int64), pa.int64()),
+                "val": pa.array(o_val, pa.int64()),
+            }
+        )
+
+    cb = p1.filter(expr="kind == 'C' or kind == 'B'")
+    resolved = hash_partitioned_groups(cb, ["user_id"], phase2, max(1, n_parts // 8))
+
+    # phase 3: stamp resolved carries onto the unmatched lefts — one more
+    # (user, bucket)-keyed exchange of O(unmatched + resolved) rows
+    def phase3(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return schema.empty_table()
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        user = part.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        val = part.column("val").to_numpy(zero_copy_only=False)
+        iso = kind == "O"
+        isu = kind == "U"
+        bb = np.unique(bucket)
+        uu = np.unique(user)
+        K = np.int64(len(bb) + 1)
+        key = np.searchsorted(uu, user).astype(np.int64) * K + np.searchsorted(bb, bucket).astype(np.int64)
+        o_key, o_val = key[iso], val[iso]
+        oo = np.argsort(o_key)
+        o_key, o_val = o_key[oo], o_val[oo]
+        pos = np.searchsorted(o_key, key[isu], side="left")
+        ok = (pos < len(o_key)) & (o_key[np.minimum(pos, max(len(o_key) - 1, 0))] == key[isu]) if len(o_key) else np.zeros(isu.sum(), dtype=bool)
+        return pa.table(
+            {
+                "user_id": pa.array(user[isu][ok], pa.int64()),
+                "event_id": pa.array(eid[isu][ok], pa.int64()),
+                "prior_event_id": pa.array(o_val[pos[ok]] if len(o_key) else np.zeros(0, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    um = p1.filter(expr="kind == 'U'")
+    carried = hash_partitioned_groups(um.union(resolved), ["user_id", "bucket"], phase3, max(1, n_parts // 4))
+    return matched.union(carried)
 
 
 def deterministic_sample(
@@ -439,9 +744,13 @@ def pack_sequences(
     cumulative whitespace-token count of all PRIOR docs in the bucket
     (budget-proportional assignment; an oversized doc spills past one bin
     boundary rather than stalling the stream — deterministic and exactly
-    replayable as a SQL window cumsum).  One keyed shuffle; per-bucket
-    state is a numpy cumsum.  At 100 TB ``n_buckets`` scales with the
-    cluster so each bucket's doc list stays worker-sized."""
+    replayable as a SQL window cumsum).  ONE hash-partitioned exchange on
+    ``bucket`` (:func:`.joins.hash_partitioned_groups`); the per-partition
+    kernel is a lexsort + one segmented exclusive cumsum across ALL of the
+    partition's buckets at once — no per-bucket Python dispatch.  At
+    100 TB ``n_buckets`` scales with the cluster so each bucket's doc list
+    stays worker-sized."""
+    from .joins import derived_num_parts, hash_partitioned_groups
 
     def keyed(batch: pa.Table) -> pa.Table:
         n_tokens = pc.list_value_length(
@@ -456,25 +765,44 @@ def pack_sequences(
             }
         )
 
-    def pack(group) -> "pa.Table":
-        import pandas as pd
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("bucket", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("bin_id", pa.int64()),
+        ]
+    )
 
-        g = group.sort_values("doc_id", kind="mergesort")
-        toks = g["n_tokens"].to_numpy(dtype=np.int64)
-        prefix = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(toks)[:-1]])
-        return pd.DataFrame(
+    def pack(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = part.column("bucket").to_numpy(zero_copy_only=False)
+        toks = part.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
+        b_s, id_s, t_s = buckets[order], ids[order], toks[order]
+        # segmented EXCLUSIVE prefix: global cumsum re-based per bucket
+        cum = np.cumsum(t_s)
+        excl = cum - t_s
+        newb = np.r_[True, b_s[1:] != b_s[:-1]]
+        base = excl[newb]
+        seg = np.repeat(base, np.diff(np.r_[np.flatnonzero(newb), len(b_s)]))
+        prefix = excl - seg
+        return pa.table(
             {
-                "doc_id": g["doc_id"].to_numpy(),
-                "bucket": g["bucket"].to_numpy(),
-                "n_tokens": toks,
-                "bin_id": prefix // capacity,
+                "doc_id": pa.array(id_s, pa.int64()),
+                "bucket": pa.array(b_s, pa.int64()),
+                "n_tokens": pa.array(t_s, pa.int64()),
+                "bin_id": pa.array(prefix // capacity, pa.int64()),
             }
         )
 
-    return (
-        docs.map_batches(keyed, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pack, batch_format="pandas")
+    return hash_partitioned_groups(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        ["bucket"],
+        pack,
+        derived_num_parts(),
     )
 
 

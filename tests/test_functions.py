@@ -323,6 +323,116 @@ def test_asof_join_vs_duckdb(ray_session):
     assert gs == ws and len(gs) > 0
 
 
+def test_asof_bucketed_equals_plain(ray_session):
+    """The (user, time-bucket) boundary-carry decomposition must match
+    the plain per-user as-of row-for-row on fixtures whose matches CROSS
+    bucket boundaries (the carry path), under multiple block layouts."""
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import (
+        asof_prior_event,
+        asof_prior_event_bucketed,
+    )
+
+    day = 86_400_000_000  # us
+    rows = [
+        # user 1: click day0, purchases day0 (same-bucket match) and
+        # day2 (carry across an empty day1)
+        (1, 100, 0, "click"),
+        (1, 101, 1_000, "purchase"),
+        (1, 102, 2 * day + 5, "purchase"),
+        # user 2: purchase BEFORE any click (drops), then click ties at
+        # one ts (max eid wins) matched same-bucket and from next bucket
+        (2, 200, 10, "purchase"),
+        (2, 201, 500, "click"),
+        (2, 202, 500, "click"),
+        (2, 203, 900, "purchase"),
+        (2, 204, 3 * day, "purchase"),
+        # user 3: clicks in two buckets; day-3 purchase must take the
+        # LATEST earlier-bucket click, not the first
+        (3, 300, 100, "click"),
+        (3, 301, day + 100, "click"),
+        (3, 302, 3 * day, "purchase"),
+        # user 4: click at the exact purchase ts (<= is inclusive)
+        (4, 400, 2 * day, "click"),
+        (4, 401, 2 * day, "purchase"),
+        # user 5: only clicks — no output
+        (5, 500, 0, "click"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] for r in rows], unit="us"), pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+    def norm(ds):
+        return sorted(
+            (r["user_id"], r["event_id"], r["prior_event_id"]) for r in ds.take_all()
+        )
+
+    for nb in (1, 4):
+        ev = ray.data.from_arrow(t).repartition(nb)
+        plain = norm(asof_prior_event(ev))
+        bucketed = norm(asof_prior_event_bucketed(ev))
+        assert plain == bucketed
+        assert plain == [
+            (1, 101, 100),
+            (1, 102, 100),
+            (2, 203, 202),
+            (2, 204, 202),
+            (3, 302, 301),
+            (4, 401, 400),
+        ]
+
+
+def test_asof_bucketed_equals_plain_random(ray_session):
+    """Randomized cross-check on a dense multi-bucket fixture."""
+    import random
+
+    import pandas as pd
+
+    from relation_extraction_ray.functions.relational import (
+        asof_prior_event,
+        asof_prior_event_bucketed,
+    )
+
+    rng = random.Random(7)
+    day = 86_400_000_000
+    rows = []
+    for eid in range(600):
+        rows.append(
+            (
+                rng.randrange(12),
+                eid,
+                rng.randrange(10 * day),
+                rng.choice(["purchase", "click", "view"]),
+            )
+        )
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] for r in rows], unit="us"), pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    ev = ray.data.from_arrow(t).repartition(5)
+
+    def norm(ds):
+        return sorted(
+            (r["user_id"], r["event_id"], r["prior_event_id"]) for r in ds.take_all()
+        )
+
+    assert norm(asof_prior_event(ev)) == norm(asof_prior_event_bucketed(ev))
+
+
 def test_events_by_day_vs_duckdb(ray_session):
     import duckdb
 
