@@ -3011,6 +3011,43 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_phash(sf_dir: str):
+    """Perceptual hashes (dHash + aHash over the decoded 8×9 pixel grid)
+    for every media span of the interleaved corpus — the multimodal
+    near-dup signature stage; oracle recomputes the bits with plain
+    per-bit loops."""
+    from relation_extraction_ray.sources.synth import documents_dataset
+    from relation_extraction_ray.stages.media import media_phash
+
+    return media_phash(documents_dataset(KG_DOCS, override_num_blocks=8)).sort(["uid"])
+
+
+def _q_media_dup_pairs(sf_dir: str):
+    """Near-duplicate media pairs (Hamming(dhash) ≤ 3) via the pigeonhole
+    (k+1)-block bucketing shared with the text simhash family; oracle is
+    the brute-force O(n²) Hamming scan (pigeonhole is exact, so the sets
+    must be identical)."""
+    from relation_extraction_ray.sources.synth import documents_dataset
+    from relation_extraction_ray.stages.media import media_dup_pairs
+
+    return media_dup_pairs(
+        documents_dataset(KG_DOCS, override_num_blocks=8), max_hamming=3
+    ).sort(["doc_a", "doc_b"])
+
+
+def _q_media_keep_one(sf_dir: str):
+    """Media-aware keep-one dedup: connected components over the
+    perceptual-hash pair graph, keep the min-uid member per cluster
+    (composes media_dup_pairs with the generic planner-split
+    dedup_keep_one); oracle replays with union-find."""
+    from relation_extraction_ray.sources.synth import documents_dataset
+    from relation_extraction_ray.stages.media import media_keep_one
+
+    return media_keep_one(
+        documents_dataset(KG_DOCS, override_num_blocks=8), max_hamming=3
+    ).sort(["uid"])
+
+
 def _q_supervised_eval(sf_dir: str):
     """SemEval-style supervised classification (trigger lexicon AND the
     TRAINED GRU fixture) + official-scorer-style metrics as a one-row
@@ -3430,6 +3467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "triple_provenance": _q_provenance,
         "media_features": _q_media_features,
+        "media_phash": _q_media_phash,
+        "media_dup_pairs": _q_media_dup_pairs,
+        "media_keep_one": _q_media_keep_one,
         "supervised_eval": _q_supervised_eval,
         "supervised_eval_large": _q_supervised_eval_large,
         "semeval_official": _q_semeval_official,
@@ -3457,6 +3497,9 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         kg_embeddings_rows,
         link_rows,
         media_digest_rows,
+        media_dup_pairs_rows,
+        media_keep_one_rows,
+        media_phash_rows,
         run_oracle,
         semeval_official_row,
         semeval_bi_official_row,
@@ -3486,6 +3529,19 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         pa.Table.from_pylist(media_digest_rows(KG_DOCS), schema=FEATURES_DIGEST),
         ["doc_id", "span_idx", "frame_idx"],
     )
+    from relation_extraction_ray.stages.media import PHASH_SCHEMA
+
+    phash = srt(pa.Table.from_pylist(media_phash_rows(KG_DOCS), schema=PHASH_SCHEMA), ["uid"])
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+    mpairs = srt(
+        pa.Table.from_pylist(media_dup_pairs_rows(KG_DOCS, 3), schema=pair_schema),
+        ["doc_a", "doc_b"],
+    )
+    mkeep = srt(
+        pa.Table.from_pylist(media_keep_one_rows(KG_DOCS, 3), schema=PHASH_SCHEMA), ["uid"]
+    )
     emb_nn = pa.Table.from_pylist(kg_embeddings_rows(out["adjacency"]))
     sup = pa.Table.from_pylist([supervised_metrics_row(500)])
     sup_large = pa.Table.from_pylist([supervised_metrics_row_large(500)])
@@ -3500,6 +3556,9 @@ def _write_kg_oracle_parquet() -> dict[str, str]:
         ("kg_adjacency", adjacency),
         ("kg_linked", linked),
         ("media_features", media),
+        ("media_phash", phash),
+        ("media_dup_pairs", mpairs),
+        ("media_keep_one", mkeep),
         ("kg_embeddings", emb_nn),
         ("supervised_eval", sup),
         ("supervised_eval_large", sup_large),
@@ -7259,6 +7318,20 @@ def oracle_sql() -> dict[str, str]:
         "media_features": f"""
             SELECT * FROM read_parquet('{kg_paths["media_features"]}')
             ORDER BY doc_id, span_idx, frame_idx
+        """,
+        # media_phash / media_dup_pairs / media_keep_one: python-replay
+        # parquet oracles — per-bit-loop dHash/aHash recomputation, a
+        # brute-force O(n²) Hamming scan (completeness check for the
+        # engine's pigeonhole bucketing) and union-find keep-one
+        "media_phash": f"""
+            SELECT * FROM read_parquet('{kg_paths["media_phash"]}') ORDER BY uid
+        """,
+        "media_dup_pairs": f"""
+            SELECT * FROM read_parquet('{kg_paths["media_dup_pairs"]}')
+            ORDER BY doc_a, doc_b
+        """,
+        "media_keep_one": f"""
+            SELECT * FROM read_parquet('{kg_paths["media_keep_one"]}') ORDER BY uid
         """,
         "supervised_eval": f"""
             SELECT * FROM read_parquet('{kg_paths["supervised_eval"]}')

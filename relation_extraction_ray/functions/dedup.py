@@ -415,38 +415,43 @@ def simhash_table(docs: ray.data.Dataset, prefix_bits: int = 16) -> ray.data.Dat
     return docs.map_batches(sh, batch_format="pyarrow")
 
 
-def simhash_pairs(
-    docs: ray.data.Dataset,
+def hamming_pairs_from_signatures(
+    sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
     max_bucket: int = 1024,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs with Hamming(simhash_a, simhash_b) ≤ k —
-    EXACT by pigeonhole block bucketing: the 64-bit signature splits into
-    ``k+1`` 16-bit blocks, and any pair within distance k must agree on at
-    least one block (k+1 blocks, ≤ k differing bits).  One (block, value)
-    shuffle of 8-byte rows, per-bucket popcount scan, distinct-pair
-    aggregate.  ``max_bucket`` caps degenerate buckets (the documented
-    coverage bound, as in MinHash)."""
+    """All pairs with Hamming(sig_a, sig_b) ≤ k over a precomputed
+    ``(id, uint64 signature)`` table — EXACT by pigeonhole block
+    bucketing: the 64-bit signature splits into ``k+1`` 16-bit blocks,
+    and any pair within distance k must agree on at least one block
+    (k+1 blocks, ≤ k differing bits).  One (block, value) shuffle of
+    8-byte rows, per-bucket popcount scan, distinct-pair aggregate.
+    ``max_bucket`` caps degenerate buckets (the documented coverage
+    bound, as in MinHash).  Shared by :func:`simhash_pairs` (text) and
+    ``stages/media.media_dup_pairs`` (perceptual image hashes).
+    Output columns: ``(doc_a, doc_b, hamming)`` typed like ``id_col``."""
     assert max_hamming <= 3, "k+1 16-bit blocks cover k <= 3 exactly"
     n_blocks = max_hamming + 1
     block_bits = 64 // n_blocks
-    mask = (1 << block_bits) - 1
+    mask = np.uint64((1 << block_bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        out: dict[str, list] = {"block": [], "val": [], "doc_id": [], "simhash": []}
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            h = simhash64(text)
-            for blk in range(n_blocks):
-                out["block"].append(blk)
-                out["val"].append((h >> (blk * block_bits)) & mask)
-                out["doc_id"].append(doc_id)
-                out["simhash"].append(h)
+        h = batch.column(sig_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        blk = np.tile(np.arange(n_blocks, dtype=np.uint64), n)
+        hh = np.repeat(h, n_blocks)
+        val = (hh >> (blk * np.uint64(block_bits))) & mask
+        ids = batch.column(id_col).combine_chunks().take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), n_blocks))
+        )
         return pa.Table.from_pydict(
             {
-                "block": pa.array(out["block"], pa.int32()),
-                "val": pa.array(out["val"], pa.uint32()),
-                "doc_id": pa.array(out["doc_id"]),
-                "simhash": pa.array(out["simhash"], pa.uint64()),
+                "block": pa.array(blk.astype(np.int32), pa.int32()),
+                "val": pa.array(val.astype(np.uint32), pa.uint32()),
+                "doc_id": ids,
+                "simhash": pa.array(hh, pa.uint64()),
             }
         )
 
@@ -480,7 +485,7 @@ def simhash_pairs(
         )
 
     cand = hash_partitioned_groups(
-        docs.map_batches(explode, batch_format="pyarrow"),
+        sigs.map_batches(explode, batch_format="pyarrow"),
         ["block", "val"],
         scan_part,
         derived_num_parts(),
@@ -488,6 +493,24 @@ def simhash_pairs(
     # a pair can collide on several blocks — distinct via aggregate
     return cand.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Min("hamming", alias_name="hamming")
+    )
+
+
+def simhash_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> ray.data.Dataset:
+    """Near-duplicate TEXT pairs with Hamming(simhash_a, simhash_b) ≤ k:
+    :func:`simhash_table` signatures fed through the shared pigeonhole
+    machinery :func:`hamming_pairs_from_signatures` (one (block, value)
+    keyed shuffle, per-bucket popcount scan, distinct-pair aggregate)."""
+    return hamming_pairs_from_signatures(
+        simhash_table(docs),
+        id_col="doc_id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 

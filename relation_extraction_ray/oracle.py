@@ -612,3 +612,89 @@ def kg_embeddings_rows(
         {"node": n, "nn": nodes[j], "cos_micro": int(c)}
         for n, j, c in zip(nodes, nn, cos_micro)
     ]
+
+
+def media_phash_rows(n_docs: int, seed: int = 42) -> list[dict]:
+    """Single-process oracle for the perceptual-hash stage: explode media
+    spans, synthesize payloads + fake pixels (the shared deterministic
+    generators), then recompute dHash/aHash with PLAIN per-bit loops —
+    an independent implementation of the bit-packing the engine does
+    vectorized (``stages/media.dhash64/ahash64``)."""
+    from .sources.synth import corpus_table
+    from .stages.media import _fake_pixels, _synth_payload
+
+    rows = []
+    for row in corpus_table(n_docs, seed=seed).to_pylist():
+        doc_index = int(row["doc_id"][3:])
+        for span_idx, s in enumerate(row["spans"]):
+            if s["kind"] == "text":
+                continue
+            payload = _synth_payload(s["media_ref"], 4096)
+            px = _fake_pixels(payload)
+            dh = 0
+            for r in range(8):
+                for c in range(8):
+                    if int(px[r][c]) < int(px[r][c + 1]):
+                        dh |= 1 << (r * 8 + c)
+            total = sum(int(px[r][c]) for r in range(8) for c in range(8))
+            ah = 0
+            for r in range(8):
+                for c in range(8):
+                    if int(px[r][c]) * 64 > total:
+                        ah |= 1 << (r * 8 + c)
+            rows.append(
+                {
+                    "doc_id": row["doc_id"],
+                    "span_idx": span_idx,
+                    "uid": doc_index * 64 + span_idx,
+                    "kind": s["kind"],
+                    "media_ref": s["media_ref"],
+                    "dhash": dh,
+                    "ahash": ah,
+                    "backend": "fake",
+                }
+            )
+    return rows
+
+
+def media_dup_pairs_rows(n_docs: int, max_hamming: int = 3, seed: int = 42) -> list[dict]:
+    """Brute-force O(n²) Hamming scan over the oracle phashes — the
+    completeness check for the engine's pigeonhole bucketing (which is
+    exact for d ≤ k by the (k+1)-block argument)."""
+    ph = media_phash_rows(n_docs, seed=seed)
+    out = []
+    for i in range(len(ph)):
+        for j in range(i + 1, len(ph)):
+            a, b = ph[i], ph[j]
+            d = bin(a["dhash"] ^ b["dhash"]).count("1")
+            if d <= max_hamming:
+                lo, hi = sorted((a["uid"], b["uid"]))
+                out.append({"doc_a": lo, "doc_b": hi, "hamming": d})
+    return out
+
+
+def media_keep_one_rows(n_docs: int, max_hamming: int = 3, seed: int = 42) -> list[dict]:
+    """Union-find over the brute-force pairs, keep the component-min uid —
+    the single-process replay of media_keep_one's components + anti-join."""
+    ph = media_phash_rows(n_docs, seed=seed)
+    pairs = media_dup_pairs_rows(n_docs, max_hamming, seed=seed)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["doc_a"]), find(p["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for u in parent:
+        comp.setdefault(find(u), []).append(u)
+    drop = set()
+    for members in comp.values():
+        canon = min(members)
+        drop.update(m for m in members if m != canon)
+    return [r for r in ph if r["uid"] not in drop]

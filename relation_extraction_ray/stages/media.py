@@ -235,3 +235,203 @@ def media_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round-5 multimodal family)
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 8 rows × 9 cols → 64 adjacent-column comparisons;
+#: aHash uses the left 8×8 of the same grid.
+PHASH_H, PHASH_W = 8, 9
+
+PHASH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("uid", pa.int64()),  # doc_index·64 + span_idx — the int id the
+        # components/keep-one machinery needs
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("dhash", pa.uint64()),
+        ("ahash", pa.uint64()),
+        ("backend", pa.string()),
+    ]
+)
+
+#: span_idx < 64 always (a synth doc has ≤ ~10 spans; the generator is
+#: bounded by 2·n_sent+1 ≤ 9) — uid packing headroom asserted per batch.
+_UID_SPANS = 64
+
+
+def _fake_pixels(payload: bytes, height: int = PHASH_H, width: int = PHASH_W) -> np.ndarray:
+    """Deterministic FAKE pixel decode (clearly marked: no codec in this
+    sandbox).  Family-structured so near-duplicate media EXIST in the
+    synthetic corpus: the base grid depends only on ``payload[0]`` (256
+    visual families — so duplication RATE, not cluster size, grows with
+    corpus size, mirroring a real crawl where one popular image recurs a
+    bounded number of times), then two payload-seeded pixel perturbations
+    are applied — each perturbed pixel moves ≤ 2 dHash bits, so same-family
+    images sit within a small Hamming ball and cross-family images are
+    ~32 bits apart (the structure a perceptual-hash dedup is built to
+    find).  Pure function of (payload, h, w): identical at any
+    parallelism level, replayed row-for-row by the python oracle."""
+    fam = payload[0]
+    base_seed = int.from_bytes(
+        hashlib.blake2b(f"pxfam:{fam}:{width}x{height}".encode(), digest_size=8).digest(),
+        "big",
+    )
+    px = (
+        np.random.default_rng(base_seed)
+        .integers(0, 256, size=(height, width))
+        .astype(np.int16)
+    )
+    noise_seed = int.from_bytes(
+        hashlib.blake2b(payload, digest_size=8, salt=b"pxnoise").digest(), "big"
+    )
+    nrng = np.random.default_rng(noise_seed)
+    for _ in range(2):
+        r = int(nrng.integers(0, height))
+        c = int(nrng.integers(0, width))
+        px[r, c] = int(nrng.integers(0, 256))
+    return px
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash: bit r·8+c set iff px[r, c] < px[r, c+1] (the
+    standard left<right gradient convention) over the 8×9 grid."""
+    bits = (px[:, :-1] < px[:, 1:]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def ahash64(px: np.ndarray) -> int:
+    """Average hash over the left 8×8: bit r·8+c set iff 64·px[r,c] >
+    sum(px) — the strict integer-exact mean threshold (no float mean, so
+    the SQL/python replay can never drift on rounding)."""
+    a = px[:, :8].astype(np.int64)
+    total = int(a.sum())
+    bits = ((a * 64) > total).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class PhashStage:
+    """Actor-pool perceptual hash: payload → pixel grid → dHash64 +
+    aHash64.  Real path: PIL grayscale-resize to 8×9 when importable and
+    the payload decodes; sandbox path: :func:`_fake_pixels` (backend
+    recorded per row, never an exception — one bad blob must not kill a
+    100-TB run)."""
+
+    def __init__(self) -> None:
+        try:
+            from PIL import Image
+
+            self._pil_image = Image
+        except ImportError:
+            self._pil_image = None
+
+    def _pixels(self, payload: bytes, kind: str) -> tuple[np.ndarray, str]:
+        if self._pil_image is not None and kind == "image":
+            try:
+                import io
+
+                img = self._pil_image.open(io.BytesIO(payload)).convert("L")
+                img = img.resize((PHASH_W, PHASH_H))
+                return np.asarray(img, dtype=np.int16), "pil"
+            except Exception:
+                pass
+        return _fake_pixels(payload), "fake"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "span_idx", "uid", "kind", "media_ref", "dhash", "ahash", "backend"
+        )}
+        for doc_id, span_idx, kind, ref, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("span_idx").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            px, backend = self._pixels(payload, kind)
+            doc_index = int(doc_id[3:])  # synth format 'doc%09d'
+            assert span_idx < _UID_SPANS
+            out["doc_id"].append(doc_id)
+            out["span_idx"].append(span_idx)
+            out["uid"].append(doc_index * _UID_SPANS + span_idx)
+            out["kind"].append(kind)
+            out["media_ref"].append(ref)
+            out["dhash"].append(dhash64(px))
+            out["ahash"].append(ahash64(px))
+            out["backend"].append(backend)
+        return pa.Table.from_pydict(out, schema=PHASH_SCHEMA)
+
+
+def media_phash(
+    documents: ray.data.Dataset,
+    payload_bytes: int = 4096,
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """documents → one perceptual-hash row per media span (all kinds —
+    audio/video hash their payload's pseudo-frame grid the same way, the
+    production analogue of first-frame / spectrogram hashing)."""
+    spans = media_spans(documents)
+    payloads = spans.map_batches(
+        FetchStage,
+        fn_constructor_kwargs={"n_bytes": payload_bytes},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return payloads.map_batches(
+        PhashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_dup_pairs(
+    documents: ray.data.Dataset,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> ray.data.Dataset:
+    """Near-duplicate MEDIA pairs: Hamming(dhash_a, dhash_b) ≤ k over the
+    perceptual hashes, via the SAME pigeonhole (k+1)-block machinery as
+    the text simhash family
+    (:func:`..functions.dedup.hamming_pairs_from_signatures`) — one
+    (block, value) keyed shuffle, exact within the Hamming ball.  Output
+    ``(doc_a, doc_b, hamming)`` where the ids are media-span uids."""
+    return _dup_pairs_from_phash(media_phash(documents), max_hamming, max_bucket)
+
+
+def _dup_pairs_from_phash(
+    phash: ray.data.Dataset, max_hamming: int, max_bucket: int = 1024
+) -> ray.data.Dataset:
+    from ..functions.dedup import hamming_pairs_from_signatures
+
+    return hamming_pairs_from_signatures(
+        phash.select_columns(["uid", "dhash"]),
+        id_col="uid",
+        sig_col="dhash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def media_keep_one(
+    documents: ray.data.Dataset,
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """Media-aware keep-one dedup: drop every media span except its
+    near-dup cluster's canonical (min-uid) member — the composition of
+    :func:`media_dup_pairs` with the generic
+    :func:`..functions.components.dedup_keep_one` (connected components
+    over the pair graph + planner-split anti-join), applied at the
+    media-SPAN level so the span-sequence invariant of the text pipeline
+    is untouched.  Returns the KEPT phash rows."""
+    from ..functions.components import dedup_keep_one
+
+    phash = media_phash(documents).materialize()  # feeds pairs AND the filter
+    pairs = _dup_pairs_from_phash(phash, max_hamming)
+    return dedup_keep_one(phash, pairs, id_col="uid")

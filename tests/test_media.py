@@ -89,3 +89,108 @@ def test_decode_deterministic_across_runs(feats, ray_session):
     a = {key(r): r["feature"] for r in feats}
     b = {key(r): r["feature"] for r in again}
     assert a == b  # identical at different parallelism
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup family (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_ahash_closed_form():
+    """Hand-built pixel grids → known bit patterns."""
+    import numpy as np
+
+    from relation_extraction_ray.stages.media import ahash64, dhash64
+
+    # strictly increasing columns: every left<right comparison true
+    px = np.tile(np.arange(9, dtype=np.int16), (8, 1))
+    assert dhash64(px) == (1 << 64) - 1
+    # strictly decreasing: no bit set
+    assert dhash64(px[:, ::-1]) == 0
+    # ahash: one bright pixel above the 64·px > total threshold
+    px2 = np.zeros((8, 9), dtype=np.int16)
+    px2[3, 4] = 255  # total=255; 64·255 > 255, all others 0
+    assert ahash64(px2) == 1 << (3 * 8 + 4)
+    assert ahash64(np.zeros((8, 9), dtype=np.int16)) == 0  # 0 > 0 false
+
+
+def test_phash_matches_pixel_level_bruteforce(ray_session):
+    """Engine phash rows == plain per-bit recomputation from the pixel
+    grids (pixel-level brute force, independent of the vectorized pack)."""
+    from relation_extraction_ray.stages.media import (
+        _fake_pixels,
+        _synth_payload,
+        media_phash,
+        media_spans,
+    )
+
+    got = {r["uid"]: r for r in media_phash(documents_dataset(60, override_num_blocks=3)).take_all()}
+    spans = media_spans(documents_dataset(60, override_num_blocks=3)).take_all()
+    assert len(got) == len(spans) > 0
+    for s in spans:
+        px = _fake_pixels(_synth_payload(s["media_ref"], 4096))
+        dh = ah = 0
+        total = sum(int(px[r][c]) for r in range(8) for c in range(8))
+        for r in range(8):
+            for c in range(8):
+                if int(px[r][c]) < int(px[r][c + 1]):
+                    dh |= 1 << (r * 8 + c)
+                if int(px[r][c]) * 64 > total:
+                    ah |= 1 << (r * 8 + c)
+        uid = int(s["doc_id"][3:]) * 64 + s["span_idx"]
+        row = got[uid]
+        assert row["dhash"] == dh and row["ahash"] == ah
+        assert row["media_ref"] == s["media_ref"] and row["backend"] == "fake"
+
+
+def test_media_dup_pairs_vs_bruteforce(ray_session):
+    """Pigeonhole-bucketed pairs == brute-force O(n²) Hamming ball
+    (the machinery is exact for d ≤ k), at two block layouts."""
+    from relation_extraction_ray.stages.media import media_dup_pairs, media_phash
+
+    ph = media_phash(documents_dataset(80, override_num_blocks=4)).take_all()
+    want = set()
+    for i in range(len(ph)):
+        for j in range(i + 1, len(ph)):
+            d = bin(ph[i]["dhash"] ^ ph[j]["dhash"]).count("1")
+            if d <= 3:
+                lo, hi = sorted((ph[i]["uid"], ph[j]["uid"]))
+                want.add((lo, hi, d))
+    assert len(want) > 0  # the family-structured fake must create dups
+    for nb in (1, 4):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in media_dup_pairs(documents_dataset(80, override_num_blocks=nb), max_hamming=3).take_all()
+        }
+        assert got == want
+
+
+def test_media_keep_one_union_find(ray_session):
+    """Kept set == all spans minus non-canonical union-find members."""
+    from relation_extraction_ray.stages.media import media_dup_pairs, media_keep_one, media_phash
+
+    docs = documents_dataset(80, override_num_blocks=4)
+    ph = [r["uid"] for r in media_phash(docs).take_all()]
+    pairs = media_dup_pairs(docs, max_hamming=3).take_all()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["doc_a"]), find(p["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for u in parent:
+        comp.setdefault(find(u), []).append(u)
+    drop = set()
+    for members in comp.values():
+        canon = min(members)
+        drop.update(m for m in members if m != canon)
+    want = sorted(set(ph) - drop)
+    got = sorted(r["uid"] for r in media_keep_one(docs, max_hamming=3).take_all())
+    assert got == want and len(drop) > 0
