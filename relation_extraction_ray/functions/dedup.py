@@ -26,6 +26,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .joins import (
@@ -57,6 +58,45 @@ def shingle_set(text: str, n: int = 3) -> set[str]:
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _shingle_flat(texts: pa.ChunkedArray | pa.Array, n: int):
+    """Vectorized per-batch shingling: ``(shingles: pa.Array, doc_idx:
+    np.int64[S], n_docs)`` — every doc's n-gram MULTISET (duplicates
+    retained: the min-fold and bucket consumers are duplicate-invariant,
+    so the per-doc set() of :func:`shingle_set` is skipped).  n-grams are
+    built with ONE Arrow ``binary_join_element_wise`` over n shifted
+    slices of the flat token array (positions crossing a doc boundary
+    masked out); docs shorter than n contribute their full token join,
+    exactly like :func:`shingle_set`.  No per-doc Python."""
+    flat, doc_idx, n_docs = _flat_tokens(texts)
+    T = len(flat)
+    empty = pa.array([], pa.string())
+    if T == 0:
+        return empty, np.zeros(0, dtype=np.int64), n_docs
+    parts: list[pa.Array] = []
+    idxs: list[np.ndarray] = []
+    if T >= n:
+        cols = [flat.slice(i, T - n + 1) for i in range(n)]
+        joined = pc.binary_join_element_wise(*cols, " ")
+        valid = doc_idx[: T - n + 1] == doc_idx[n - 1 :]
+        if valid.any():
+            parts.append(joined.filter(pa.array(valid)))
+            idxs.append(doc_idx[: T - n + 1][valid])
+    lens = np.bincount(doc_idx, minlength=n_docs)
+    short = (lens > 0) & (lens < n)
+    if short.any():
+        offsets = np.r_[np.int64(0), np.cumsum(lens)]
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+        joined_docs = pc.binary_join(lists, " ")
+        parts.append(joined_docs.filter(pa.array(short)))
+        idxs.append(np.flatnonzero(short).astype(np.int64))
+    if not parts:
+        return empty, np.zeros(0, dtype=np.int64), n_docs
+    sh = pa.concat_arrays([p.cast(pa.string()) for p in parts])
+    di = np.concatenate(idxs)
+    order = np.argsort(di, kind="stable")
+    return sh.take(pa.array(order)), di[order], n_docs
 
 
 #: Memory budget (bytes) for broadcast-side verify payloads, and the
@@ -118,6 +158,8 @@ class MinHashStage:
         self.shingle_n = shingle_n
 
     def signature(self, text: str) -> np.ndarray | None:
+        """Scalar reference path (kept for tests/verify callers); the
+        batch hot path is the vectorized fold in ``__call__``."""
         shingles = shingle_set(text, self.shingle_n)
         if not shingles:
             return None
@@ -132,20 +174,47 @@ class MinHashStage:
         return hashlib.md5(":".join(str(int(v)) for v in chunk).encode()).hexdigest()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out: dict[str, list] = {"band": [], "bucket": [], "doc_id": []}
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            sig = self.signature(text)
-            if sig is None:
-                continue
+        """Batch-vectorized signatures (round 5): ONE
+        :func:`_shingle_flat` pass, one md5 per DISTINCT shingle in the
+        batch (dictionary encode), the [S, P] xor fold as a segmented
+        ``np.minimum.reduceat`` across all docs at once — duplicates in
+        the shingle multiset cannot change a min, so this is
+        bit-identical to the per-doc set-based :meth:`signature`.  Only
+        the bucket digest (bands × docs short md5 calls) stays per-row."""
+        sh, sdi, _ = _shingle_flat(batch.column("text"), self.shingle_n)
+        empty = pa.Table.from_pydict(
+            {
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.string()),
+                "doc_id": pa.array([], batch.schema.field("doc_id").type),
+            }
+        )
+        if len(sh) == 0:
+            return empty
+        enc = sh.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = _md5_u64_arr(enc.dictionary)[codes]
+        starts = np.flatnonzero(np.r_[True, sdi[1:] != sdi[:-1]])
+        # per-perm 1D segmented mins — never materializes the [S, P]
+        # uint64 xor matrix (S·512 B), and 1D reduceat is the fast path
+        sigs = np.empty((len(starts), self.num_perm), dtype=np.uint64)
+        for j in range(self.num_perm):
+            sigs[:, j] = np.minimum.reduceat(hs ^ self.keys[j], starts)
+        owners = sdi[starts]
+        doc_ids = batch.column("doc_id").combine_chunks().take(pa.array(owners))
+        n_d = len(owners)
+        bands_col, buckets, id_take = [], [], []
+        for d in range(n_d):
+            sig = sigs[d]
             for band in range(self.bands):
-                out["band"].append(band)
-                out["bucket"].append(self.bucket_of(sig, band))
-                out["doc_id"].append(doc_id)
+                bands_col.append(band)
+                buckets.append(self.bucket_of(sig, band))
+                id_take.append(d)
         return pa.Table.from_pydict(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "bucket": pa.array(out["bucket"], pa.string()),
-                "doc_id": pa.array(out["doc_id"]),
+                "band": pa.array(bands_col, pa.int32()),
+                "bucket": pa.array(buckets, pa.string()),
+                "doc_id": doc_ids.take(pa.array(id_take, pa.int64())),
             }
         )
 
@@ -384,7 +453,8 @@ def verify_jaccard(
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace unigram features (md5 token hash —
-    SQL-reproducible bit for bit)."""
+    SQL-reproducible bit for bit).  Scalar reference implementation; the
+    hot path is the batch-vectorized :func:`_simhash_batch`."""
     toks = [t for t in text.lower().split(" ") if t]
     if not toks:
         return 0
@@ -398,17 +468,89 @@ def simhash64(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def _md5_u64_arr(tokens: pa.Array) -> np.ndarray:
+    """uint64 md5 prefix per string — one digest per DISTINCT value the
+    caller passes (callers dictionary-encode first so each batch pays one
+    md5 per distinct token, not per occurrence)."""
+    return np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in tokens.to_pylist()),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array):
+    """lower+split a text column, drop empty tokens, and return
+    ``(flat_tokens: pa.Array, doc_idx: np.int64[T], n_docs)`` — the
+    flatten-once pattern every vectorized token kernel shares
+    (``functions/text.py _split_lower`` + offsets)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern(pc.utf8_lower(texts), " ")
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+    return flat, doc_idx, n_docs
+
+
+def _simhash_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized per-batch SimHash: flatten tokens ONCE, md5 each
+    DISTINCT token once (dictionary encode), then a segmented ±1
+    accumulate per doc (``np.add.reduceat``) — no per-doc Python, no
+    per-occurrence digest.  Bit-identical to :func:`simhash64` (the
+    per-unique-token count weighting equals summing every occurrence)."""
+    flat, doc_idx, n_docs = _flat_tokens(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_h = np.ascontiguousarray(_md5_u64_arr(enc.dictionary)[codes])
+    # bit-plane expansion via unpackbits (little-endian byte view: column
+    # j IS bit j of the uint64) — [T, 64] uint8, 8× smaller than the
+    # naive shift-broadcast uint64 matrix that made v1 of this kernel
+    # slower than the scalar loop it replaced
+    bits = np.asfortranarray(
+        np.unpackbits(tok_h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    )
+    starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+    seg_len = np.diff(np.r_[starts, len(doc_idx)])
+    # 64 contiguous 1D segmented sums — a single 2D axis-0 reduceat is a
+    # per-segment scalar loop in numpy (measured 1.3 s on a 220k-token
+    # batch vs ~40 ms this way); int32 per plane because uint8 reduceat
+    # would wrap at 256 tokens/doc.  acc = Σ±1 = 2·ones − len
+    ones = np.empty((len(starts), 64), dtype=np.int64)
+    for j in range(64):
+        ones[:, j] = np.add.reduceat(bits[:, j].astype(np.int32), starts)
+    acc = 2 * ones - seg_len[:, None]
+    h = np.packbits(acc > 0, axis=1, bitorder="little").view(np.uint64).ravel()
+    out[doc_idx[starts]] = h
+    return out
+
+
 def simhash_table(docs: ray.data.Dataset, prefix_bits: int = 16) -> ray.data.Dataset:
     """doc_id → (simhash, prefix bucket).  Near-dup candidates share a
-    prefix bucket; :func:`simhash_pairs` does the exact Hamming scan."""
+    prefix bucket; :func:`simhash_pairs` does the exact Hamming scan.
+    Kernel: :func:`_simhash_batch` (round-5 vectorization — the per-doc
+    python/per-occurrence-md5 loop was the slowest kernel style left in
+    the dedup family)."""
 
     def sh(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        hs = _simhash_batch(batch.column("text"))
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
                 "simhash": pa.array(hs, pa.uint64()),
-                "bucket": pa.array([h >> (64 - prefix_bits) for h in hs], pa.uint32()),
+                "bucket": pa.array(
+                    (hs >> np.uint64(64 - prefix_bits)).astype(np.uint32), pa.uint32()
+                ),
             }
         )
 
