@@ -130,6 +130,13 @@ def main() -> None:
     ap.add_argument("--pool-frac", type=float, default=None)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument(
+        "--kg-probe",
+        action="store_true",
+        help="one end-to-end KG run at --docs (default 10^7) reporting scan "
+        "walls, driver peak RSS and object-store spill — the headline "
+        "path's own sizing probe (BASELINE.md round 5)",
+    )
+    ap.add_argument(
         "--sizing-probe",
         action="store_true",
         help="10^7-row dedup/ANN partition-sizing probe (tools/sizing_probe.py); "
@@ -230,6 +237,54 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if args.kg_probe:
+        # one fresh-session end-to-end run at probe scale; memory evidence
+        # alongside throughput (no driver-side growth with corpus size is
+        # the claim being probed)
+        _init(args.cpus)
+        import ray
+
+        try:
+            kg = run_kg(
+                SF_DIR,
+                args.cpus,
+                n_docs=args.docs or 10_000_000,
+                model_scale=args.model_scale,
+                pool_frac=args.pool_frac,
+                batch_size=args.batch_size,
+            )
+            import resource
+
+            kg["driver_peak_rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            )
+            try:
+                # filesystem evidence (gRPC-free): spilled-object files +
+                # the raylet log's own "Spilled N MiB" lines from THIS
+                # session's directory
+                import glob
+
+                sessions = sorted(glob.glob("/tmp/ray/*/session_*"), key=os.path.getmtime)
+                sess = sessions[-1] if sessions else ""
+                files = [
+                    f
+                    for f in glob.glob(os.path.join(sess, "**", "*"), recursive=True)
+                    if "spill" in os.path.basename(os.path.dirname(f)).lower()
+                    and os.path.isfile(f)
+                ]
+                kg["spilled_files"] = len(files)
+                kg["spilled_mb"] = round(sum(os.path.getsize(f) for f in files) / 1e6, 1)
+                log = os.path.join(sess, "logs", "raylet.out")
+                if os.path.exists(log):
+                    lines = [l.strip() for l in open(log, errors="ignore") if "Spilled " in l]
+                    kg["spill_log"] = lines[-2:] if lines else ["no spill lines"]
+            except Exception as e:  # diagnostic only — never fail the probe
+                kg["object_store_spill"] = [f"unavailable: {e}"]
+            print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v) for k, v in kg.items()}))
+        finally:
+            ray.shutdown()
         return
 
     _init(args.cpus)

@@ -779,7 +779,9 @@ def ngram_jaccard_pairs(
     return verify_jaccard(distinct, docs, threshold=threshold, shingle_n=shingle_n)
 
 
-def fuzzy_ed1_pairs(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+def fuzzy_ed1_pairs(
+    ds: ray.data.Dataset, col: str, resume_dir: str | None = None
+) -> ray.data.Dataset:
     """All pairs of DISTINCT values of ``col`` within Levenshtein
     distance exactly 1 — the surface-form typo join that entity
     resolution runs before canonicalization (``Customer#…01`` vs
@@ -804,7 +806,16 @@ def fuzzy_ed1_pairs(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     single position); pairs dedup through one canonical-pair exchange;
     the substitution verify is a per-length uint32 codepoint-matrix
     compare (one numpy pass per distinct length per batch).  The driver
-    never sees values, only the final pair stream."""
+    never sees values, only the final pair stream.
+
+    ``resume_dir``: when set, the two keyed exchanges run through
+    :func:`..state.resume.resumable_exchange` — each hash partition's
+    kernel output is checkpointed to parquet under a footer-validated
+    manifest, so a killed run re-uses every finished partition on rerun
+    (byte-identical; asserted in ``tests/test_resume.py``).  The
+    checkpoint fingerprint folds only (operator, col, row count) — use a
+    fresh ``resume_dir`` per logical input, as with any checkpoint
+    directory."""
     import pyarrow.compute as pc
 
     n_vals = ds.count()
@@ -883,16 +894,28 @@ def fuzzy_ed1_pairs(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
         t = pa.table({"a": pa.array(lo, pa.string()), "b": pa.array(hi, pa.string())})
         return t.group_by(["a", "b"]).aggregate([])
 
-    cands = hash_partitioned_groups(
-        ds.map_batches(explode_keys, batch_format="pyarrow"), ["k"], candidates, n_parts
-    )
+    keyed = ds.map_batches(explode_keys, batch_format="pyarrow")
 
     def dedup_pairs(part: pa.Table) -> pa.Table:
         if "part" in part.column_names:
             part = part.drop_columns(["part"])
         return part.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
 
-    distinct = hash_partitioned_groups(cands, ["a", "b"], dedup_pairs, n_parts)
+    if resume_dir is None:
+        cands = hash_partitioned_groups(keyed, ["k"], candidates, n_parts)
+        distinct = hash_partitioned_groups(cands, ["a", "b"], dedup_pairs, n_parts)
+    else:
+        import os
+
+        from ..state.resume import input_fingerprint, resumable_exchange
+
+        fp = input_fingerprint("fuzzy_ed1_pairs", col, str(n_vals), str(n_parts))
+        cands = resumable_exchange(
+            keyed, ["k"], candidates, n_parts, os.path.join(resume_dir, "candidates"), fp
+        )
+        distinct = resumable_exchange(
+            cands, ["a", "b"], dedup_pairs, n_parts, os.path.join(resume_dir, "dedup"), fp
+        )
 
     out_schema = pa.schema(
         [("a", pa.string()), ("b", pa.string()), ("kind", pa.string())]

@@ -6109,12 +6109,18 @@ def join_size_audit(
 
 
 def _purchase_matrix(
-    lineitem: ray.data.Dataset, orders: ray.data.Dataset
+    lineitem: ray.data.Dataset, orders: ray.data.Dataset, resume_dir: str | None = None
 ) -> ray.data.Dataset:
     """(cust, part, n) purchase-count matrix via ONE orderkey-keyed
     reduce-side exchange (lineitem count partials + orders custkey rows
     co-located, searchsorted stitch, cross-partition fold) — shared by
-    the user- and item-CF operators; neither fact table is broadcast."""
+    the user- and item-CF operators; neither fact table is broadcast.
+
+    ``resume_dir``: checkpoint the orderkey exchange through
+    :func:`..state.resume.resumable_exchange` (footer-validated per-part
+    parquet + manifest) so a killed CF run resumes with only the missing
+    partitions recomputed; fingerprint folds the two tables' row counts —
+    use a fresh dir per logical input."""
     from .joins import derived_num_parts, hash_partitioned_groups
 
     n_parts = derived_num_parts()
@@ -6175,16 +6181,20 @@ def _purchase_matrix(
             ["cust", "part", "n"]
         )
 
-    cp = (
-        hash_partitioned_groups(
-            lineitem.map_batches(li_partial, batch_format="pyarrow").union(
-                orders.map_batches(ord_partial, batch_format="pyarrow")
-            ),
-            ["okey"],
-            stitch,
-            n_parts,
+    both = lineitem.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(ord_partial, batch_format="pyarrow")
+    )
+    if resume_dir is None:
+        stitched = hash_partitioned_groups(both, ["okey"], stitch, n_parts)
+    else:
+        from ..state.resume import input_fingerprint, resumable_exchange
+
+        fp = input_fingerprint(
+            "purchase_matrix", str(lineitem.count()), str(orders.count()), str(n_parts)
         )
-        .groupby(["cust", "part"])
+        stitched = resumable_exchange(both, ["okey"], stitch, n_parts, resume_dir, fp)
+    cp = (
+        stitched.groupby(["cust", "part"])
         .sum("n")
         .map_batches(
             lambda t: t.rename_columns(["cust", "part", "n"]), batch_format="pyarrow"
@@ -6200,6 +6210,7 @@ def cf_user_topk(
     orders: ray.data.Dataset,
     n_probes: int = 5,
     k: int = 5,
+    resume_dir: str | None = None,
 ) -> ray.data.Dataset:
     """User-user collaborative-filtering neighbors — the classic
     recommender primitive: for each of ``n_probes`` deterministic probe
@@ -6222,7 +6233,7 @@ def cf_user_topk(
 
     from ray.data.aggregate import Sum
 
-    cp = _purchase_matrix(lineitem, orders)
+    cp = _purchase_matrix(lineitem, orders, resume_dir=resume_dir)
 
     # --- probes: smallest n_probes custkeys --------------------------------
     def cust_min_partial(batch: pa.Table) -> pa.Table:
@@ -6337,6 +6348,7 @@ def cf_item_topk(
     orders: ray.data.Dataset,
     n_probes: int = 5,
     k: int = 5,
+    resume_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Item-item collaborative-filtering neighbors — the transpose of
     :func:`cf_user_topk` and the form production recommenders actually
@@ -6356,7 +6368,7 @@ def cf_item_topk(
 
     from ray.data.aggregate import Sum
 
-    cp = _purchase_matrix(lineitem, orders)
+    cp = _purchase_matrix(lineitem, orders, resume_dir=resume_dir)
 
     def part_min_partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pac

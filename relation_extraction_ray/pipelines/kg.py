@@ -693,6 +693,11 @@ def adjacency_from_triples(triples: ray.data.Dataset, n_parts: int | None = None
         t = _edge_partials(batch)
         return t.append_column("part", part_array(t, ["src_id", "pred", "dst_id"], n_parts))
 
+    # coalesce edge-partial blocks before the keyed exchange: the sort
+    # shuffle's M×N object-owner metadata lives in the driver (round-5
+    # probe — see the vocab-groupby comment in adjacency_oneshot); edge
+    # partials are distinct-edge-bounded, so this moves little data
+
     def reduce_part(group: pa.Table) -> pa.Table:
         # Vectorized exact reduce (round 4): hash-aggregate once on the
         # FULL (edge, doc) key — deduping each doc to one row per edge —
@@ -721,6 +726,7 @@ def adjacency_from_triples(triples: ray.data.Dataset, n_parts: int | None = None
 
     return (
         triples.map_batches(partial, batch_format="pyarrow")
+        .repartition(n_parts)
         .groupby("part")
         .map_groups(reduce_part, batch_format="pyarrow")
     )
@@ -1033,10 +1039,14 @@ class KGPipeline:
             )
         counted = (
             parsed_counts
-            # partial-count blocks are tiny (≤ distinct tokens each); the
-            # groupby's own exchange handles them — an extra repartition
-            # here costs a whole barrier (~2-4 s) for nothing at realistic
-            # block counts
+            # coalesce the tiny partial-count blocks BEFORE the groupby:
+            # Ray Data's sort shuffle creates M_blocks × N_reduce objects
+            # whose owner metadata lives in the DRIVER's core worker —
+            # measured 927 MB of driver heap for a 512-block groupby in
+            # VANILLA ray.data (round-5 10⁷-doc probe; 329 MB with this
+            # coalesce, flat thereafter).  The blocks are vocab-bounded
+            # partials, so the repartition moves KBs.
+            .repartition(derived_num_parts())
             .groupby(["kind", "token"])
             .sum("count")
             .map_batches(lambda t: t.rename_columns(["kind", "token", "cnt"]), batch_format="pyarrow")
