@@ -1663,6 +1663,27 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_asof_join_bucketed(sf_dir: str):
+    """The (user, time-bucket) boundary-carry as-of — the scale path
+    that never co-locates one user's whole history; output identical to
+    the plain as-of, so the SAME ASOF-join SQL is its oracle."""
+    from relation_extraction_ray.functions.relational import asof_prior_event_bucketed
+
+    return asof_prior_event_bucketed(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    )
+
+
+def _q_running_totals_bucketed(sf_dir: str):
+    """The (user, time-bucket) prefix-offset running total — same window
+    SQL oracle as the plain version by construction."""
+    from relation_extraction_ray.functions.relational import user_running_totals_bucketed
+
+    return user_running_totals_bucketed(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    )
+
+
 def _q_sample(sf_dir: str):
     from relation_extraction_ray.functions.relational import deterministic_sample
 
@@ -3389,6 +3410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_props": _q_redact_props,
         "props_stats": _q_props_stats,
         "asof_join": _q_asof_join,
+        "asof_join_bucketed": _q_asof_join_bucketed,
+        "running_totals_bucketed": _q_running_totals_bucketed,
         "sample_docs": _q_sample,
         "stratified_sample": _q_stratified_sample,
         "mixture_sample": _q_mixture_sample,
@@ -6090,6 +6113,15 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS cum_value_cents
             FROM events
         """,
+        # running_totals_bucketed: same window SQL as running_totals (the
+        # (user, day-bucket) prefix-offset split is execution-only)
+        "running_totals_bucketed": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS cum_value_cents
+            FROM events
+        """,
         "seq_packing": """
             WITH t AS (
               SELECT doc_id, doc_id % 64 AS bucket,
@@ -6122,6 +6154,16 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY event_type ORDER BY event_type
         """,
         "asof_join": """
+            WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, max(event_id) AS prior_event_id
+                       FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.user_id, p.event_id, c.prior_event_id
+            FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # asof_join_bucketed: identical output contract to asof_join (the
+        # boundary-carry decomposition is an execution strategy, not a
+        # semantics change) — same ASOF oracle
+        "asof_join_bucketed": """
             WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
                  c AS (SELECT user_id, ts, max(event_id) AS prior_event_id
                        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
