@@ -399,6 +399,30 @@ def _heaps_sql() -> str:
     )
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-document character-distribution entropy (gibberish/encoding
+    noise quality signal) in exact integer nanos — per-term nano-rounded
+    ln, order-free integer sums (the markov_entropy discipline)."""
+    from relation_extraction_ray.functions.text import char_entropy
+
+    return char_entropy(_read(sf_dir, "documents", columns=["doc_id", "text"])).sort(
+        "doc_id"
+    )
+
+
+def _q_silhouette(sf_dir: str):
+    """Per-label mean silhouette of the embedding table (cluster-quality
+    diagnostic): micro-quantized components, exact int64 pair distances,
+    floor(IEEE sqrt) unit distances, cross-multiplied rational
+    comparisons for the nearest-other-cluster pick, round-half-away
+    s_milli — value-identical to the O(n²) SQL replay."""
+    from relation_extraction_ray.functions.ann import silhouette_by_label
+
+    return silhouette_by_label(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    ).sort("label")
+
+
 def _q_markov_entropy(sf_dir: str):
     """Entropy rate of the per-user event-type Markov chain (stream
     predictability): transition counts via one user-keyed exchange,
@@ -3391,6 +3415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cf_item_topk": _q_cf_item_topk,
         "weekday_profile": _q_weekday_profile,
         "markov_entropy": _q_markov_entropy,
+        "char_entropy": _q_char_entropy,
+        "silhouette": _q_silhouette,
         "heaps_law": _q_heaps_law,
         "zipf_law": _q_zipf_law,
         "decision_stump": _q_decision_stump,
@@ -5408,6 +5434,91 @@ def oracle_sql() -> dict[str, str]:
         """,
         # markov_entropy: per-cell nano-rounded ln terms over the
         # transition counts, shared round-half-up final division
+        # char_entropy: per-(doc,char) integer counts, per-term
+        # nano-rounded ln (L(n)-L(c) per cell), order-free integer sums,
+        # shared round-half-up final division
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, substr(text, CAST(i.i AS INTEGER) + 1, 1) AS c
+              FROM documents, LATERAL (SELECT unnest(range(length(text))) AS i) i
+            ), cc AS (
+              SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+              FROM ch GROUP BY doc_id, c
+            ), nn AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents
+            ), agg AS (
+              SELECT cc.doc_id,
+                     CAST(sum(cnt * (
+                       CAST(floor(ln(CAST(nn.n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                       - CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                     )) AS BIGINT) AS num,
+                     CAST(count(*) AS BIGINT) AS n_distinct
+              FROM cc JOIN nn ON cc.doc_id = nn.doc_id
+              GROUP BY cc.doc_id
+            )
+            SELECT nn.doc_id, nn.n AS n_chars,
+                   coalesce(agg.n_distinct, 0) AS n_distinct,
+                   CAST(CASE WHEN nn.n > 0 AND agg.num IS NOT NULL
+                        THEN (2 * agg.num + nn.n) // (2 * nn.n)
+                        ELSE 0 END AS BIGINT) AS entropy_nano
+            FROM nn LEFT JOIN agg ON nn.doc_id = agg.doc_id
+            ORDER BY nn.doc_id
+        """,
+        # silhouette: O(n^2) replay — micro components, exact int64 d^2
+        # via a dim-keyed self-join, floor(IEEE sqrt) unit distances,
+        # HUGEINT cross-multiplied NOT-EXISTS pick of the nearest other
+        # cluster (ties to the smallest label), round-half-away s_milli,
+        # truncating per-label mean
+        "silhouette": """
+            WITH e AS MATERIALIZED (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding, v ->
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS m
+              FROM embeddings
+            ), comp AS MATERIALIZED (
+              SELECT vec_id, label, k.k AS dim, m[CAST(k.k AS INTEGER) + 1] AS v
+              FROM e, LATERAL (SELECT unnest(range(len(m))) AS k) k
+            ), d2 AS MATERIALIZED (
+              SELECT a.vec_id AS i, a.label AS il, b.vec_id AS j, b.label AS jl,
+                     CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+              FROM comp a JOIN comp b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2, 3, 4
+            ), vl AS MATERIALIZED (
+              SELECT i, il, jl,
+                     CAST(sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)) AS HUGEINT) AS s,
+                     CAST(count(*) AS HUGEINT) AS c
+              FROM d2 GROUP BY i, il, jl
+            ), own AS MATERIALIZED (
+              SELECT i, s AS a_s, c AS ac FROM vl WHERE jl = il
+            ), oth AS MATERIALIZED (
+              SELECT i, jl, s AS bs, c AS bc FROM vl WHERE jl <> il
+            ), best AS MATERIALIZED (
+              SELECT o.i, o.bs, o.bc FROM oth o
+              WHERE NOT EXISTS (
+                SELECT 1 FROM oth b WHERE b.i = o.i AND (
+                  b.bs * o.bc < o.bs * b.bc
+                  OR (b.bs * o.bc = o.bs * b.bc AND b.jl < o.jl)))
+            ), sv AS MATERIALIZED (
+              SELECT v.label,
+                     CASE WHEN own.ac IS NULL OR best.i IS NULL
+                               OR greatest(best.bs * own.ac, own.a_s * best.bc) = 0
+                          THEN CAST(0 AS BIGINT)
+                          ELSE CAST((CASE WHEN best.bs * own.ac - own.a_s * best.bc >= 0
+                                          THEN 1 ELSE -1 END)
+                               * ((2000 * abs(best.bs * own.ac - own.a_s * best.bc)
+                                   + greatest(best.bs * own.ac, own.a_s * best.bc))
+                                  // (2 * greatest(best.bs * own.ac, own.a_s * best.bc)))
+                               AS BIGINT) END AS s_milli
+              FROM e v LEFT JOIN own ON own.i = v.vec_id
+                       LEFT JOIN best ON best.i = v.vec_id
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(s_milli) AS BIGINT) AS sum_s_milli,
+                   CAST(CASE WHEN sum(s_milli) >= 0
+                        THEN sum(s_milli) // count(*)
+                        ELSE -((-sum(s_milli)) // count(*)) END AS BIGINT) AS mean_s_milli
+            FROM sv GROUP BY label ORDER BY label
+        """,
         "markov_entropy": """
             WITH o AS (
               SELECT user_id, event_type,

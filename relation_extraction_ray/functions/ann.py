@@ -1499,3 +1499,150 @@ def pca_top(
             }
         )
     )
+
+
+def silhouette_by_label(
+    embeddings: ray.data.Dataset,
+    broadcast_bytes: int = 64 << 20,
+) -> ray.data.Dataset:
+    """Per-label mean silhouette over the embedding table — the
+    cluster-quality diagnostic (cohesion a vs nearest-other-cluster
+    separation b, s = (b−a)/max(a,b) in [−1, 1]); labels whose mean s
+    drops near 0 are blending into a neighbor.
+
+    Exact integer conventions (value-identical to the SQL replay at any
+    parallelism):
+
+    * components micro-quantized ``floor(v·1e6 + 0.5)`` (the
+      label_centroids convention) → pair distance² is an exact int64;
+    * unit distance ``floor(sqrt(d²))`` — d² < 2⁵³ is exactly
+      representable and IEEE-754 sqrt is correctly rounded, so numpy,
+      libm and DuckDB agree bit-for-bit;
+    * per-vec s_milli = sign·((2000·|N| + D) // (2·D)) with
+      N = bs·ac − as·bc and D = max(bs·ac, as·bc) — round half away
+      from zero over exact cross-multiplied integers (picked because
+      BOTH Python ``//`` (floor) and DuckDB ``//`` (truncate) agree on
+      nonnegative operands; the nearest-other label ties break to the
+      SMALLEST label so both engines pick the same (bs, bc));
+    * per-label mean = truncating div of Σs_milli by n (sign-split).
+
+    Standard conventions: a singleton's s = 0 (Rousseeuw); the per-vec
+    finalize uses Python ints (cross products overflow int64 past ~10⁵
+    vectors; the distance fold itself stays vectorized int64).
+
+    Scale shape: the quantized table (rows × dim × 8 B) broadcasts once
+    via ``ray.put`` under ``broadcast_bytes`` (full silhouette is
+    inherently all-pairs; past the bound production uses SAMPLED
+    silhouette — raise or sample upstream, the operator asserts), then
+    ONE streaming scan computes each batch's rows against the broadcast
+    matrix with an int64 matmul; the exchange is one label-sized
+    groupby of (Σs, n) partials."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    rows = embeddings.select_columns(["vec_id", "embedding", "label"]).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    V = np.array(
+        [np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5) for r in rows],
+        dtype=np.int64,
+    )
+    labels = np.array([int(r["label"]) for r in rows], dtype=np.int64)
+    vec_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    assert V.nbytes <= broadcast_bytes, (
+        "full silhouette is all-pairs; sample upstream past the broadcast bound"
+    )
+    # label-sorted column order so per-label sums are contiguous reduceats
+    order = np.argsort(labels, kind="stable")
+    V_s, lab_s = V[order], labels[order]
+    ulabels, first = np.unique(lab_s, return_index=True)
+    seg_starts = first
+    counts = np.diff(np.r_[seg_starts, len(lab_s)])
+    norms = (V_s * V_s).sum(axis=1)
+    ref = ray.put((V_s, lab_s, seg_starts, counts, norms, ulabels))
+
+    out_schema = pa.schema(
+        [("label", pa.int64()), ("n_vecs", pa.int64()), ("sum_s_milli", pa.int64())]
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        V_s, lab_s, seg_starts, counts, norms, ulabels = ray.get(ref)
+        X = np.array(
+            [
+                np.floor(np.asarray(e, dtype=np.float64) * 1e6 + 0.5)
+                for e in batch.column("embedding").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        xlab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = (X * X).sum(axis=1)
+        d2 = xn[:, None] + norms[None, :] - 2 * (X @ V_s.T)  # exact int64
+        d = np.sqrt(d2.astype(np.float64)).astype(np.int64)  # floor(ieee sqrt)
+        # per-label distance sums: contiguous segments of the label-sorted axis
+        S = np.add.reduceat(d, seg_starts, axis=1)  # [B, L]
+        out_lab, out_s = [], []
+        li = {int(l): k for k, l in enumerate(ulabels)}
+        for b in range(len(X)):
+            own = li[int(xlab[b])]
+            ac = int(counts[own]) - 1  # exclude self (d(i,i)=0 already)
+            as_ = int(S[b, own])
+            best = None  # (bs, bc, label) with min mean, ties → smallest label
+            for k, l in enumerate(ulabels):
+                if k == own:
+                    continue
+                bs, bc = int(S[b, k]), int(counts[k])
+                if best is None or bs * best[1] < best[0] * bc:
+                    best = (bs, bc, int(l))
+            if ac <= 0 or best is None:
+                s_milli = 0  # singleton cluster / single label
+            else:
+                bs, bc, _ = best
+                N = bs * ac - as_ * bc
+                D = max(bs * ac, as_ * bc)
+                s_milli = 0 if D == 0 else (1 if N >= 0 else -1) * (
+                    (2000 * abs(N) + D) // (2 * D)
+                )
+            out_lab.append(int(xlab[b]))
+            out_s.append(s_milli)
+        t = pa.table(
+            {
+                "label": pa.array(out_lab, pa.int64()),
+                "n": pa.array(np.ones(len(out_lab), dtype=np.int64), pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+            }
+        )
+        # per-batch partial combine: one row per label per batch
+        g = t.group_by("label").aggregate([("n", "sum"), ("s", "sum")])
+        return pa.table(
+            {
+                "label": g.column("label"),
+                "n_vecs": g.column("n_sum").cast(pa.int64()),
+                "sum_s_milli": g.column("s_sum").cast(pa.int64()),
+            }
+        )
+
+    folded = (
+        embeddings.select_columns(["embedding", "label"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_s_milli", alias_name="sum_s"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = batch.column("sum_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        # truncating mean (DuckDB // semantics), sign-split for negatives
+        mean = np.sign(ss) * (np.abs(ss) // np.maximum(n, 1))
+        return pa.table(
+            {
+                "label": pa.array(lab, pa.int64()),
+                "n_vecs": pa.array(n, pa.int64()),
+                "sum_s_milli": pa.array(ss, pa.int64()),
+                "mean_s_milli": pa.array(mean, pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

@@ -1930,3 +1930,78 @@ def zipf_law(docs: ray.data.Dataset, k: int = 100) -> "pa.Table":
             "s_milli": pa.array([s_milli] * m, pa.int64()),
         }
     )
+
+
+def char_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document character-distribution entropy — the classic
+    gibberish / encoding-noise quality signal (natural text sits near
+    4.1-4.4 bits ≈ 2.9-3.0 nats; base64 blobs and key-mash noise score
+    high, repeated-char padding scores near 0).  Exact integer-nano
+    convention (the markov_entropy discipline): per distinct (doc, char)
+    count c in a doc of n codepoints, term = c·(L(n) − L(c)) with
+    ``L(x) = floor(ln(x)·1e9 + 0.5)`` via ``math.log`` (bit-identical to
+    DuckDB ``ln``), then H_nano = (2·Σterm + n) // (2·n) — every sum is
+    over exact integers, so block layout and summation order cannot move
+    the result.  Output (doc_id, n_chars, n_distinct, entropy_nano).
+
+    Scale shape: ONE streaming scan; each batch decodes its text to a
+    flat codepoint array (utf-32 view), folds per-(doc, char) counts
+    with one ``np.unique`` on a packed (doc, codepoint) key, and
+    finalizes per doc with segmented reduceats — no exchange at all."""
+    import math
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("entropy_nano", pa.int64()),
+        ]
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        n_docs = len(texts)
+        ent = np.zeros(n_docs, dtype=np.int64)
+        ndist = np.zeros(n_docs, dtype=np.int64)
+        if len(cp):
+            key = (doc_idx << np.int64(32)) | cp.astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            ud = (uk >> np.int64(32)).astype(np.int64)
+            # L over DISTINCT values only, via math.log (NOT np.log — the
+            # engine's ln convention is bit-matched to DuckDB through
+            # libm; numpy's SIMD log can differ in the last ulp)
+            def L_arr(vals: np.ndarray) -> np.ndarray:
+                uv = np.unique(vals)
+                lv = np.array(
+                    [int(math.floor(math.log(float(v)) * 1e9 + 0.5)) for v in uv],
+                    dtype=np.int64,
+                )
+                return lv[np.searchsorted(uv, vals)]
+            Lc = L_arr(cnt)
+            Ln_doc = L_arr(lens[lens > 0])
+            Ln_full = np.zeros(n_docs, dtype=np.int64)
+            Ln_full[lens > 0] = Ln_doc
+            term = cnt * (Ln_full[ud] - Lc)
+            starts = np.flatnonzero(np.r_[True, ud[1:] != ud[:-1]])
+            num = np.add.reduceat(term, starts)
+            owners = ud[starts]
+            nn = lens[owners]
+            ent[owners] = (2 * num + nn) // (2 * nn)
+            ndist[owners] = np.diff(np.r_[starts, len(ud)])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(lens, pa.int64()),
+                "n_distinct": pa.array(ndist, pa.int64()),
+                "entropy_nano": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow")

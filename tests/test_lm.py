@@ -184,3 +184,120 @@ def test_zipf_law_closed_form(ray_session):
     assert got[0]["s_milli"] == (2000 * (-num) + den) // (2 * den)
     # ranks 1..4 in frequency order
     assert [r["rank"] for r in got] == [1, 2, 3, 4]
+
+
+def test_char_entropy_closed_form(ray_session):
+    """Hand-computable fixtures: uniform 2-char doc, single-char doc,
+    empty doc; block-invariant."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.text import char_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["abab", "aaaa", "", "abcd"], pa.string()),
+        }
+    )
+    L = lambda x: int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+
+    def H(counts):
+        n = sum(counts)
+        num = sum(c * (L(n) - L(c)) for c in counts)
+        return (2 * num + n) // (2 * n)
+
+    for nb in (1, 3):
+        got = {
+            r["doc_id"]: (r["n_chars"], r["n_distinct"], r["entropy_nano"])
+            for r in char_entropy(ray.data.from_arrow(t).repartition(nb)).take_all()
+        }
+        assert got[0] == (4, 2, H([2, 2]))  # ln 2
+        assert got[1] == (4, 1, 0)
+        assert got[2] == (0, 0, 0)
+        assert got[3] == (4, 4, H([1, 1, 1, 1]))  # ln 4
+    # ln2 in nanos via the difference-of-rounded-logs convention:
+    # L(4)−L(2) = 1386294361 − 693147181 = 693147180 (one ulp below the
+    # directly rounded ln2 — the per-term rounding is the spec)
+    assert got[0][2] == 693147180
+
+
+def test_silhouette_closed_form(ray_session):
+    """Two tight clusters far apart → s ≈ 1; a label blended into
+    another's points → s near/below 0.  Compared against a plain-python
+    brute force with the exact integer conventions."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.ann import silhouette_by_label
+
+    vecs = [
+        (0, [0.0, 0.0], 0), (1, [0.01, 0.0], 0), (2, [0.0, 0.01], 0),
+        (3, [10.0, 10.0], 1), (4, [10.01, 10.0], 1), (5, [10.0, 10.01], 1),
+        (6, [0.005, 0.005], 2), (7, [9.99, 10.0], 2),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+
+    # independent brute force (python ints, same conventions)
+    import numpy as np
+
+    M = [
+        [int(math.floor(float(np.float32(x)) * 1e6 + 0.5)) for x in v[1]]
+        for v in vecs
+    ]
+    lab = [v[2] for v in vecs]
+    import collections
+
+    stats = collections.defaultdict(lambda: [0, 0])
+    for i in range(len(vecs)):
+        for j in range(len(vecs)):
+            if i == j:
+                continue
+            d2 = sum((a - b) * (a - b) for a, b in zip(M[i], M[j]))
+            d = int(math.floor(math.sqrt(float(d2))))
+            st = stats[(i, lab[j])]
+            st[0] += d
+            st[1] += 1
+    per_label = collections.defaultdict(lambda: [0, 0])
+    for i in range(len(vecs)):
+        as_, ac = stats.get((i, lab[i]), [0, 0])
+        best = None
+        for l in sorted(set(lab)):
+            if l == lab[i] or (i, l) not in stats:
+                continue
+            bs, bc = stats[(i, l)]
+            if best is None or bs * best[1] < best[0] * bc:
+                best = (bs, bc)
+        if ac <= 0 or best is None:
+            s = 0
+        else:
+            bs, bc = best
+            N = bs * ac - as_ * bc
+            D = max(bs * ac, as_ * bc)
+            s = 0 if D == 0 else (1 if N >= 0 else -1) * ((2000 * abs(N) + D) // (2 * D))
+        o = per_label[lab[i]]
+        o[0] += 1
+        o[1] += s
+
+    for nb in (1, 4):
+        got = {
+            r["label"]: (r["n_vecs"], r["sum_s_milli"], r["mean_s_milli"])
+            for r in silhouette_by_label(ray.data.from_arrow(t).repartition(nb)).take_all()
+        }
+        for l, (cnt, ssum) in per_label.items():
+            mean = (1 if ssum >= 0 else -1) * (abs(ssum) // cnt)
+            assert got[l] == (cnt, ssum, mean), (l, got[l], (cnt, ssum, mean))
+    # tight well-separated clusters sit near 1000 milli
+    assert got[0][2] > 950 and got[1][2] > 950
+    # the blended label straddles both clusters — far from cohesive
+    assert got[2][2] < 500
