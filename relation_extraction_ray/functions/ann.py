@@ -1504,6 +1504,7 @@ def pca_top(
 def silhouette_by_label(
     embeddings: ray.data.Dataset,
     broadcast_bytes: int = 64 << 20,
+    sample: int | None = None,
 ) -> ray.data.Dataset:
     """Per-label mean silhouette over the embedding table — the
     cluster-quality diagnostic (cohesion a vs nearest-other-cluster
@@ -1541,7 +1542,29 @@ def silhouette_by_label(
 
     from ray.data.aggregate import Sum
 
-    rows = embeddings.select_columns(["vec_id", "embedding", "label"]).take_all()
+    ref_ds = embeddings.select_columns(["vec_id", "embedding", "label"])
+    if sample is not None:
+        # SAMPLED silhouette (the scale path past the broadcast bound):
+        # the reference side keeps the ``sample`` vectors with the
+        # smallest (md5_u64(vec_id), vec_id) — the engine's standard
+        # deterministic uniform draw (mixture_sample convention); every
+        # vector is still scored, against the sampled reference set.
+        import hashlib as _hashlib
+
+        def _stamp(batch: pa.Table) -> pa.Table:
+            h = [
+                int(_hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+                for v in batch.column("vec_id").to_pylist()
+            ]
+            return batch.append_column("__h__", pa.array(h, pa.uint64()))
+
+        ref_ds = (
+            ref_ds.map_batches(_stamp, batch_format="pyarrow")
+            .sort(["__h__", "vec_id"])
+            .limit(sample)
+            .drop_columns(["__h__"])
+        )
+    rows = ref_ds.take_all()
     rows.sort(key=lambda r: r["vec_id"])
     V = np.array(
         [np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5) for r in rows],
@@ -1559,7 +1582,8 @@ def silhouette_by_label(
     seg_starts = first
     counts = np.diff(np.r_[seg_starts, len(lab_s)])
     norms = (V_s * V_s).sum(axis=1)
-    ref = ray.put((V_s, lab_s, seg_starts, counts, norms, ulabels))
+    ref_ids = frozenset(int(v) for v in vec_ids)
+    ref = ray.put((V_s, lab_s, seg_starts, counts, norms, ulabels, ref_ids))
 
     out_schema = pa.schema(
         [("label", pa.int64()), ("n_vecs", pa.int64()), ("sum_s_milli", pa.int64())]
@@ -1568,7 +1592,7 @@ def silhouette_by_label(
     def kernel(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        V_s, lab_s, seg_starts, counts, norms, ulabels = ray.get(ref)
+        V_s, lab_s, seg_starts, counts, norms, ulabels, ref_ids = ray.get(ref)
         X = np.array(
             [
                 np.floor(np.asarray(e, dtype=np.float64) * 1e6 + 0.5)
@@ -1577,6 +1601,7 @@ def silhouette_by_label(
             dtype=np.int64,
         )
         xlab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        xids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         xn = (X * X).sum(axis=1)
         d2 = xn[:, None] + norms[None, :] - 2 * (X @ V_s.T)  # exact int64
         d = np.sqrt(d2.astype(np.float64)).astype(np.int64)  # floor(ieee sqrt)
@@ -1585,8 +1610,17 @@ def silhouette_by_label(
         out_lab, out_s = [], []
         li = {int(l): k for k, l in enumerate(ulabels)}
         for b in range(len(X)):
-            own = li[int(xlab[b])]
-            ac = int(counts[own]) - 1  # exclude self (d(i,i)=0 already)
+            own = li.get(int(xlab[b]))
+            if own is None:
+                # vector's label absent from the sampled reference set:
+                # no cohesion term — emit s = 0 (the sampled-silhouette
+                # convention for unrepresented clusters)
+                out_lab.append(int(xlab[b]))
+                out_s.append(0)
+                continue
+            # exclude self only when this vector IS in the reference set
+            # (full mode: always; sampled mode: exact vec_id membership)
+            ac = int(counts[own]) - (1 if int(xids[b]) in ref_ids else 0)
             as_ = int(S[b, own])
             best = None  # (bs, bc, label) with min mean, ties → smallest label
             for k, l in enumerate(ulabels):
@@ -1624,7 +1658,7 @@ def silhouette_by_label(
         )
 
     folded = (
-        embeddings.select_columns(["embedding", "label"])
+        embeddings.select_columns(["vec_id", "embedding", "label"])
         .map_batches(kernel, batch_format="pyarrow")
         .groupby("label")
         .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_s_milli", alias_name="sum_s"))

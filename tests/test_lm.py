@@ -301,3 +301,88 @@ def test_silhouette_closed_form(ray_session):
     assert got[0][2] > 950 and got[1][2] > 950
     # the blended label straddles both clusters — far from cohesive
     assert got[2][2] < 500
+
+
+def test_silhouette_sampled(ray_session):
+    """sample ≥ n is identical to full; sample < n matches a plain
+    brute force against the md5-picked reference subset."""
+    import collections
+    import hashlib
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from relation_extraction_ray.functions.ann import silhouette_by_label
+
+    rng = np.random.default_rng(11)
+    n = 40
+    emb = rng.normal(size=(n, 4)).astype(np.float32)
+    lab = (np.arange(n) % 3).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb], pa.list_(pa.float32())),
+            "label": pa.array(lab, pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def rows_of(res):
+        return sorted(
+            (r["label"], r["n_vecs"], r["sum_s_milli"], r["mean_s_milli"])
+            for r in res.take_all()
+        )
+
+    full = rows_of(silhouette_by_label(ds))
+    assert rows_of(silhouette_by_label(ds, sample=n)) == full
+
+    k = 15
+    got = rows_of(silhouette_by_label(ds, sample=k))
+
+    # independent replay: md5-smallest-k reference, python-int brute force
+    h = [(int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16), i) for i in range(n)]
+    ref = sorted(i for _, i in sorted(h)[:k])
+    M = [[int(math.floor(float(x) * 1e6 + 0.5)) for x in emb[i]] for i in range(n)]
+    stats = collections.defaultdict(lambda: [0, 0])
+    for i in range(n):
+        for j in ref:
+            if i == j:
+                continue
+            d2 = sum((a - b) * (a - b) for a, b in zip(M[i], M[j]))
+            d = int(math.floor(math.sqrt(float(d2))))
+            st = stats[(i, int(lab[j]))]
+            st[0] += d
+            st[1] += 1
+    per_label = collections.defaultdict(lambda: [0, 0])
+    ref_set = set(ref)
+    for i in range(n):
+        own = stats.get((i, int(lab[i])))
+        if own is None:
+            s = 0
+        else:
+            as_, ac = own
+            ac = ac  # count of own-label ref rows != i
+            best = None
+            for l in sorted(set(int(x) for x in lab)):
+                if l == int(lab[i]) or (i, l) not in stats:
+                    continue
+                bs, bc = stats[(i, l)]
+                if best is None or bs * best[1] < best[0] * bc:
+                    best = (bs, bc)
+            if ac <= 0 or best is None:
+                s = 0
+            else:
+                bs, bc = best
+                N = bs * ac - as_ * bc
+                D = max(bs * ac, as_ * bc)
+                s = 0 if D == 0 else (1 if N >= 0 else -1) * ((2000 * abs(N) + D) // (2 * D))
+        o = per_label[int(lab[i])]
+        o[0] += 1
+        o[1] += s
+    want = sorted(
+        (l, cnt, ssum, (1 if ssum >= 0 else -1) * (abs(ssum) // cnt))
+        for l, (cnt, ssum) in per_label.items()
+    )
+    assert got == want
