@@ -335,12 +335,18 @@ def _pointer_jump(labels: ray.data.Dataset, id_type: pa.DataType, n_parts: int) 
 def _global_min(node_lab: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
     """groupby(node).min(lab) renamed back to (node, lab).
 
-    ``num_partitions`` is pinned to the node-derived partition count:
-    without it the aggregate emits one block per input block, and the
-    round loop COMPOUNDS block count (round k's labels ∪ messages feed
-    round k+1's aggregate) — measured 1.3 s → 4.3 s → 15.2 s per round
-    on an 8-edge toy graph before the pin, pure scheduling."""
-    agg = node_lab.groupby("node", num_partitions=n_parts).min("lab")
+    ``num_partitions`` pins the SHUFFLE partition count, but the
+    aggregate still emits one block per input block, so the round loop
+    COMPOUNDS block count (round k's labels ∪ messages feed round k+1's
+    aggregate) — measured 1.3 s → 4.3 s → 15.2 s per round on an 8-edge
+    toy graph, and 23 → 36 → 66 → 113 s per round on the 5.2M-pair
+    media-dedup probe (round 5) until the explicit ``repartition``
+    below restored flat ~23 s rounds; same bfs_hops discipline."""
+    agg = (
+        node_lab.repartition(n_parts)
+        .groupby("node", num_partitions=n_parts)
+        .min("lab")
+    )
     return agg.map_batches(
         lambda t: t.rename_columns(["node", "lab"]), batch_format="pyarrow"
     )

@@ -621,7 +621,7 @@ def media_phash_rows(n_docs: int, seed: int = 42) -> list[dict]:
     an independent implementation of the bit-packing the engine does
     vectorized (``stages/media.dhash64/ahash64``)."""
     from .sources.synth import corpus_table
-    from .stages.media import _fake_pixels, _synth_payload
+    from .stages.media import _LOCALITY_DOCS, _fake_pixels, _synth_payload
 
     rows = []
     for row in corpus_table(n_docs, seed=seed).to_pylist():
@@ -630,7 +630,7 @@ def media_phash_rows(n_docs: int, seed: int = 42) -> list[dict]:
             if s["kind"] == "text":
                 continue
             payload = _synth_payload(s["media_ref"], 4096)
-            px = _fake_pixels(payload)
+            px = _fake_pixels(payload, locality=doc_index // _LOCALITY_DOCS)
             dh = 0
             for r in range(8):
                 for c in range(8):

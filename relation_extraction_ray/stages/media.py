@@ -264,19 +264,33 @@ PHASH_SCHEMA = pa.schema(
 _UID_SPANS = 64
 
 
-def _fake_pixels(payload: bytes, height: int = PHASH_H, width: int = PHASH_W) -> np.ndarray:
+#: Docs per near-dup locality window: the synthetic family key is
+#: (doc_index // _LOCALITY_DOCS, payload[0]), so a family holds only the
+#: spans of ONE 4096-doc window sharing a payload byte (~15 spans) —
+#: cluster sizes stay BOUNDED while the family count grows with the
+#: corpus, i.e. near-dup pairs are O(n), the realistic crawl shape.  (A
+#: fixed 256-family design measured 12.8M pairs at just 90k spans —
+#: O(n²/256) — before this window existed; below 4096 docs the window is
+#: 0 and behavior is bit-identical to the pre-window generator, which
+#: keeps every committed oracle value.)
+_LOCALITY_DOCS = 4096
+
+
+def _fake_pixels(
+    payload: bytes, height: int = PHASH_H, width: int = PHASH_W, locality: int = 0
+) -> np.ndarray:
     """Deterministic FAKE pixel decode (clearly marked: no codec in this
     sandbox).  Family-structured so near-duplicate media EXIST in the
-    synthetic corpus: the base grid depends only on ``payload[0]`` (256
-    visual families — so duplication RATE, not cluster size, grows with
-    corpus size, mirroring a real crawl where one popular image recurs a
-    bounded number of times), then two payload-seeded pixel perturbations
-    are applied — each perturbed pixel moves ≤ 2 dHash bits, so same-family
+    synthetic corpus: the base grid depends only on
+    ``(locality, payload[0])`` (callers derive ``locality`` as
+    ``doc_index // _LOCALITY_DOCS`` — see the constant above for the
+    scale shape), then two payload-seeded pixel perturbations are
+    applied — each perturbed pixel moves ≤ 2 dHash bits, so same-family
     images sit within a small Hamming ball and cross-family images are
     ~32 bits apart (the structure a perceptual-hash dedup is built to
-    find).  Pure function of (payload, h, w): identical at any
+    find).  Pure function of (payload, h, w, locality): identical at any
     parallelism level, replayed row-for-row by the python oracle."""
-    fam = payload[0]
+    fam = payload[0] if locality == 0 else f"{locality}:{payload[0]}"
     base_seed = int.from_bytes(
         hashlib.blake2b(f"pxfam:{fam}:{width}x{height}".encode(), digest_size=8).digest(),
         "big",
@@ -329,7 +343,7 @@ class PhashStage:
         except ImportError:
             self._pil_image = None
 
-    def _pixels(self, payload: bytes, kind: str) -> tuple[np.ndarray, str]:
+    def _pixels(self, payload: bytes, kind: str, locality: int = 0) -> tuple[np.ndarray, str]:
         if self._pil_image is not None and kind == "image":
             try:
                 import io
@@ -339,7 +353,7 @@ class PhashStage:
                 return np.asarray(img, dtype=np.int16), "pil"
             except Exception:
                 pass
-        return _fake_pixels(payload), "fake"
+        return _fake_pixels(payload, locality=locality), "fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {k: [] for k in (
@@ -352,8 +366,8 @@ class PhashStage:
             batch.column("media_ref").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            px, backend = self._pixels(payload, kind)
             doc_index = int(doc_id[3:])  # synth format 'doc%09d'
+            px, backend = self._pixels(payload, kind, doc_index // _LOCALITY_DOCS)
             assert span_idx < _UID_SPANS
             out["doc_id"].append(doc_id)
             out["span_idx"].append(span_idx)
