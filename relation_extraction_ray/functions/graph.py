@@ -110,6 +110,16 @@ def _collapsed_edges(adjacency: ray.data.Dataset, n_parts: int) -> ray.data.Data
 #: size; bit-equality tested against the pinned path).
 PIN_EDGES_BYTES_BOUND = 2 << 30
 
+#: Below this collapsed-edge byte size the iterative operators run their
+#: integer recurrences LOCALLY in one numpy pass (gathered once, no
+#: per-iteration exchange) — bit-identical by exact-integer construction
+#: and asserted against the distributed rounds in tests.  ~64 MB ≈ 1.3M
+#: collapsed edges: every ray.data all-to-all costs seconds of fixed
+#: scheduling latency, which dominated small-graph queries (5-iteration
+#: PageRank on a 625-edge KG: 50 s distributed, <1 s local).  The
+#: distributed path stays the only path above the bound.
+LOCAL_GRAPH_BYTES_BOUND = 64 << 20
+
 
 def _probe_contribs(
     rk_nodes: np.ndarray,
@@ -158,6 +168,50 @@ def pagerank(
     n_edges = adjacency.count()
     n_parts = derive_n_parts(n_edges, rows_per_part=65536)
     edges = _collapsed_edges(adjacency, n_parts)
+
+    # Small-graph planner (round 5): below LOCAL_GRAPH_BYTES_BOUND the
+    # whole collapsed edge table is gathered once and the integer
+    # iterations run in numpy with NO per-iteration exchange — the rank
+    # recurrence is exact integer arithmetic, so this is bit-identical
+    # to the distributed rounds (asserted in tests), and each ray.data
+    # all-to-all costs ~2-4 s of fixed scheduling latency that dominated
+    # small-KG queries (5-iteration PageRank on a 625-edge KG measured
+    # 50 s distributed vs <1 s local).  Above the bound the keyed
+    # exchanges below are unchanged.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        et = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        ) if n_edges else None
+        if et is None:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.int64())})
+            )
+        eu = et.column("u").to_numpy(zero_copy_only=False)
+        ev = et.column("v").to_numpy(zero_copy_only=False)
+        w = et.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        ow = et.column("ow").to_numpy(zero_copy_only=False).astype(np.int64)
+        node_arr = np.unique(np.concatenate([eu, ev]))
+        ui = np.searchsorted(node_arr, eu)
+        vi = np.searchsorted(node_arr, ev)
+        base = (100 - damping_pct) * SCALE // 100
+        if seed_pct is None:
+            rank = np.full(len(node_arr), SCALE, np.int64)
+            base_vec = np.full(len(node_arr), base, np.int64)
+        else:
+            seed = bfs_seed_mask(pa.array(node_arr), seed_pct).to_numpy(
+                zero_copy_only=False
+            )
+            rank = np.where(seed, SCALE, 0).astype(np.int64)
+            base_vec = np.where(seed, base, 0).astype(np.int64)
+        for _ in range(iters):
+            contrib = rank[ui] * w // ow
+            s = np.zeros(len(node_arr), np.int64)
+            np.add.at(s, vi, contrib)
+            rank = base_vec + damping_pct * s // 100
+        out = pa.table(
+            {"node": pa.array(node_arr), "rank": pa.array(rank, pa.int64())}
+        )
+        return ray.data.from_arrow(out).sort(["rank", "node"], descending=[True, False])
 
     # Pin the static side: below the byte bound, collect each edge
     # partition ONCE (sorted by u for the probe) into the object store —
@@ -370,6 +424,30 @@ def triangle_count(adjacency: ray.data.Dataset) -> ray.data.Dataset:
         .map_groups(dedup_part, batch_format="pyarrow")
         .materialize()
     )
+
+    # Small-graph planner (round 5): below LOCAL_GRAPH_BYTES_BOUND count
+    # triangles locally over the gathered deduped edge set (Σ common
+    # neighbors over edges = 3·triangles; exact integers, bit-equal to
+    # the wedge exchanges — asserted in tests).
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        n_tri = 0
+        if tabs:
+            et = pa.concat_tables(tabs)
+            a = et.column("a").to_pylist()
+            b = et.column("b").to_pylist()
+            nbrs: dict[str, set] = {}
+            for x, y in zip(a, b):
+                nbrs.setdefault(x, set()).add(y)
+                nbrs.setdefault(y, set()).add(x)
+            tot = 0
+            for x, y in zip(a, b):
+                s1, s2 = nbrs[x], nbrs[y]
+                tot += len(s1 & s2) if len(s1) <= len(s2) else len(s2 & s1)
+            n_tri = tot // 3
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
+        )
 
     def endpoints(batch: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
@@ -595,6 +673,59 @@ def edge_jaccard(adjacency: ray.data.Dataset) -> ray.data.Dataset:
         .map_groups(dedup_part, batch_format="pyarrow")
         .materialize()
     )
+
+    # Small-graph planner (round 5, the pagerank/hits convention): below
+    # LOCAL_GRAPH_BYTES_BOUND the deduped edge set is gathered once and
+    # degrees / common-neighbor counts / the micro-Jaccard are computed
+    # locally — identical integers and the identical float64 rounding
+    # expression, so bit-equal to the wedge-exchange path (asserted in
+    # tests).  This also collapses ktruss and clustering_coefficient,
+    # which compose this operator (5-round ktruss on the 625-edge KG
+    # measured 43 s distributed).  Above the bound: unchanged exchanges.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        out_schema = pa.schema(
+            [
+                ("node_a", pa.string()),
+                ("node_b", pa.string()),
+                ("deg_a", pa.int64()),
+                ("deg_b", pa.int64()),
+                ("n_common", pa.int64()),
+                ("jacc_micro", pa.int64()),
+            ]
+        )
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(out_schema.empty_table())
+        et = pa.concat_tables(tabs)
+        a = et.column("a").to_pylist()
+        b = et.column("b").to_pylist()
+        nbrs: dict[str, set] = {}
+        for x, y in zip(a, b):
+            nbrs.setdefault(x, set()).add(y)
+            nbrs.setdefault(y, set()).add(x)
+        da = np.array([len(nbrs[x]) for x in a], np.int64)
+        db = np.array([len(nbrs[y]) for y in b], np.int64)
+        cn = np.array(
+            [
+                len(nbrs[x] & nbrs[y]) if len(nbrs[x]) <= len(nbrs[y]) else len(nbrs[y] & nbrs[x])
+                for x, y in zip(a, b)
+            ],
+            np.int64,
+        )
+        denom = (da + db - cn).astype(np.float64)
+        jacc = np.floor(cn.astype(np.float64) * 1000000.0 / denom + 0.5).astype(np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node_a": pa.array(a, pa.string()),
+                    "node_b": pa.array(b, pa.string()),
+                    "deg_a": pa.array(da, pa.int64()),
+                    "deg_b": pa.array(db, pa.int64()),
+                    "n_common": pa.array(cn, pa.int64()),
+                    "jacc_micro": pa.array(jacc, pa.int64()),
+                }
+            )
+        )
 
     def endpoints(batch: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
@@ -2923,6 +3054,55 @@ def hits(
         .map_groups(prep_part, batch_format="pyarrow")
         .materialize()
     )
+
+    # Small-graph planner (round 5, the pagerank convention): below
+    # LOCAL_GRAPH_BYTES_BOUND the whole mirrored edge table is gathered
+    # once and the exact-integer half-steps run in numpy with no
+    # per-half-step exchange — bit-identical (integer sums + max-rescale
+    # only; asserted in tests), and each of the 2·iters all-to-alls costs
+    # seconds of fixed latency (3-iteration HITS on the 625-edge KG
+    # measured 108 s distributed).  Above the bound: unchanged exchanges.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        fwd = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        ) if n_edges else None
+        if fwd is None or fwd.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.string()),
+                        "hub_scaled": pa.array([], pa.int64()),
+                        "auth_scaled": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        f = fwd.filter(pc.equal(fwd.column("dir"), 0))
+        eu = f.column("key").to_numpy(zero_copy_only=False)
+        ev = f.column("other").to_numpy(zero_copy_only=False)
+        node_arr = np.unique(np.concatenate([eu, ev]))
+        ui = np.searchsorted(node_arr, eu)
+        vi = np.searchsorted(node_arr, ev)
+
+        def _half(score: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+            raw = np.zeros(len(node_arr), np.int64)
+            np.add.at(raw, dst, score[src])
+            m = int(raw.max()) if len(raw) else 0
+            return raw * SCALE6 // m if m > 0 else np.zeros(len(node_arr), np.int64)
+
+        hub = np.full(len(node_arr), SCALE6, np.int64)
+        auth = np.zeros(len(node_arr), np.int64)
+        for _ in range(iters):
+            auth = _half(hub, ui, vi)
+            hub = _half(auth, vi, ui)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr),
+                    "hub_scaled": pa.array(hub, pa.int64()),
+                    "auth_scaled": pa.array(auth, pa.int64()),
+                }
+            )
+        ).sort("node")
 
     # Pin the static side (the pagerank convention, same byte bound):
     # below the bound each mirrored edge partition is ray.put ONCE and

@@ -1161,3 +1161,45 @@ def test_diameter_2sweep_closed_forms(ray_session):
     ring = [(f"n{i}", "p", f"n{(i + 1) % 6}", 1) for i in range(6)]
     r = diameter_2sweep(ray.data.from_arrow(_adj(ring)).repartition(2)).take_all()[0]
     assert r["src"] == "n0" and r["ecc_src"] == 3 and r["diameter_lb"] == 3
+
+
+def test_local_planner_bit_equal_to_distributed(ray_session):
+    """Round-5 small-graph planner: forcing LOCAL_GRAPH_BYTES_BOUND=0
+    (distributed exchanges) must give bit-identical results to the local
+    numpy path for every operator that has one."""
+    import random
+    import unittest.mock as mock
+
+    import relation_extraction_ray.functions.graph as G
+
+    rng = random.Random(5)
+    rows = [
+        (f"n{rng.randrange(40):02d}", "p", f"n{rng.randrange(40):02d}", rng.randrange(1, 5))
+        for _ in range(160)
+    ]
+    kg_adjacency = ray.data.from_arrow(_adj(rows)).repartition(4)
+
+    def rows(ds, cols):
+        return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+    cases = [
+        (lambda: G.pagerank(kg_adjacency, iters=3), ["node", "rank"]),
+        (lambda: G.pagerank(kg_adjacency, iters=2, seed_pct=20), ["node", "rank"]),
+        (lambda: G.hits(kg_adjacency, iters=2), ["node", "hub_scaled", "auth_scaled"]),
+        (
+            lambda: G.edge_jaccard(kg_adjacency),
+            ["node_a", "node_b", "deg_a", "deg_b", "n_common", "jacc_micro"],
+        ),
+        (
+            lambda: G.clustering_coefficient(kg_adjacency),
+            ["node", "deg", "n_tri", "coef_milli"],
+        ),
+        (lambda: G.ktruss(kg_adjacency, k=3), ["node_a", "node_b", "support"]),
+        (lambda: G.triangle_count(kg_adjacency), ["n_triangles"]),
+    ]
+    for make, cols in cases:
+        local = rows(make(), cols)
+        with mock.patch.object(G, "LOCAL_GRAPH_BYTES_BOUND", 0):
+            dist = rows(make(), cols)
+        assert local == dist, cols
+        assert len(local) > 0
