@@ -1035,6 +1035,42 @@ def kcore(adjacency: ray.data.Dataset, k: int = 2, max_rounds: int = 8) -> ray.d
         .materialize()
     )
 
+    # Small-graph planner (round 5): local synchronized peeling —
+    # identical integer degrees and round semantics (tests).
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "deg": pa.array([], pa.int64())})
+            )
+        et = pa.concat_tables(tabs)
+        a = et.column("a").to_numpy(zero_copy_only=False)
+        b = et.column("b").to_numpy(zero_copy_only=False)
+        node_arr = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(node_arr, a)
+        bi = np.searchsorted(node_arr, b)
+        alive_e = np.ones(len(ai), bool)
+        deg = np.bincount(np.concatenate([ai, bi]), minlength=len(node_arr)).astype(np.int64)
+        for _ in range(max_rounds):
+            # the distributed check is over EXISTING degree rows — a node
+            # with no surviving edge has no row, so deg==0 never counts
+            if not ((deg > 0) & (deg < k)).any():
+                break
+            alive_n = deg >= k
+            alive_e &= alive_n[ai] & alive_n[bi]
+            deg = np.bincount(
+                np.concatenate([ai[alive_e], bi[alive_e]]), minlength=len(node_arr)
+            ).astype(np.int64)
+        keep = (deg >= k) & (deg > 0)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr[keep]),
+                    "deg": pa.array(deg[keep], pa.int64()),
+                }
+            )
+        ).sort("node")
+
     def degree_partial(batch: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
@@ -1340,6 +1376,48 @@ def bfs_hops(
     n_parts = derive_n_parts(n_edges, rows_per_part=65536)
     edges = _undirected_both_dirs(adjacency, n_parts)
 
+    # Small-graph planner (round 5): below LOCAL_GRAPH_BYTES_BOUND run
+    # the monotone integer relaxation locally over the gathered mirrored
+    # edge table — exactly max_hops synchronous rounds, bit-equal to the
+    # distributed exchanges (asserted in tests); unchanged above.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "dist": pa.array([], pa.int64())})
+            )
+        et = pa.concat_tables(tabs)
+        u = et.column("u").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        node_arr = np.unique(u)  # mirrored: every endpoint appears as u
+        ui = np.searchsorted(node_arr, u)
+        vi = np.searchsorted(node_arr, v)
+        if seeds is not None:
+            seed_mask = pc.is_in(
+                pa.array(node_arr), value_set=pa.array(sorted(seeds), pa.string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            seed_mask = bfs_seed_mask(pa.array(node_arr), seed_pct).to_numpy(
+                zero_copy_only=False
+            )
+        INF = np.iinfo(np.int64).max
+        dist = np.where(seed_mask, 0, INF).astype(np.int64)
+        for _ in range(max_hops):
+            du = dist[ui]
+            ok = du != INF
+            cand = np.full(len(node_arr), INF, np.int64)
+            np.minimum.at(cand, vi[ok], du[ok] + 1)
+            dist = np.minimum(dist, cand)
+        reached = dist != INF
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr[reached]),
+                    "dist": pa.array(dist[reached], pa.int64()),
+                }
+            )
+        ).sort("node")
+
     def seed_partial(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
         if seeds is not None:  # explicit single/few-source mode
@@ -1457,6 +1535,44 @@ def label_propagation(adjacency: ray.data.Dataset, rounds: int = 3) -> ray.data.
     n_edges = adjacency.count()
     n_parts = derive_n_parts(n_edges, rows_per_part=65536)
     edges = _undirected_both_dirs(adjacency, n_parts)
+
+    # Small-graph planner (round 5): local synchronous LPA — identical
+    # argmax/tie-break over exact integer tallies (tests); unchanged above.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "community": pa.array([], pa.string())})
+            )
+        et = pa.concat_tables(tabs)
+        u = et.column("u").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        node_arr = np.unique(u)
+        V = np.int64(len(node_arr))
+        ui = np.searchsorted(node_arr, u).astype(np.int64)
+        vi = np.searchsorted(node_arr, v).astype(np.int64)
+        lab = np.arange(V, dtype=np.int64)  # label index == node index (sorted, so
+        # index order IS lexicographic label order — the tie-break)
+        for _ in range(rounds):
+            # tally (node=v, label=lab[u]) over the mirrored rows
+            key = vi * V + lab[ui]
+            uk, cnt = np.unique(key, return_counts=True)
+            kn, kl = uk // V, uk % V
+            # per node: max cnt, tie -> smallest label index
+            order = np.lexsort((kl, -cnt, kn))
+            kn_s = kn[order]
+            first = np.r_[True, kn_s[1:] != kn_s[:-1]]
+            new_lab = lab.copy()
+            new_lab[kn_s[first]] = kl[order][first]
+            lab = new_lab
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr),
+                    "community": pa.array(node_arr[lab]),
+                }
+            )
+        ).sort("node")
 
     def init_labels(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
@@ -1878,6 +1994,43 @@ def sssp_hops(
         .materialize()
     )
 
+    # Small-graph planner (round 5): local synchronous Bellman-Ford over
+    # the gathered mirrored weighted edges — exactly ``rounds`` rounds,
+    # bit-equal to the distributed exchanges (tests); unchanged above.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "dist": pa.array([], pa.int64())})
+            )
+        et = pa.concat_tables(tabs)
+        u = et.column("u").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        w = et.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        node_arr = np.unique(u)
+        ui = np.searchsorted(node_arr, u)
+        vi = np.searchsorted(node_arr, v)
+        seed_mask = bfs_seed_mask(pa.array(node_arr), seed_pct).to_numpy(
+            zero_copy_only=False
+        )
+        INF = np.iinfo(np.int64).max
+        dist = np.where(seed_mask, 0, INF).astype(np.int64)
+        for _ in range(rounds):
+            du = dist[ui]
+            ok = du != INF
+            cand = np.full(len(node_arr), INF, np.int64)
+            np.minimum.at(cand, vi[ok], du[ok] + w[ok])
+            dist = np.minimum(dist, cand)
+        reached = dist != INF
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr[reached]),
+                    "dist": pa.array(dist[reached], pa.int64()),
+                }
+            )
+        ).sort("node")
+
     def seed_partial(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
         picked = nodes.filter(bfs_seed_mask(nodes, seed_pct))
@@ -2156,6 +2309,58 @@ def modularity(
         adjacency.map_batches(canon, batch_format="pyarrow"), ["a", "b"], dedup, n_parts
     )
 
+    # Small-graph planner (round 5): local integer sufficient stats —
+    # identical finalize expression (tests); unchanged above the bound.
+    edges = edges.materialize()
+    comm = communities.materialize()
+    if edges.size_bytes() + comm.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "n_edges": pa.array([0], pa.int64()),
+                        "n_communities": pa.array([0], pa.int64()),
+                        "q_nano": pa.array([0], pa.int64()),
+                    }
+                )
+            )
+        et = pa.concat_tables(tabs)
+        a = et.column("a").to_pylist()
+        b = et.column("b").to_pylist()
+        lab = {}
+        for bt in comm.iter_batches(batch_format="pyarrow"):
+            lab.update(zip(bt.column("node").to_pylist(), bt.column("community").to_pylist()))
+        d_of: dict = {}
+        mc_of: dict = {}
+        for x, y in zip(a, b):
+            ca = lab.get(x, x)  # self-label fallback (the attach semantics)
+            cb = lab.get(y, y)
+            d_of[ca] = d_of.get(ca, 0) + 1
+            d_of[cb] = d_of.get(cb, 0) + 1
+            if ca == cb:
+                mc_of[ca] = mc_of.get(ca, 0) + 1
+        m = sum(d_of.values()) // 2
+        sum_mc = sum(mc_of.values())
+        sd2 = sum(d * d for d in d_of.values())
+        n_comm = len(d_of)
+        if m > 0:
+            num = 4 * m * sum_mc - sd2
+            den = 4 * m * m
+            q_nano = int(math.floor(num / den * 1e9 + 0.5))
+        else:
+            q_nano = 0
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([m], pa.int64()),
+                    "n_communities": pa.array([n_comm], pa.int64()),
+                    "q_nano": pa.array([q_nano], pa.int64()),
+                }
+            )
+        )
+    communities = comm
+
     def attach_label(
         keyed: ray.data.Dataset, cols: list[str], key: str, out: str
     ) -> ray.data.Dataset:
@@ -2321,6 +2526,51 @@ def degree_assortativity(adjacency: ray.data.Dataset) -> ray.data.Dataset:
         .aggregate(Sum("d", alias_name="deg"))
         .materialize()
     )
+
+    # Small-graph planner (round 5): local integer sufficient stats with
+    # the identical fixed IEEE finalize (tests); unchanged above.
+    edges = edges.materialize()
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "n_edges": pa.array([0], pa.int64()),
+                        "n_nodes": pa.array([0], pa.int64()),
+                        "r_nano": pa.array([0], pa.int64()),
+                    }
+                )
+            )
+        et = pa.concat_tables(tabs)
+        ea = et.column("a").to_numpy(zero_copy_only=False)
+        eb = et.column("b").to_numpy(zero_copy_only=False)
+        node_arr = np.unique(np.concatenate([ea, eb]))
+        ai = np.searchsorted(node_arr, ea)
+        bi = np.searchsorted(node_arr, eb)
+        degv = np.bincount(np.concatenate([ai, bi]), minlength=len(node_arr)).astype(np.int64)
+        x = degv[ai]
+        y = degv[bi]
+        n = 2 * len(x)
+        sx = int(x.sum()) + int(y.sum())
+        sxx = int((x * x).sum()) + int((y * y).sum())
+        sxy = 2 * int((x * y).sum())
+        num = n * sxy - sx * sx
+        a_ = n * sxx - sx * sx
+        if a_ > 0:
+            r = float(num) / (np.sqrt(float(a_)) * np.sqrt(float(a_)))
+            r_nano = int(math.floor(r * 1e9 + 0.5))
+        else:
+            r_nano = 0
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([n // 2], pa.int64()),
+                    "n_nodes": pa.array([len(node_arr)], pa.int64()),
+                    "r_nano": pa.array([r_nano], pa.int64()),
+                }
+            )
+        )
     n_nodes = deg.count()
 
     def attach_deg(
@@ -2604,6 +2854,58 @@ def harmonic_centrality(
 
     n_parts = derive_n_parts(adjacency.count(), rows_per_part=65536)
     edges = _undirected_both_dirs(adjacency, n_parts)
+
+    # Small-graph planner (round 5): local joint multi-landmark BFS over
+    # a [V, S] distance matrix — identical per-term integer rounding and
+    # round count (tests); guarded by V·S cells as well as bytes.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.string()),
+                        "n_reached": pa.array([], pa.int64()),
+                        "h_micro": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        et = pa.concat_tables(tabs)
+        u = et.column("u").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        node_arr = np.unique(u)
+        seed_mask = bfs_seed_mask(pa.array(node_arr), seed_pct).to_numpy(
+            zero_copy_only=False
+        )
+        S = int(seed_mask.sum())
+        if S == 0 or len(node_arr) * S <= 50_000_000:
+            ui = np.searchsorted(node_arr, u)
+            vi = np.searchsorted(node_arr, v)
+            INF = np.iinfo(np.int64).max
+            D = np.full((len(node_arr), max(S, 1)), INF, np.int64)
+            seed_idx = np.flatnonzero(seed_mask)
+            D[seed_idx, np.arange(S)] = 0
+            for _ in range(max_hops):
+                du = D[ui, :].copy()
+                fin = du != INF
+                du[fin] += 1  # masked bump — INF+1 would wrap
+                cand = np.full_like(D, INF)
+                np.minimum.at(cand, vi, du)
+                D = np.minimum(D, cand)
+            good = (D > 0) & (D != INF)
+            n_reached = good.sum(axis=1).astype(np.int64)
+            dd = np.where(good, D, 1)
+            h = np.where(good, (2_000_000 + dd) // (2 * dd), 0).sum(axis=1).astype(np.int64)
+            keep = n_reached > 0
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(node_arr[keep]),
+                        "n_reached": pa.array(n_reached[keep], pa.int64()),
+                        "h_micro": pa.array(h[keep], pa.int64()),
+                    }
+                )
+            ).sort("node")
 
     def seed_partial(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
@@ -3337,6 +3639,45 @@ def trim_core(adjacency: ray.data.Dataset, max_rounds: int = 32) -> ray.data.Dat
         .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
         .materialize()
     )
+
+    # Small-graph planner (round 5): local source/sink peeling with the
+    # identical round ledger (tests); unchanged above the bound.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        ou_r, ou_rm, ou_c = [], [], []
+        if tabs:
+            et = pa.concat_tables(tabs)
+            u = et.column("u").to_numpy(zero_copy_only=False)
+            v = et.column("v").to_numpy(zero_copy_only=False)
+            node_arr = np.unique(np.concatenate([u, v]))
+            ui = np.searchsorted(node_arr, u)
+            vi = np.searchsorted(node_arr, v)
+            alive_e = np.ones(len(ui), bool)
+            prev = len(node_arr)
+            for rnd in range(1, max_rounds + 1):
+                outs = np.zeros(len(node_arr), np.int64)
+                ins = np.zeros(len(node_arr), np.int64)
+                np.add.at(outs, ui[alive_e], 1)
+                np.add.at(ins, vi[alive_e], 1)
+                surv = (outs > 0) & (ins > 0)
+                n_surv = int(surv.sum())
+                removed = prev - n_surv
+                ou_r.append(rnd)
+                ou_rm.append(removed)
+                ou_c.append(n_surv)
+                if removed == 0 or n_surv == 0:
+                    break
+                prev = n_surv
+                alive_e &= surv[ui] & surv[vi]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "round": pa.array(ou_r, pa.int64()),
+                    "removed": pa.array(ou_rm, pa.int64()),
+                    "core_after": pa.array(ou_c, pa.int64()),
+                }
+            )
+        )
     out_rounds, out_removed, out_core = [], [], []
     n_nodes = None
     for rnd in range(1, max_rounds + 1):

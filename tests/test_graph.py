@@ -1196,6 +1196,21 @@ def test_local_planner_bit_equal_to_distributed(ray_session):
         ),
         (lambda: G.ktruss(kg_adjacency, k=3), ["node_a", "node_b", "support"]),
         (lambda: G.triangle_count(kg_adjacency), ["n_triangles"]),
+        (lambda: G.bfs_hops(kg_adjacency, seed_pct=10, max_hops=4), ["node", "dist"]),
+        (lambda: G.bfs_hops(kg_adjacency, seeds=["n01"], max_hops=4), ["node", "dist"]),
+        (lambda: G.sssp_hops(kg_adjacency, seed_pct=10, rounds=4), ["node", "dist"]),
+        (lambda: G.label_propagation(kg_adjacency, rounds=3), ["node", "community"]),
+        (lambda: G.kcore(kg_adjacency, k=3), ["node", "deg"]),
+        (
+            lambda: G.modularity(kg_adjacency, G.label_propagation(kg_adjacency, rounds=2)),
+            ["n_edges", "n_communities", "q_nano"],
+        ),
+        (lambda: G.degree_assortativity(kg_adjacency), ["n_edges", "n_nodes", "r_nano"]),
+        (
+            lambda: G.harmonic_centrality(kg_adjacency, seed_pct=10, max_hops=3),
+            ["node", "n_reached", "h_micro"],
+        ),
+        (lambda: G.trim_core(kg_adjacency), ["round", "removed", "core_after"]),
     ]
     for make, cols in cases:
         local = rows(make(), cols)
