@@ -1719,6 +1719,69 @@ def random_walks(adjacency: ray.data.Dataset, walk_len: int = 4) -> ray.data.Dat
         .materialize()
     )
 
+    # Small-graph planner (round 5): local walk simulation over the
+    # globally sorted edge array — identical md5 draws, runs and step
+    # ledger (tests); walk_pairs and kg_node_embeddings inherit via
+    # composition.  Unchanged above the bound.
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "walk_id": pa.array([], pa.string()),
+                        "step": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.string()),
+                    }
+                )
+            )
+        et = pa.concat_tables(tabs).sort_by([("u", "ascending"), ("v", "ascending")])
+        eu = et.column("u").to_numpy(zero_copy_only=False).astype(str)
+        ev = et.column("v").to_numpy(zero_copy_only=False)
+        wids = np.unique(eu)
+        cur = wids.copy()
+        alive = np.ones(len(wids), bool)
+        w_col = [wids]
+        s_col = [np.zeros(len(wids), np.int64)]
+        n_col = [wids]
+        for t in range(1, walk_len + 1):
+            aw = np.flatnonzero(alive)
+            if not len(aw):
+                break
+            c = cur[aw].astype(str)
+            lo = np.searchsorted(eu, c, side="left")
+            hi = np.searchsorted(eu, c, side="right")
+            deg = hi - lo
+            has = deg > 0
+            alive[aw[~has]] = False
+            aw = aw[has]
+            if not len(aw):
+                break
+            c, lo, deg = c[has], lo[has], deg[has]
+            wid = wids[aw]
+            idx = np.fromiter(
+                (
+                    int(hashlib.md5(f"{w}|{cc}|{t}".encode()).hexdigest()[:16], 16) % int(d)
+                    for w, cc, d in zip(wid, c, deg)
+                ),
+                dtype=np.int64,
+                count=len(wid),
+            )
+            nxt = np.asarray(ev[lo + idx], dtype=object).astype(str)
+            cur[aw] = nxt
+            w_col.append(wid)
+            s_col.append(np.full(len(aw), t, np.int64))
+            n_col.append(nxt)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "walk_id": pa.array(np.concatenate(w_col).astype(object), pa.string()),
+                    "step": pa.array(np.concatenate(s_col), pa.int64()),
+                    "node": pa.array(np.concatenate(n_col).astype(object), pa.string()),
+                }
+            )
+        ).sort(["walk_id", "step"])
+
     def starts_part(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
         return pa.table({"walk_id": nodes, "node": nodes})

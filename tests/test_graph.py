@@ -1211,6 +1211,8 @@ def test_local_planner_bit_equal_to_distributed(ray_session):
             ["node", "n_reached", "h_micro"],
         ),
         (lambda: G.trim_core(kg_adjacency), ["round", "removed", "core_after"]),
+        (lambda: G.random_walks(kg_adjacency, walk_len=3), ["walk_id", "step", "node"]),
+        (lambda: G.walk_pairs(kg_adjacency, walk_len=3), ["center", "context", "n"]),
     ]
     for make, cols in cases:
         local = rows(make(), cols)
