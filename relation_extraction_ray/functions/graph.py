@@ -2217,6 +2217,58 @@ def fanout_sample(
         .materialize()
     )
 
+    # Small-graph planner (round 5): local hop simulation — identical
+    # md5 ranking, fanout cut and set-valued frontier dedup (tests).
+    if edges.size_bytes() <= LOCAL_GRAPH_BYTES_BOUND:
+        out_schema_l = pa.schema(
+            [("hop", pa.int64()), ("src", pa.string()), ("dst", pa.string())]
+        )
+        tabs = [b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(out_schema_l.empty_table())
+        et = pa.concat_tables(tabs).sort_by([("u", "ascending"), ("v", "ascending")])
+        eu = et.column("u").to_numpy(zero_copy_only=False).astype(str)
+        ev = et.column("v").to_numpy(zero_copy_only=False).astype(str)
+        uniq = np.unique(eu)
+        cur = uniq[bfs_seed_mask(pa.array(uniq), seed_pct).to_numpy(zero_copy_only=False)]
+        hop_col, src_col, dst_col = [], [], []
+        for h, fanout in enumerate(fanouts):
+            cur = np.unique(cur.astype(str))
+            lo = np.searchsorted(eu, cur, side="left")
+            hi = np.searchsorted(eu, cur, side="right")
+            nxt = []
+            for c, a_, b_ in zip(cur, lo, hi):
+                if a_ == b_:
+                    continue
+                cand = ev[a_:b_]
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(f"fan:{c}|{x}|{h}".encode()).hexdigest()[:16], 16)
+                        for x in cand
+                    ),
+                    dtype=np.uint64,
+                    count=len(cand),
+                )
+                order = np.lexsort((cand, hs))[:fanout]
+                picked = cand[order]
+                hop_col.append(np.full(len(order), h, np.int64))
+                src_col.append(np.full(len(order), c, dtype=object))
+                dst_col.append(picked)
+                nxt.append(picked)
+            cur = np.concatenate(nxt) if nxt else np.array([], dtype=object)
+        if not hop_col:
+            return ray.data.from_arrow(out_schema_l.empty_table())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "hop": pa.array(np.concatenate(hop_col), pa.int64()),
+                    "src": pa.array(list(np.concatenate(src_col)), pa.string()),
+                    "dst": pa.array(list(np.concatenate(dst_col)), pa.string()),
+                },
+                schema=out_schema_l,
+            )
+        ).sort(["hop", "src", "dst"])
+
     def seeds_part(part: pa.Table) -> pa.Table:
         nodes = pc.unique(part.column("u").combine_chunks())
         return pa.table({"node": nodes.filter(bfs_seed_mask(nodes, seed_pct))})

@@ -237,70 +237,132 @@ def user_running_totals_bucketed(events: ray.data.Dataset, unit: str = "day") ->
             }
         )
 
-    def local_cumsum(group) -> "pa.Table":
-        import pandas as pd
+    from .joins import derived_num_parts, hash_partitioned_groups
 
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        cum = np.cumsum(g["cents"].to_numpy())
-        user = int(g["user_id"].iloc[0])
-        bucket = int(g["bucket"].iloc[0])
-        n = len(g)
-        return pd.DataFrame(
+    n_parts = derived_num_parts()
+    mid_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("bucket", pa.int64()),
+            ("kind", pa.string()),
+            ("event_id", pa.int64()),
+            ("val", pa.int64()),
+        ]
+    )
+
+    def local_cumsum_part(part: pa.Table) -> pa.Table:
+        """ALL of a partition's (user, bucket) groups in one vectorized
+        pass (round 5 — the per-group pandas dispatch was the phase's
+        dominant cost): lexsort, segmented cumsum re-based at group
+        starts, R rows for every event + one S row per group."""
+        if part.num_rows == 0:
+            return mid_schema.empty_table()
+        user = part.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            part.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = part.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = part.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, bucket, user))
+        u_s, b_s, e_s, c_s = user[order], bucket[order], eid[order], cents[order]
+        cum = np.cumsum(c_s)
+        newg = np.r_[True, (u_s[1:] != u_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        starts = np.flatnonzero(newg)
+        base = (cum - c_s)[starts]
+        seg = np.repeat(base, np.diff(np.r_[starts, len(u_s)]))
+        local_cum = cum - seg
+        ends = np.r_[starts[1:], len(u_s)] - 1
+        return pa.table(
             {
-                "user_id": [user] * (n + 1),
-                "bucket": [bucket] * (n + 1),
-                "kind": ["R"] * n + ["S"],
-                "event_id": list(g["event_id"].to_numpy()) + [-1],
-                "val": list(cum) + [int(cum[-1])],
+                "user_id": pa.array(np.concatenate([u_s, u_s[starts]]), pa.int64()),
+                "bucket": pa.array(np.concatenate([b_s, b_s[starts]]), pa.int64()),
+                "kind": pa.array(["R"] * len(u_s) + ["S"] * len(starts), pa.string()),
+                "event_id": pa.array(
+                    np.concatenate([e_s, np.full(len(starts), -1, np.int64)]), pa.int64()
+                ),
+                "val": pa.array(np.concatenate([local_cum, local_cum[ends]]), pa.int64()),
             }
         )
 
-    local = (
-        events.map_batches(phase1_key, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(local_cumsum, batch_format="pandas")
-        .materialize()  # feeds both the offset pass and the final join
-    )
+    local = hash_partitioned_groups(
+        events.map_batches(phase1_key, batch_format="pyarrow"),
+        ["user_id", "bucket"],
+        local_cumsum_part,
+        n_parts,
+    ).materialize()  # feeds both the offset pass and the final join
 
-    def offsets_of(group) -> "pa.Table":
-        import pandas as pd
-
-        g = group.sort_values("bucket", kind="mergesort")
-        sums = g["val"].to_numpy()
-        offs = np.concatenate([[0], np.cumsum(sums)[:-1]])
-        return pd.DataFrame(
+    def offsets_part(part: pa.Table) -> pa.Table:
+        """Per-user EXCLUSIVE prefix of bucket sums, all users of the
+        partition in one segmented pass."""
+        if part.num_rows == 0:
+            return mid_schema.empty_table()
+        user = part.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = part.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bucket, user))
+        u_s, b_s, v_s = user[order], bucket[order], val[order]
+        cum = np.cumsum(v_s)
+        excl = cum - v_s
+        newu = np.r_[True, u_s[1:] != u_s[:-1]]
+        base = excl[newu]
+        seg = np.repeat(base, np.diff(np.r_[np.flatnonzero(newu), len(u_s)]))
+        return pa.table(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "bucket": g["bucket"].to_numpy(),
-                "kind": ["O"] * len(g),
-                "event_id": [-1] * len(g),
-                "val": offs.astype(np.int64),
+                "user_id": pa.array(u_s, pa.int64()),
+                "bucket": pa.array(b_s, pa.int64()),
+                "kind": pa.array(["O"] * len(u_s), pa.string()),
+                "event_id": pa.array(np.full(len(u_s), -1, np.int64), pa.int64()),
+                "val": pa.array(excl - seg, pa.int64()),
             }
         )
 
     sums = local.filter(expr="kind == 'S'")
-    offsets = sums.groupby("user_id").map_groups(offsets_of, batch_format="pandas").map_batches(
-        lambda t: t, batch_format="pyarrow"  # normalize block type for the union
+    offsets = hash_partitioned_groups(sums, ["user_id"], offsets_part, n_parts)
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+        ]
     )
 
-    def apply_offset(group) -> "pa.Table":
-        import pandas as pd
-
-        off = int(group.loc[group["kind"] == "O", "val"].iloc[0])
-        rows = group[group["kind"] == "R"]
-        return pd.DataFrame(
+    def apply_part(part: pa.Table) -> pa.Table:
+        """Stamp each (user, bucket)'s O offset onto its R rows — one
+        composite-key searchsorted over the whole partition."""
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        user = part.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = part.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.unique(user)
+        bb = np.unique(bucket)
+        K = np.int64(len(bb) + 1)
+        key = np.searchsorted(uu, user).astype(np.int64) * K + np.searchsorted(bb, bucket)
+        iso = kind == "O"
+        isr = kind == "R"
+        o_key, o_val = key[iso], val[iso]
+        oo = np.argsort(o_key)
+        o_key, o_val = o_key[oo], o_val[oo]
+        pos = np.searchsorted(o_key, key[isr])
+        return pa.table(
             {
-                "user_id": rows["user_id"].to_numpy(),
-                "event_id": rows["event_id"].to_numpy(),
-                "cum_value_cents": rows["val"].to_numpy() + off,
+                "user_id": pa.array(user[isr], pa.int64()),
+                "event_id": pa.array(eid[isr], pa.int64()),
+                "cum_value_cents": pa.array(val[isr] + o_val[pos], pa.int64()),
             }
         )
 
-    rows = local.filter(expr="kind == 'R'").map_batches(lambda t: t, batch_format="pyarrow")
-    return (
-        rows.union(offsets)
-        .groupby(["user_id", "bucket"])
-        .map_groups(apply_offset, batch_format="pandas")
+    rows = local.filter(expr="kind == 'R'")
+    return hash_partitioned_groups(
+        rows.union(offsets), ["user_id", "bucket"], apply_part, n_parts
     )
 
 

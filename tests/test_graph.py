@@ -1213,6 +1213,7 @@ def test_local_planner_bit_equal_to_distributed(ray_session):
         (lambda: G.trim_core(kg_adjacency), ["round", "removed", "core_after"]),
         (lambda: G.random_walks(kg_adjacency, walk_len=3), ["walk_id", "step", "node"]),
         (lambda: G.walk_pairs(kg_adjacency, walk_len=3), ["center", "context", "n"]),
+        (lambda: G.fanout_sample(kg_adjacency, seed_pct=10), ["hop", "src", "dst"]),
     ]
     for make, cols in cases:
         local = rows(make(), cols)
