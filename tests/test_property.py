@@ -178,3 +178,131 @@ def test_ntile_sizing_rule(n, k):
         assert (sizes == big + 1).sum() == rem
     # tiles are contiguous and non-decreasing over the sorted order
     assert (np.diff(tile) >= 0).all()
+
+
+# --- round-5 kernels ----------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(TOKENS, min_size=0, max_size=10), min_size=1, max_size=8))
+def test_simhash_batch_matches_scalar(docs):
+    """Vectorized per-batch SimHash ≡ the scalar reference on arbitrary
+    token soups (incl. empty docs and repeated tokens)."""
+    from relation_extraction_ray.functions.dedup import _simhash_batch, simhash64
+
+    texts = [" ".join(toks) for toks in docs]
+    got = list(_simhash_batch(pa.array(texts, pa.string())))
+    assert got == [simhash64(t) for t in texts]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.lists(TOKENS, min_size=0, max_size=10), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=4),
+)
+def test_shingle_flat_matches_shingle_set(docs, n):
+    """Flat vectorized shingling covers exactly shingle_set per doc
+    (multiset ⊇ set; set equality after dedup)."""
+    from relation_extraction_ray.functions.dedup import _shingle_flat, shingle_set
+
+    texts = [" ".join(toks) for toks in docs]
+    sh, di, nd = _shingle_flat(pa.array(texts, pa.string()), n)
+    assert nd == len(texts)
+    per_doc: dict = {}
+    for s, d in zip(sh.to_pylist(), di):
+        per_doc.setdefault(int(d), set()).add(s)
+    for i, t in enumerate(texts):
+        assert per_doc.get(i, set()) == shingle_set(t, n), (i, t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abc xyz", max_size=12), min_size=1, max_size=8))
+def test_char_entropy_kernel_matches_python(texts):
+    """char_entropy's packed-key fold ≡ a plain per-doc python replay."""
+    import math
+
+    from relation_extraction_ray.functions import text as T
+
+    class FakeDS:
+        def __init__(self, t):
+            self.t = t
+
+        def map_batches(self, fn, batch_format=None):
+            self.out = fn(self.t)
+            return self
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = FakeDS(tab)
+    T.char_entropy(ds)
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_distinct"], r["entropy_nano"])
+        for r in ds.out.to_pylist()
+    }
+    L = lambda x: int(math.floor(math.log(float(x)) * 1e9 + 0.5))
+    for i, t in enumerate(texts):
+        n = len(t)
+        counts: dict = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        if n:
+            num = sum(c * (L(n) - L(c)) for c in counts.values())
+            ent = (2 * num + n) // (2 * n)
+        else:
+            ent = 0
+        assert got[i] == (n, len(counts), ent), (i, t)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_asof_kernel_matches_bruteforce(data):
+    """_asof_kernel's rank-composite searchsorted ≡ a brute-force scan
+    over random (user, bucket, ts) layouts with ties."""
+    import numpy as np
+
+    from relation_extraction_ray.functions.relational import _asof_kernel
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    user = np.array(data.draw(st.lists(st.integers(0, 4), min_size=n, max_size=n)), np.int64)
+    bucket = np.array(data.draw(st.lists(st.integers(0, 2), min_size=n, max_size=n)), np.int64)
+    ts = np.array(data.draw(st.lists(st.integers(0, 9), min_size=n, max_size=n)), np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    side = np.array(data.draw(st.lists(st.booleans(), min_size=n, max_size=n)))
+    is_left, is_right = side, ~side
+    m_user, m_eid, m_prior, um_user, um_bucket, um_eid, c_user, c_bucket, c_eid = _asof_kernel(
+        user, bucket, ts, eid, is_left, is_right
+    )
+    got = dict(zip(m_eid.tolist(), m_prior.tolist()))
+    got_um = set(um_eid.tolist())
+    for i in range(n):
+        if not is_left[i]:
+            continue
+        # brute force: latest same-(user,bucket) right with ts<=, max eid on tie
+        best = None
+        for j in range(n):
+            if not is_right[j] or user[j] != user[i] or bucket[j] != bucket[i]:
+                continue
+            if ts[j] > ts[i]:
+                continue
+            if best is None or (ts[j], eid[j]) > (ts[best], eid[best]):
+                best = j
+        if best is None:
+            assert int(eid[i]) in got_um
+        else:
+            assert got.get(int(eid[i])) == int(eid[best]), (i, best)
+    # carry rows: per (user,bucket) the max-(ts,eid) right
+    want_c = {}
+    for j in range(n):
+        if not is_right[j]:
+            continue
+        k = (int(user[j]), int(bucket[j]))
+        if k not in want_c or (ts[j], eid[j]) > want_c[k][0]:
+            want_c[k] = ((int(ts[j]), int(eid[j])), int(eid[j]))
+    got_c = {
+        (int(u), int(b)): int(e) for u, b, e in zip(c_user, c_bucket, c_eid)
+    }
+    assert got_c == {k: v[1] for k, v in want_c.items()}
